@@ -1,0 +1,31 @@
+"""Wide→long reshaping: one (column_name, value) row per cell.
+
+The reference iterates per column over pandas Series (data_prep.py:192);
+the Spark-native equivalent for value-level ops (MinHash, set-similarity)
+is a melt via ``explode(array(struct...))`` — a single table scan with no
+shuffle; the downstream aggregate's map-side combine collapses the
+amplified rows before anything crosses the network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def melt_values(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Return (column_name string, v string) rows; '' is normalized to
+    NULL first (P3, reference data_prep.py:202) and NULLs are dropped
+    (P4, data_prep.py:207 — cleaner semantics per SURVEY §1.2)."""
+    columns = columns or df.columns
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.nullif(F.col(c).cast("string"), F.lit("")).alias("v"),
+        )
+        for c in columns
+    ]
+    return (
+        df.select(F.explode(F.array(*structs)).alias("kv"))
+        .select("kv.column_name", "kv.v")
+        .where(F.col("v").isNotNull())
+    )

@@ -1,0 +1,177 @@
+"""MinHash column sketches + sketch-based joinability search.
+
+Re-designs SK1 (exact-value MinHash, reference data_prep.py:263-274),
+SK2 (word-token MinHash, data_prep.py:213), and the flagship use —
+"which columns in the lake are joinable with X?" (SURVEY §7.3) — as
+pure column-expression SQL (functions/hashing.py family): no UDFs, and
+the whole pipeline is reproducible inside the DuckDB oracle.
+
+Scale shape: values are melted (one scan per table), hashed, and
+min-aggregated with 100 MIN expressions — map-side partial aggregation
+means only 100 longs per (table, column) cross the shuffle, independent
+of row count. Signature comparison is then a join of tiny sketch
+relations (broadcast-able at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tabsketchfm_spark.functions.hashing import (
+    MINHASH_PRIME,
+    NUM_PERM,
+    h32_sql,
+    minhash_agg_exprs,
+    perms_cte_duckdb,
+)
+from tabsketchfm_spark.operators.melt import melt_values
+
+
+def minhash_signatures(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    num_perm: int = NUM_PERM,
+    words: bool = False,
+) -> DataFrame:
+    """Long-format signatures: (table_name, column_name, perm, sig).
+
+    ``words=True`` sketches whitespace tokens of each value instead of
+    whole values (SK2 — joinability on text vocabulary).
+    """
+    m = melt_values(df, columns)
+    if words:
+        m = m.select(
+            "column_name", F.explode(F.split(F.col("v"), r"\s+")).alias("v")
+        ).where(F.col("v") != "")
+    h = F.expr(h32_sql("v", "spark")).alias("h")
+    sigs = m.select("column_name", h).groupBy("column_name").agg(
+        *minhash_agg_exprs(F.col("h"), num_perm)
+    )
+    structs = [
+        F.struct(F.lit(i).alias("perm"), F.col(f"mh{i}").alias("sig"))
+        for i in range(num_perm)
+    ]
+    return sigs.select(
+        F.lit(table_name).alias("table_name"),
+        F.col("column_name"),
+        F.explode(F.array(*structs)).alias("s"),
+    ).select("table_name", "column_name", "s.perm", "s.sig")
+
+
+def minhash_signatures_oracle_sql(
+    table: str,
+    columns: list[str],
+    num_perm: int = NUM_PERM,
+    words: bool = False,
+) -> str:
+    """DuckDB SQL producing identical (table_name, column_name, perm, sig)."""
+    parts = []
+    for c in columns:
+        if words:
+            vals = (
+                f"SELECT w AS v FROM (SELECT unnest(string_split_regex("
+                f"nullif(CAST({c} AS VARCHAR), ''), '\\s+')) AS w FROM {table}) "
+                f"WHERE w IS NOT NULL AND w <> ''"
+            )
+        else:
+            vals = (
+                f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table} "
+                f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+            )
+        h = h32_sql("v", "duckdb")
+        parts.append(
+            f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
+                CAST(i AS INTEGER) AS perm, min((a * {h} + b) % {MINHASH_PRIME}) AS sig
+            FROM ({vals}) vals, perms GROUP BY i"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"WITH perms AS ({perms_cte_duckdb(num_perm)})\n{body}"
+
+
+def minhash_jaccard_estimate(
+    query_sigs: DataFrame, candidate_sigs: DataFrame
+) -> DataFrame:
+    """Estimated Jaccard between one query column's signature and every
+    candidate column's signature: fraction of agreeing slots.
+
+    Output: (cand_table, cand_column, est_jaccard, rank) — rank is
+    deterministic (estimate desc, then name) so top-k cuts are stable.
+    """
+    q = query_sigs.select(F.col("perm"), F.col("sig").alias("qsig"))
+    j = candidate_sigs.join(F.broadcast(q), "perm")
+    est = (
+        j.groupBy(F.col("table_name").alias("cand_table"), F.col("column_name").alias("cand_column"))
+        .agg(F.avg((F.col("sig") == F.col("qsig")).cast("double")).alias("est_jaccard"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc("est_jaccard"), F.asc("cand_table"), F.asc("cand_column")
+    )
+    return est.select("*", F.row_number().over(w).alias("rank"))
+
+
+def joinability_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: tuple[str, str],
+    candidates: list[tuple[str, list[str]]],
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """Flagship (SURVEY §7.3): rank every candidate column in the lake by
+    estimated Jaccard with the query column."""
+    from tabsketchfm_spark.sources.tables import load_table
+
+    qt, qc = query
+    qdf = load_table(spark, sf_dir, qt)
+    qsigs = minhash_signatures(qdf, qt, [qc], num_perm).where(
+        F.col("column_name") == qc
+    )
+    cand_sigs = None
+    for t, cols in candidates:
+        s = minhash_signatures(load_table(spark, sf_dir, t), t, cols, num_perm)
+        cand_sigs = s if cand_sigs is None else cand_sigs.unionByName(s)
+    return minhash_jaccard_estimate(qsigs, cand_sigs)
+
+
+def joinability_oracle_sql(
+    query: tuple[str, str],
+    candidates: list[tuple[str, list[str]]],
+    num_perm: int = NUM_PERM,
+) -> str:
+    qt, qc = query
+    cand_parts = []
+    for t, cols in candidates:
+        for c in cols:
+            h = h32_sql("v", "duckdb")
+            vals = (
+                f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {t} "
+                f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+            )
+            cand_parts.append(
+                f"""SELECT '{t}' AS cand_table, '{c}' AS cand_column,
+                    i AS perm, min((a * {h} + b) % {MINHASH_PRIME}) AS sig
+                FROM ({vals}) vals, perms GROUP BY i"""
+            )
+    hq = h32_sql("v", "duckdb")
+    qvals = (
+        f"SELECT nullif(CAST({qc} AS VARCHAR), '') AS v FROM {qt} "
+        f"WHERE nullif(CAST({qc} AS VARCHAR), '') IS NOT NULL"
+    )
+    cand_body = "\nUNION ALL\n".join(cand_parts)
+    return f"""
+WITH perms AS ({perms_cte_duckdb(num_perm)}),
+qsig AS (SELECT i AS perm, min((a * {hq} + b) % {MINHASH_PRIME}) AS sig
+         FROM ({qvals}) vals, perms GROUP BY i),
+csig AS ({cand_body}),
+est AS (SELECT cand_table, cand_column,
+               avg(CASE WHEN c.sig = q.sig THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END) AS est_jaccard
+        FROM csig c JOIN qsig q USING (perm)
+        GROUP BY cand_table, cand_column)
+SELECT cand_table, cand_column, est_jaccard,
+       CAST(row_number() OVER (ORDER BY est_jaccard DESC, cand_table, cand_column)
+            AS INTEGER) AS rank
+FROM est
+"""

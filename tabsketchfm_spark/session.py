@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode is the test bed; the config is written for a real cluster:
+AQE on (runtime coalesce + skew-join), Arrow enabled for the few
+pandas-interop paths, UTC session time zone so timestamp arithmetic is
+deterministic across engines (the DuckDB oracle is TZ-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tabsketchfm_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    ui: bool = False,
+) -> SparkSession:
+    """Build (or fetch) the SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS, then all cores.
+    ``spark.sql.shuffle.partitions`` defaults to the core count: at
+    local scale a 200-partition shuffle is pure overhead; on a real
+    cluster this knob is expected to be raised to ~2-3× total cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # and convert to micros in the loader (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", str(ui).lower())
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,68 @@
+"""Parquet lake loaders for the synthetic test lake (TESTDATA.md).
+
+The reference walks directories of CSVs and pairs them with metadata
+sidecars (reference batch_fastdata_opendata.py:5-23, S6 in SURVEY §2.1);
+here the lake is a directory of parquet tables. CSV ingestion with the
+reference's robustness semantics lives in ``csv_ingest.py``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # Parquet TIMESTAMP(NANOS) columns arrive as nano-longs (see
+    # session.py nanosAsLong); normalize to microsecond timestamps the
+    # same way DuckDB does, so both engines see identical instants.
+    # Which columns are nano-timestamps is read from the parquet footer.
+    from pyspark.sql import functions as F
+
+    for field in _nano_ts_columns(path):
+        df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
+    return df
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    out = []
+    for f in schema:
+        t = f.type
+        if getattr(t, "unit", None) == "ns":
+            out.append(f.name)
+    return out
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every lake table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views, so `spark.sql` text can be shared)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,57 @@
+"""Driver-style comparison: Spark query vs DuckDB oracle.
+
+Mirrors the driver's t2 gate: row count, column names, and
+order-insensitive value equality (columns sorted by name, rows sorted
+by all values). Exact equality — no tolerance — because the driver
+hashes values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_match(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
+    s = canon(spark_df.toPandas())
+    o = canon(oracle_pdf)
+    assert list(s.columns) == list(o.columns), (
+        f"{name}: columns differ: spark={list(s.columns)} oracle={list(o.columns)}"
+    )
+    assert len(s) == len(o), f"{name}: row count {len(s)} vs {len(o)}"
+    for c in s.columns:
+        sv, ov = s[c].tolist(), o[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, ov)):
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                assert a == b, f"{name}: col {c} row {i}: {a!r} != {b!r}"
+            else:
+                an = a is None or (isinstance(a, float) and math.isnan(a))
+                bn = b is None or (isinstance(b, float) and math.isnan(b))
+                if an and bn:
+                    continue
+                assert a == b, f"{name}: col {c} row {i}: {a!r} != {b!r}"

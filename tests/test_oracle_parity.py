@@ -1,0 +1,23 @@
+"""Every registered query must match its DuckDB oracle at sf0.01 —
+a local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from tabsketchfm_spark.plans import registry
+from tests.oracle_util import assert_match, run_oracle
+
+_NAMES = sorted(registry.queries().keys())
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_query_matches_oracle(spark, sf01, name):
+    q = registry.queries()[name]
+    oracles = registry.oracle_sql()
+    sdf = q(spark, sf01)
+    if name not in oracles:
+        assert sdf.count() >= 0  # rows-only check (non-SQL-expressible op)
+        return
+    opdf = run_oracle(oracles[name], sf01)
+    assert_match(sdf, opdf, name)
