@@ -1,0 +1,355 @@
+"""Deduplication family over the documents table (north-star ops).
+
+Generalizes the reference's content-snapshot dedup primitive (SK3,
+reference data_prep.py:319-337) to the four standard LLM-corpus dedup
+strategies:
+
+- exact dedup          — hash-groupBy on a 60-bit content key
+- n-gram Jaccard       — exact shingle-set similarity (the oracle op)
+- MinHash + LSH        — banded signatures, bucket join, verify
+- SimHash              — 32-bit sign-of-sums fingerprint + Hamming ball
+
+All are pure column-expression SQL (functions/hashing.py family) —
+no UDFs, every stage reproducible in the DuckDB oracle.
+
+Scale notes per operator are inline; the common theme: candidate
+generation is the part that must not be O(n²) at 100 TB — LSH banding
+and SimHash bucketing both reduce it to an equi-join on a bucket key,
+which Spark executes as a shuffle hash join with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tabsketchfm_spark.functions.hashing import (
+    MINHASH_PRIME,
+    h32_sql,
+    h64_sql,
+    minhash_perm_params,
+    perms_cte_duckdb,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, keeping
+    the smallest id as the canonical representative.
+
+    Scale: a single shuffle on the 60-bit content key; map-side
+    partial aggregation collapses duplicates before the exchange.
+    Output: (content_key, keep_id, n_dups).
+    """
+    content = F.concat_ws("\x01", *[F.col(c).cast("string") for c in content_cols])
+    key = F.expr(h64_sql("content", "spark"))
+    return (
+        df.select(F.col(id_col).alias("id"), content.alias("content"))
+        .select("id", key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def exact_dedup_oracle_sql(table: str, id_col: str, content_cols: list[str]) -> str:
+    content = ", ".join(f"CAST({c} AS VARCHAR)" for c in content_cols)
+    key = h64_sql("content", "duckdb")
+    return f"""
+WITH c AS (SELECT {id_col} AS id, concat_ws(chr(1), {content}) AS content FROM {table})
+SELECT {key} AS content_key, min(id) AS keep_id, count(*) AS n_dups
+FROM c GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles (shared by Jaccard + MinHash-LSH)
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) — distinct word n-grams per document."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+    sh = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingles_cte_duckdb(table: str, id_col: str, text_col: str, n: int) -> str:
+    return f"""
+toks AS (SELECT {id_col} AS id,
+                list_filter(string_split_regex({text_col}, '\\s+'), t -> t <> '') AS tk
+         FROM {table}),
+sh AS (SELECT DISTINCT id, array_to_string(tk[i:i+{n - 1}], ' ') AS shingle
+       FROM toks, unnest(generate_series(1, len(tk) - {n} + 1)) t(i))"""
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-dup pairs by word-n-gram Jaccard >= threshold.
+
+    Scale: the shingle self-join is the candidate generator — fine to
+    ~10^7 docs with common-shingle frequency capping; beyond that use
+    minhash_lsh_pairs (same output contract) and keep this as the
+    verify stage. Output: (id_a, id_b, n_a, n_b, n_inter, jaccard).
+    """
+    sh = _shingles(df, id_col, text_col, n).cache()
+    cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(cnt.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(cnt.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def ngram_jaccard_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    return f"""
+WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
+cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, ca.n AS n_a, cb.n AS n_b, n_inter,
+       n_inter / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard
+FROM inter JOIN cnt ca ON id_a = ca.id JOIN cnt cb ON id_b = cb.id
+WHERE n_inter / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidates via banded MinHash LSH, verified by the
+    signature-level Jaccard estimate.
+
+    Pipeline: shingle → h32 → 100-slot signature per doc (wide MIN
+    aggregate, map-side combined) → ``bands`` band keys per doc (md5 of
+    the band's slots) → self-join on (band, key) = the LSH bucket join
+    → dedup pairs → estimate = fraction of agreeing slots → filter.
+
+    Scale: the only joins are equi-joins on band keys (bucket sizes
+    are small by construction) and on doc id against the tiny signature
+    relation. Nothing is O(n²). Output: (id_a, id_b, est_jaccard).
+    """
+    rows = num_perm // bands
+    sh = _shingles(df, id_col, text_col, n)
+    h = F.expr(h32_sql("shingle", "spark"))
+    hashed = sh.select("id", h.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
+    ]
+    sigs = hashed.groupBy("id").agg(*aggs)  # one row per doc, 100 slots
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+                )
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.bkey")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bkey"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
+    sb = sigs.select(F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
+    est = (
+        sum(
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm)
+        )
+        / F.lit(float(num_perm))
+    ).alias("est_jaccard")
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est)
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> str:
+    rows = num_perm // bands
+    h = h32_sql("shingle", "duckdb")
+    return f"""
+WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
+perms AS ({perms_cte_duckdb(num_perm)}),
+sig AS (SELECT id, i, min((a * {h} + b) % {MINHASH_PRIME}) AS s
+        FROM sh, perms GROUP BY id, i),
+banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
+                  md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
+           FROM sig GROUP BY id, i // {rows}),
+cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+         FROM banded x JOIN banded y USING (band, bkey) WHERE x.id < y.id),
+est AS (SELECT id_a, id_b,
+               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / CAST({num_perm} AS DOUBLE)
+                 AS est_jaccard
+        FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b AND sb.i = sa.i
+        GROUP BY id_a, id_b)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per document: for each bit, the sign of the sum of
+    ±1 votes from every token's h32. One scan; the per-bit sums are 32
+    aggregate expressions (map-side combined). Output: (id, simhash)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .select("id", F.expr(h32_sql("t", "spark")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    sig = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)
+    )
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> str:
+    h = h32_sql("t", "duckdb")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, unnest(string_split_regex({text_col}, '\\s+')) AS t
+              FROM {table}),
+hashed AS (SELECT id, {h} AS h FROM toks WHERE t <> ''),
+sums AS (SELECT id, {bit_sums} FROM hashed GROUP BY id)
+SELECT id, CAST({sig} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Pairs whose SimHashes differ in <= max_hamming bits.
+
+    Pairwise here; the scale path splits the signature into
+    (max_hamming+1) chunks — any pair within the Hamming ball agrees
+    exactly on >= 1 chunk (pigeonhole), so candidates come from
+    equi-joins on chunk values, then this check verifies.
+    Output: (id_a, id_b, hamming).
+    """
+    s = simhash(df, id_col, text_col, bits)
+    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dups_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> str:
+    base = simhash_oracle_sql(table, id_col, text_col, bits)
+    return f"""
+WITH s AS ({base})
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""

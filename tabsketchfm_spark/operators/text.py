@@ -1,0 +1,176 @@
+"""Text-analysis operators over the documents table (north-star ops).
+
+Token statistics, quality scoring, n-gram/stopword language ID, and
+document fingerprinting — the per-document profiling a training-data
+pipeline runs before dedup/filtering. All pure column expressions
+(one scan, no shuffle except the final nothing — these are row-local),
+mirrored in the DuckDB oracle.
+
+The reference's corresponding primitives: whitespace word tokens
+(data_prep.py:213), stringified value docs for the hashing vectorizer
+(data_prep.py:251-261), content-addressed identity (data_prep.py:298).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tabsketchfm_spark.functions.hashing import h64_sql
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "en", "es"],
+    "fr": ["le", "la", "de", "et", "en", "est"],
+    "de": ["der", "die", "das", "und", "in", "ist"],
+    "zh": ["de", "shi", "zai", "he"],
+}
+
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _toks_spark(text_col: str) -> str:
+    return f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
+
+
+def _toks_duckdb(text_col: str) -> str:
+    return f"list_filter(string_split_regex({text_col}, '\\s+'), t -> t <> '')"
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_uniq_tokens, avg_token_len) — whitespace tokens
+    plus a BPE-ish subword proxy count (ceil(bytes/4) per token)."""
+    toks = _toks_spark(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_uniq_tokens"),
+        F.round(
+            F.expr(
+                f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
+                f" / greatest(size({toks}), 1)"
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.expr(
+            f"aggregate({toks}, 0L, (acc, t) -> acc + cast(ceil(octet_length(t) / 4.0) as bigint))"
+        ).alias("n_subwords"),
+    )
+
+
+def token_stats_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = _toks_duckdb(text_col)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})
+SELECT id,
+       CAST(len(tk) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq_tokens,
+       round(list_sum(list_transform(tk, t -> CAST(strlen(t) AS DOUBLE)))
+             / greatest(len(tk), 1), 6) AS avg_token_len,
+       CAST(list_sum(list_transform(tk, t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT)))
+            AS BIGINT) AS n_subwords
+FROM t
+"""
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: length saturation, vocabulary
+    diversity, and (1 - stopword density), equally weighted — the
+    standard cheap pre-filter shape for corpus curation.
+    Output: (id, n_tokens, uniq_ratio, stop_ratio, score)."""
+    toks = _toks_spark(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n = f"size({toks})"
+    uniq = f"(size(array_distinct({toks})) / cast(greatest({n}, 1) as double))"
+    stop = (
+        f"(size(filter({toks}, t -> t in ({stop_list}))) "
+        f"/ cast(greatest({n}, 1) as double))"
+    )
+    score = f"0.4 * least({n} / 100.0, 1.0) + 0.3 * {uniq} + 0.3 * (1.0 - {stop})"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(n).alias("n_tokens"),
+        F.round(F.expr(uniq), 6).alias("uniq_ratio"),
+        F.round(F.expr(stop), 6).alias("stop_ratio"),
+        F.round(F.expr(score), 6).alias("score"),
+    )
+
+
+def quality_score_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = _toks_duckdb(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+m AS (SELECT id, CAST(len(tk) AS INTEGER) AS n_tokens,
+             len(list_distinct(tk)) / CAST(greatest(len(tk), 1) AS DOUBLE) AS uniq_ratio,
+             len(list_filter(tk, t -> t IN ({stop_list})))
+               / CAST(greatest(len(tk), 1) AS DOUBLE) AS stop_ratio
+      FROM t)
+SELECT id, n_tokens, round(uniq_ratio, 6) AS uniq_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * uniq_ratio
+             + 0.3 * (1.0 - stop_ratio), 6) AS score
+FROM m
+"""
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count tokens from each language's
+    marker list; highest count wins (fixed precedence on ties).
+    Output: (id, {lang}_hits..., pred_lang)."""
+    toks = _toks_spark(text_col)
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hits[lang] = f"size(filter({toks}, t -> t in ({wl})))"
+    langs = list(STOPWORDS)
+    # fixed-precedence argmax: first language whose count >= all later ones
+    pred = "CASE "
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{hits[lang]} >= {hits[other]}" for other in langs[i + 1 :]
+        )
+        pred += f"WHEN {conds} THEN '{lang}' "
+    pred += f"ELSE '{langs[-1]}' END"
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.expr(hits[lang]).cast("int").alias(f"{lang}_hits") for lang in langs],
+        F.expr(pred).alias("pred_lang"),
+    )
+
+
+def lang_id_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    toks = _toks_duckdb(text_col)
+    hit_defs = []
+    for lang, words in STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        hit_defs.append(
+            f"CAST(len(list_filter(tk, t -> t IN ({wl}))) AS INTEGER) AS {lang}_hits"
+        )
+    langs = list(STOPWORDS)
+    pred = "CASE "
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{lang}_hits >= {o}_hits" for o in langs[i + 1 :])
+        pred += f"WHEN {conds} THEN '{lang}' "
+    pred += f"ELSE '{langs[-1]}' END"
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+h AS (SELECT id, {", ".join(hit_defs)} FROM t)
+SELECT id, {", ".join(f"{lang}_hits" for lang in langs)}, {pred} AS pred_lang
+FROM h
+"""
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit content fingerprint of whitespace-normalized lowercase
+    text (content-addressed identity — reference data_prep.py:298).
+    Output: (id, fp)."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(h64_sql(norm, "spark")).alias("fp"),
+    )
+
+
+def fingerprint_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"SELECT {id_col} AS id, {h64_sql(norm, 'duckdb')} AS fp FROM {table}"

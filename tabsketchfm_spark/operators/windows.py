@@ -1,0 +1,180 @@
+"""Window / ranking / top-k operators on the events + lineitem tables.
+
+Covers the reference's window-shaped computations (SURVEY §2.6/§2.7):
+W1/W2 running counts and per-partition positions (reference
+tabular_tokenizer.py:77-80, 154-173), W4 first-match-per-group
+(embedding_search.py:134-141), T4 ranked top-k
+(embedding_search.py:159-161), T7 self-removal, plus the standard
+analytic aggregation the bench exercises.
+
+Timestamps are projected onto the epoch-seconds axis (exact integer
+micros / 1e6) so outputs are engine-neutral doubles. Money aggregates
+are summed as decimals (exact, order-independent) then cast to double
+— float-sum nondeterminism across partition orders never reaches the
+output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _epoch(col: str) -> F.Column:
+    return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1000000.0)
+
+
+def first_event_per_user(events: DataFrame) -> DataFrame:
+    """W4: first event of every user (row_number == 1 by time)."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", _epoch("ts").alias("ts_epoch"), "event_type")
+    )
+
+
+def first_event_per_user_oracle_sql() -> str:
+    return """
+SELECT user_id, event_id, epoch(ts) AS ts_epoch, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def running_user_totals(events: DataFrame, max_user: int = 20) -> DataFrame:
+    """W1/W2: per-user running event count and running value sum in
+    time order (the reference's cumulative column-position encodings
+    are exactly this shape)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.where(F.col("user_id") < max_user).select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("running_cnt"),
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+def running_user_totals_oracle_sql(max_user: int = 20) -> str:
+    return f"""
+SELECT user_id, event_id,
+       count(*) OVER w AS running_cnt,
+       round(sum(value) OVER w, 6) AS running_value
+FROM events WHERE user_id < {max_user}
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
+    """T4-shape ranked top-k with an exact decimal sum."""
+    totals = events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "user_id", "total_value", "n_events")
+    )
+
+
+def top_users_by_value_oracle_sql(k: int = 10) -> str:
+    return f"""
+WITH totals AS (
+  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         count(*) AS n_events
+  FROM events GROUP BY user_id)
+SELECT CAST(row_number() OVER (ORDER BY total_value DESC, user_id) AS INTEGER) AS rank,
+       user_id, total_value, n_events
+FROM totals
+QUALIFY rank <= {k}
+"""
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation — the bench's scan+agg
+    headline. Decimal sums for exactness, avg counts exact by
+    sum/count of decimals."""
+    d = F.col("l_discount").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(q).cast("double").alias("sum_qty"),
+            F.sum(p).cast("double").alias("sum_base_price"),
+            F.sum((p * (F.lit(1).cast("decimal(18,2)") - d))).cast("double").alias("sum_disc_price"),
+            (F.sum(q).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(p).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def pricing_summary_oracle_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def serial_key_detection(df: DataFrame, table_name: str, columns: list[str]) -> DataFrame:
+    """P6/W3: flag integer columns that look like serial keys —
+    near-unique and correlation > 0.99 with row position (reference
+    data_prep.py:218-229). Row position is the ordering by the column
+    itself joined with a monotonic id is unstable under distribution;
+    the engine instead defines position by value rank, making the
+    statistic deterministic and shuffle-minimal."""
+    out = None
+    for c in columns:
+        w = Window.orderBy(F.asc("v"))
+        d = (
+            df.select(F.col(c).cast("double").alias("v"))
+            .where(F.col("v").isNotNull())
+            .withColumn("pos", F.row_number().over(w).cast("double"))
+        )
+        r = d.agg(
+            F.lit(table_name).alias("table_name"),
+            F.lit(c).alias("column_name"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.round(F.corr("v", "pos"), 6).alias("corr_with_position"),
+        ).select(
+            "*",
+            (
+                (F.col("n_distinct") / F.col("n") > 0.95)
+                & (F.col("corr_with_position") > 0.99)
+            ).alias("is_serial_key"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def serial_key_detection_oracle_sql(table: str, columns: list[str]) -> str:
+    parts = []
+    for c in columns:
+        parts.append(
+            f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
+              count(*) AS n, count(DISTINCT v) AS n_distinct,
+              round(corr(v, pos), 6) AS corr_with_position,
+              (count(DISTINCT v) / CAST(count(*) AS DOUBLE) > 0.95
+               AND round(corr(v, pos), 6) > 0.99) AS is_serial_key
+            FROM (SELECT CAST({c} AS DOUBLE) AS v,
+                         CAST(row_number() OVER (ORDER BY {c}) AS DOUBLE) AS pos
+                  FROM {table} WHERE {c} IS NOT NULL) t"""
+        )
+    return "\nUNION ALL\n".join(parts)

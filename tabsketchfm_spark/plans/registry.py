@@ -129,6 +129,161 @@ _register(
 )
 
 
+# --- T2/K3/K4 + embedding dedup: vector search (SURVEY §2.8) ----------------
+
+from tabsketchfm_spark.operators import vector as vec
+
+_register(
+    "t2_cosine_topk_embeddings",
+    lambda spark, sf: vec.cosine_topk(load_table(spark, sf, "embeddings"), 10, k=10),
+    vec.cosine_topk_oracle_sql("embeddings", 10, k=10),
+)
+_register(
+    "k4_column_vote_embeddings",
+    lambda spark, sf: vec.column_vote_search(load_table(spark, sf, "embeddings")),
+    vec.column_vote_oracle_sql("embeddings"),
+)
+_register(
+    "dedup_embedding_cosine",
+    lambda spark, sf: vec.embedding_near_dups(
+        load_table(spark, sf, "embeddings"), threshold=0.85
+    ),
+    vec.embedding_near_dups_oracle_sql("embeddings", threshold=0.85),
+)
+
+
+# --- dedup family on documents (north-star) ---------------------------------
+
+from tabsketchfm_spark.operators import dedup
+
+_register(
+    "dedup_exact_documents",
+    lambda spark, sf: dedup.exact_dedup(
+        load_table(spark, sf, "documents"), "doc_id", ["text"]
+    ),
+    dedup.exact_dedup_oracle_sql("documents", "doc_id", ["text"]),
+)
+_register(
+    "dedup_ngram_jaccard_documents",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=0.8
+    ),
+    dedup.ngram_jaccard_oracle_sql("documents", threshold=0.8),
+)
+_register(
+    "dedup_minhash_lsh_documents",
+    lambda spark, sf: dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), threshold=0.5
+    ),
+    dedup.minhash_lsh_oracle_sql("documents", threshold=0.5),
+)
+_register(
+    "dedup_simhash_documents",
+    lambda spark, sf: dedup.simhash(load_table(spark, sf, "documents")),
+    dedup.simhash_oracle_sql("documents"),
+)
+_register(
+    "dedup_simhash_pairs_documents",
+    lambda spark, sf: dedup.simhash_near_dups(
+        load_table(spark, sf, "documents"), max_hamming=3
+    ),
+    dedup.simhash_near_dups_oracle_sql("documents", max_hamming=3),
+)
+
+
+# --- text analysis on documents (north-star) --------------------------------
+
+from tabsketchfm_spark.operators import text as txt
+
+_register(
+    "text_token_stats",
+    lambda spark, sf: txt.token_stats(load_table(spark, sf, "documents")),
+    txt.token_stats_oracle_sql("documents"),
+)
+_register(
+    "text_quality_score",
+    lambda spark, sf: txt.quality_score(load_table(spark, sf, "documents")),
+    txt.quality_score_oracle_sql("documents"),
+)
+_register(
+    "text_lang_id",
+    lambda spark, sf: txt.lang_id(load_table(spark, sf, "documents")),
+    txt.lang_id_oracle_sql("documents"),
+)
+_register(
+    "text_fingerprint",
+    lambda spark, sf: txt.fingerprint(load_table(spark, sf, "documents")),
+    txt.fingerprint_oracle_sql("documents"),
+)
+
+
+# --- SK3: content snapshot + table-level dedup ------------------------------
+
+from tabsketchfm_spark.operators import snapshot as snap
+
+_SNAP_COLS = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+]
+_SNAP_VARIANTS = {
+    "lineitem_low": "l_linenumber <= 4",
+    "lineitem_high": "l_linenumber >= 2",
+    "lineitem_all": "l_linenumber >= 1",
+}
+
+_register(
+    "sk3_snapshot_lineitem",
+    lambda spark, sf: snap.content_snapshot(
+        load_table(spark, sf, "lineitem"), "lineitem", _SNAP_COLS
+    ),
+    snap.content_snapshot_oracle_sql("lineitem", _SNAP_COLS),
+)
+_register(
+    "sk3_snapshot_similarity",
+    lambda spark, sf: snap.snapshot_similarity(
+        load_table(spark, sf, "lineitem"), "lineitem", _SNAP_COLS, _SNAP_VARIANTS
+    ),
+    snap.snapshot_similarity_oracle_sql("lineitem", _SNAP_COLS, _SNAP_VARIANTS),
+)
+
+
+# --- W/T/P ops + analytics on events & lineitem -----------------------------
+
+from tabsketchfm_spark.operators import windows as win
+
+_register(
+    "w4_first_event_per_user",
+    lambda spark, sf: win.first_event_per_user(load_table(spark, sf, "events")),
+    win.first_event_per_user_oracle_sql(),
+)
+_register(
+    "w1_running_user_totals",
+    lambda spark, sf: win.running_user_totals(load_table(spark, sf, "events")),
+    win.running_user_totals_oracle_sql(),
+)
+_register(
+    "t4_top_users_by_value",
+    lambda spark, sf: win.top_users_by_value(load_table(spark, sf, "events")),
+    win.top_users_by_value_oracle_sql(),
+)
+_register(
+    "q1_pricing_summary",
+    lambda spark, sf: win.pricing_summary(load_table(spark, sf, "lineitem")),
+    win.pricing_summary_oracle_sql(),
+)
+_register(
+    "p6_serial_key_events",
+    lambda spark, sf: win.serial_key_detection(
+        load_table(spark, sf, "events"), "events", ["event_id", "user_id"]
+    ),
+    win.serial_key_detection_oracle_sql("events", ["event_id", "user_id"]),
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
