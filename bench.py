@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the no-op sink (full execution, no
+driver collect). Timings exclude session startup, include planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tabsketchfm_spark.plans import registry
+from tabsketchfm_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "a1a8_profile_lineitem",
+    "a1a8_profile_events",
+    "k3_joinability_oph_o_custkey",
+    "sk1_minhash_orders_keys",
+    "sk3_snapshot_lineitem",
+    "sk7_setsim_o_custkey_c_custkey",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_documents",
+    "t2_cosine_topk_embeddings",
+    "k4_column_vote_embeddings",
+    "text_quality_score",
+    "w4_first_event_per_user",
+    "t4_top_users_by_value",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    qs = registry.queries()
+    # warm up the JVM / codegen paths on a trivial job
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -66,8 +66,14 @@ FROM c GROUP BY 1
 # word n-gram shingles (shared by Jaccard + MinHash-LSH)
 
 
-def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) — distinct word n-grams per document."""
+def _shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, dedupe: bool = True
+) -> DataFrame:
+    """(id, shingle) — word n-grams per document.
+
+    ``dedupe=False`` skips the distinct shuffle for consumers whose
+    aggregate is duplicate-insensitive (MIN in the MinHash path).
+    """
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"
     sh = (
         f"CASE WHEN size({toks}) >= {n} THEN "
@@ -75,10 +81,8 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
         f"ELSE array() END"
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(F.expr(sh)).alias("shingle"))
+    return out.distinct() if dedupe else out
 
 
 def _shingles_cte_duckdb(table: str, id_col: str, text_col: str, n: int) -> str:
@@ -179,14 +183,17 @@ def minhash_lsh_pairs(
     relation. Nothing is O(n²). Output: (id_a, id_b, est_jaccard).
     """
     rows = num_perm // bands
-    sh = _shingles(df, id_col, text_col, n)
+    sh = _shingles(df, id_col, text_col, n, dedupe=False)
     h = F.expr(h32_sql("shingle", "spark"))
     hashed = sh.select("id", h.alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_perm_params(num_perm))
     ]
-    sigs = hashed.groupBy("id").agg(*aggs)  # one row per doc, 100 slots
+    # one row per doc, 100 slots; persisted — consumed 3× (banding + both
+    # sides of the estimate join); without it the whole shingle+hash
+    # pipeline re-executes per consumer
+    sigs = hashed.groupBy("id").agg(*aggs).persist()
 
     band_structs = [
         F.struct(

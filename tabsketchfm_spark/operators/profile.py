@@ -60,7 +60,14 @@ def profile_table(
     dtypes = dict(df.dtypes)
     columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
 
+    # Two single-pass aggregations instead of one: mixing N countDistinct
+    # exprs with heavy ordered aggs (percentile) makes Catalyst expand the
+    # input N+1× and re-evaluate the non-distinct aggs over the expanded
+    # stream (measured 12× slower at sf0.1). Distinct counts get their own
+    # pass; both are map-side-combined single-shuffle jobs, and the two
+    # one-row results are crossJoined (free).
     aggs: list = [F.count(F.lit(1)).alias("row_cnt")]
+    distinct_aggs: list = []
     metas: list[tuple[str, int, str]] = []
     for idx, c in enumerate(columns):
         lt = spark_logical_type(dtypes[c])
@@ -69,9 +76,9 @@ def profile_table(
         col = F.col(c)
         if lt == "string":
             norm = F.nullif(col, F.lit(""))
+            distinct_aggs.append(F.countDistinct(norm).alias(p + "distinct_cnt"))
             aggs += [
                 F.count(F.when(norm.isNull(), 1)).alias(p + "num_nan"),
-                F.countDistinct(norm).alias(p + "distinct_cnt"),
                 F.avg(F.octet_length(norm)).alias(p + "width"),
             ]
         else:
@@ -89,20 +96,17 @@ def profile_table(
                 q = F.percentile_approx(v, F.array(*[F.lit(x) for x in DECILES]))
             else:
                 q = F.percentile(v, F.array(*[F.lit(x) for x in DECILES]))
+            distinct_aggs.append(F.countDistinct(col).alias(p + "distinct_cnt"))
             aggs += [
                 F.count(F.when(col.isNull(), 1)).alias(p + "num_nan"),
-                F.countDistinct(col).alias(p + "distinct_cnt"),
                 q.alias(p + "q"),
                 F.avg(v).alias(p + "mean"),
-                # std guard mirrors reference data_prep.py:238-241
-                F.when(F.countDistinct(col) > 2, F.stddev_pop(v))
-                .otherwise(F.lit(0.0))
-                .alias(p + "std"),
+                F.stddev_pop(v).alias(p + "std_raw"),
                 F.min(v).alias(p + "min"),
                 F.max(v).alias(p + "max"),
             ]
 
-    one = df.agg(*aggs)
+    one = df.agg(*aggs).crossJoin(df.agg(*distinct_aggs))
 
     def rnd(col):
         return F.round(col, round_digits) if round_digits is not None else col
@@ -132,7 +136,11 @@ def profile_table(
                     for i, x in enumerate(DECILES)
                 },
                 "mean_v": rnd(F.col(p + "mean")),
-                "std_v": rnd(F.col(p + "std")),
+                # std guard mirrors reference data_prep.py:238-241
+                "std_v": rnd(
+                    F.when(F.col(p + "distinct_cnt") > 2, F.col(p + "std_raw"))
+                    .otherwise(F.lit(0.0))
+                ),
                 "min_v": rnd(F.col(p + "min")),
                 "max_v": rnd(F.col(p + "max")),
             }

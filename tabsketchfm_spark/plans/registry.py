@@ -129,6 +129,28 @@ _register(
 )
 
 
+def _joinability_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mh.joinability_search_oph(spark, sf_dir, JOIN_QUERY, JOIN_CANDIDATES)
+
+
+_register(
+    "k3_joinability_oph_o_custkey",
+    _joinability_oph,
+    mh.joinability_oph_oracle_sql(JOIN_QUERY, JOIN_CANDIDATES),
+)
+_register(
+    "sk1_oph_minhash_lineitem",
+    lambda spark, sf: mh.oph_signatures(
+        load_table(spark, sf, "lineitem"),
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+    ),
+    mh.oph_signatures_oracle_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
+    ),
+)
+
+
 # --- T2/K3/K4 + embedding dedup: vector search (SURVEY §2.8) ----------------
 
 from tabsketchfm_spark.operators import vector as vec
