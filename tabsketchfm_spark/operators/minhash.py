@@ -142,21 +142,39 @@ def oph_signatures_oracle_sql(
 def oph_jaccard_estimate(
     query_sigs: DataFrame, candidate_sigs: DataFrame, num_buckets: int = NUM_PERM
 ) -> DataFrame:
-    """Jaccard estimate from OPH signatures: fraction of buckets where
-    both sides are present and agree. Same ranking contract as
-    minhash_jaccard_estimate."""
+    """Jaccard estimate from OPH signatures: agreeing buckets over
+    buckets occupied by EITHER side — the empty-bucket-aware estimator
+    (identical sets score exactly 1.0 regardless of fill rate). Same
+    ranking contract as minhash_jaccard_estimate."""
     q = query_sigs.select(F.col("bucket"), F.col("sig").alias("qsig"))
-    j = candidate_sigs.join(F.broadcast(q), "bucket")
-    est = (
-        j.groupBy(
+    qn = q.agg(F.count(F.lit(1)).alias("nq"))
+    common = (
+        candidate_sigs.join(F.broadcast(q), "bucket")
+        .groupBy(
             F.col("table_name").alias("cand_table"),
             F.col("column_name").alias("cand_column"),
         )
         .agg(
+            F.count(F.lit(1)).alias("ncommon"),
+            F.count(F.when(F.col("sig") == F.col("qsig"), 1)).alias("matches"),
+        )
+    )
+    ccnt = candidate_sigs.groupBy(
+        F.col("table_name").alias("cand_table"),
+        F.col("column_name").alias("cand_column"),
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    est = (
+        ccnt.join(common, ["cand_table", "cand_column"], "left")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "cand_table",
+            "cand_column",
             (
-                F.count(F.when(F.col("sig") == F.col("qsig"), 1))
-                / F.lit(float(num_buckets))
-            ).alias("est_jaccard")
+                F.coalesce(F.col("matches"), F.lit(0))
+                / (
+                    F.col("nc") + F.col("nq") - F.coalesce(F.col("ncommon"), F.lit(0))
+                ).cast("double")
+            ).alias("est_jaccard"),
         )
     )
     from pyspark.sql import Window
@@ -259,11 +277,17 @@ def joinability_oph_oracle_sql(
 WITH qsig AS (SELECT h % {num_buckets} AS bucket, min(h) AS sig
               FROM (SELECT {h} AS h FROM ({qvals}) vals) hs GROUP BY 1),
 csig AS ({cand_body}),
+qn AS (SELECT count(*) AS nq FROM qsig),
+common AS (SELECT cand_table, cand_column, count(*) AS ncommon,
+                  count(CASE WHEN c.sig = q.sig THEN 1 END) AS matches
+           FROM csig c JOIN qsig q USING (bucket)
+           GROUP BY cand_table, cand_column),
+ccnt AS (SELECT cand_table, cand_column, count(*) AS nc
+         FROM csig GROUP BY cand_table, cand_column),
 est AS (SELECT cand_table, cand_column,
-               count(CASE WHEN c.sig = q.sig THEN 1 END)
-                 / CAST({num_buckets} AS DOUBLE) AS est_jaccard
-        FROM csig c JOIN qsig q USING (bucket)
-        GROUP BY cand_table, cand_column)
+               coalesce(matches, 0)
+                 / CAST(nc + nq - coalesce(ncommon, 0) AS DOUBLE) AS est_jaccard
+        FROM ccnt LEFT JOIN common USING (cand_table, cand_column) CROSS JOIN qn)
 SELECT cand_table, cand_column, est_jaccard,
        CAST(row_number() OVER (ORDER BY est_jaccard DESC, cand_table, cand_column)
             AS INTEGER) AS rank

@@ -273,6 +273,21 @@ _register(
 )
 
 
+# --- SK6: content-addressed table identity ----------------------------------
+
+from tabsketchfm_spark.sources import sketch_store as store
+
+_HASH_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+
+_register(
+    "sk6_table_hash_lineitem",
+    lambda spark, sf: store.table_content_hash(
+        load_table(spark, sf, "lineitem"), _HASH_COLS
+    ),
+    store.table_content_hash_oracle_sql("lineitem", _HASH_COLS),
+)
+
+
 # --- W/T/P ops + analytics on events & lineitem -----------------------------
 
 from tabsketchfm_spark.operators import windows as win

@@ -1,0 +1,65 @@
+"""Property tests (SURVEY §5): MinHash estimates track exact Jaccard
+within the statistical bound; determinism of seeded sketches."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tabsketchfm_spark.operators.minhash import (
+    minhash_jaccard_estimate,
+    minhash_signatures,
+    oph_jaccard_estimate,
+    oph_signatures,
+)
+from tabsketchfm_spark.operators.setsim import jaccard_containment
+from tabsketchfm_spark.sources.tables import load_table
+
+PAIRS = [
+    (("orders", "o_custkey"), ("customer", "c_custkey")),
+    (("lineitem", "l_orderkey"), ("orders", "o_orderkey")),
+    (("supplier", "s_nationkey"), ("customer", "c_nationkey")),
+]
+
+
+@pytest.mark.parametrize("left,right", PAIRS)
+def test_minhash_estimate_tracks_exact(spark, sf001, left, right):
+    ldf, rdf = load_table(spark, sf001, left[0]), load_table(spark, sf001, right[0])
+    exact = jaccard_containment(ldf, left, rdf, right).first().jaccard
+    qs = minhash_signatures(ldf, left[0], [left[1]])
+    cs = minhash_signatures(rdf, right[0], [right[1]])
+    est = minhash_jaccard_estimate(qs, cs).first().est_jaccard
+    # 100 perms: σ = sqrt(j(1-j)/100) <= 0.05; allow 3.5σ
+    bound = 3.5 * math.sqrt(max(exact * (1 - exact), 0.01) / 100)
+    assert abs(est - exact) <= bound, (exact, est)
+
+
+@pytest.mark.parametrize("left,right", PAIRS[:2])
+def test_oph_estimate_tracks_exact(spark, sf001, left, right):
+    ldf, rdf = load_table(spark, sf001, left[0]), load_table(spark, sf001, right[0])
+    exact = jaccard_containment(ldf, left, rdf, right).first().jaccard
+    qs = oph_signatures(ldf, left[0], [left[1]])
+    cs = oph_signatures(rdf, right[0], [right[1]])
+    est = oph_jaccard_estimate(qs, cs).first().est_jaccard
+    # OPH on smallish sets: looser bound (empty-bucket bias)
+    assert abs(est - exact) <= 0.2, (exact, est)
+
+
+def test_minhash_deterministic(spark, sf001):
+    df = load_table(spark, sf001, "customer")
+    s1 = {(r.perm, r.sig) for r in minhash_signatures(df, "c", ["c_custkey"]).collect()}
+    s2 = {(r.perm, r.sig) for r in minhash_signatures(df, "c", ["c_custkey"]).collect()}
+    assert s1 == s2
+
+
+def test_minhash_partition_invariant(spark, sf001):
+    """Sketches must not depend on physical layout (SURVEY §7.5 risk 6)."""
+    df = load_table(spark, sf001, "customer")
+    s1 = {(r.perm, r.sig) for r in minhash_signatures(df, "c", ["c_name"]).collect()}
+    s2 = {
+        (r.perm, r.sig)
+        for r in minhash_signatures(df.repartition(7), "c", ["c_name"]).collect()
+    }
+    assert s1 == s2

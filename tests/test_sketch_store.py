@@ -1,0 +1,69 @@
+"""Sketch store: build/read round-trip, SK5 augmentation determinism,
+SK6 content hash, store-as-index pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tabsketchfm_spark.sources.sketch_store import (
+    aug_column_order,
+    build_sketch_store,
+    read_sketch_store,
+    table_content_hash,
+)
+from tabsketchfm_spark.sources.tables import load_table
+
+
+def test_aug_order_deterministic_and_identity():
+    cols = ["a", "b", "c", "d"]
+    assert aug_column_order("t", cols, 0) == cols
+    p1 = aug_column_order("t", cols, 1)
+    assert sorted(p1) == sorted(cols)
+    assert aug_column_order("t", cols, 1) == p1  # stable
+    assert aug_column_order("t2", cols, 1) != p1 or aug_column_order(
+        "t", cols, 2
+    ) != p1  # varies by table or aug
+
+
+def test_store_roundtrip(spark, sf001, tmp_path):
+    tables = {
+        "region": load_table(spark, sf001, "region"),
+        "nation": load_table(spark, sf001, "nation"),
+    }
+    out = str(tmp_path / "store")
+    build_sketch_store(spark, tables, out, num_augs=2)
+    store = read_sketch_store(spark, out)
+    # one row per (table, aug, column)
+    cnt = {
+        (r.table_name, r.aug_id): r.n
+        for r in store.groupBy("table_name", "aug_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert cnt[("region", 0)] == 2 and cnt[("nation", 0)] == 3
+    assert cnt[("region", 1)] == 2 and cnt[("nation", 1)] == 3
+    # sketches have the contracted widths
+    row = store.where("table_name = 'nation' AND aug_id = 0 AND column_name = 'n_name'").first()
+    assert len(row.minhash_exact) == 100
+    assert row.minhash_words is not None and len(row.minhash_words) == 100
+    assert row.distinct_cnt == 25
+    # augmentation permutes col_idx but not stats
+    idx0 = {
+        r.column_name: r.col_idx
+        for r in store.where("table_name='nation' AND aug_id=0").collect()
+    }
+    idx1 = {
+        r.column_name: r.col_idx
+        for r in store.where("table_name='nation' AND aug_id=1").collect()
+    }
+    assert idx0 != idx1
+    # store is the index: partition pruning on table_name
+    plan = store.where("table_name = 'region'")._jdf.queryExecution().executedPlan().toString()
+    assert "region" in plan
+
+
+def test_content_hash_deterministic_and_sensitive(spark, sf001):
+    nation = load_table(spark, sf001, "nation")
+    h1 = table_content_hash(nation, nation.columns).first().table_hash
+    h2 = table_content_hash(nation, nation.columns).first().table_hash
+    assert h1 == h2
+    h3 = table_content_hash(nation.limit(10), nation.columns).first().table_hash
+    assert h1 != h3
