@@ -170,6 +170,48 @@ FROM pos
 """
 
 
+def pair_token_features(profile1: DataFrame, profile2: DataFrame) -> DataFrame:
+    """M10 (tabular_dataset.py:168-192): the cross-encoder pair layout —
+    table1's token sequence followed by table2's (CLS kept once),
+    positions renumbered globally, table_id marking the side."""
+    s1 = token_features(profile1).withColumn("table_id", F.lit(1))
+    s2 = (
+        token_features(profile2)
+        .where(F.col("token") != "[CLS]")
+        .withColumn("table_id", F.lit(2))
+    )
+    u = s1.unionByName(s2)
+    w = Window.orderBy(F.asc("table_id"), F.asc("position_id"))
+    return (
+        u.withColumn("pair_position", F.row_number().over(w) - 1)
+        .select(
+            "pair_position",
+            "table_id",
+            "token",
+            "col_encoding",
+            "token_position",
+            "type_id",
+        )
+    )
+
+
+def pair_token_features_oracle_sql(profile1_sql: str, profile2_sql: str) -> str:
+    t1 = token_features_oracle_sql(profile1_sql)
+    t2 = token_features_oracle_sql(profile2_sql)
+    return f"""
+WITH s1 AS ({t1}), s2 AS ({t2}),
+u AS (
+  SELECT 1 AS table_id, position_id, token, col_encoding, token_position, type_id FROM s1
+  UNION ALL
+  SELECT 2 AS table_id, position_id, token, col_encoding, token_position, type_id
+  FROM s2 WHERE token <> '[CLS]')
+SELECT CAST(row_number() OVER (ORDER BY table_id, position_id) - 1 AS INTEGER)
+         AS pair_position,
+       table_id, token, col_encoding, token_position, type_id
+FROM u
+"""
+
+
 def hashing_vector(
     df: DataFrame,
     columns: list[str],

@@ -1,0 +1,227 @@
+"""Structural / bookkeeping operators (SURVEY §2.2 P8-P10, §2.5 J1/J2/
+J5, §2.7 T1/T5, §2.3 A10, §2.8 K2/K5, §2.10 M10).
+
+These are the reference's hand-rolled dict/list manipulations re-cast
+as relational ops: the sketch store is the index (J1 = broadcast
+lookup join), pair completeness is a semi/anti join (J2/P8), the
+evaluation harness is a join against ground truth (K5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tabsketchfm_spark.sources.tables import TABLE_NAMES, load_table
+
+
+def lake_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S10/A9: the lake's table index — one row per table with its
+    row count (the store-side of every lookup join)."""
+    out = None
+    for t in TABLE_NAMES:
+        d = load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def lake_index_oracle_sql() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}"
+        for t in TABLE_NAMES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+PAIR_REQUESTS: list[tuple[str, str]] = [
+    ("customer", "supplier"),
+    ("orders", "lineitem"),
+    ("customer", "no_such_table"),
+    ("ghost", "orders"),
+]
+
+
+def pair_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/P8 (reference tabular_dataset.py:91-111): requested table
+    pairs are kept only if BOTH sides exist in the lake index; the anti
+    side is reported instead of silently substituted (P11 is an
+    anti-feature — SURVEY §2.2). Output: (t1, t2, status)."""
+    idx = lake_index(spark, sf_dir).select("table_name")
+    pairs = spark.createDataFrame(PAIR_REQUESTS, "t1 string, t2 string")
+    both = (
+        pairs.join(F.broadcast(idx.withColumnRenamed("table_name", "t1")), "t1", "left_semi")
+        .join(F.broadcast(idx.withColumnRenamed("table_name", "t2")), "t2", "left_semi")
+        .select("t1", "t2", F.lit("ok").alias("status"))
+    )
+    missing = (
+        pairs.join(both.select("t1", "t2"), ["t1", "t2"], "left_anti")
+        .select("t1", "t2", F.lit("missing").alias("status"))
+    )
+    return both.unionByName(missing)
+
+
+def pair_completeness_oracle_sql() -> str:
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in PAIR_REQUESTS)
+    idx = lake_index_oracle_sql()
+    return f"""
+WITH idx AS ({idx}),
+pairs(t1, t2) AS (VALUES {vals})
+SELECT t1, t2,
+       CASE WHEN t1 IN (SELECT table_name FROM idx)
+             AND t2 IN (SELECT table_name FROM idx)
+            THEN 'ok' ELSE 'missing' END AS status
+FROM pairs
+"""
+
+
+def self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (extract_embeddings.py:164-179): each lake table paired with
+    itself, label 1 — the frame that drives embedding extraction."""
+    idx = lake_index(spark, sf_dir)
+    return idx.select(
+        F.col("table_name").alias("table1"),
+        F.col("table_name").alias("table2"),
+        F.lit(1).alias("label"),
+        "n_rows",
+    )
+
+
+def self_pairs_oracle_sql() -> str:
+    return f"""
+SELECT table_name AS table1, table_name AS table2, 1 AS label, n_rows
+FROM ({lake_index_oracle_sql()}) idx
+"""
+
+
+def sorted_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 (tabular_tokenizer.py:291): canonical name-sorted column
+    order per table — the similarity tokenizer's layout."""
+    from tabsketchfm_spark.plans.schemas import TABLE_SCHEMAS
+
+    rows = [
+        (t, c, i)
+        for t, schema in sorted(TABLE_SCHEMAS.items())
+        for i, c in enumerate(sorted(c for c, _lt in schema))
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, column_name string, sort_idx int"
+    )
+
+
+def sorted_columns_oracle_sql() -> str:
+    from tabsketchfm_spark.plans.schemas import TABLE_SCHEMAS
+
+    vals = ", ".join(
+        f"('{t}', '{c}', {i})"
+        for t, schema in sorted(TABLE_SCHEMAS.items())
+        for i, c in enumerate(sorted(c for c, _lt in schema))
+    )
+    return (
+        "SELECT t AS table_name, c AS column_name, i AS sort_idx "
+        f"FROM (VALUES {vals}) v(t, c, i)"
+    )
+
+
+def value_doc(
+    df: DataFrame, table: str, columns: list[str], cap: int = 100
+) -> DataFrame:
+    """K2 (embedding_search.py:25-42): the first ``cap`` unique values
+    of each column joined by commas — the sentence-transformer input
+    doc. Order is canonical (sorted) so the doc is deterministic under
+    distribution (the reference relied on pandas row order).
+    Output: (table_name, column_name, n_values, value_doc)."""
+    out = None
+    for c in columns:
+        d = (
+            df.select(F.nullif(F.col(c).cast("string"), F.lit("")).alias("v"))
+            .where(F.col("v").isNotNull())
+            .agg(
+                F.lit(table).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.least(F.countDistinct("v"), F.lit(cap)).alias("n_values"),
+                F.concat_ws(
+                    ",", F.slice(F.array_sort(F.collect_set("v")), 1, cap)
+                ).alias("value_doc"),
+            )
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def value_doc_oracle_sql(table: str, columns: list[str], cap: int = 100) -> str:
+    parts = []
+    for c in columns:
+        parts.append(
+            f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
+              least(count(DISTINCT v), {cap}) AS n_values,
+              array_to_string(list_sort(list(DISTINCT v))[1:{cap}], ',') AS value_doc
+            FROM (SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table}) t
+            WHERE v IS NOT NULL"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SEARCH_TRUTH: list[tuple[str, str]] = [
+    ("orders.o_custkey", "customer.c_custkey"),
+    ("lineitem.l_orderkey", "orders.o_orderkey"),
+]
+
+
+def search_eval(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """K5 (embedding_search.py:4-8, 231-234): precision/recall@k of the
+    joinability search against ground truth. The ranking is the OPH
+    flagship; truth is the known key relationships."""
+    from tabsketchfm_spark.operators.minhash import joinability_search_oph
+    from tabsketchfm_spark.plans.registry import JOIN_CANDIDATES, JOIN_QUERY
+
+    ranked = joinability_search_oph(spark, sf_dir, JOIN_QUERY, JOIN_CANDIDATES)
+    truth = spark.createDataFrame(
+        [t for t in SEARCH_TRUTH if t[0] == "orders.o_custkey"],
+        "query string, truth string",
+    ).select(
+        "query", F.split(F.col("truth"), r"\.").alias("parts")
+    ).select(
+        "query",
+        F.col("parts")[0].alias("cand_table"),
+        F.col("parts")[1].alias("cand_column"),
+        F.lit(1).alias("relevant"),
+    )
+    topk = ranked.where(F.col("rank") <= k).join(
+        F.broadcast(truth), ["cand_table", "cand_column"], "left"
+    )
+    return topk.agg(
+        F.lit("orders.o_custkey").alias("query"),
+        F.lit(k).alias("k"),
+        (F.count(F.when(F.col("relevant") == 1, 1)) / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        (
+            F.count(F.when(F.col("relevant") == 1, 1))
+            / F.lit(float(len([t for t in SEARCH_TRUTH if t[0] == "orders.o_custkey"])))
+        ).alias("recall_at_k"),
+    )
+
+
+def search_eval_oracle_sql(k: int = 3) -> str:
+    from tabsketchfm_spark.operators.minhash import joinability_oph_oracle_sql
+    from tabsketchfm_spark.plans.registry import JOIN_CANDIDATES, JOIN_QUERY
+
+    ranking = joinability_oph_oracle_sql(JOIN_QUERY, JOIN_CANDIDATES)
+    n_rel = len([t for t in SEARCH_TRUTH if t[0] == "orders.o_custkey"])
+    truth_vals = ", ".join(
+        f"('{t.split('.')[0]}', '{t.split('.')[1]}')"
+        for q, t in SEARCH_TRUTH
+        if q == "orders.o_custkey"
+    )
+    return f"""
+WITH ranking AS ({ranking}),
+truth(cand_table, cand_column) AS (VALUES {truth_vals}),
+topk AS (SELECT r.*, CASE WHEN t.cand_table IS NOT NULL THEN 1 END AS relevant
+         FROM ranking r LEFT JOIN truth t USING (cand_table, cand_column)
+         WHERE r.rank <= {k})
+SELECT 'orders.o_custkey' AS query, {k} AS k,
+       count(CASE WHEN relevant = 1 THEN 1 END) / CAST({k} AS DOUBLE) AS precision_at_k,
+       count(CASE WHEN relevant = 1 THEN 1 END) / CAST({n_rel} AS DOUBLE) AS recall_at_k
+FROM topk
+"""

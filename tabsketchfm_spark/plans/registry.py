@@ -374,6 +374,55 @@ _register(
 )
 
 
+# --- structural ops: J1/J2/J5, T1, K2, K5, M10 ------------------------------
+
+from tabsketchfm_spark.operators import structural as struc
+
+_register(
+    "j1_lake_index",
+    struc.lake_index,
+    struc.lake_index_oracle_sql(),
+)
+_register(
+    "j2_pair_completeness",
+    struc.pair_completeness,
+    struc.pair_completeness_oracle_sql(),
+)
+_register(
+    "j5_self_pairs",
+    struc.self_pairs,
+    struc.self_pairs_oracle_sql(),
+)
+_register(
+    "t1_sorted_columns",
+    struc.sorted_columns,
+    struc.sorted_columns_oracle_sql(),
+)
+_register(
+    "k2_value_doc_customer",
+    lambda spark, sf: struc.value_doc(
+        load_table(spark, sf, "customer"), "customer", ["c_mktsegment", "c_nationkey"]
+    ),
+    struc.value_doc_oracle_sql("customer", ["c_mktsegment", "c_nationkey"]),
+)
+_register(
+    "k5_search_eval",
+    lambda spark, sf: struc.search_eval(spark, sf, k=3),
+    struc.search_eval_oracle_sql(k=3),
+)
+_register(
+    "m10_pair_tokens_customer_supplier",
+    lambda spark, sf: feat.pair_token_features(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4),
+        prof.profile_table(load_table(spark, sf, "supplier"), "supplier", round_digits=4),
+    ),
+    feat.pair_token_features_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+        prof.profile_oracle_sql("supplier", TABLE_SCHEMAS["supplier"], round_digits=4),
+    ),
+)
+
+
 # --- §2.11 extension: Structured Streaming profiling ------------------------
 
 from tabsketchfm_spark.streaming import profile_stream as ps
