@@ -11,20 +11,35 @@ ranking by cosine needs no rounding tolerance.
 from __future__ import annotations
 
 
-def dot_sql(a: str, b: str) -> str:
-    """Spark SQL dot product of two array<double> columns."""
+def dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """Spark SQL dot product of two array<double> columns.
+
+    With ``dim`` the sum is unrolled into explicit element products,
+    which stays inside whole-stage codegen (the HOF form is interpreted
+    per element). Trade-off measured at 64 dims: unrolling adds seconds
+    of Janino compile time, so it only pays off beyond ~10^7 pairs —
+    the default HOF form wins on small inputs. Both forms add
+    left-to-right, so the result is bit-identical either way (and to
+    DuckDB's list_dot_product).
+    """
+    if dim is not None:
+        return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)) + ")"
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         f"cast(0.0 as double), (acc, x) -> acc + x)"
     )
 
 
-def norm_sql(a: str) -> str:
+def norm_sql(a: str, dim: int | None = None) -> str:
+    if dim is not None:
+        return "sqrt(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim)) + ")"
     return f"sqrt(aggregate({a}, cast(0.0 as double), (acc, x) -> acc + x * x))"
 
 
-def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)}) / (({norm_sql(a)}) * ({norm_sql(b)}))"
+def cosine_sql(a: str, b: str, dim: int | None = None) -> str:
+    return (
+        f"({dot_sql(a, b, dim)}) / (({norm_sql(a, dim)}) * ({norm_sql(b, dim)}))"
+    )
 
 
 def cosine_sql_duckdb(a: str, b: str) -> str:

@@ -93,7 +93,9 @@ def ann_topk(
     )
     c = vecs.select(F.col("id").alias("cand_id"), F.col("v").alias("cv"), "bucket")
     pairs = c.join(F.broadcast(q), "bucket").where(F.col("cand_id") != F.col("q_id"))
-    scored = pairs.select("q_id", "cand_id", F.expr(cosine_sql("qv", "cv")).alias("cos"))
+    scored = pairs.select(
+        "q_id", "cand_id", F.expr(cosine_sql("qv", "cv")).alias("cos")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

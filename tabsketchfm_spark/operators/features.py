@@ -170,6 +170,80 @@ FROM pos
 """
 
 
+def mask_plan(profile: DataFrame) -> DataFrame:
+    """M8 (reference tabular_tokenizer.py:82-144): the MLM masking
+    policy as a deterministic plan. Column-name tokens are masked with
+    probability 100% when the column run has <5 tokens, 60% when <10,
+    else 15%; masked positions sub-roll 80/10/10 into
+    mask/random/keep. All "randomness" is md5 of (position, token) —
+    partition-order-free and SQL-reproducible (the reference relied on
+    torch RNG; SURVEY §7.5 risk 6).
+
+    Output: (position_id, token, col_encoding, mask_prob, masked, action).
+    """
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    t = token_features(profile)
+    wcol = Window.partitionBy("col_encoding")
+    t = t.withColumn(
+        "col_len",
+        F.max(F.when(F.col("col_encoding") > 0, F.col("token_position"))).over(wcol),
+    )
+    r = F.expr(h32_sql("concat(cast(position_id as string), '|', token)", "spark")) % 100
+    r2 = (
+        F.expr(h32_sql("concat('sub|', cast(position_id as string), '|', token)", "spark"))
+        % 10
+    )
+    prob = (
+        F.when(F.col("col_encoding") == 0, F.lit(0))
+        .when(F.col("col_len") < 5, F.lit(100))
+        .when(F.col("col_len") < 10, F.lit(60))
+        .otherwise(F.lit(15))
+    )
+    masked = r < prob
+    action = (
+        F.when(~masked, F.lit("none"))
+        .when(r2 < 8, F.lit("[MASK]"))
+        .when(r2 == 8, F.lit("random"))
+        .otherwise(F.lit("keep"))
+    )
+    return t.select(
+        "position_id",
+        "token",
+        "col_encoding",
+        prob.alias("mask_prob"),
+        masked.alias("masked"),
+        action.alias("action"),
+    )
+
+
+def mask_plan_oracle_sql(profile_sql: str) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    base = token_features_oracle_sql(profile_sql)
+    r = h32_sql("concat(CAST(position_id AS VARCHAR), '|', token)", "duckdb")
+    r2 = h32_sql("concat('sub|', CAST(position_id AS VARCHAR), '|', token)", "duckdb")
+    return f"""
+WITH toks AS ({base}),
+wl AS (SELECT *, max(CASE WHEN col_encoding > 0 THEN token_position END)
+                  OVER (PARTITION BY col_encoding) AS col_len
+       FROM toks),
+rolled AS (SELECT *, {r} % 100 AS r, {r2} % 10 AS r2,
+                  CASE WHEN col_encoding = 0 THEN 0
+                       WHEN col_len < 5 THEN 100
+                       WHEN col_len < 10 THEN 60
+                       ELSE 15 END AS mask_prob
+           FROM wl)
+SELECT position_id, token, col_encoding, mask_prob,
+       r < mask_prob AS masked,
+       CASE WHEN NOT (r < mask_prob) THEN 'none'
+            WHEN r2 < 8 THEN '[MASK]'
+            WHEN r2 = 8 THEN 'random'
+            ELSE 'keep' END AS action
+FROM rolled
+"""
+
+
 def pair_token_features(profile1: DataFrame, profile2: DataFrame) -> DataFrame:
     """M10 (tabular_dataset.py:168-192): the cross-encoder pair layout —
     table1's token sequence followed by table2's (CLS kept once),

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tabsketchfm_spark.operators import minhash as mh
 from tabsketchfm_spark.operators import profile as prof
@@ -334,6 +334,52 @@ _register(
         prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4)
     ),
 )
+
+_register(
+    "m8_mask_plan_customer",
+    lambda spark, sf: feat.mask_plan(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
+    ),
+    feat.mask_plan_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4)
+    ),
+)
+
+
+# --- J3/T5: query × top-K candidate expansion -------------------------------
+
+_register(
+    "j3_query_candidate_pairs",
+    lambda spark, sf: vec.cosine_topk(
+        load_table(spark, sf, "embeddings"), 5, k=3
+    ).select(
+        F.col("q_id").alias("query"),
+        F.col("cand_id").alias("candidate"),
+        F.col("rank"),
+        F.lit(1).alias("label"),
+    ),
+    "SELECT q_id AS query, cand_id AS candidate, rank, 1 AS label FROM ("
+    + vec.cosine_topk_oracle_sql("embeddings", 5, k=3)
+    + ") t",
+)
+
+
+# --- A2 scale variant: approximate distinct (rows-only: HLL sketches differ
+# per engine by construction) ------------------------------------------------
+
+
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.approx_count_distinct(c).alias(f"{c}_approx")
+            for c in ["l_orderkey", "l_partkey", "l_suppkey"]
+        ]
+    )
+
+
+_register("a2s_approx_distinct_lineitem", _approx_distinct, None)
+
 
 # --- SK4: hashing-vectorizer sketch -----------------------------------------
 
