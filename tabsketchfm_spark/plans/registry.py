@@ -79,6 +79,21 @@ for _l, _r in _SETSIM_PAIRS:
     )
 
 
+# --- lake-scope discovery: all-pairs column joinability ---------------------
+
+ALL_PAIR_TABLES: dict[str, list[str]] = {
+    t: [c for c, lt in schema if lt != "array"]
+    for t, schema in TABLE_SCHEMAS.items()
+    if t not in ("documents", "embeddings")
+}
+
+_register(
+    "k3_all_pairs_joinability",
+    lambda spark, sf: mh.all_pairs_joinability(spark, sf, ALL_PAIR_TABLES),
+    mh.all_pairs_joinability_oracle_sql(ALL_PAIR_TABLES),
+)
+
+
 # --- SK1/SK2: MinHash signatures (SURVEY §2.4) ------------------------------
 
 
@@ -466,6 +481,27 @@ _register(
         prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
         prof.profile_oracle_sql("supplier", TABLE_SCHEMAS["supplier"], round_digits=4),
     ),
+)
+
+
+# --- A12 metric aggregates + P9 name repair ---------------------------------
+
+from tabsketchfm_spark.operators import metrics as met
+
+_register(
+    "a12_classification_metrics",
+    lambda spark, sf: met.classification_metrics(load_table(spark, sf, "embeddings")),
+    met.classification_metrics_oracle_sql("embeddings"),
+)
+_register(
+    "a12_regression_metrics",
+    lambda spark, sf: met.regression_metrics(load_table(spark, sf, "events")),
+    met.regression_metrics_oracle_sql("events"),
+)
+_register(
+    "p9_name_repair",
+    met.name_repair,
+    met.name_repair_oracle_sql(),
 )
 
 
