@@ -406,6 +406,159 @@ FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+def unionability_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_table: str,
+    query_columns: list[str],
+    candidates: dict[str, list[str]],
+    over_fetch: int = 3,
+    num_buckets: int = NUM_PERM,
+) -> DataFrame:
+    """K4 on real lake sketches: rank candidate TABLES by how many of
+    the query table's columns find a similar column there (reference
+    union/subset search, embedding_search.py:118-164 — here with OPH
+    sketch similarity instead of learned embeddings; the ranking
+    operator W4+A11+T4 is identical).
+
+    Output: (cand_table, matched_cols, score_sum, rank).
+    """
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    qsigs = oph_signatures(
+        load_table(spark, sf_dir, query_table), query_table, query_columns, num_buckets
+    ).persist()
+    csigs = None
+    for t, cols in candidates.items():
+        s = oph_signatures(load_table(spark, sf_dir, t), t, cols, num_buckets)
+        csigs = s if csigs is None else csigs.unionByName(s)
+    csigs = csigs.persist()
+
+    qcnt = qsigs.groupBy(F.col("column_name").alias("q_col")).agg(
+        F.count(F.lit(1)).alias("nq")
+    )
+    ccnt = csigs.groupBy(
+        F.col("table_name").alias("cand_table"),
+        F.col("column_name").alias("cand_col"),
+    ).agg(F.count(F.lit(1)).alias("nc"))
+    common = (
+        csigs.join(
+            F.broadcast(
+                qsigs.select(
+                    F.col("column_name").alias("q_col"),
+                    "bucket",
+                    F.col("sig").alias("qsig"),
+                )
+            ),
+            "bucket",
+        )
+        .groupBy(
+            F.col("q_col"),
+            F.col("table_name").alias("cand_table"),
+            F.col("column_name").alias("cand_col"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ncommon"),
+            F.count(F.when(F.col("sig") == F.col("qsig"), 1)).alias("matches"),
+        )
+    )
+    est = (
+        ccnt.crossJoin(F.broadcast(qcnt))
+        .join(common, ["q_col", "cand_table", "cand_col"], "left")
+        .select(
+            "q_col",
+            "cand_table",
+            "cand_col",
+            (
+                F.coalesce(F.col("matches"), F.lit(0))
+                / (
+                    F.col("nc") + F.col("nq") - F.coalesce(F.col("ncommon"), F.lit(0))
+                ).cast("double")
+            ).alias("est"),
+        )
+    )
+    wk = Window.partitionBy("q_col").orderBy(
+        F.desc("est"), F.asc("cand_table"), F.asc("cand_col")
+    )
+    near = est.withColumn("nn", F.row_number().over(wk)).where(
+        F.col("nn") <= over_fetch
+    )
+    wf = Window.partitionBy("q_col", "cand_table").orderBy(
+        F.desc("est"), F.asc("cand_col")
+    )
+    first = near.withColumn("fm", F.row_number().over(wf)).where(F.col("fm") == 1)
+    votes = first.groupBy("cand_table").agg(
+        F.count(F.lit(1)).alias("matched_cols"),
+        F.round(F.sum(F.lit(1.0) - F.col("est")), 6).alias("score_sum"),
+    )
+    wr = Window.orderBy(F.desc("matched_cols"), F.asc("score_sum"), F.asc("cand_table"))
+    return votes.select(
+        "cand_table", "matched_cols", "score_sum", F.row_number().over(wr).alias("rank")
+    )
+
+
+def unionability_oracle_sql(
+    query_table: str,
+    query_columns: list[str],
+    candidates: dict[str, list[str]],
+    over_fetch: int = 3,
+    num_buckets: int = NUM_PERM,
+) -> str:
+    h = h32_sql("v", "duckdb")
+
+    def sig_part(t: str, c: str, key_cols: str) -> str:
+        vals = (
+            f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {t} "
+            f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+        )
+        return (
+            f"SELECT {key_cols}, h % {num_buckets} AS bucket, min(h) AS sig "
+            f"FROM (SELECT {h} AS h FROM ({vals}) vals) hs GROUP BY 1, 2, 3"
+        )
+
+    qparts = "\nUNION ALL\n".join(
+        sig_part(query_table, c, f"'{query_table}' AS t, '{c}' AS q_col")
+        for c in query_columns
+    )
+    cparts = "\nUNION ALL\n".join(
+        sig_part(t, c, f"'{t}' AS cand_table, '{c}' AS cand_col")
+        for t, cols in candidates.items()
+        for c in cols
+    )
+    return f"""
+WITH qsigs AS ({qparts}),
+csigs AS ({cparts}),
+qcnt AS (SELECT q_col, count(*) AS nq FROM qsigs GROUP BY 1),
+ccnt AS (SELECT cand_table, cand_col, count(*) AS nc FROM csigs GROUP BY 1, 2),
+common AS (SELECT q.q_col, c.cand_table, c.cand_col, count(*) AS ncommon,
+                  count(CASE WHEN c.sig = q.sig THEN 1 END) AS matches
+           FROM csigs c JOIN qsigs q USING (bucket)
+           GROUP BY 1, 2, 3),
+est AS (SELECT qcnt.q_col, ccnt.cand_table, ccnt.cand_col,
+               coalesce(matches, 0)
+                 / CAST(nc + nq - coalesce(ncommon, 0) AS DOUBLE) AS est
+        FROM ccnt CROSS JOIN qcnt
+        LEFT JOIN common ON common.q_col = qcnt.q_col
+                        AND common.cand_table = ccnt.cand_table
+                        AND common.cand_col = ccnt.cand_col),
+near AS (SELECT *, row_number() OVER (PARTITION BY q_col
+                                      ORDER BY est DESC, cand_table, cand_col) AS nn
+         FROM est QUALIFY nn <= {over_fetch}),
+first AS (SELECT *, row_number() OVER (PARTITION BY q_col, cand_table
+                                       ORDER BY est DESC, cand_col) AS fm
+          FROM near QUALIFY fm = 1),
+votes AS (SELECT cand_table, count(*) AS matched_cols,
+                 round(sum(1.0 - est), 6) AS score_sum
+          FROM first GROUP BY 1)
+SELECT cand_table, matched_cols, score_sum,
+       CAST(row_number() OVER (ORDER BY matched_cols DESC, score_sum, cand_table)
+            AS INTEGER) AS rank
+FROM votes
+"""
+
+
 def joinability_oracle_sql(
     query: tuple[str, str],
     candidates: list[tuple[str, list[str]]],

@@ -1,0 +1,108 @@
+"""MLlib LSH variants of the similarity operators (SURVEY §2.5 J4,
+§2.8 K6) — the built-in cluster-scale alternatives.
+
+These wrap ``pyspark.ml.feature.MinHashLSH`` (set similarity — the
+approxSimilarityJoin form of the dedup/joinability ops) and
+``BucketedRandomProjectionLSH`` (euclidean ANN — the MLlib face of
+operators/ann.py). They are registered as rows-only queries: MLlib's
+hash families are seeded RNG (not closed-form), so their exact outputs
+are not DuckDB-reproducible — the pytest suite instead checks RECALL
+against the exact operators, which is the meaningful contract for an
+approximate index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
+from pyspark.ml.linalg import Vectors, VectorUDT
+
+
+def _shingle_vectors(
+    df: DataFrame, id_col: str, text_col: str, n: int, vocab_size: int = 1 << 18
+) -> DataFrame:
+    """Docs → sparse binary shingle-set vectors (MinHashLSH input)."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.dedup import _shingles
+
+    sh = _shingles(df, id_col, text_col, n)
+    idx = sh.select(
+        "id",
+        (F.expr(h32_sql("shingle", "spark")) % vocab_size).cast("int").alias("fi"),
+    ).distinct()
+    grouped = idx.groupBy("id").agg(F.collect_set("fi").alias("fis"))
+
+    @F.udf(VectorUDT())
+    def to_vec(fis):
+        pos = sorted(set(fis))
+        return Vectors.sparse(vocab_size, pos, [1.0] * len(pos))
+
+    return grouped.select("id", to_vec("fis").alias("features"))
+
+
+def mllib_minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_tables: int = 16,
+) -> DataFrame:
+    """approxSimilarityJoin near-dup pairs (Jaccard distance <=
+    1-threshold). Output: (id_a, id_b, jaccard_dist)."""
+    vecs = _shingle_vectors(df, id_col, text_col, n).cache()
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42
+    ).fit(vecs)
+    joined = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def mllib_brp_ann(
+    emb: DataFrame,
+    query_ids_max: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BucketedRandomProjectionLSH approxNearestNeighbors per query.
+    Output: (q_id, rank, cand_id, eucl_dist)."""
+
+    @F.udf(VectorUDT())
+    def to_vec(arr):
+        return Vectors.dense([float(x) for x in arr])
+
+    vecs = emb.select(
+        F.col(id_col).alias("id"), to_vec(vec_col).alias("features")
+    ).cache()
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4,
+        seed=42,
+    ).fit(vecs)
+    queries = vecs.where(F.col("id") < query_ids_max).collect()
+    out = None
+    for row in queries:
+        nn = (
+            model.approxNearestNeighbors(vecs, row.features, k + 1)
+            .where(F.col("id") != row.id)
+            .limit(k)
+            .select(
+                F.lit(row.id).alias("q_id"),
+                F.col("id").alias("cand_id"),
+                F.round("distCol", 6).alias("eucl_dist"),
+            )
+        )
+        out = nn if out is None else out.unionByName(nn)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.asc("eucl_dist"), F.asc("cand_id"))
+    return out.select("*", F.row_number().over(w).alias("rank"))

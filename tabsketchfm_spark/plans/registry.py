@@ -94,6 +94,24 @@ _register(
 )
 
 
+_UNION_QUERY_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+_UNION_CANDIDATES: dict[str, list[str]] = {
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "region": ["r_regionkey", "r_name"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+}
+
+_register(
+    "k4_unionability_customer",
+    lambda spark, sf: mh.unionability_search(
+        spark, sf, "customer", _UNION_QUERY_COLS, _UNION_CANDIDATES
+    ),
+    mh.unionability_oracle_sql("customer", _UNION_QUERY_COLS, _UNION_CANDIDATES),
+)
+
+
 # --- SK1/SK2: MinHash signatures (SURVEY §2.4) ------------------------------
 
 
@@ -484,6 +502,24 @@ _register(
 )
 
 
+# --- MLlib LSH scale variants (rows-only: RNG hash families) ----------------
+
+from tabsketchfm_spark.operators import mllib_lsh
+
+_register(
+    "j4_mllib_minhash_dedup",
+    lambda spark, sf: mllib_lsh.mllib_minhash_dedup(
+        load_table(spark, sf, "documents"), threshold=0.5
+    ),
+    None,
+)
+_register(
+    "k6_mllib_brp_ann",
+    lambda spark, sf: mllib_lsh.mllib_brp_ann(load_table(spark, sf, "embeddings")),
+    None,
+)
+
+
 # --- A12 metric aggregates + P9 name repair ---------------------------------
 
 from tabsketchfm_spark.operators import metrics as met
@@ -523,6 +559,14 @@ _register(
     "stream_dedup_events",
     ps.streaming_dedup_events,
     ps.streaming_dedup_events_oracle_sql(),
+)
+
+from tabsketchfm_spark.streaming import sessionize as sess
+
+_register(
+    "stream_sessionize_events",
+    sess.streaming_sessionize,
+    sess.streaming_sessionize_oracle_sql(),
 )
 
 

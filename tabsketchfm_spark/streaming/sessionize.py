@@ -1,0 +1,95 @@
+"""Custom stateful streaming operator: event sessionization via
+``applyInPandasWithState`` (SURVEY §2.11 extension — the
+arbitrary-stateful-op face of the engine).
+
+Semantics: per user, events more than ``gap_s`` apart start a new
+session. A session is EMITTED when a later event closes it; the
+still-open session stays in state (and is never emitted by an
+availableNow run — bounded-state streaming semantics). The batch
+oracle is therefore "all sessions except each user's last", which a
+lag/cumsum SQL window computes exactly.
+
+State per key is three scalars (start, last, count, index) — the
+bounded-state shape that scales to any key cardinality on a real
+cluster's state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tabsketchfm_spark.streaming.profile_stream import _events_stream, _run_to_memory
+
+GAP_S = 86400.0
+
+OUT_SCHEMA = (
+    "user_id bigint, session_idx int, start_epoch double, end_epoch double, "
+    "n_events bigint"
+)
+STATE_SCHEMA = "start double, last double, n bigint, idx int"
+
+
+def _sessionize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    # epoch seconds via integer micros (ns/1e9 rounds differently than
+    # the oracle's micros/1e6 — last-ulp mismatch)
+    ts = (rows["ts"].astype("int64") // 1000) / 1e6
+    if state.exists:
+        start, last, n, idx = state.get
+    else:
+        start, last, n, idx = None, None, 0, 0
+    out = []
+    for t in ts:
+        if last is not None and t - last > GAP_S:
+            idx += 1
+            out.append((user_id, idx, start, last, n))
+            start, n = t, 0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+    state.update((start, last, n, idx))
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_idx", "start_epoch", "end_epoch", "n_events"]
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    s = _events_stream(spark, sf_dir)
+    sess = s.groupBy("user_id").applyInPandasWithState(
+        _sessionize,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sess, "append")
+
+
+def streaming_sessionize_oracle_sql() -> str:
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch(ts) AS t FROM events),
+s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > {GAP_S}
+                     THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s),
+agg AS (SELECT user_id, sid, min(t) AS start_epoch, max(t) AS end_epoch,
+               count(*) AS n_events
+        FROM g GROUP BY 1, 2),
+last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY 1)
+SELECT a.user_id, CAST(a.sid AS INTEGER) AS session_idx,
+       a.start_epoch, a.end_epoch, a.n_events
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+"""

@@ -60,6 +60,47 @@ def test_store_roundtrip(spark, sf001, tmp_path):
     assert "region" in plan
 
 
+def test_search_from_stored_sketches(spark, sf001, tmp_path):
+    """S8→K3: the jaccard estimate computed FROM the parquet store
+    equals the estimate computed directly from the data — the store is
+    a lossless materialization of the sketch pipeline."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.minhash import (
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    tables = {
+        "customer": load_table(spark, sf001, "customer"),
+        "orders": load_table(spark, sf001, "orders"),
+    }
+    out = str(tmp_path / "store2")
+    build_sketch_store(spark, tables, out, num_augs=1)
+    store = read_sketch_store(spark, out)
+
+    def sigs_from_store(table, col):
+        return (
+            store.where(
+                (F.col("table_name") == table) & (F.col("column_name") == col)
+            )
+            .select(
+                "table_name",
+                "column_name",
+                F.posexplode("minhash_exact").alias("perm", "sig"),
+            )
+        )
+
+    est_store = minhash_jaccard_estimate(
+        sigs_from_store("orders", "o_custkey"), sigs_from_store("customer", "c_custkey")
+    ).first()
+    est_direct = minhash_jaccard_estimate(
+        minhash_signatures(tables["orders"], "orders", ["o_custkey"]),
+        minhash_signatures(tables["customer"], "customer", ["c_custkey"]),
+    ).first()
+    assert est_store.est_jaccard == est_direct.est_jaccard
+
+
 def test_content_hash_deterministic_and_sensitive(spark, sf001):
     nation = load_table(spark, sf001, "nation")
     h1 = table_content_hash(nation, nation.columns).first().table_hash
