@@ -49,6 +49,13 @@ def cosine_sql_duckdb(a: str, b: str) -> str:
     )
 
 
+# Pairwise cosine ops should pre-normalize each side ONCE (norms
+# recomputed per pair are 2/3 of the cosine work) and then take dot
+# products only. The norm must be a plain projected column — embedding
+# it inside the transform lambda re-evaluates it per element. See
+# operators/vector.py `_unit` for the two-step pattern.
+
+
 def zscore_sql(a: str) -> str:
     """Z-score normalize an array<double> (reference
     tabular_tokenizer.py:231-234 / embedding_search.py:20-23)."""

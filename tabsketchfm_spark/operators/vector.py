@@ -8,25 +8,50 @@ k-NN (reference embedding_search.py:99-111), K3 join search
 T4 final ranking), T7 self-removal, plus the north-star
 embedding-cosine near-dup.
 
+Cosine is computed as dot-of-unit-vectors: each side is L2-normalized
+ONCE in a projection (norms recomputed per pair are 2/3 of the naive
+cost), then pairs only take dot products. The DuckDB oracle normalizes
+identically, so values stay bit-identical (element-wise division then
+left-to-right dot in both engines).
+
 Scale shape: brute-force is a crossJoin — the right default below
 ~10^5 vectors per side when the small side broadcasts (no shuffle of
 the big side). The 100 TB path swaps the crossJoin for an LSH bucket
-join (MinHashLSH / random-hyperplane buckets) with identical output
-schema; ranking logic is unchanged. Cosine is bit-identical across
-engines (see functions/vector.py), so ranks need no tolerance.
+join (operators/ann.py, MinHashLSH) with identical output schema;
+ranking logic is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from tabsketchfm_spark.functions.vector import cosine_sql, cosine_sql_duckdb
+from tabsketchfm_spark.functions.vector import dot_sql, norm_sql
 
 
-def _vec(df: DataFrame, id_col: str, vec_col: str, alias_id: str, alias_vec: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(alias_id),
-        F.col(vec_col).cast("array<double>").alias(alias_vec),
+def _unit(df: DataFrame, id_exprs: dict[str, F.Column], vec_col: str) -> DataFrame:
+    """Project (ids..., u): the unit vector, with the norm computed once
+    per row as a plain column (inside the lambda it would re-evaluate
+    per element)."""
+    return (
+        df.select(
+            *[c.alias(n) for n, c in id_exprs.items()],
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .withColumn("_nrm", F.expr(norm_sql("_v")))
+        .select(
+            *id_exprs.keys(),
+            F.expr("transform(_v, x -> x / _nrm)").alias("u"),
+        )
+    )
+
+
+def _unit_cte_duckdb(table: str, extra_cols: str = "") -> str:
+    return (
+        f"SELECT vec_id{extra_cols}, "
+        f"list_transform(v, x -> x / nrm) AS u "
+        f"FROM (SELECT *, embedding::DOUBLE[] AS v, "
+        f"sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
+        f"FROM {table}) t"
     )
 
 
@@ -39,12 +64,13 @@ def cosine_topk(
 ) -> DataFrame:
     """T2/K3/T7: for each query vector (id < query_ids_max), the k nearest
     other vectors by cosine. Output: (q_id, rank, cand_id, cos)."""
-    q = _vec(emb.where(F.col(id_col) < query_ids_max), id_col, vec_col, "q_id", "qv")
-    c = _vec(emb, id_col, vec_col, "cand_id", "cv")
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("cand_id") != F.col("q_id"))
-    scored = pairs.select(
-        "q_id", "cand_id", F.expr(cosine_sql("qv", "cv")).alias("cos")
+    units = _unit(emb, {"id": F.col(id_col)}, vec_col)
+    q = units.where(F.col("id") < query_ids_max).select(
+        F.col("id").alias("q_id"), F.col("u").alias("qu")
     )
+    c = units.select(F.col("id").alias("cand_id"), F.col("u").alias("cu"))
+    pairs = c.crossJoin(F.broadcast(q)).where(F.col("cand_id") != F.col("q_id"))
+    scored = pairs.select("q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -53,14 +79,12 @@ def cosine_topk(
     )
 
 
-def cosine_topk_oracle_sql(
-    table: str, query_ids_max: int, k: int = 10
-) -> str:
-    cos = cosine_sql_duckdb("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")
+def cosine_topk_oracle_sql(table: str, query_ids_max: int, k: int = 10) -> str:
     return f"""
-WITH scored AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, {cos} AS cos
-  FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+WITH un AS ({_unit_cte_duckdb(table)}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, list_dot_product(q.u, c.u) AS cos
+  FROM un q JOIN un c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < {query_ids_max}),
 ranked AS (
   SELECT q_id, cand_id, cos,
@@ -90,19 +114,20 @@ def column_vote_search(
 
     Output: (cand_table, matched_cols, dist_sum, rank).
     """
-    q = emb.where(F.col(group_col) == query_label)
-    c = emb.where(F.col(group_col) != query_label)
-    qv = q.select(F.col(id_col).alias("q_col"), F.col(vec_col).cast("array<double>").alias("qv"))
-    cv = c.select(
-        F.col(id_col).alias("cand_col"),
-        F.col(group_col).alias("cand_table"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
+    units = _unit(emb, {"id": F.col(id_col), "grp": F.col(group_col)}, vec_col)
+    qv = units.where(F.col("grp") == query_label).select(
+        F.col("id").alias("q_col"), F.col("u").alias("qu")
+    )
+    cv = units.where(F.col("grp") != query_label).select(
+        F.col("id").alias("cand_col"),
+        F.col("grp").alias("cand_table"),
+        F.col("u").alias("cu"),
     )
     scored = cv.crossJoin(F.broadcast(qv)).select(
         "q_col",
         "cand_col",
         "cand_table",
-        (F.lit(1.0) - F.expr(cosine_sql("qv", "cv"))).alias("dist"),
+        (F.lit(1.0) - F.expr(dot_sql("qu", "cu"))).alias("dist"),
     )
     wk = Window.partitionBy("q_col").orderBy(F.asc("dist"), F.asc("cand_col"))
     near = scored.withColumn("nn_rank", F.row_number().over(wk)).where(
@@ -125,12 +150,12 @@ def column_vote_search(
 def column_vote_oracle_sql(
     table: str, query_label: int = 0, over_fetch: int = 30
 ) -> str:
-    cos = cosine_sql_duckdb("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")
     return f"""
-WITH scored AS (
+WITH un AS ({_unit_cte_duckdb(table, ", label")}),
+scored AS (
   SELECT q.vec_id AS q_col, c.vec_id AS cand_col, c.label AS cand_table,
-         1.0 - ({cos}) AS dist
-  FROM {table} q JOIN {table} c ON c.label <> {query_label}
+         1.0 - list_dot_product(q.u, c.u) AS dist
+  FROM un q JOIN un c ON c.label <> {query_label}
   WHERE q.label = {query_label}),
 near AS (
   SELECT *, row_number() OVER (PARTITION BY q_col ORDER BY dist, cand_col) AS nn_rank
@@ -158,20 +183,22 @@ def embedding_near_dups(
     """North-star near-dup: vector pairs with cosine >= threshold.
     Brute force here; at scale the pair generation becomes an LSH
     bucket join with this as the verify stage."""
-    a = _vec(emb, id_col, vec_col, "id_a", "va")
-    b = _vec(emb, id_col, vec_col, "id_b", "vb")
+    units = _unit(emb, {"id": F.col(id_col)}, vec_col)
+    a = units.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    b = units.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
     pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", F.expr(cosine_sql("va", "vb")).alias("cos"))
+        pairs.select("id_a", "id_b", F.expr(dot_sql("ua", "ub")).alias("cos"))
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
 
 
 def embedding_near_dups_oracle_sql(table: str, threshold: float = 0.95) -> str:
-    cos = cosine_sql_duckdb("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
     return f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos
-FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
-WHERE ({cos}) >= {threshold}
+WITH un AS ({_unit_cte_duckdb(table)})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.u, b.u), 6) AS cos
+FROM un a JOIN un b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.u, b.u) >= {threshold}
 """

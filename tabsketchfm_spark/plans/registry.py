@@ -502,6 +502,17 @@ _register(
 )
 
 
+# --- S9: deterministic dataset splits ---------------------------------------
+
+from tabsketchfm_spark.sources import splits as spl
+
+_register(
+    "s9_split_counts_documents",
+    lambda spark, sf: spl.split_counts(load_table(spark, sf, "documents"), "doc_id"),
+    spl.split_counts_oracle_sql("documents", "doc_id"),
+)
+
+
 # --- MLlib LSH scale variants (rows-only: RNG hash families) ----------------
 
 from tabsketchfm_spark.operators import mllib_lsh

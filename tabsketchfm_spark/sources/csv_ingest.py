@@ -40,6 +40,48 @@ def sniff_separator(path: str, n_bytes: int = 8192) -> str:
         return ","
 
 
+def detect_encoding(path: str, n_bytes: int = 65536) -> str:
+    """S4 (reference get_encoding, data_prep.py:114-117 — chardet).
+    chardet isn't in this environment; the fallback heuristic covers
+    the common cases: BOM sniff, strict-UTF-8 probe, else latin-1
+    (which never fails to decode)."""
+    try:
+        import chardet  # type: ignore
+
+        with open(path, "rb") as f:
+            raw = f.read(n_bytes)
+        got = chardet.detect(raw).get("encoding")
+        if got:
+            return got
+    except ImportError:
+        pass
+    with open(path, "rb") as f:
+        raw = f.read(n_bytes)
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "UTF-8"
+    if raw.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return "UTF-16"
+    try:
+        raw.decode("utf-8")
+        return "UTF-8"
+    except UnicodeDecodeError:
+        return "ISO-8859-1"
+
+
+def read_excel_fallback(spark: SparkSession, path: str) -> DataFrame | None:
+    """S3 (reference data_prep.py:78): pd.read_excel when CSV parsing
+    fails. Driver-side pandas → createDataFrame (no native xlsx
+    source); returns None when the engine (openpyxl/xlrd) is absent —
+    gated, as this environment has no excel reader."""
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path)
+    except Exception:
+        return None
+    return sanitize_columns(spark.createDataFrame(pdf))
+
+
 def sanitize_name(name: str) -> str:
     """P1 (data_prep.py:119-125): strip quotes/whitespace, drop
     newlines and commas, lowercase."""
