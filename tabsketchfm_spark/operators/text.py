@@ -160,6 +160,48 @@ FROM h
 """
 
 
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 25
+) -> DataFrame:
+    """Corpus-level vocabulary statistics: the k most frequent tokens
+    with counts and corpus share. The classic first look at a training
+    corpus; one explode + one shuffle on the token key (map-side
+    combine collapses the heavy hitters before the exchange).
+    Output: (rank, token, cnt, share)."""
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("t"))
+        .where(F.col("t") != "")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    return (
+        cnt.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            F.col("t").alias("token"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        )
+        .where(F.col("rank") <= k)
+    )
+
+
+def vocab_topk_oracle_sql(table: str, text_col: str = "text", k: int = 25) -> str:
+    return f"""
+WITH toks AS (SELECT unnest(string_split_regex({text_col}, '\\s+')) AS t FROM {table}),
+nz AS (SELECT t FROM toks WHERE t <> ''),
+cnt AS (SELECT t AS token, count(*) AS cnt FROM nz GROUP BY 1),
+total AS (SELECT count(*) AS total FROM nz)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+       token, cnt, round(cnt / CAST(total AS DOUBLE), 6) AS share
+FROM cnt, total
+QUALIFY rank <= {k}
+"""
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit content fingerprint of whitespace-normalized lowercase
     text (content-addressed identity — reference data_prep.py:298).

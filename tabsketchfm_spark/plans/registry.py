@@ -270,6 +270,11 @@ _register(
     lambda spark, sf: txt.fingerprint(load_table(spark, sf, "documents")),
     txt.fingerprint_oracle_sql("documents"),
 )
+_register(
+    "text_vocab_topk",
+    lambda spark, sf: txt.vocab_topk(load_table(spark, sf, "documents")),
+    txt.vocab_topk_oracle_sql("documents"),
+)
 
 
 # --- SK3: content snapshot + table-level dedup ------------------------------
