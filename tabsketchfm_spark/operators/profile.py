@@ -97,11 +97,20 @@ def profile_table(
             else:
                 q = F.percentile(v, F.array(*[F.lit(x) for x in DECILES]))
             distinct_aggs.append(F.countDistinct(col).alias(p + "distinct_cnt"))
+            # mean/std from EXACT decimal sums — float aggregate merges
+            # are partition-order dependent, so avg()/stddev_pop() can
+            # differ at the last ulp between runs (and from the oracle)
+            # depending on parallelism. sum(decimal) is exact, hence
+            # order-free; the double arithmetic after it is identical
+            # in both engines. decimal(18,6) covers epoch seconds and
+            # every fixture domain; x² fits decimal(38,12).
+            d = v.cast("decimal(18,6)")
             aggs += [
                 F.count(F.when(col.isNull(), 1)).alias(p + "num_nan"),
                 q.alias(p + "q"),
-                F.avg(v).alias(p + "mean"),
-                F.stddev_pop(v).alias(p + "std_raw"),
+                F.count(v).alias(p + "n_val"),
+                F.sum(d).cast("double").alias(p + "sum"),
+                F.sum(d * d).cast("double").alias(p + "sumsq"),
                 F.min(v).alias(p + "min"),
                 F.max(v).alias(p + "max"),
             ]
@@ -127,6 +136,10 @@ def profile_table(
                 "max_v": null_d,
             }
         else:
+            mean = F.col(p + "sum") / F.col(p + "n_val")
+            var = F.greatest(
+                F.col(p + "sumsq") / F.col(p + "n_val") - mean * mean, F.lit(0.0)
+            )
             fields = {
                 "num_nan": F.col(p + "num_nan"),
                 "distinct_cnt": F.col(p + "distinct_cnt"),
@@ -135,10 +148,10 @@ def profile_table(
                     f"q{int(x * 100)}": rnd(F.col(p + "q")[i])
                     for i, x in enumerate(DECILES)
                 },
-                "mean_v": rnd(F.col(p + "mean")),
+                "mean_v": rnd(mean),
                 # std guard mirrors reference data_prep.py:238-241
                 "std_v": rnd(
-                    F.when(F.col(p + "distinct_cnt") > 2, F.col(p + "std_raw"))
+                    F.when(F.col(p + "distinct_cnt") > 2, F.sqrt(var))
                     .otherwise(F.lit(0.0))
                 ),
                 "min_v": rnd(F.col(p + "min")),
@@ -185,17 +198,26 @@ def profile_oracle_sql(
               CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v"""
         else:
             v = f"epoch({c})" if lt == "date" else f"CAST({c} AS DOUBLE)"
+            # (19,6): int128-backed in DuckDB so d*d doesn't overflow the
+            # int64 multiply; Spark keeps (18,6) whose product (37,12)
+            # stays under the 38 cap — both sums are exact, values equal
+            d = f"CAST({v} AS DECIMAL(19,6))"
             qs = ", ".join(
                 rnd(f"quantile_cont({v}, {x})") + f" AS q{int(x * 100)}"
                 for x in DECILES
+            )
+            mean = f"(CAST(sum({d}) AS DOUBLE) / count({v}))"
+            var = (
+                f"greatest(CAST(sum({d} * {d}) AS DOUBLE) / count({v})"
+                f" - {mean} * {mean}, 0.0)"
             )
             stats = f"""
               count(CASE WHEN {c} IS NULL THEN 1 END) AS num_nan,
               count(DISTINCT {c}) AS distinct_cnt,
               CAST(NULL AS DOUBLE) AS cell_width_bytes,
               {qs},
-              {rnd(f"avg({v})")} AS mean_v,
-              {rnd(f"CASE WHEN count(DISTINCT {c}) > 2 THEN stddev_pop({v}) ELSE 0.0 END")} AS std_v,
+              {rnd(mean)} AS mean_v,
+              {rnd(f"CASE WHEN count(DISTINCT {c}) > 2 THEN sqrt({var}) ELSE 0.0 END")} AS std_v,
               {rnd(f"min({v})")} AS min_v, {rnd(f"max({v})")} AS max_v"""
         parts.append(
             f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
