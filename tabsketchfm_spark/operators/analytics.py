@@ -1,0 +1,214 @@
+"""Multi-join analytical queries over the star schema.
+
+The reference performs no relational joins over data rows (SURVEY
+§2.5) — these queries exist to exercise the ENGINE's join planning at
+scale: dimension tables broadcast, the fact table never shuffles for
+them, AQE picks the final shapes. Revenue math is exact decimal
+(order-free, oracle-identical).
+
+Also here: Bloom-filter semi-join pruning — at 100 TB the win is
+filtering the fact scan BEFORE the shuffle with a compact filter built
+from the dimension side (Spark's bloom_filter_agg / might_contain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tabsketchfm_spark.sources.tables import load_table
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING") -> DataFrame:
+    """TPC-H Q3 shape: revenue of unshipped orders for one market
+    segment. customer (dim) broadcasts into orders; lineitem joins on
+    the shuffled order key; top-10 by revenue."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == segment
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(p * (F.lit(1).cast("decimal(18,2)") - d))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("rank", "o_orderkey", "o_orderpriority", "revenue", "n_items")
+    )
+
+
+def shipping_priority_oracle_sql(segment: str = "BUILDING") -> str:
+    return f"""
+WITH rev AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+              AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+  GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS INTEGER) AS rank,
+       o_orderkey, o_orderpriority, revenue, n_items
+FROM rev
+QUALIFY rank <= 10
+"""
+
+
+def nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by customer nation (4-way join; every
+    dimension broadcasts, lineitem shuffles once on its join key)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+                            .select("o_orderkey", "n_name")),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(p * (F.lit(1).cast("decimal(18,2)") - d)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def nation_volume_oracle_sql() -> str:
+    return """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+BLOOM_BITS = 1 << 18  # 262,144 bits = 4,096 words
+BLOOM_K = 3
+
+
+def _bloom_positions(key_expr: str, dialect: str) -> list[str]:
+    """k bit positions for a key — md5-seeded, identical cross-engine."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
+    out = []
+    for j in range(BLOOM_K):
+        seeded = "concat('b" + str(j) + "|', CAST(" + key_expr + f" AS {cast_t}))"
+        out.append(f"({h32_sql(seeded, dialect)} % {BLOOM_BITS})")
+    return out
+
+
+def bloom_prejoin_count(
+    spark: SparkSession,
+    sf_dir: str,
+    status: str = "F",
+) -> DataFrame:
+    """Bloom-filter pre-join pruning, built in pure SQL: the dimension
+    side's keys set k md5-derived bits in a 2^18-bit filter (bit_or
+    aggregate over 64-bit words), the filter ships to the fact scan as
+    a literal array, and rows failing any bit are dropped BEFORE any
+    join/shuffle. At 100 TB this is the broadcast-filter-into-the-scan
+    pattern that cuts the fact shuffle by the join's selectivity.
+
+    Deterministic by construction (unlike Spark's internal
+    bloom_filter_agg), so the DuckDB oracle reproduces the exact
+    counts. Output: (bloom_pruned_cnt, exact_cnt, fp_overhead).
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == status
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # build: (word_idx, word) rows — tiny aggregate, collected once
+    # 63 usable bits per word: bit 63 would overflow DuckDB's checked
+    # left shift (and flip the sign bit JVM-side)
+    pos_union = None
+    for p in _bloom_positions("o_orderkey", "spark"):
+        d = orders.select(F.expr(p).alias("pos"))
+        pos_union = d if pos_union is None else pos_union.unionByName(d)
+    words = (
+        pos_union.groupBy((F.col("pos") / 63).cast("int").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 63 as int)))").alias("bits"))
+        .collect()
+    )
+    word_arr = [0] * (BLOOM_BITS // 63 + 1)
+    for r in words:
+        word_arr[r.w] = r.bits
+
+    bf = F.array(*[F.lit(x) for x in word_arr])
+    checks = None
+    for p in _bloom_positions("l_orderkey", "spark"):
+        c = F.expr(
+            f"(bf[cast(({p}) / 63 as int)] >> cast(({p}) % 63 as int)) & 1 = 1"
+        )
+        checks = c if checks is None else (checks & c)
+    pruned_cnt = (
+        li.withColumn("bf", bf)
+        .where(checks)
+        .agg(F.count(F.lit(1)).alias("bloom_pruned_cnt"))
+    )
+    exact_cnt = li.join(
+        orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    ).agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return pruned_cnt.crossJoin(exact_cnt).select(
+        "bloom_pruned_cnt",
+        "exact_cnt",
+        F.round(
+            (F.col("bloom_pruned_cnt") - F.col("exact_cnt")) / F.col("exact_cnt"), 6
+        ).alias("fp_overhead"),
+    )
+
+
+def bloom_prejoin_oracle_sql(status: str = "F") -> str:
+    opos = _bloom_positions("o_orderkey", "duckdb")
+    lpos = _bloom_positions("l_orderkey", "duckdb")
+    pos_union = "\nUNION ALL\n".join(
+        f"SELECT {p} AS pos FROM orders WHERE o_orderstatus = '{status}'" for p in opos
+    )
+    checks = " AND ".join(
+        f"coalesce((SELECT bits FROM words WHERE w = CAST(({p}) // 63 AS INTEGER)), 0)"
+        f" >> CAST(({p}) % 63 AS INTEGER) & 1 = 1"
+        for p in lpos
+    )
+    return f"""
+WITH pos AS ({pos_union}),
+words AS (SELECT CAST(pos // 63 AS INTEGER) AS w,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM pos GROUP BY 1),
+pruned AS (SELECT count(*) AS bloom_pruned_cnt FROM lineitem WHERE {checks}),
+exact AS (SELECT count(*) AS exact_cnt FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                               WHERE o_orderstatus = '{status}'))
+SELECT bloom_pruned_cnt, exact_cnt,
+       round((bloom_pruned_cnt - exact_cnt) / CAST(exact_cnt AS DOUBLE), 6)
+         AS fp_overhead
+FROM pruned, exact
+"""

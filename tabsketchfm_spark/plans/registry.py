@@ -507,6 +507,27 @@ _register(
 )
 
 
+# --- multi-join analytics + bloom pruning -----------------------------------
+
+from tabsketchfm_spark.operators import analytics as ana
+
+_register(
+    "q3_shipping_priority",
+    lambda spark, sf: ana.shipping_priority(spark, sf),
+    ana.shipping_priority_oracle_sql(),
+)
+_register(
+    "q5_nation_volume",
+    lambda spark, sf: ana.nation_volume(spark, sf),
+    ana.nation_volume_oracle_sql(),
+)
+_register(
+    "bloom_prejoin_lineitem",
+    lambda spark, sf: ana.bloom_prejoin_count(spark, sf),
+    ana.bloom_prejoin_oracle_sql(),
+)
+
+
 # --- S9: deterministic dataset splits ---------------------------------------
 
 from tabsketchfm_spark.sources import splits as spl
