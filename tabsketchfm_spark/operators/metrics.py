@@ -93,38 +93,51 @@ def regression_metrics(events: DataFrame) -> DataFrame:
     prediction (value's rank-free proxy: user_id-seeded shift). R² =
     1 - SS_res/SS_tot; Pearson via the corr aggregate.
     Output: one row (n, r2, pearson_r)."""
+    # all moments from exact decimal sums (partition-order-free — same
+    # hardening as the profiler): ss_res = Syy - 2Spy + Spp,
+    # ss_tot = Syy - Sy²/n, r via the product-moment formula
     d = events.select(
-        F.col("value").alias("y"),
-        (F.col("value") + (F.col("user_id") % 7) - 3).alias("p"),
+        F.col("value").cast("decimal(19,6)").alias("y"),
+        (F.col("value") + (F.col("user_id") % 7) - 3)
+        .cast("decimal(19,6)")
+        .alias("p"),
     ).where(F.col("y").isNotNull())
     agg = d.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.pow(F.col("y") - F.col("p"), 2)).alias("ss_res"),
-        F.avg("y").alias("ybar"),
-        F.round(F.corr("y", "p"), 6).alias("pearson_r"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("p").cast("double").alias("sp"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("p") * F.col("p")).cast("double").alias("spp"),
+        F.sum(F.col("y") * F.col("p")).cast("double").alias("spy"),
     )
-    d2 = d.crossJoin(F.broadcast(agg.select("ybar"))).agg(
-        F.sum(F.pow(F.col("y") - F.col("ybar"), 2)).alias("ss_tot")
+    ss_res = F.col("syy") - 2 * F.col("spy") + F.col("spp")
+    ss_tot = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    r = (F.col("n") * F.col("spy") - F.col("sp") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("spp") - F.col("sp") * F.col("sp"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
-    return (
-        agg.crossJoin(d2)
-        .select(
-            "n",
-            F.round(1 - F.col("ss_res") / F.col("ss_tot"), 6).alias("r2"),
-            "pearson_r",
-        )
+    return agg.select(
+        "n",
+        F.round(1 - ss_res / ss_tot, 6).alias("r2"),
+        F.round(r, 6).alias("pearson_r"),
     )
 
 
 def regression_metrics_oracle_sql(table: str) -> str:
     return f"""
-WITH d AS (SELECT value AS y, value + (user_id % 7) - 3 AS p
+WITH d AS (SELECT CAST(value AS DECIMAL(19,6)) AS y,
+                  CAST(value + (user_id % 7) - 3 AS DECIMAL(19,6)) AS p
            FROM {table} WHERE value IS NOT NULL),
-a AS (SELECT count(*) AS n, sum(pow(y - p, 2)) AS ss_res, avg(y) AS ybar,
-             round(corr(y, p), 6) AS pearson_r
-      FROM d),
-t AS (SELECT sum(pow(y - (SELECT ybar FROM a), 2)) AS ss_tot FROM d)
-SELECT n, round(1 - ss_res / ss_tot, 6) AS r2, pearson_r FROM a, t
+a AS (SELECT count(*) AS n,
+             CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(p) AS DOUBLE) AS sp,
+             CAST(sum(y * y) AS DOUBLE) AS syy, CAST(sum(p * p) AS DOUBLE) AS spp,
+             CAST(sum(y * p) AS DOUBLE) AS spy
+      FROM d)
+SELECT n,
+       round(1 - (syy - 2 * spy + spp) / (syy - sy * sy / n), 6) AS r2,
+       round((n * spy - sp * sy)
+             / (sqrt(n * spp - sp * sp) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+FROM a
 """
 
 

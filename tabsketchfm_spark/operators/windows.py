@@ -147,12 +147,33 @@ def serial_key_detection(df: DataFrame, table_name: str, columns: list[str]) -> 
             .where(F.col("v").isNotNull())
             .withColumn("pos", F.row_number().over(w).cast("double"))
         )
+        # corr from exact decimal sums: F.corr's streaming-moment merge
+        # is partition-order dependent (same hardening as the profiler)
+        dx = F.col("v").cast("decimal(19,6)")
+        dy = F.col("pos").cast("decimal(19,6)")
         r = d.agg(
             F.lit(table_name).alias("table_name"),
             F.lit(c).alias("column_name"),
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("v").alias("n_distinct"),
-            F.round(F.corr("v", "pos"), 6).alias("corr_with_position"),
+            F.sum(dx).cast("double").alias("sx"),
+            F.sum(dy).cast("double").alias("sy"),
+            F.sum(dx * dx).cast("double").alias("sxx"),
+            F.sum(dy * dy).cast("double").alias("syy"),
+            F.sum(dx * dy).cast("double").alias("sxy"),
+        ).select(
+            "table_name",
+            "column_name",
+            "n",
+            "n_distinct",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            ).alias("corr_with_position"),
         ).select(
             "*",
             (
@@ -167,14 +188,26 @@ def serial_key_detection(df: DataFrame, table_name: str, columns: list[str]) -> 
 def serial_key_detection_oracle_sql(table: str, columns: list[str]) -> str:
     parts = []
     for c in columns:
+        corr = (
+            "(n * sxy - sx * sy) / "
+            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        )
         parts.append(
-            f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
-              count(*) AS n, count(DISTINCT v) AS n_distinct,
-              round(corr(v, pos), 6) AS corr_with_position,
-              (count(DISTINCT v) / CAST(count(*) AS DOUBLE) > 0.95
-               AND round(corr(v, pos), 6) > 0.99) AS is_serial_key
-            FROM (SELECT CAST({c} AS DOUBLE) AS v,
-                         CAST(row_number() OVER (ORDER BY {c}) AS DOUBLE) AS pos
-                  FROM {table} WHERE {c} IS NOT NULL) t"""
+            f"""SELECT table_name, column_name, n, n_distinct,
+              round({corr}, 6) AS corr_with_position,
+              (n_distinct / CAST(n AS DOUBLE) > 0.95
+               AND round({corr}, 6) > 0.99) AS is_serial_key
+            FROM (
+              SELECT '{table}' AS table_name, '{c}' AS column_name,
+                count(*) AS n, count(DISTINCT v) AS n_distinct,
+                CAST(sum(CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(pos AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+                CAST(sum(CAST(pos AS DECIMAL(19,6)) * CAST(pos AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+                CAST(sum(CAST(v AS DECIMAL(19,6)) * CAST(pos AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+              FROM (SELECT CAST({c} AS DOUBLE) AS v,
+                           CAST(row_number() OVER (ORDER BY {c}) AS DOUBLE) AS pos
+                    FROM {table} WHERE {c} IS NOT NULL) t
+            ) agg"""
         )
     return "\nUNION ALL\n".join(parts)

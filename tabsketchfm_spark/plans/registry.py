@@ -507,6 +507,67 @@ _register(
 )
 
 
+# --- §2.9 json decode on events.props ---------------------------------------
+
+
+def _props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(k.alias("k"), "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        (F.sum("k") / F.count("k")).alias("avg_k"),
+    )
+
+
+_register(
+    "json_props_stats",
+    _props_json,
+    """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+       sum(CAST(json_extract(props, '$.k') AS INTEGER))
+         / CAST(count(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type
+""",
+)
+
+
+# --- SK5: augmentation column order (seeded, engine-neutral) ----------------
+
+
+def _sk5_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in ("customer", "lineitem"):
+        cols = [c for c, _lt in TABLE_SCHEMAS[t]]
+        for aug in range(3):
+            for i, c in enumerate(store.aug_column_order(t, cols, aug)):
+                rows.append((t, aug, i, c))
+    return spark.createDataFrame(
+        rows, "table_name string, aug_id int, col_idx int, column_name string"
+    )
+
+
+def _sk5_oracle() -> str:
+    vals = []
+    for t in ("customer", "lineitem"):
+        cols = [c for c, _lt in TABLE_SCHEMAS[t]]
+        for aug in range(3):
+            for i, c in enumerate(store.aug_column_order(t, cols, aug)):
+                vals.append(f"('{t}', {aug}, {i}, '{c}')")
+    return (
+        "SELECT t AS table_name, a AS aug_id, i AS col_idx, c AS column_name "
+        f"FROM (VALUES {', '.join(vals)}) v(t, a, i, c)"
+    )
+
+
+_register("sk5_aug_column_order", _sk5_orders, _sk5_oracle())
+
+
 # --- multi-join analytics + bloom pruning -----------------------------------
 
 from tabsketchfm_spark.operators import analytics as ana
