@@ -107,3 +107,53 @@ def extract_embeddings(profile: DataFrame) -> DataFrame:
 
     tables = cols.repartition("table_name").mapInPandas(pool, schema=EMBED_SCHEMA)
     return cols.unionByName(tables)
+
+
+def value_embeddings(value_docs: DataFrame) -> DataFrame:
+    """K2 (reference embedding_search.py:25-42): encode each column's
+    value document (first-100-unique comma-joined values — see
+    operators/structural.value_doc) into a vector. The sentence
+    transformer is absent here; the deterministic stub encoder hashes
+    the doc (same seam as K1 — see module docstring)."""
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(value_docs.sparkSession)
+
+    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                digest = hashlib.md5(str(r.value_doc).encode()).digest()
+                stats = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+                vec = _stub_encode(stats, f"val|{r.table_name}|{r.column_name}")
+                rows.append((r.table_name, r.column_name, "value", vec.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["table_name", "column_name", "kind", "vector"]
+            )
+
+    return value_docs.mapInPandas(infer, schema=EMBED_SCHEMA)
+
+
+def merge_value_embeddings(
+    column_embs: DataFrame, value_embs: DataFrame
+) -> DataFrame:
+    """K2 merge (reference embedding_search.py:69-88): concatenate each
+    column's sketch embedding with its value embedding (array concat
+    after an equi-join; columns without a value doc keep the sketch
+    embedding alone via zero-padding)."""
+    from pyspark.sql import functions as F
+
+    c = column_embs.where(F.col("kind") == "column").select(
+        "table_name", "column_name", F.col("vector").alias("cv")
+    )
+    v = value_embs.select(
+        "table_name", "column_name", F.col("vector").alias("vv")
+    )
+    dim = EMBED_DIM
+    zeros = F.array(*[F.lit(0.0).cast("float") for _ in range(dim)])
+    return c.join(v, ["table_name", "column_name"], "left").select(
+        "table_name",
+        "column_name",
+        F.lit("column+value").alias("kind"),
+        F.concat(F.col("cv"), F.coalesce(F.col("vv"), zeros)).alias("vector"),
+    )

@@ -458,6 +458,19 @@ _register(
 )
 
 
+def _k2_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    cols = ml_embed.extract_embeddings(
+        prof.profile_table(cust, "customer", round_digits=4)
+    )
+    vdocs = struc.value_doc(cust, "customer", ["c_mktsegment", "c_name"])
+    vembs = ml_embed.value_embeddings(vdocs)
+    return ml_embed.merge_value_embeddings(cols, vembs)
+
+
+_register("k2_merged_embeddings_customer", _k2_merged, None)
+
+
 # --- structural ops: J1/J2/J5, T1, K2, K5, M10 ------------------------------
 
 from tabsketchfm_spark.operators import structural as struc
