@@ -163,6 +163,86 @@ WHERE n_inter / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= {threshold}
 """
 
 
+def dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The composite corpus-dedup pass: exact dedup, then near-dup
+    removal among the exact survivors (drop every doc that has a
+    lower-id neighbor with shingle-Jaccard >= threshold — the greedy
+    deterministic keep-first policy). One labeled row per document.
+
+    Output: (id, status) with status in {kept, exact_dup, near_dup}.
+    At scale the near-dup pair source swaps to minhash_lsh_pairs
+    (same pair contract); the labeling stages are unchanged.
+    """
+    content = F.nullif(F.col(text_col).cast("string"), F.lit(""))
+    key = F.expr(h64_sql("content", "spark"))
+    keyed = df.select(F.col(id_col).alias("id"), content.alias("content")).select(
+        "id", key.alias("ck")
+    )
+    keep = keyed.groupBy("ck").agg(F.min("id").alias("keep_id"))
+    labeled = keyed.join(keep, "ck").select(
+        "id", (F.col("id") == F.col("keep_id")).alias("is_exact_keeper")
+    )
+    survivors = df.join(
+        labeled.where("is_exact_keeper").select("id"),
+        df[id_col] == F.col("id"),
+        "left_semi",
+    )
+    pairs = ngram_jaccard_pairs(survivors, id_col, text_col, n, threshold)
+    near_dropped = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (
+        labeled.join(near_dropped.withColumn("nd", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(~F.col("is_exact_keeper"), "exact_dup")
+            .when(F.col("nd") == 1, "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+def dedup_pipeline_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    key = h64_sql("content", "duckdb")
+    return f"""
+WITH keyed AS (SELECT {id_col} AS id, {key} AS ck
+               FROM (SELECT {id_col}, nullif(CAST({text_col} AS VARCHAR), '') AS content
+                     FROM {table}) t),
+keep AS (SELECT ck, min(id) AS keep_id FROM keyed GROUP BY 1),
+labeled AS (SELECT keyed.id, keyed.id = keep.keep_id AS is_exact_keeper
+            FROM keyed JOIN keep USING (ck)),
+surv AS (SELECT d.* FROM {table} d JOIN labeled l ON d.{id_col} = l.id
+         WHERE l.is_exact_keeper),
+toks AS (SELECT {id_col} AS id,
+                list_filter(string_split_regex({text_col}, '\\s+'), t -> t <> '') AS tk
+         FROM surv),
+sh AS (SELECT DISTINCT id, array_to_string(tk[i:i+{n - 1}], ' ') AS shingle
+       FROM toks, unnest(generate_series(1, len(tk) - {n} + 1)) t(i)),
+cnt AS (SELECT id, count(*) AS nn FROM sh GROUP BY 1),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni
+          FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),
+nd AS (SELECT DISTINCT id_b AS id FROM inter
+       JOIN cnt ca ON id_a = ca.id JOIN cnt cb ON id_b = cb.id
+       WHERE ni / CAST(ca.nn + cb.nn - ni AS DOUBLE) >= {threshold})
+SELECT l.id,
+       CASE WHEN NOT l.is_exact_keeper THEN 'exact_dup'
+            WHEN nd.id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM labeled l LEFT JOIN nd ON l.id = nd.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

@@ -202,6 +202,76 @@ QUALIFY rank <= {k}
 """
 
 
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Repetition signal for corpus filtering: the share of the
+    document taken by its single most-repeated word n-gram (high →
+    boilerplate / template text). One explode + one grouped max.
+    Output: (id, n_shingles, max_repeat, rep_ratio)."""
+    from tabsketchfm_spark.operators.dedup import _shingles
+
+    sh = _shingles(df, id_col, text_col, n, dedupe=False)
+    per = sh.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("max_repeat"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("rep_ratio"),
+    )
+
+
+def repetition_score_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> str:
+    from tabsketchfm_spark.operators.dedup import _shingles_cte_duckdb
+
+    cte = _shingles_cte_duckdb(table, id_col, text_col, n).replace(
+        "SELECT DISTINCT id", "SELECT id"
+    )
+    return f"""
+WITH {cte},
+per AS (SELECT id, shingle, count(*) AS c FROM sh GROUP BY 1, 2)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_shingles,
+       CAST(max(c) AS BIGINT) AS max_repeat,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS rep_ratio
+FROM per GROUP BY id
+"""
+
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII pre-filter: per-document hit counts for email / phone /
+    SSN-shaped patterns (regexp_count stays JVM-side). Output:
+    (id, email_hits, phone_hits, ssn_like_hits, has_pii)."""
+    cols = {
+        f"{k}_hits": F.regexp_count(F.col(text_col), F.lit(p)).cast("int")
+        for k, p in PII_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col).alias("id"), *[v.alias(k) for k, v in cols.items()])
+    total = None
+    for k in cols:
+        total = F.col(k) if total is None else total + F.col(k)
+    return out.select("*", (total > 0).alias("has_pii"))
+
+
+def pii_scan_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    hits = ", ".join(
+        f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS INTEGER) AS {k}_hits"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"{k}_hits" for k in PII_PATTERNS)
+    return f"""
+WITH h AS (SELECT {id_col} AS id, {hits} FROM {table})
+SELECT *, ({total}) > 0 AS has_pii FROM h
+"""
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit content fingerprint of whitespace-normalized lowercase
     text (content-addressed identity — reference data_prep.py:298).

@@ -275,6 +275,21 @@ _register(
     lambda spark, sf: txt.vocab_topk(load_table(spark, sf, "documents")),
     txt.vocab_topk_oracle_sql("documents"),
 )
+_register(
+    "text_repetition_score",
+    lambda spark, sf: txt.repetition_score(load_table(spark, sf, "documents")),
+    txt.repetition_score_oracle_sql("documents"),
+)
+_register(
+    "text_pii_scan",
+    lambda spark, sf: txt.pii_scan(load_table(spark, sf, "documents")),
+    txt.pii_scan_oracle_sql("documents"),
+)
+_register(
+    "dedup_pipeline_documents",
+    lambda spark, sf: dedup.dedup_pipeline(load_table(spark, sf, "documents")),
+    dedup.dedup_pipeline_oracle_sql("documents"),
+)
 
 
 # --- SK3: content snapshot + table-level dedup ------------------------------
