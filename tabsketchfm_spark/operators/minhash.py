@@ -559,6 +559,124 @@ FROM votes
 """
 
 
+def subset_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_table: str,
+    query_columns: list[str],
+    candidates: dict[str, list[str]],
+    num_buckets: int = NUM_PERM,
+) -> DataFrame:
+    """Subset-direction search (reference CKAN-subset task shape,
+    BASELINE.md): rank candidate tables by how CONTAINED the query
+    table's columns are in theirs — containment est = agreeing buckets
+    over the QUERY side's occupied buckets (asymmetric, unlike the
+    Jaccard estimate). Output: (cand_table, mean_containment, rank)."""
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    qsigs = oph_signatures(
+        load_table(spark, sf_dir, query_table), query_table, query_columns, num_buckets
+    ).persist()
+    csigs = None
+    for t, cols in candidates.items():
+        s = oph_signatures(load_table(spark, sf_dir, t), t, cols, num_buckets)
+        csigs = s if csigs is None else csigs.unionByName(s)
+
+    qcnt = qsigs.groupBy(F.col("column_name").alias("q_col")).agg(
+        F.count(F.lit(1)).alias("nq")
+    )
+    matches = (
+        csigs.join(
+            F.broadcast(
+                qsigs.select(
+                    F.col("column_name").alias("q_col"),
+                    "bucket",
+                    F.col("sig").alias("qsig"),
+                )
+            ),
+            "bucket",
+        )
+        .groupBy(
+            "q_col",
+            F.col("table_name").alias("cand_table"),
+            F.col("column_name").alias("cand_col"),
+        )
+        .agg(F.count(F.when(F.col("sig") == F.col("qsig"), 1)).alias("m"))
+    )
+    cont = matches.join(F.broadcast(qcnt), "q_col").select(
+        "q_col",
+        "cand_table",
+        "cand_col",
+        (F.col("m") / F.col("nq").cast("double")).alias("containment"),
+    )
+    wf = Window.partitionBy("q_col", "cand_table").orderBy(
+        F.desc("containment"), F.asc("cand_col")
+    )
+    best = cont.withColumn("fm", F.row_number().over(wf)).where(F.col("fm") == 1)
+    per_table = best.groupBy("cand_table").agg(
+        F.round(F.sum("containment") / F.lit(float(len(query_columns))), 6).alias(
+            "mean_containment"
+        )
+    )
+    wr = Window.orderBy(F.desc("mean_containment"), F.asc("cand_table"))
+    return per_table.select(
+        "cand_table", "mean_containment", F.row_number().over(wr).alias("rank")
+    )
+
+
+def subset_search_oracle_sql(
+    query_table: str,
+    query_columns: list[str],
+    candidates: dict[str, list[str]],
+    num_buckets: int = NUM_PERM,
+) -> str:
+    h = h32_sql("v", "duckdb")
+
+    def sig_part(t: str, c: str, key_cols: str) -> str:
+        vals = (
+            f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {t} "
+            f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+        )
+        return (
+            f"SELECT {key_cols}, h % {num_buckets} AS bucket, min(h) AS sig "
+            f"FROM (SELECT {h} AS h FROM ({vals}) vals) hs GROUP BY 1, 2, 3"
+        )
+
+    qparts = "\nUNION ALL\n".join(
+        sig_part(query_table, c, f"'{query_table}' AS t, '{c}' AS q_col")
+        for c in query_columns
+    )
+    cparts = "\nUNION ALL\n".join(
+        sig_part(t, c, f"'{t}' AS cand_table, '{c}' AS cand_col")
+        for t, cols in candidates.items()
+        for c in cols
+    )
+    return f"""
+WITH qsigs AS ({qparts}),
+csigs AS ({cparts}),
+qcnt AS (SELECT q_col, count(*) AS nq FROM qsigs GROUP BY 1),
+m AS (SELECT q.q_col, c.cand_table, c.cand_col,
+             count(CASE WHEN c.sig = q.sig THEN 1 END) AS m
+      FROM csigs c JOIN qsigs q USING (bucket)
+      GROUP BY 1, 2, 3),
+cont AS (SELECT m.q_col, cand_table, cand_col, m / CAST(nq AS DOUBLE) AS containment
+         FROM m JOIN qcnt ON m.q_col = qcnt.q_col),
+best AS (SELECT *, row_number() OVER (PARTITION BY q_col, cand_table
+                                      ORDER BY containment DESC, cand_col) AS fm
+         FROM cont QUALIFY fm = 1),
+per_table AS (SELECT cand_table,
+                     round(sum(containment) / {float(len(query_columns))}, 6)
+                       AS mean_containment
+              FROM best GROUP BY 1)
+SELECT cand_table, mean_containment,
+       CAST(row_number() OVER (ORDER BY mean_containment DESC, cand_table)
+            AS INTEGER) AS rank
+FROM per_table
+"""
+
+
 def joinability_oracle_sql(
     query: tuple[str, str],
     candidates: list[tuple[str, list[str]]],

@@ -110,6 +110,25 @@ _register(
     ),
     mh.unionability_oracle_sql("customer", _UNION_QUERY_COLS, _UNION_CANDIDATES),
 )
+_register(
+    "k4_subset_search_nation",
+    lambda spark, sf: mh.subset_search(
+        spark,
+        sf,
+        "nation",
+        ["n_nationkey", "n_name"],
+        {"customer": ["c_custkey", "c_nationkey", "c_name"],
+         "supplier": ["s_suppkey", "s_nationkey"],
+         "region": ["r_regionkey", "r_name"]},
+    ),
+    mh.subset_search_oracle_sql(
+        "nation",
+        ["n_nationkey", "n_name"],
+        {"customer": ["c_custkey", "c_nationkey", "c_name"],
+         "supplier": ["s_suppkey", "s_nationkey"],
+         "region": ["r_regionkey", "r_name"]},
+    ),
+)
 
 
 # --- SK1/SK2: MinHash signatures (SURVEY §2.4) ------------------------------
@@ -716,6 +735,12 @@ _register(
     "stream_dedup_events",
     ps.streaming_dedup_events,
     ps.streaming_dedup_events_oracle_sql(),
+)
+
+_register(
+    "stream_oph_minhash_events",
+    ps.streaming_oph_minhash,
+    ps.streaming_oph_minhash_oracle_sql(),
 )
 
 from tabsketchfm_spark.streaming import sessionize as sess

@@ -109,6 +109,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def streaming_oph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: the OPH MinHash signature of
+    events.user_id kept incrementally current — grouped MIN per hash
+    bucket is a streaming-safe aggregate (monotone state, no
+    retraction needed), so the lake's sketches can be maintained by
+    the stream instead of recomputed by batch jobs. Completing the
+    availableNow run must equal the batch sketch — the oracle checks
+    exactly that. Output: (bucket, sig)."""
+    from tabsketchfm_spark.functions.hashing import NUM_PERM, h32_sql
+
+    s = _events_stream(spark, sf_dir)
+    h = F.expr(h32_sql("user_id", "spark"))
+    agg = (
+        s.where(F.col("user_id").isNotNull())
+        .select(h.alias("h"))
+        .groupBy((F.col("h") % NUM_PERM).cast("int").alias("bucket"))
+        .agg(F.min("h").alias("sig"))
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def streaming_oph_minhash_oracle_sql() -> str:
+    from tabsketchfm_spark.functions.hashing import NUM_PERM, h32_sql
+
+    h = h32_sql("user_id", "duckdb")
+    return f"""
+SELECT CAST(h % {NUM_PERM} AS INTEGER) AS bucket, min(h) AS sig
+FROM (SELECT {h} AS h FROM events WHERE user_id IS NOT NULL) hs
+GROUP BY 1
+"""
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup on event_id (state-bounded
     dropDuplicates) — the streaming face of exact dedup; emits one row
