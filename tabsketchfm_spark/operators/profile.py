@@ -49,7 +49,6 @@ def profile_table(
     columns: list[str] | None = None,
     approx: bool = False,
     round_digits: int | None = None,
-    concurrent: bool = True,
 ) -> DataFrame:
     """One row per column: the full A1-A9 stat set.
 
@@ -116,34 +115,7 @@ def profile_table(
                 F.max(v).alias(p + "max"),
             ]
 
-    stats_df = df.agg(*aggs)
-    dist_df = df.agg(*distinct_aggs)
-    if concurrent:
-        # Spark serializes the two independent aggregation jobs when
-        # they sit in one plan (AQE materializes query stages in
-        # sequence) — submitting them from two threads runs them
-        # concurrently (measured ~2× on the 600k-row profile). The two
-        # one-row results become literal relations; the re-stack below
-        # is unchanged.
-        import threading
-
-        spark = df.sparkSession
-        rows: dict[str, list] = {}
-
-        def _collect(key: str, frame: DataFrame) -> None:
-            rows[key] = frame.collect()
-
-        threads = [
-            threading.Thread(target=_collect, args=("stats", stats_df)),
-            threading.Thread(target=_collect, args=("dist", dist_df)),
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        stats_df = spark.createDataFrame(rows["stats"], schema=stats_df.schema)
-        dist_df = spark.createDataFrame(rows["dist"], schema=dist_df.schema)
-    one = stats_df.crossJoin(dist_df)
+    one = df.agg(*aggs).crossJoin(df.agg(*distinct_aggs))
 
     def rnd(col):
         return F.round(col, round_digits) if round_digits is not None else col
