@@ -43,14 +43,10 @@ def shipping_priority(spark: SparkSession, sf_dir: str, segment: str = "BUILDING
             F.count(F.lit(1)).alias("n_items"),
         )
     )
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import ranked_topk
 
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("rank", "o_orderkey", "o_orderpriority", "revenue", "n_items")
-    )
+    top = ranked_topk(rev, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+    return top.select("rank", "o_orderkey", "o_orderpriority", "revenue", "n_items")
 
 
 def shipping_priority_oracle_sql(segment: str = "BUILDING") -> str:

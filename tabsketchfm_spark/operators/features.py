@@ -80,6 +80,8 @@ def token_features(profile: DataFrame) -> DataFrame:
         F.round(F.expr("zq[12]"), 10).alias("zq_last"),
     )
     seq = cls.unionByName(body)
+    # one table's token sequence (≤ cols × 5 tokens) — bounded input,
+    # so the single-partition window is the intended plan
     order = Window.orderBy(F.asc("col_idx"), F.asc("tok_pos"))
     w_run = order.rowsBetween(Window.unboundedPreceding, 0)
     out = (

@@ -180,10 +180,11 @@ def oph_jaccard_estimate(
             ).alias("est_jaccard"),
         )
     )
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import global_rank
 
-    w = Window.orderBy(F.desc("est_jaccard"), F.asc("cand_table"), F.asc("cand_column"))
-    return est.select("*", F.row_number().over(w).alias("rank"))
+    return global_rank(
+        est, [F.desc("est_jaccard"), F.asc("cand_table"), F.asc("cand_column")]
+    )
 
 
 def minhash_jaccard_estimate(
@@ -201,12 +202,11 @@ def minhash_jaccard_estimate(
         j.groupBy(F.col("table_name").alias("cand_table"), F.col("column_name").alias("cand_column"))
         .agg(F.avg((F.col("sig") == F.col("qsig")).cast("double")).alias("est_jaccard"))
     )
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import global_rank
 
-    w = Window.orderBy(
-        F.desc("est_jaccard"), F.asc("cand_table"), F.asc("cand_column")
+    return global_rank(
+        est, [F.desc("est_jaccard"), F.asc("cand_table"), F.asc("cand_column")]
     )
-    return est.select("*", F.row_number().over(w).alias("rank"))
 
 
 def joinability_search(
@@ -356,16 +356,18 @@ def all_pairs_joinability(
         )
         .where(F.col("est_jaccard") >= threshold)
     )
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import global_rank
 
-    w = Window.orderBy(F.desc("est_jaccard"), F.asc("key_a"), F.asc("key_b"))
-    return est.select(
+    ranked = global_rank(
+        est, [F.desc("est_jaccard"), F.asc("key_a"), F.asc("key_b")]
+    )
+    return ranked.select(
         F.split("key_a", r"\.")[0].alias("table_a"),
         F.split("key_a", r"\.")[1].alias("column_a"),
         F.split("key_b", r"\.")[0].alias("table_b"),
         F.split("key_b", r"\.")[1].alias("column_b"),
         "est_jaccard",
-        F.row_number().over(w).alias("rank"),
+        "rank",
     )
 
 
@@ -493,9 +495,11 @@ def unionability_search(
         F.count(F.lit(1)).alias("matched_cols"),
         F.round(F.sum(F.lit(1.0) - F.col("est")), 6).alias("score_sum"),
     )
-    wr = Window.orderBy(F.desc("matched_cols"), F.asc("score_sum"), F.asc("cand_table"))
-    return votes.select(
-        "cand_table", "matched_cols", "score_sum", F.row_number().over(wr).alias("rank")
+    from tabsketchfm_spark.functions.ranking import global_rank
+
+    return global_rank(
+        votes.select("cand_table", "matched_cols", "score_sum"),
+        [F.desc("matched_cols"), F.asc("score_sum"), F.asc("cand_table")],
     )
 
 
@@ -620,9 +624,11 @@ def subset_search(
             "mean_containment"
         )
     )
-    wr = Window.orderBy(F.desc("mean_containment"), F.asc("cand_table"))
-    return per_table.select(
-        "cand_table", "mean_containment", F.row_number().over(wr).alias("rank")
+    from tabsketchfm_spark.functions.ranking import global_rank
+
+    return global_rank(
+        per_table.select("cand_table", "mean_containment"),
+        [F.desc("mean_containment"), F.asc("cand_table")],
     )
 
 

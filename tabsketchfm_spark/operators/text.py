@@ -168,7 +168,7 @@ def vocab_topk(
     corpus; one explode + one shuffle on the token key (map-side
     combine collapses the heavy hitters before the exchange).
     Output: (rank, token, cnt, share)."""
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import ranked_topk
 
     toks = (
         df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("t"))
@@ -176,16 +176,12 @@ def vocab_topk(
     )
     total = toks.agg(F.count(F.lit(1)).alias("total"))
     cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
-    return (
-        cnt.crossJoin(F.broadcast(total))
-        .select(
-            F.row_number().over(w).alias("rank"),
-            F.col("t").alias("token"),
-            "cnt",
-            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
-        )
-        .where(F.col("rank") <= k)
+    top = ranked_topk(cnt, [F.desc("cnt"), F.asc("t")], k)
+    return top.crossJoin(F.broadcast(total)).select(
+        "rank",
+        F.col("t").alias("token"),
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
     )
 
 

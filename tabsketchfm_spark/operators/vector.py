@@ -141,9 +141,11 @@ def column_vote_search(
         F.count(F.lit(1)).alias("matched_cols"),
         F.round(F.sum("dist"), 6).alias("dist_sum"),
     )
-    wr = Window.orderBy(F.desc("matched_cols"), F.asc("dist_sum"), F.asc("cand_table"))
-    return votes.select(
-        "cand_table", "matched_cols", "dist_sum", F.row_number().over(wr).alias("rank")
+    from tabsketchfm_spark.functions.ranking import global_rank
+
+    return global_rank(
+        votes.select("cand_table", "matched_cols", "dist_sum"),
+        [F.desc("matched_cols"), F.asc("dist_sum"), F.asc("cand_table")],
     )
 
 

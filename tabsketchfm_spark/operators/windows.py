@@ -76,12 +76,10 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "user_id", "total_value", "n_events")
-    )
+    from tabsketchfm_spark.functions.ranking import ranked_topk
+
+    top = ranked_topk(totals, [F.desc("total_value"), F.asc("user_id")], k)
+    return top.select("rank", "user_id", "total_value", "n_events")
 
 
 def top_users_by_value_oracle_sql(k: int = 10) -> str:
@@ -139,14 +137,18 @@ def serial_key_detection(df: DataFrame, table_name: str, columns: list[str]) -> 
     itself joined with a monotonic id is unstable under distribution;
     the engine instead defines position by value rank, making the
     statistic deterministic and shuffle-minimal."""
+    from tabsketchfm_spark.functions.ranking import global_rank
+
     out = None
     for c in columns:
-        w = Window.orderBy(F.asc("v"))
-        d = (
-            df.select(F.col(c).cast("double").alias("v"))
-            .where(F.col("v").isNotNull())
-            .withColumn("pos", F.row_number().over(w).cast("double"))
-        )
+        # position = global rank by value (distributed two-phase rank;
+        # tie order within equal values is arbitrary but the corr sums
+        # below are invariant to permutations inside a tie group)
+        d = global_rank(
+            df.select(F.col(c).cast("double").alias("v")).where(F.col("v").isNotNull()),
+            [F.asc("v")],
+            rank_name="pos_i",
+        ).withColumn("pos", F.col("pos_i").cast("double"))
         # corr from exact decimal sums: F.corr's streaming-moment merge
         # is partition-order dependent (same hardening as the profiler)
         dx = F.col("v").cast("decimal(19,6)")
