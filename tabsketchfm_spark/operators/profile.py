@@ -5,14 +5,32 @@ count A1, exact distinct A2, mean cell width A3, decile quantiles A4,
 mean A5, guarded population-std A6, min/max A7, assembled 13-slot
 quantile vector A8, row count A9 (SURVEY §2.3).
 
-Spark design: ONE wide aggregation pass per table — every stat for every
-column is an aggregate expression in a single ``df.agg(...)``, so the
-table is scanned once, partials combine map-side, and only a single
-row crosses the shuffle regardless of table size. The one-row result is
-then re-stacked to one row per column (driver-free ``explode`` of
-structs). At 100 TB this is the optimal shape: no melt, no per-column
-jobs, no second scan. Exact ``percentile`` can be swapped for
-``percentile_approx`` via ``approx=True`` for cluster-scale runs.
+Spark design — two complementary passes, both fully parallel:
+
+1. **Wide codegen pass** over the raw rows: null counts, exact decimal
+   sums/sum-of-squares, min/max, string widths — one aggregate
+   expression per stat in a single ``df.agg(...)``, partials combine
+   map-side, one row crosses the shuffle. Whole-stage codegen end to
+   end.
+2. **Value-counts pass** for the order/distinct statistics: melt the
+   profiled columns to ``(col_id, value)``, hash-aggregate to
+   ``(col_id, value, cnt)`` (map-side combine collapses duplicates
+   before the only shuffle), then (a) distinct counts are a trivial
+   per-column count of that frame and (b) EXACT linearly-interpolated
+   deciles come from a cumulative-count walk: window cumsum per
+   column, and for each decile the bracketing values v0/v1 are
+   conditional MAXes at sorted positions floor/ceil(x*(n-1)) — the
+   same double arithmetic as Spark's ``percentile`` and DuckDB's
+   ``quantile_cont``.
+
+Compared to N ``countDistinct`` + N ``percentile`` in one agg this
+avoids both the Expand N× input blow-up and Percentile's
+buffer-everything OpenHashMap whose final merge lands on ONE reducer.
+Shuffle volume is bounded by Σ per-column distinct counts (not rows),
+every stage distributes across the cluster, and memory per task is
+bounded. ``approx=True`` swaps the counts-frame deciles for
+``percentile_approx`` (single pass, fixed memory) for cluster-scale
+profiling where exact interpolation is not required.
 
 Documented divergences from the reference (SURVEY §7.5 risk 3): '' is
 normalized to NULL before counting (data_prep.py:202-208), distinct is
@@ -57,18 +75,14 @@ def profile_table(
     min_v, max_v (numeric/date stats NULL for strings and vice versa;
     date columns are measured on the epoch-seconds axis).
     """
+    from pyspark.sql import Window
+
     dtypes = dict(df.dtypes)
     columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
 
-    # Two single-pass aggregations instead of one: mixing N countDistinct
-    # exprs with heavy ordered aggs (percentile) makes Catalyst expand the
-    # input N+1× and re-evaluate the non-distinct aggs over the expanded
-    # stream (measured 12× slower at sf0.1). Distinct counts get their own
-    # pass; both are map-side-combined single-shuffle jobs, and the two
-    # one-row results are crossJoined (free).
     aggs: list = [F.count(F.lit(1)).alias("row_cnt")]
-    distinct_aggs: list = []
     metas: list[tuple[str, int, str]] = []
+    melt_structs: list = []
     for idx, c in enumerate(columns):
         lt = spark_logical_type(dtypes[c])
         metas.append((c, idx, lt))
@@ -76,11 +90,17 @@ def profile_table(
         col = F.col(c)
         if lt == "string":
             norm = F.nullif(col, F.lit(""))
-            distinct_aggs.append(F.countDistinct(norm).alias(p + "distinct_cnt"))
             aggs += [
                 F.count(F.when(norm.isNull(), 1)).alias(p + "num_nan"),
                 F.avg(F.octet_length(norm)).alias(p + "width"),
             ]
+            melt_structs.append(
+                F.struct(
+                    F.lit(idx).alias("cid"),
+                    F.lit(None).cast("double").alias("vd"),
+                    norm.alias("vs"),
+                )
+            )
         else:
             if lt == "date":
                 # epoch-seconds axis, exact: micros are integral so the
@@ -92,11 +112,6 @@ def profile_table(
                     v = F.unix_micros(col.cast("timestamp")) / F.lit(1000000.0)
             else:
                 v = col.cast("double")
-            if approx:
-                q = F.percentile_approx(v, F.array(*[F.lit(x) for x in DECILES]))
-            else:
-                q = F.percentile(v, F.array(*[F.lit(x) for x in DECILES]))
-            distinct_aggs.append(F.countDistinct(col).alias(p + "distinct_cnt"))
             # mean/std from EXACT decimal sums — float aggregate merges
             # are partition-order dependent, so avg()/stddev_pop() can
             # differ at the last ulp between runs (and from the oracle)
@@ -107,15 +122,136 @@ def profile_table(
             d = v.cast("decimal(18,6)")
             aggs += [
                 F.count(F.when(col.isNull(), 1)).alias(p + "num_nan"),
-                q.alias(p + "q"),
                 F.count(v).alias(p + "n_val"),
                 F.sum(d).cast("double").alias(p + "sum"),
                 F.sum(d * d).cast("double").alias(p + "sumsq"),
                 F.min(v).alias(p + "min"),
                 F.max(v).alias(p + "max"),
             ]
+            if approx:
+                aggs.append(
+                    F.percentile_approx(
+                        v, F.array(*[F.lit(x) for x in DECILES])
+                    ).alias(p + "q")
+                )
+            melt_structs.append(
+                F.struct(
+                    F.lit(idx).alias("cid"),
+                    v.alias("vd"),
+                    F.lit(None).cast("string").alias("vs"),
+                )
+            )
 
-    one = df.agg(*aggs).crossJoin(df.agg(*distinct_aggs))
+    # pass 2: value-counts frame — ONE shuffle keyed (cid, value) with
+    # map-side partial counts; distinct counts and exact deciles both
+    # read it. Nulls are excluded (pass 1 already counted them).
+    melt = (
+        df.select(F.explode(F.array(*melt_structs)).alias("m"))
+        .select("m.*")
+        .where(F.col("vd").isNotNull() | F.col("vs").isNotNull())
+    )
+    counts = melt.groupBy("cid", "vd", "vs").agg(F.count(F.lit(1)).alias("cnt"))
+    numeric_idx = [idx for _, idx, lt in metas if lt not in ("string",)]
+    if numeric_idx and not approx:
+        # consumed by both the distinct-count row and the decile frame
+        counts = counts.persist()
+
+    dist_row = counts.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("cid") == idx, 1).otherwise(0)).alias(
+                f"c{idx}__distinct_cnt"
+            )
+            for _, idx, _ in metas
+        ]
+    )
+    one = df.agg(*aggs).crossJoin(F.broadcast(dist_row))
+
+    if numeric_idx and not approx:
+        # exact deciles from cumulative counts: for decile x at
+        # h = x*(n-1), the bracketing sorted values are
+        #   v0 = max(v where cum_prev <= floor(h))
+        #   v1 = max(v where cum_prev <= ceil(h))
+        # and q = v0 + (h - floor(h)) * (v1 - v0) — identical double
+        # arithmetic to Spark `percentile` / DuckDB `quantile_cont`.
+        #
+        # The cumsum is TWO-PHASE (like functions/ranking.global_rank):
+        # range-partition the counts frame on (cid, vd), cumsum inside
+        # each partition, add driver-computed partition offsets. A
+        # plain `Window.partitionBy(cid)` would move a whole column's
+        # distinct set to ONE task — fatal for a 100 TB unique key;
+        # here no task ever holds more than its range share. The
+        # offsets job touches |partitions|×|columns| rows — trivial.
+        spark = df.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        nv = (
+            counts.where(F.col("vd").isNotNull())
+            .select("cid", "vd", "cnt")
+            .repartitionByRange(nparts, F.col("cid"), F.col("vd"))
+            .withColumn("__pid", F.spark_partition_id())
+            .persist()
+        )
+        psums = nv.groupBy("__pid", "cid").agg(F.sum("cnt").alias("s")).collect()
+        by_cid: dict[int, list[tuple[int, int]]] = {}
+        for r in psums:
+            by_cid.setdefault(r["cid"], []).append((r["__pid"], r["s"]))
+        off_rows: list[tuple[int, int, int]] = []
+        totals: dict[int, int] = {}
+        for cid, lst in by_cid.items():
+            acc = 0
+            for pid, s in sorted(lst):
+                off_rows.append((pid, cid, acc))
+                acc += s
+            totals[cid] = acc
+        off_df = spark.createDataFrame(off_rows, "__pid int, cid int, off bigint")
+        ntot = spark.createDataFrame(
+            [(cid, n) for cid, n in totals.items()], "cid int, n_val bigint"
+        )
+        wc = Window.partitionBy("__pid", "cid").orderBy("vd")
+        cum = (
+            nv.join(F.broadcast(off_df), ["__pid", "cid"])
+            .withColumn("cum", F.sum("cnt").over(wc) + F.col("off"))
+            .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+        )
+        cj = cum.join(F.broadcast(ntot), "cid")
+        h_of = lambda x: F.lit(x) * (F.col("n_val") - 1).cast("double")  # noqa: E731
+        braks = []
+        for x in DECILES:
+            h = h_of(x)
+            braks += [
+                F.max(F.when(F.col("cum_prev") <= F.floor(h), F.col("vd"))).alias(
+                    f"v0_{int(x * 100)}"
+                ),
+                F.max(F.when(F.col("cum_prev") <= F.ceil(h), F.col("vd"))).alias(
+                    f"v1_{int(x * 100)}"
+                ),
+            ]
+        qlong = cj.groupBy("cid").agg(F.first("n_val").alias("n_val"), *braks)
+        qcells = []
+        for x in DECILES:
+            h = F.lit(x) * (F.col("n_val") - 1).cast("double")
+            v0 = F.col(f"v0_{int(x * 100)}")
+            v1 = F.col(f"v1_{int(x * 100)}")
+            lo = F.floor(h).cast("double")
+            hi = F.ceil(h).cast("double")
+            # the exact double expression both Spark `percentile` and
+            # DuckDB `quantile_cont` evaluate — NOT the algebraically
+            # equal lerp v0+(h-lo)*(v1-v0), which rounds differently
+            qlong_q = F.when(hi == lo, v0).otherwise(
+                (hi - h) * v0 + (h - lo) * v1
+            )
+            qcells.append(qlong_q.alias(f"q{int(x * 100)}"))
+        qlong = qlong.select("cid", *qcells)
+        q_row = qlong.groupBy().agg(
+            *[
+                F.first(
+                    F.when(F.col("cid") == idx, F.col(f"q{int(x * 100)}")),
+                    ignorenulls=True,
+                ).alias(f"c{idx}__q{int(x * 100)}")
+                for idx in numeric_idx
+                for x in DECILES
+            ]
+        )
+        one = one.crossJoin(F.broadcast(q_row))
 
     def rnd(col):
         return F.round(col, round_digits) if round_digits is not None else col
@@ -140,14 +276,21 @@ def profile_table(
             var = F.greatest(
                 F.col(p + "sumsq") / F.col(p + "n_val") - mean * mean, F.lit(0.0)
             )
+            if approx:
+                qcols = {
+                    f"q{int(x * 100)}": rnd(F.col(p + "q")[i])
+                    for i, x in enumerate(DECILES)
+                }
+            else:
+                qcols = {
+                    f"q{int(x * 100)}": rnd(F.col(p + f"q{int(x * 100)}"))
+                    for x in DECILES
+                }
             fields = {
                 "num_nan": F.col(p + "num_nan"),
                 "distinct_cnt": F.col(p + "distinct_cnt"),
                 "cell_width_bytes": null_d,
-                **{
-                    f"q{int(x * 100)}": rnd(F.col(p + "q")[i])
-                    for i, x in enumerate(DECILES)
-                },
+                **qcols,
                 "mean_v": rnd(mean),
                 # std guard mirrors reference data_prep.py:238-241
                 "std_v": rnd(
