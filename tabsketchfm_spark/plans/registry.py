@@ -473,6 +473,25 @@ _register(
     ann_op.ann_topk_oracle_sql("embeddings", 10, k=5),
 )
 
+# --- K6/T2 scale path: IVF cell-probing ANN ---------------------------------
+
+from tabsketchfm_spark.operators import ivf as ivf_op
+
+_register(
+    "ann_ivf_topk_embeddings",
+    lambda spark, sf: ivf_op.ivf_topk(
+        load_table(spark, sf, "embeddings"), 10, k=5, n_cells=16, n_probe=4
+    ),
+    ivf_op.ivf_topk_oracle_sql("embeddings", 10, k=5, n_cells=16, n_probe=4),
+)
+_register(
+    "k6_ivf_kmeans_ann",
+    lambda spark, sf: ivf_op.ivf_kmeans_topk(
+        load_table(spark, sf, "embeddings"), 10, k=5, n_cells=16, n_probe=4
+    ),
+    None,  # KMeans training not SQL-reproducible; recall pinned in tests
+)
+
 # --- north-star: multimodal plumbing + K1 embedding extraction (rows-only) --
 
 from tabsketchfm_spark.operators import multimodal as mm

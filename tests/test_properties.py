@@ -63,3 +63,41 @@ def test_minhash_partition_invariant(spark, sf001):
         for r in minhash_signatures(df.repartition(7), "c", ["c_name"]).collect()
     }
     assert s1 == s2
+
+
+def _topk_sets(df):
+    """{q_id: set of cand_id} from a (q_id, rank, cand_id, cos) frame."""
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.q_id, set()).add(r.cand_id)
+    return out
+
+
+@pytest.mark.parametrize("variant", ["deterministic", "kmeans"])
+def test_ivf_recall_vs_brute_force(spark, sf001, variant):
+    """IVF probing 1/4 of the cells must still recover most true
+    neighbors (recall@5 >= 0.5 overall on the synthetic embeddings —
+    cell-local structure keeps true neighbors in probed cells)."""
+    from tabsketchfm_spark.operators.ivf import ivf_kmeans_topk, ivf_topk
+    from tabsketchfm_spark.operators.vector import cosine_topk
+
+    emb = load_table(spark, sf001, "embeddings")
+    truth = _topk_sets(cosine_topk(emb, 10, k=5))
+    fn = ivf_topk if variant == "deterministic" else ivf_kmeans_topk
+    approx = _topk_sets(fn(emb, 10, k=5, n_cells=16, n_probe=4))
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.5, f"IVF({variant}) recall {hits}/{total}"
+
+
+def test_ivf_assign_partitions_every_vector(spark, sf001):
+    """Every vector lands in exactly one cell, and every cell id is a
+    valid centroid id."""
+    from tabsketchfm_spark.operators.ivf import ivf_assign
+
+    emb = load_table(spark, sf001, "embeddings")
+    a = ivf_assign(emb, n_cells=16)
+    assert a.count() == emb.count()
+    assert a.select("id").distinct().count() == emb.count()
+    bad = a.where((F.col("cell") < 0) | (F.col("cell") >= 16)).count()
+    assert bad == 0
