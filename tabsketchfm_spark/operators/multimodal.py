@@ -84,3 +84,115 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
 def media_features(documents: DataFrame) -> DataFrame:
     """End-to-end: synth media → batched feature extraction."""
     return extract_media_features(synth_media_table(documents))
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hex string"
+RESIZE_SCHEMA = "doc_id bigint, n_bytes int, resized_hex string"
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 4, stride: int = 2
+) -> DataFrame:
+    """Frame-sampling plumbing: treat the media blob as a sequence of
+    fixed-size frames, keep every ``stride``-th (the video
+    frame-sample shape: decode → pick keyframes). The frame SPLIT is
+    deterministic byte slicing (a real build decodes containers
+    instead — see _decode_media stub); the fan-out (one input row →
+    many frame rows) is the real production plumbing: mapInPandas
+    yields a longer frame than it receives, no explode/shuffle needed.
+    Output frames as lowercase hex for engine-portable comparison.
+    """
+
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hexes = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["media"]):
+                raw = bytes(raw)
+                for i in range(0, len(raw) // frame_bytes, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hexes.append(raw[i * frame_bytes : (i + 1) * frame_bytes].hex())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hex": pd.Series(hexes, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def sample_frames_oracle_sql(
+    table: str = "documents", frame_bytes: int = 4, stride: int = 2
+) -> str:
+    """DuckDB twin over the same deterministic synth media
+    (md5-of-text bytes, sliced on the hex string)."""
+    return f"""
+WITH media AS (
+  SELECT doc_id, md5(text) AS mh,
+         octet_length(unhex(md5(text))) AS mlen
+  FROM {table}),
+idx AS (
+  SELECT doc_id, mh,
+         unnest(generate_series(0, CAST(mlen/{frame_bytes} AS BIGINT) - 1)) AS i
+  FROM media)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       substring(mh, CAST(i*{frame_bytes}*2 + 1 AS BIGINT), {frame_bytes * 2})
+         AS frame_hex
+FROM idx WHERE i % {stride} = 0
+"""
+
+
+def resize_media(media: DataFrame, target_bytes: int = 8) -> DataFrame:
+    """Resize plumbing: nearest-neighbor downsample of the media blob
+    to ``target_bytes`` (out[i] = raw[floor(i*len/target)]) — the
+    byte-level stand-in for an image resize kernel (a real build calls
+    PIL inside the same batch loop). One narrow mapInPandas pass."""
+
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf["media"]:
+                raw = bytes(raw)
+                out.append(
+                    bytes(
+                        raw[i * len(raw) // target_bytes]
+                        for i in range(target_bytes)
+                    ).hex()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series(
+                        [target_bytes] * len(pdf), dtype="int32"
+                    ),
+                    "resized_hex": pd.Series(out, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def resize_media_oracle_sql(table: str = "documents", target_bytes: int = 8) -> str:
+    return f"""
+WITH media AS (
+  SELECT doc_id, md5(text) AS mh,
+         octet_length(unhex(md5(text))) AS mlen
+  FROM {table}),
+px AS (
+  SELECT doc_id, mh, mlen, unnest(generate_series(0, {target_bytes} - 1)) AS i
+  FROM media)
+SELECT doc_id, CAST({target_bytes} AS INTEGER) AS n_bytes,
+       string_agg(substring(mh, CAST(floor(i * mlen / {target_bytes}) AS BIGINT) * 2 + 1, 2),
+                  '' ORDER BY i) AS resized_hex
+FROM px GROUP BY doc_id
+"""

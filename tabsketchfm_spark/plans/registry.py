@@ -503,6 +503,20 @@ _register(
     None,  # mapInPandas — non-SQL-expressible; driver rows-only check
 )
 _register(
+    "mm_frame_sample",
+    lambda spark, sf: mm.sample_frames(
+        mm.synth_media_table(load_table(spark, sf, "documents"))
+    ),
+    mm.sample_frames_oracle_sql("documents"),
+)
+_register(
+    "mm_resize_media",
+    lambda spark, sf: mm.resize_media(
+        mm.synth_media_table(load_table(spark, sf, "documents"))
+    ),
+    mm.resize_media_oracle_sql("documents"),
+)
+_register(
     "k1_embeddings_customer",
     lambda spark, sf: ml_embed.extract_embeddings(
         prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
