@@ -208,3 +208,78 @@ SELECT bloom_pruned_cnt, exact_cnt,
          AS fp_overhead
 FROM pruned, exact
 """
+
+
+def salted_join_agg(
+    spark: SparkSession, sf_dir: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-proof large-large join: revenue per customer market
+    segment via lineitem ⋈ orders ⋈ customer, with the
+    lineitem→orders join SALTED.
+
+    The skew pattern at 100 TB: a handful of hot join keys overload
+    single reducers. Salting splits each hot key's rows across
+    ``n_salts`` reducers: the FACT side gets a deterministic salt
+    derived from a non-join column (xxhash64 of line number — no
+    rand(), so retries/speculative tasks recompute identically,
+    SURVEY §7.5 risk 6), the BUILD side is replicated n_salts× with
+    explode(sequence(...)), and the join key becomes (key, salt). The
+    aggregate after it is unchanged — results are bit-identical to the
+    unsalted plan, which is exactly what the DuckDB oracle runs.
+    AQE's skewedJoin handles moderate skew automatically; explicit
+    salting is the deterministic fallback for pathological keys.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    fact = lineitem.withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(n_salts)).cast("int")
+    )
+    build = orders.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    # salting only matters when the build side is beyond broadcast
+    # size; the merge hint pins that scale shape (shuffle on the
+    # composite key) so the plan exercised here is the 100 TB plan,
+    # not the small-data broadcast Catalyst would pick at sf0.01
+    joined = fact.join(
+        build.hint("merge"),
+        (fact["l_orderkey"] == build["o_orderkey"]) & (fact["salt"] == build["salt"]),
+    )
+    return (
+        joined.join(F.broadcast(customer), joined["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .select("c_mktsegment", "revenue", "line_cnt")
+    )
+
+
+def salted_join_agg_oracle_sql() -> str:
+    """The UNSALTED equivalent — salting must not change results."""
+    return """
+SELECT c_mktsegment,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS line_cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""

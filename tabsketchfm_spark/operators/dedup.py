@@ -446,3 +446,111 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM s a JOIN s b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Min-label propagation connected components over near-dup pairs
+    — the clustering step that turns pairwise matches into dedup
+    groups (keep one doc per cluster). Output: (node, cluster_id)
+    where cluster_id is the smallest node id in the component.
+
+    Each iteration is one equi-join + min-aggregate: label(n) =
+    min over neighbors (self-loops included) of their labels;
+    converged when no label shrinks. Rounds needed = component
+    diameter — near-dup clusters are shallow (dups of dups), so this
+    terminates in a handful of rounds. Scale shape: every round
+    shuffles on node id only (no crossJoin, no driver data); labels
+    persist round-to-round and the previous round is unpersisted —
+    at 100 TB use the star-contraction variant (large-star/small-star,
+    Kiveris et al.) to cut round count to O(log n), same join shape,
+    plus checkpointing to truncate lineage.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .unionByName(
+            nodes.select(
+                F.col(node_col).alias("a"), F.col(node_col).alias("b")
+            )
+        )
+        .persist()
+    )
+    labels = edges.select("a").distinct().select(
+        F.col("a").alias("node"), F.col("a").alias("lbl")
+    ).persist()
+    for _ in range(max_iter):
+        new_labels = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("a").alias("node"), "lbl")
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(node_col), F.col("lbl").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """North-star dedup clustering: n-gram-Jaccard near-dup pairs →
+    connected components → (doc_id, cluster_id, cluster_size). A
+    training pipeline keeps rows where doc_id == cluster_id (the
+    canonical representative) — cluster_size > 1 marks the dups."""
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    cc = connected_components(pairs, df, node_col=id_col)
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return cc.select(id_col, "cluster_id", size_w.alias("cluster_size"))
+
+
+def dedup_clusters_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin: transitive closure by recursive CTE (UNION dedups,
+    so the fixpoint terminates), then min-reachable-id per node."""
+    pairs = ngram_jaccard_oracle_sql(table, id_col, text_col, n, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT {id_col}, {id_col} FROM {table}),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+clusters AS (SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a)
+SELECT {id_col}, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM clusters
+"""

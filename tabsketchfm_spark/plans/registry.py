@@ -245,6 +245,11 @@ _register(
     dedup.ngram_jaccard_oracle_sql("documents", threshold=0.8),
 )
 _register(
+    "dedup_clusters_documents",
+    lambda spark, sf: dedup.dedup_clusters(load_table(spark, sf, "documents")),
+    dedup.dedup_clusters_oracle_sql("documents"),
+)
+_register(
     "dedup_minhash_lsh_documents",
     lambda spark, sf: dedup.minhash_lsh_pairs(
         load_table(spark, sf, "documents"), threshold=0.5
@@ -666,6 +671,11 @@ _register(
     "bloom_prejoin_lineitem",
     lambda spark, sf: ana.bloom_prejoin_count(spark, sf),
     ana.bloom_prejoin_oracle_sql(),
+)
+_register(
+    "scale_salted_join_revenue",
+    lambda spark, sf: ana.salted_join_agg(spark, sf),
+    ana.salted_join_agg_oracle_sql(),
 )
 
 

@@ -40,3 +40,31 @@ def test_filter_pushdown_reaches_scan(spark, sf01):
     orders = load_table(spark, sf01, "orders").where("o_orderstatus = 'F'")
     p = _plan(orders.select("o_orderkey"))
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in p
+
+
+def test_salted_join_shape(spark, sf01):
+    """The salted fact-orders join must be a shuffle join on the
+    composite (key, salt) — NOT a broadcast of the replicated build
+    side — while the customer dim still broadcasts."""
+    from tabsketchfm_spark.operators.analytics import salted_join_agg
+
+    p = _plan(salted_join_agg(spark, sf01))
+    assert "BroadcastHashJoin" in p  # customer dim
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)  # salted join
+
+
+def test_connected_components_transitive(spark):
+    """a-b + b-c (no a-c edge) must land in ONE cluster labeled min."""
+    from tabsketchfm_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id bigint"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
