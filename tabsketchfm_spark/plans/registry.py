@@ -775,6 +775,11 @@ _register(
     ps.streaming_windowed_counts_oracle_sql(),
 )
 _register(
+    "stream_windowed_counts_append",
+    ps.streaming_windowed_counts_append,
+    ps.streaming_windowed_counts_append_oracle_sql(),
+)
+_register(
     "stream_dedup_events",
     ps.streaming_dedup_events,
     ps.streaming_dedup_events_oracle_sql(),

@@ -157,3 +157,35 @@ SELECT event_type, count(*) AS n_unique
 FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events ORDER BY event_id)
 GROUP BY event_type
 """
+
+
+def streaming_windowed_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windows — the production late-data
+    contract: a window row is emitted exactly once, when the watermark
+    (max event time − 1 h) passes its end; the still-open tail windows
+    are withheld. Over a drained availableNow run the emitted set is
+    deterministic — every window whose end ≤ max(ts) − 1 h — which is
+    what the oracle computes. Complete-mode variant above re-emits
+    everything instead; append is what a 100 TB pipeline sinks to
+    Parquet, since each window lands exactly once."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = s.groupBy(F.window("ts", "1 hour"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        (F.unix_micros(F.col("window.start")) / F.lit(1000000.0)).alias("win_start"),
+        "event_type",
+        "n_events",
+    )
+
+
+def streaming_windowed_counts_append_oracle_sql() -> str:
+    return """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT epoch(date_trunc('hour', ts)) AS win_start, event_type,
+       count(*) AS n_events
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
