@@ -368,3 +368,87 @@ def profile_oracle_sql(
             FROM {table}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str] | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Per-column top-k most frequent values (heavy hitters) — the
+    value-frequency face of the profiling core (the reference samples
+    the first 100 uniques per column, embedding_search.py:33; heavy
+    hitters are the principled version). String and integer columns
+    only: float formatting isn't portable across engines.
+
+    Scale shape: one melt shuffle with map-side combine to
+    (col, value, cnt), then TWO-PHASE top-k — local top-k inside each
+    shuffle partition (the local winners provably contain the global
+    ones), global top-k over |partitions|·k finalists per column. No
+    single task ever holds a full column's distinct set, unlike a
+    plain Window.partitionBy(column). Output: (table_name,
+    column_name, value, cnt, rank); ties break on value.
+    """
+    from pyspark.sql import Window
+
+    dtypes = dict(df.dtypes)
+    columns = columns or [
+        c
+        for c in df.columns
+        if spark_logical_type(dtypes[c]) in ("string", "integer")
+    ]
+    structs = []
+    for c in columns:
+        v = F.col(c)
+        if spark_logical_type(dtypes[c]) == "string":
+            v = F.nullif(v, F.lit(""))
+        structs.append(
+            F.struct(F.lit(c).alias("col"), v.cast("string").alias("value"))
+        )
+    melt = (
+        df.select(F.explode(F.array(*structs)).alias("m"))
+        .select("m.*")
+        .where(F.col("value").isNotNull())
+    )
+    counts = melt.groupBy("col", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    wl = Window.partitionBy("col", F.spark_partition_id()).orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    local = counts.withColumn("__r", F.row_number().over(wl)).where(
+        F.col("__r") <= k
+    )
+    wg = Window.partitionBy("col").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        local.withColumn("rank", F.row_number().over(wg))
+        .where(F.col("rank") <= k)
+        .select(
+            F.lit(table_name).alias("table_name"),
+            F.col("col").alias("column_name"),
+            "value",
+            "cnt",
+            "rank",
+        )
+    )
+
+
+def heavy_hitters_oracle_sql(
+    table: str,
+    schema: list[tuple[str, str]],
+    k: int = 5,
+) -> str:
+    parts = []
+    for c, lt in schema:
+        if lt not in ("string", "integer"):
+            continue
+        v = f"nullif({c}, '')" if lt == "string" else c
+        parts.append(
+            f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
+  CAST({v} AS VARCHAR) AS value, count(*) AS cnt,
+  CAST(row_number() OVER (ORDER BY count(*) DESC, CAST({v} AS VARCHAR))
+       AS INTEGER) AS rank
+FROM {table} WHERE {v} IS NOT NULL
+GROUP BY CAST({v} AS VARCHAR)
+QUALIFY rank <= {k}"""
+        )
+    return "\nUNION ALL\n".join(parts)

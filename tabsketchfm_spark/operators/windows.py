@@ -213,3 +213,100 @@ def serial_key_detection_oracle_sql(table: str, columns: list[str]) -> str:
             ) agg"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the right row with the
+    largest right_ts <= left_ts within the same key (the
+    ticks-to-latest-quote shape). An operator Spark lacks natively —
+    built MERGE-style, not as a range crossJoin: both sides union into
+    one frame, one shuffle on the key, and a running last-non-null
+    window carries each right payload forward to the left rows it
+    covers. Cost = sort within key partitions; a naive range join is
+    |L|x|R| per key. Right rows must be unique per (key, right_ts).
+
+    Output: all left columns + matched right ``payload`` columns
+    (NULL when no right row precedes the left row).
+    """
+    lt = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__r_{p}") for p in payload],
+    )
+    rt = right.select(
+        *[
+            (
+                F.col(key)
+                if c == key
+                else F.lit(None).cast(left.schema[c].dataType)
+            ).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(p).alias(f"__r_{p}") for p in payload],
+    )
+    u = lt.unionByName(rt)
+    # right (__tag 0) sorts before left at equal ts => right_ts == left_ts matches
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *left.columns,
+        "__tag",
+        *[
+            F.last(f"__r_{p}", ignorenulls=True).over(w).alias(p)
+            for p in payload
+        ],
+    )
+    return carried.where(F.col("__tag") == 1).drop("__tag")
+
+
+def event_hourly_asof(events: DataFrame) -> DataFrame:
+    """As-of query: each event joined to the latest CLOSED hourly
+    per-type snapshot (hour stats become visible at hour end — the
+    feature-freshness contract of a streaming feature store). First
+    hour's events have no closed snapshot => NULL."""
+    hourly = events.groupBy(
+        "event_type",
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")).alias(
+            "avail_ts"
+        ),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("value")
+        ).alias("hourly_avg")
+    ).withColumn("snap_ts", _epoch("avail_ts"))
+    out = asof_join(
+        events.select("event_id", "event_type", "ts"),
+        hourly,
+        key="event_type",
+        left_ts="ts",
+        right_ts="avail_ts",
+        payload=["snap_ts", "hourly_avg"],
+    )
+    return out.select("event_id", "event_type", "snap_ts", "hourly_avg")
+
+
+def event_hourly_asof_oracle_sql() -> str:
+    return """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+           AS hourly_avg
+  FROM events GROUP BY 1, 2)
+SELECT e.event_id, e.event_type, epoch(h.avail_ts) AS snap_ts, h.hourly_avg
+FROM events e
+ASOF LEFT JOIN hourly h ON e.event_type = h.event_type AND e.ts >= h.avail_ts
+"""

@@ -52,6 +52,16 @@ for _t in _PROFILE_TABLES:
     )
 
 
+for _t in ("orders", "part"):
+    _register(
+        f"a2h_heavy_hitters_{_t}",
+        (lambda t: lambda spark, sf: prof.heavy_hitters(
+            load_table(spark, sf, t), t
+        ))(_t),
+        prof.heavy_hitters_oracle_sql(_t, TABLE_SCHEMAS[_t]),
+    )
+
+
 # --- SK7: exact Jaccard / containment (SURVEY §2.4) -------------------------
 
 _SETSIM_PAIRS = [
@@ -378,6 +388,11 @@ _register(
     "w1_running_user_totals",
     lambda spark, sf: win.running_user_totals(load_table(spark, sf, "events")),
     win.running_user_totals_oracle_sql(),
+)
+_register(
+    "asof_event_hourly_snapshot",
+    lambda spark, sf: win.event_hourly_asof(load_table(spark, sf, "events")),
+    win.event_hourly_asof_oracle_sql(),
 )
 _register(
     "t4_top_users_by_value",
