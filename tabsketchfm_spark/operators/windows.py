@@ -310,3 +310,79 @@ SELECT e.event_id, e.event_type, epoch(h.avail_ts) AS snap_ts, h.hourly_avg
 FROM events e
 ASOF LEFT JOIN hourly h ON e.event_type = h.event_type AND e.ts >= h.avail_ts
 """
+
+
+def range_join_follow_counts(
+    events: DataFrame, window_minutes: int = 10, anchor_type: str = "error"
+) -> DataFrame:
+    """Binned range join: for each anchor event (event_type =
+    ``anchor_type``), how many same-user events fall in
+    (ts, ts + window]? The naive plan is an inequality join — a
+    per-user crossJoin. BINNING makes it an equi-join: bucket both
+    sides to window-sized bins; a follower of an anchor in bin b can
+    only be in bin b or b+1, so the anchor side explodes to those two
+    bucket keys, the join runs on (user_id, bucket), and the exact
+    range predicate filters the 2x-bounded candidates. Shuffle is on
+    (user, bucket) — hot users split across buckets; at 100 TB shrink
+    the bin (more buckets per window => wider explode but finer
+    keys) or salt inside a bucket.
+
+    Output: (event_id, ts_epoch, n_follow) for every anchor event.
+    """
+    win_us = window_minutes * 60 * 1_000_000
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    anchors = ev.where(F.col("event_type") == anchor_type).select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("us").alias("a_us"),
+        F.floor(F.col("us") / win_us).alias("b0"),
+    )
+    a2 = anchors.select(
+        "a_id",
+        "user_id",
+        "a_us",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+    )
+    followers = ev.select(
+        "user_id",
+        F.col("us").alias("b_us"),
+        F.floor(F.col("us") / win_us).alias("bucket"),
+    )
+    hits = (
+        a2.join(followers, ["user_id", "bucket"])
+        .where(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + win_us)
+        )
+        .groupBy("a_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+    # USING-style join: hits derives from anchors, so an explicit
+    # anchors["a_id"] == hits["a_id"] predicate resolves to the same
+    # attribute (trivially true); the name-based join disambiguates
+    return (
+        anchors.join(hits, "a_id", "left")
+        .select(
+            F.col("a_id").alias("event_id"),
+            (F.col("a_us") / F.lit(1000000.0)).alias("ts_epoch"),
+            F.coalesce(F.col("n_follow"), F.lit(0)).alias("n_follow"),
+        )
+    )
+
+
+def range_join_follow_counts_oracle_sql(
+    window_minutes: int = 10, anchor_type: str = "error"
+) -> str:
+    return f"""
+SELECT a.event_id, epoch(a.ts) AS ts_epoch, count(b.event_id) AS n_follow
+FROM events a
+LEFT JOIN events b ON b.user_id = a.user_id
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL {window_minutes} MINUTE
+WHERE a.event_type = '{anchor_type}'
+GROUP BY a.event_id, a.ts
+"""

@@ -735,6 +735,29 @@ _register(
     spl.split_counts_oracle_sql("documents", "doc_id"),
 )
 
+_MIX_FRACS = {"en": 0.10, "de": 0.50, "fr": 0.50, "es": 1.0}
+
+_register(
+    "mix_stratified_sample_documents",
+    lambda spark, sf: spl.stratified_sample(
+        load_table(spark, sf, "documents").select("doc_id", "lang", "source"),
+        "lang",
+        _MIX_FRACS,
+        "doc_id",
+        default_frac=0.25,
+    ),
+    spl.stratified_sample_oracle_sql(
+        "documents", "lang", _MIX_FRACS, "doc_id",
+        columns="doc_id, lang, source", default_frac=0.25,
+    ),
+)
+
+_register(
+    "range_join_error_followers",
+    lambda spark, sf: win.range_join_follow_counts(load_table(spark, sf, "events")),
+    win.range_join_follow_counts_oracle_sql(),
+)
+
 
 # --- MLlib LSH scale variants (rows-only: RNG hash families) ----------------
 

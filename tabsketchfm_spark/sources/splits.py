@@ -41,3 +41,44 @@ WITH s AS (SELECT {id_col},
            FROM {table})
 SELECT split, count(*) AS n, min({id_col}) AS min_id FROM s GROUP BY split
 """
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fracs: dict[str, float],
+    id_col: str,
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the training-mixture
+    primitive (downsample over-represented languages/sources, keep
+    rare ones whole). Membership is a pure function of the row id
+    (md5-prefix hash mod 10000 under the per-stratum threshold): no
+    rand(), so any executor, retry, or engine recomputes the same
+    sample (SURVEY §7.5 risk 6) — which is exactly how the DuckDB
+    twin reproduces it. One narrow filter, no shuffle; the sample
+    rate is exact in expectation and ±O(1/√n) per stratum."""
+    h = F.expr(h32_sql(id_col, "spark"))
+    thr = F.lit(int(default_frac * 10000))
+    for k, v in sorted(fracs.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(int(v * 10000))).otherwise(thr)
+    return df.where(F.pmod(h, F.lit(10000)) < thr)
+
+
+def stratified_sample_oracle_sql(
+    table: str,
+    strata_col: str,
+    fracs: dict[str, float],
+    id_col: str,
+    columns: str = "*",
+    default_frac: float = 0.0,
+) -> str:
+    h = h32_sql(id_col, "duckdb")
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN {int(v * 10000)}"
+        for k, v in sorted(fracs.items())
+    )
+    return f"""
+SELECT {columns} FROM {table}
+WHERE ({h}) % 10000 < (CASE {cases} ELSE {int(default_frac * 10000)} END)
+"""
