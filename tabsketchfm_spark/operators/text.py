@@ -282,3 +282,142 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def fingerprint_oracle_sql(table: str, id_col: str = "doc_id", text_col: str = "text") -> str:
     norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
     return f"SELECT {id_col} AS id, {h64_sql(norm, 'duckdb')} AS fp FROM {table}"
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Training-data chunking: split each document into token windows
+    of ``size`` with ``overlap`` tokens of context carry-over (stride
+    = size − overlap) — the LLM-pretraining document→sample fan-out.
+    Chunk i covers tokens [i·stride, i·stride+size); every token is
+    covered and the last chunk is never empty. One narrow projection
+    + explode, no shuffle; the fan-out multiplies rows ~len/stride×,
+    so at 100 TB chunk AFTER filtering/dedup, not before.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    stride = size - overlap
+    tk = F.expr(_toks_spark(text_col))
+    n_chunks = F.ceil(
+        F.greatest(F.size(tk) - overlap, F.lit(1)) / F.lit(float(stride))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), tk.alias("tk"), n_chunks.alias("nc")
+    )
+    idx = base.select(
+        id_col,
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("ci"),
+    )
+    return idx.select(
+        id_col,
+        F.col("ci").cast("int").alias("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("tk"), F.col("ci") * stride + 1, size), " "
+        ).alias("chunk_text"),
+        F.least(F.size("tk") - F.col("ci") * stride, F.lit(size))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> str:
+    stride = size - overlap
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {_toks_duckdb(text_col)} AS tk FROM {table}),
+idx AS (
+  SELECT {id_col}, tk, unnest(generate_series(0,
+           CAST(ceil(greatest(len(tk) - {overlap}, 1) / {stride}.0) AS BIGINT) - 1))
+         AS ci
+  FROM toks)
+SELECT {id_col}, CAST(ci AS INTEGER) AS chunk_idx,
+       array_to_string(tk[ci*{stride}+1 : ci*{stride}+{size}], ' ') AS chunk_text,
+       CAST(least(len(tk) - ci*{stride}, {size}) AS INTEGER) AS n_tokens
+FROM idx
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """Sequence packing: assign documents (in id order) to training
+    sequences by running token count — sequence k holds the docs whose
+    running total starts inside [k·budget, (k+1)·budget). Contiguous
+    next-fit packing: deterministic, order-defined, and one pass; a
+    doc may straddle its bin's end (soft budget), which pretraining
+    tolerates (and exact bin-packing is NP-hard and order-unstable).
+
+    The running total is the TWO-PHASE distributed cumsum (range-
+    partition by id, cumsum per partition, driver-broadcast offsets —
+    same scheme as the profiler's exact deciles): no single task ever
+    sees the whole corpus, unlike a global Window.orderBy.
+
+    Output: (doc_id, n_tokens, seq_id, seq_offset).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    toks = df.select(
+        F.col(id_col), F.size(F.expr(_toks_spark(text_col))).alias("n_tokens")
+    )
+    nv = (
+        toks.repartitionByRange(nparts, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = nv.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    acc, off_rows = 0, []
+    for r in sorted(psums, key=lambda r: r["__pid"]):
+        off_rows.append((r["__pid"], acc))
+        acc += r["s"]
+    off_df = spark.createDataFrame(off_rows, "__pid int, off bigint")
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    cum = (
+        nv.join(F.broadcast(off_df), "__pid")
+        .withColumn("cum", F.sum("n_tokens").over(w) + F.col("off"))
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+    )
+    return cum.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("start") / budget).cast("int").alias("seq_id"),
+        (F.col("start") % budget).cast("int").alias("seq_offset"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, len({_toks_duckdb(text_col)}) AS n_tokens FROM {table}),
+cum AS (
+  SELECT {id_col}, n_tokens,
+         sum(n_tokens) OVER (ORDER BY {id_col}
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM toks)
+SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start / {budget}.0) AS INTEGER) AS seq_id,
+       CAST(start % {budget} AS INTEGER) AS seq_offset
+FROM cum
+"""

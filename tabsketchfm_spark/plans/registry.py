@@ -320,6 +320,16 @@ _register(
     txt.pii_scan_oracle_sql("documents"),
 )
 _register(
+    "text_chunk_documents",
+    lambda spark, sf: txt.chunk_documents(load_table(spark, sf, "documents")),
+    txt.chunk_documents_oracle_sql("documents"),
+)
+_register(
+    "text_pack_sequences",
+    lambda spark, sf: txt.pack_sequences(load_table(spark, sf, "documents")),
+    txt.pack_sequences_oracle_sql("documents"),
+)
+_register(
     "dedup_pipeline_documents",
     lambda spark, sf: dedup.dedup_pipeline(load_table(spark, sf, "documents")),
     dedup.dedup_pipeline_oracle_sql("documents"),
