@@ -204,3 +204,103 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM un a JOIN un b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.u, b.u) >= {threshold}
 """
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — the embedding-store
+    compression primitive (4 bytes → 1 byte per dim before ANN
+    shipping). code = floor((x − min)/scale + 0.5) with scale =
+    (max − min)/255; floor(+0.5) instead of round() because Spark
+    rounds HALF_UP and DuckDB HALF_EVEN — floor is identical in both.
+    Long format (one row per dimension) keeps the contract hashable
+    cross-engine. One narrow projection, no shuffle.
+
+    Output: (vec_id, i, code).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    ).withColumn(
+        "scale",
+        F.when(F.col("mx") > F.col("mn"), (F.col("mx") - F.col("mn")) / 255.0)
+        .otherwise(F.lit(1.0)),
+    )
+    return base.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(v, x -> cast(floor((x - mn) / scale + 0.5) as int))")
+        ).alias("i", "code"),
+    )
+
+
+def quantize_int8_oracle_sql(table: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS mn,
+         list_max(embedding::DOUBLE[]) AS mx
+  FROM {table}),
+sc AS (
+  SELECT vec_id, v, mn,
+         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+  FROM base)
+SELECT vec_id, CAST(i - 1 AS INTEGER) AS i,
+       CAST(floor((v[i] - mn) / scale + 0.5) AS INTEGER) AS code
+FROM sc, unnest(generate_series(1, len(v))) t(i)
+"""
+
+
+def quantize_error(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Reconstruction quality of int8 quantization: per-vector mean
+    absolute error of dequantized values — the metric that decides
+    whether the ANN index can run on codes. Output: (vec_id, mn, mx,
+    mae) rounded to 9 dp (|err| <= scale/2 by construction)."""
+    v = F.col(vec_col).cast("array<double>")
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        F.array_min(v).alias("mn"),
+        F.array_max(v).alias("mx"),
+    ).withColumn(
+        "scale",
+        F.when(F.col("mx") > F.col("mn"), (F.col("mx") - F.col("mn")) / 255.0)
+        .otherwise(F.lit(1.0)),
+    )
+    err_sum = (
+        "aggregate(transform(v, x -> "
+        "abs(x - (mn + floor((x - mn) / scale + 0.5) * scale))), "
+        "cast(0.0 as double), (acc, e) -> acc + e)"
+    )
+    return base.select(
+        "vec_id",
+        F.round("mn", 9).alias("mn"),
+        F.round("mx", 9).alias("mx"),
+        F.round(F.expr(err_sum) / F.size("v"), 9).alias("mae"),
+    )
+
+
+def quantize_error_oracle_sql(table: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS mn,
+         list_max(embedding::DOUBLE[]) AS mx
+  FROM {table}),
+sc AS (
+  SELECT vec_id, v, mn, mx,
+         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS scale
+  FROM base)
+SELECT vec_id, round(mn, 9) AS mn, round(mx, 9) AS mx,
+       round(list_aggregate(
+               list_transform(v, x ->
+                 abs(x - (mn + floor((x - mn) / scale + 0.5) * scale))),
+               'sum') / len(v), 9) AS mae
+FROM sc
+"""

@@ -228,6 +228,16 @@ _register(
     vec.column_vote_oracle_sql("embeddings"),
 )
 _register(
+    "vec_quantize_int8",
+    lambda spark, sf: vec.quantize_int8(load_table(spark, sf, "embeddings")),
+    vec.quantize_int8_oracle_sql("embeddings"),
+)
+_register(
+    "vec_quantize_error",
+    lambda spark, sf: vec.quantize_error(load_table(spark, sf, "embeddings")),
+    vec.quantize_error_oracle_sql("embeddings"),
+)
+_register(
     "dedup_embedding_cosine",
     lambda spark, sf: vec.embedding_near_dups(
         load_table(spark, sf, "embeddings"), threshold=0.85
