@@ -37,6 +37,12 @@ HEADLINE = [
     "text_quality_score",
     "w4_first_event_per_user",
     "t4_top_users_by_value",
+    "ann_ivf_topk_embeddings",
+    "asof_event_hourly_snapshot",
+    "range_join_error_followers",
+    "scale_salted_join_revenue",
+    "dedup_clusters_documents",
+    "text_pack_sequences",
 ]
 
 

@@ -485,6 +485,10 @@ def connected_components(
     labels = edges.select("a").distinct().select(
         F.col("a").alias("node"), F.col("a").alias("lbl")
     ).persist()
+    # labels only ever shrink, so the label SUM is strictly decreasing
+    # until the fixpoint — an O(1)-output aggregate replaces a
+    # join-based changed-rows check as the convergence test
+    prev_sum = None
     for _ in range(max_iter):
         new_labels = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -493,17 +497,12 @@ def connected_components(
             .select(F.col("a").alias("node"), "lbl")
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") < F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(
         F.col("node").alias(node_col), F.col("lbl").alias("cluster_id")

@@ -373,9 +373,12 @@ def pack_sequences(
 
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # persist BEFORE repartitionByRange: the range partitioner runs a
+    # sampling job over its input, so an unpersisted upstream would
+    # tokenize every document three times (sample + shuffle + read)
     toks = df.select(
         F.col(id_col), F.size(F.expr(_toks_spark(text_col))).alias("n_tokens")
-    )
+    ).persist()
     nv = (
         toks.repartitionByRange(nparts, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())
