@@ -68,3 +68,25 @@ def test_connected_components_transitive(spark):
         for r in connected_components(pairs, nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_range_join_has_no_nested_loop(spark, sf01):
+    """Binned range join must stay an equi-join: no
+    BroadcastNestedLoopJoin / CartesianProduct from the range
+    predicate."""
+    from tabsketchfm_spark.operators.windows import range_join_follow_counts
+
+    events = load_table(spark, sf01, "events")
+    p = _plan(range_join_follow_counts(events))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_asof_join_is_single_window_pass(spark, sf01):
+    """Merge-based as-of: no join operator at all on the left-right
+    match — one union + one window sort carries the payload."""
+    from tabsketchfm_spark.operators.windows import event_hourly_asof
+
+    events = load_table(spark, sf01, "events")
+    p = _plan(event_hourly_asof(events))
+    assert "NestedLoop" not in p and "Cartesian" not in p
+    assert "Window" in p
