@@ -182,3 +182,74 @@ SELECT requested,
                  WHERE table_name = regexp_replace(requested, '\\.csv$', ''))) AS resolved
 FROM req
 """
+
+
+def drift_monitor(
+    events: DataFrame,
+    strata_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distribution-drift monitor: split the stream at its median
+    event time, compare per-stratum frequency between the halves with
+    a chi-square-style statistic (p−q)²/(p+q) — the pipeline guardrail
+    that catches a category silently vanishing from the feed. The
+    stat avoids ln() (PSI/KL) on purpose: libm log differs at the
+    last ulp across engines, squared-difference arithmetic doesn't.
+
+    The split point stays declarative (single-row aggregate
+    crossJoined back, no driver collect). Exact percentile is the
+    correctness-gate form; at 100 TB swap in approx_percentile or the
+    profiler's two-phase cumulative-count quantile — the comparison
+    logic is unchanged. Output: (stratum, p_a, p_b, drift_contrib).
+    """
+    ep = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000.0)
+    med = events.agg(F.percentile(ep, F.lit(0.5)).alias("m"))
+    halves = events.crossJoin(F.broadcast(med)).select(
+        F.col(strata_col).alias("stratum"),
+        F.when(ep < F.col("m"), 0).otherwise(1).alias("half"),
+    )
+    cnt = halves.groupBy("stratum", "half").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("half").agg(F.sum("n").alias("t"))
+    props = (
+        cnt.join(tot, "half")
+        .groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("half") == 0, F.col("n") / F.col("t"))).alias("p_a"),
+            F.max(F.when(F.col("half") == 1, F.col("n") / F.col("t"))).alias("p_b"),
+        )
+    )
+    diff = F.col("p_a") - F.col("p_b")
+    return props.select(
+        "stratum",
+        F.round("p_a", 9).alias("p_a"),
+        F.round("p_b", 9).alias("p_b"),
+        F.round(diff * diff / (F.col("p_a") + F.col("p_b")), 9).alias(
+            "drift_contrib"
+        ),
+    )
+
+
+def drift_monitor_oracle_sql(
+    table: str = "events",
+    strata_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+WITH med AS (
+  SELECT quantile_cont(epoch({ts_col}), 0.5) AS m FROM {table}),
+halves AS (
+  SELECT {strata_col} AS stratum,
+         CASE WHEN epoch({ts_col}) < (SELECT m FROM med) THEN 0 ELSE 1 END AS half
+  FROM {table}),
+cnt AS (
+  SELECT stratum, half, count(*) AS n FROM halves GROUP BY 1, 2),
+tot AS (SELECT half, sum(n) AS t FROM cnt GROUP BY 1),
+props AS (
+  SELECT c.stratum,
+         max(CASE WHEN c.half = 0 THEN CAST(c.n AS DOUBLE) / t.t END) AS p_a,
+         max(CASE WHEN c.half = 1 THEN CAST(c.n AS DOUBLE) / t.t END) AS p_b
+  FROM cnt c JOIN tot t ON c.half = t.half GROUP BY 1)
+SELECT stratum, round(p_a, 9) AS p_a, round(p_b, 9) AS p_b,
+       round((p_a - p_b) * (p_a - p_b) / (p_a + p_b), 9) AS drift_contrib
+FROM props
+"""

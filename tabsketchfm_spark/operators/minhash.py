@@ -723,3 +723,66 @@ SELECT cand_table, cand_column, est_jaccard,
             AS INTEGER) AS rank
 FROM est
 """
+
+
+def merge_oph_signatures(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
+    """Sketch ALGEBRA: combine two OPH signatures into the signature
+    of the union of their value sets — elementwise MIN per bucket,
+    full-outer on buckets only one side saw. This mergeability is what
+    makes sketches the 100 TB primitive: partitions sketch
+    independently (map-side), signatures merge associatively (reduce),
+    and incremental loads merge against yesterday's sketch instead of
+    rescanning the lake."""
+    a = sig_a.select("table_name", "column_name", "bucket", F.col("sig").alias("sa"))
+    b = sig_b.select("table_name", "column_name", "bucket", F.col("sig").alias("sb"))
+    # Spark's least() skips NULLs, so a bucket present on one side
+    # only keeps that side's sig
+    return a.join(b, ["table_name", "column_name", "bucket"], "full_outer").select(
+        "table_name",
+        "column_name",
+        "bucket",
+        F.least("sa", "sb").alias("sig"),
+    )
+
+
+def oph_merge_check(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    split_col: str,
+    num_buckets: int = NUM_PERM,
+) -> DataFrame:
+    """Merge-correctness query: sketch the two halves of ``df`` (split
+    by parity of ``split_col``) independently, merge, and flag each
+    bucket against the directly-computed whole-table signature.
+    Output: (column_name, bucket, sig, matches_full) — all true."""
+    even = df.where(F.col(split_col) % 2 == 0)
+    odd = df.where(F.col(split_col) % 2 == 1)
+    merged = merge_oph_signatures(
+        oph_signatures(even, table_name, columns, num_buckets),
+        oph_signatures(odd, table_name, columns, num_buckets),
+    )
+    full = oph_signatures(df, table_name, columns, num_buckets).select(
+        "column_name", "bucket", F.col("sig").alias("sig_full")
+    )
+    return (
+        merged.join(full, ["column_name", "bucket"], "full_outer")
+        .select(
+            "column_name",
+            "bucket",
+            "sig",
+            (F.col("sig") == F.col("sig_full")).alias("matches_full"),
+        )
+    )
+
+
+def oph_merge_check_oracle_sql(
+    table: str, columns: list[str], num_buckets: int = NUM_PERM
+) -> str:
+    """The mathematically-equal direct signature with matches = TRUE —
+    a broken merge shows up as sig/flag mismatches."""
+    full = oph_signatures_oracle_sql(table, columns, num_buckets)
+    return f"""
+WITH full_sig AS ({full})
+SELECT column_name, bucket, sig, TRUE AS matches_full FROM full_sig
+"""

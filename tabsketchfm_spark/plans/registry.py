@@ -213,6 +213,20 @@ _register(
 )
 
 
+_register(
+    "sk_merge_oph_lineitem",
+    lambda spark, sf: mh.oph_merge_check(
+        load_table(spark, sf, "lineitem"),
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        split_col="l_orderkey",
+    ),
+    mh.oph_merge_check_oracle_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
+    ),
+)
+
+
 # --- T2/K3/K4 + embedding dedup: vector search (SURVEY §2.8) ----------------
 
 from tabsketchfm_spark.operators import vector as vec
@@ -810,6 +824,11 @@ _register(
     "a12_regression_metrics",
     lambda spark, sf: met.regression_metrics(load_table(spark, sf, "events")),
     met.regression_metrics_oracle_sql("events"),
+)
+_register(
+    "drift_monitor_events",
+    lambda spark, sf: met.drift_monitor(load_table(spark, sf, "events")),
+    met.drift_monitor_oracle_sql("events"),
 )
 _register(
     "p9_name_repair",
