@@ -452,3 +452,196 @@ GROUP BY CAST({v} AS VARCHAR)
 QUALIFY rank <= {k}"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def profile_merge_check(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    split_col: str,
+) -> DataFrame:
+    """Incremental-profile algebra: the mergeable subset of the A1-A9
+    stats (count / null count / exact decimal sum & sum-of-squares /
+    min / max) computed independently on the two parity halves of
+    ``split_col``, MERGED, and rederived — mean/std/min/max must equal
+    the direct whole-table profile bit-for-bit, because exact decimal
+    partials are associative (the same property that lets 100 TB
+    profiles update per-partition instead of rescanning; the
+    non-mergeable stats — exact distinct, exact deciles — are exactly
+    the ones the engine offers sketch/approx variants for).
+
+    Output: (column_name, n_val, mean_v, std_v, min_v, max_v,
+    matches_direct).
+    """
+    def partial_aggs(frame: DataFrame) -> DataFrame:
+        aggs = []
+        for i, c in enumerate(columns):
+            v = F.col(c).cast("double")
+            d = v.cast("decimal(18,6)")
+            aggs += [
+                F.count(v).alias(f"n{i}"),
+                F.sum(d).alias(f"s{i}"),
+                F.sum(d * d).alias(f"q{i}"),
+                F.min(v).alias(f"mn{i}"),
+                F.max(v).alias(f"mx{i}"),
+            ]
+        return frame.agg(*aggs)
+
+    even = partial_aggs(df.where(F.col(split_col) % 2 == 0))
+    odd = partial_aggs(df.where(F.col(split_col) % 2 == 1))
+    both = even.unionByName(odd)
+    merge_aggs = []
+    for i in range(len(columns)):
+        merge_aggs += [
+            F.sum(f"n{i}").alias(f"n{i}"),
+            F.sum(f"s{i}").alias(f"s{i}"),
+            F.sum(f"q{i}").alias(f"q{i}"),
+            F.min(f"mn{i}").alias(f"mn{i}"),
+            F.max(f"mx{i}").alias(f"mx{i}"),
+        ]
+    merged = both.agg(*merge_aggs)
+    direct = partial_aggs(df)
+
+    def derive(src: DataFrame, prefix: str) -> DataFrame:
+        cells = []
+        for i, c in enumerate(columns):
+            n = F.col(f"n{i}")
+            mean = F.col(f"s{i}").cast("double") / n
+            var = F.greatest(
+                F.col(f"q{i}").cast("double") / n - mean * mean, F.lit(0.0)
+            )
+            cells.append(
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    n.alias("n_val"),
+                    mean.alias("mean_v"),
+                    F.sqrt(var).alias("std_v"),
+                    F.col(f"mn{i}").alias("min_v"),
+                    F.col(f"mx{i}").alias("max_v"),
+                )
+            )
+        return src.select(F.explode(F.array(*cells)).alias("p")).select(
+            F.col("p.column_name").alias("column_name"),
+            F.col("p.n_val").alias(prefix + "n_val"),
+            F.col("p.mean_v").alias(prefix + "mean_v"),
+            F.col("p.std_v").alias(prefix + "std_v"),
+            F.col("p.min_v").alias(prefix + "min_v"),
+            F.col("p.max_v").alias(prefix + "max_v"),
+        )
+
+    m = derive(merged, "")
+    d = derive(direct, "d_")
+    return m.join(d, "column_name").select(
+        "column_name",
+        "n_val",
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("std_v", 6).alias("std_v"),
+        "min_v",
+        "max_v",
+        (
+            (F.col("n_val") == F.col("d_n_val"))
+            & (F.col("mean_v") == F.col("d_mean_v"))
+            & (F.col("std_v") == F.col("d_std_v"))
+            & (F.col("min_v") == F.col("d_min_v"))
+            & (F.col("max_v") == F.col("d_max_v"))
+        ).alias("matches_direct"),
+    )
+
+
+def profile_merge_check_oracle_sql(table: str, columns: list[str]) -> str:
+    """Direct whole-table stats with matches = TRUE (a broken merge
+    diverges in value or flag)."""
+    parts = []
+    for c in columns:
+        v = f"CAST({c} AS DOUBLE)"
+        d = f"CAST({v} AS DECIMAL(19,6))"
+        mean = f"(CAST(sum({d}) AS DOUBLE) / count({v}))"
+        var = (
+            f"greatest(CAST(sum({d} * {d}) AS DOUBLE) / count({v})"
+            f" - {mean} * {mean}, 0.0)"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS column_name, count({v}) AS n_val,
+  round({mean}, 6) AS mean_v, round(sqrt({var}), 6) AS std_v,
+  min({v}) AS min_v, max({v}) AS max_v, TRUE AS matches_direct
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def outlier_filter(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Z-score outlier scan — the numeric-cleaning pass of a training
+    pipeline: per column, how many values sit more than ``z``
+    population-stds from the mean. Mean/std come from the same exact
+    decimal sums as the profiler (order-free ⇒ cross-engine equal),
+    joined back as a broadcast literal row: two scans, and the final
+    count shuffle is map-side-combined to one row per column. Output: (column_name, n_val,
+    n_outliers, outlier_frac).
+    """
+    aggs = []
+    for i, c in enumerate(columns):
+        v = F.col(c).cast("double")
+        d = v.cast("decimal(18,6)")
+        aggs += [
+            F.count(v).alias(f"n{i}"),
+            F.sum(d).alias(f"s{i}"),
+            F.sum(d * d).alias(f"q{i}"),
+        ]
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    cells = []
+    for i, c in enumerate(columns):
+        v = F.col(c).cast("double")
+        n = F.col(f"n{i}")
+        mean = F.col(f"s{i}").cast("double") / n
+        std = F.sqrt(
+            F.greatest(F.col(f"q{i}").cast("double") / n - mean * mean, F.lit(0.0))
+        )
+        is_out = (
+            v.isNotNull() & (F.abs(v - mean) > F.lit(z_threshold) * std)
+        ).cast("int")
+        cells.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(1).alias("one"),
+                is_out.alias("is_out"),
+                v.isNotNull().cast("int").alias("nn"),
+            )
+        )
+    melted = joined.select(F.explode(F.array(*cells)).alias("m")).select("m.*")
+    return melted.groupBy("column_name").agg(
+        F.sum("nn").alias("n_val"),
+        F.sum("is_out").alias("n_outliers"),
+        F.round(F.sum("is_out") / F.sum("nn"), 9).alias("outlier_frac"),
+    )
+
+
+def outlier_filter_oracle_sql(
+    table: str, columns: list[str], z_threshold: float = 3.0
+) -> str:
+    parts = []
+    for c in columns:
+        v = f"CAST({c} AS DOUBLE)"
+        d = f"CAST({v} AS DECIMAL(19,6))"
+        mean = f"(CAST(sum({d}) AS DOUBLE) / count({v}))"
+        var = (
+            f"greatest(CAST(sum({d} * {d}) AS DOUBLE) / count({v})"
+            f" - {mean} * {mean}, 0.0)"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+  count({v}) AS n_val,
+  sum(CASE WHEN abs({v} - (SELECT {mean} FROM {table}))
+             > {z_threshold} * (SELECT sqrt({var}) FROM {table})
+      THEN 1 ELSE 0 END) AS n_outliers,
+  round(sum(CASE WHEN abs({v} - (SELECT {mean} FROM {table}))
+             > {z_threshold} * (SELECT sqrt({var}) FROM {table})
+      THEN 1 ELSE 0 END) / CAST(count({v}) AS DOUBLE), 9) AS outlier_frac
+FROM {table} WHERE {v} IS NOT NULL"""
+        )
+    return "\nUNION ALL\n".join(parts)

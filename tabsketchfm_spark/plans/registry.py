@@ -213,6 +213,23 @@ _register(
 )
 
 
+_LI_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_register(
+    "a8m_profile_merge_lineitem",
+    lambda spark, sf: prof.profile_merge_check(
+        load_table(spark, sf, "lineitem"), "lineitem", _LI_NUM, "l_orderkey"
+    ),
+    prof.profile_merge_check_oracle_sql("lineitem", _LI_NUM),
+)
+_register(
+    "clean_outlier_scan_lineitem",
+    lambda spark, sf: prof.outlier_filter(
+        load_table(spark, sf, "lineitem"), "lineitem", _LI_NUM
+    ),
+    prof.outlier_filter_oracle_sql("lineitem", _LI_NUM),
+)
+
 _register(
     "sk_merge_oph_lineitem",
     lambda spark, sf: mh.oph_merge_check(
