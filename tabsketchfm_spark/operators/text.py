@@ -424,3 +424,70 @@ SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(start % {budget} AS INTEGER) AS seq_offset
 FROM cum
 """
+
+
+def keywords_tfdf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction by tf·N/df — tf-idf with a
+    LINEAR inverse-document-frequency instead of log(N/df), chosen
+    deliberately: libm log() differs at the last ulp across engines,
+    while tf·N/df is one exact integer product and one double
+    division, bit-identical everywhere (same ranking order as tf-idf
+    for fixed tf since both are monotone in 1/df). Shuffles: one on
+    (doc, term) for tf, one on term for df, one broadcast of the
+    corpus size. Output: (doc_id, rank, term, tf, df, score).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.expr(_toks_spark(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", F.round("score", 9).alias("score"))
+    )
+
+
+def keywords_tfdf_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({_toks_duckdb(text_col)}) AS term FROM {table}),
+tf AS (
+  SELECT {id_col}, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df,
+         tf.tf * n.n_docs / CAST(dfreq.df AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT {id_col}, CAST(row_number() OVER (PARTITION BY {id_col}
+                      ORDER BY score DESC, term) AS INTEGER) AS rank,
+       term, tf, df, round(score, 9) AS score
+FROM scored
+QUALIFY rank <= {k}
+"""

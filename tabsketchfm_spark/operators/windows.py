@@ -386,3 +386,52 @@ LEFT JOIN events b ON b.user_id = a.user_id
 WHERE a.event_type = '{anchor_type}'
 GROUP BY a.event_id, a.ts
 """
+
+
+def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Batch sessionization — the window-function face of the
+    streaming applyInPandasWithState sessionizer (same semantics, ALL
+    sessions emitted): per user, an event more than ``gap_s`` after
+    its predecessor starts a new session; session_idx = running count
+    of gap breaks. One shuffle on user_id; the cumulative sum is a
+    per-user running window, never a global sort.
+
+    Output: (user_id, session_idx, start_epoch, end_epoch, n_events).
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    marked = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w)) > gap_s * 1_000_000, 1
+        ).otherwise(0).alias("brk"),
+    )
+    sess = marked.withColumn("session_idx", F.sum("brk").over(wc).cast("int"))
+    return sess.groupBy("user_id", "session_idx").agg(
+        (F.min("us") / 1e6).alias("start_epoch"),
+        (F.max("us") / 1e6).alias("end_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def sessionize_batch_oracle_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, epoch(ts) AS e,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > {gap_s} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, e,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INTEGER) AS session_idx
+  FROM marked)
+SELECT user_id, session_idx, min(e) AS start_epoch, max(e) AS end_epoch,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""

@@ -371,6 +371,11 @@ _register(
     txt.pack_sequences_oracle_sql("documents"),
 )
 _register(
+    "text_keywords_tfdf",
+    lambda spark, sf: txt.keywords_tfdf(load_table(spark, sf, "documents")),
+    txt.keywords_tfdf_oracle_sql("documents"),
+)
+_register(
     "dedup_pipeline_documents",
     lambda spark, sf: dedup.dedup_pipeline(load_table(spark, sf, "documents")),
     dedup.dedup_pipeline_oracle_sql("documents"),
@@ -444,6 +449,11 @@ _register(
     "asof_event_hourly_snapshot",
     lambda spark, sf: win.event_hourly_asof(load_table(spark, sf, "events")),
     win.event_hourly_asof_oracle_sql(),
+)
+_register(
+    "w2_sessionize_events_batch",
+    lambda spark, sf: win.sessionize_batch(load_table(spark, sf, "events")),
+    win.sessionize_batch_oracle_sql(),
 )
 _register(
     "t4_top_users_by_value",
