@@ -65,6 +65,9 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+        # drop cached blocks the query persisted: leaked caches from
+        # earlier queries add eviction pressure and timing variance
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
