@@ -553,3 +553,74 @@ SELECT {id_col}, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM clusters
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-bounded embedding near-dup — SemDeDup shape)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-bounded embedding near-dup (the SemDeDup scale shape,
+    Abbas et al. 2023): assign every vector to its nearest coarse
+    centroid, then find cosine >= threshold pairs ONLY within a
+    cluster. vector.embedding_near_dups is the brute-force O(n²)
+    twin; this bounds the quadratic term to the largest cluster,
+    which is what makes embedding dedup feasible at corpus scale.
+
+    Quantizer: the deterministic sampled quantizer from operators/ivf
+    (first n_cells vectors by id) so the DuckDB oracle reproduces the
+    assignment bit-exactly; swap in ivf.ivf_kmeans centroids for the
+    production balanced variant.
+
+    Scale shape: assignment is a narrow projection against a
+    BROADCAST centroid table (no shuffle); the pair join is an
+    equi-join on cell id — shuffle hash join, AQE skew-split on hot
+    cells — never a crossJoin of the lake.
+
+    Output: (cell, id_a, id_b, cos).
+    """
+    from tabsketchfm_spark.functions.vector import dot_sql
+    from tabsketchfm_spark.operators.ivf import _centroids, _nearest_cells
+    from tabsketchfm_spark.operators.vector import _unit
+
+    units = _unit(emb, {"id": F.col(id_col)}, vec_col)
+    cents = _centroids(units, n_cells)
+    # consumed by both sides of the cell self-join
+    assigned = _nearest_cells(units, cents, 1).select("id", "u", "cell").persist()
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("u").alias("ub"))
+    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("cell", "id_a", "id_b", F.expr(dot_sql("ua", "ub")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("cell", "id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def semantic_dedup_oracle_sql(
+    table: str, n_cells: int = 16, threshold: float = 0.85
+) -> str:
+    from tabsketchfm_spark.operators.vector import _unit_cte_duckdb
+
+    return f"""
+WITH un AS ({_unit_cte_duckdb(table)}),
+cents AS (SELECT vec_id AS cell, u AS cu FROM un WHERE vec_id < {n_cells}),
+assigned AS (
+  SELECT vec_id AS id, u, cell FROM (
+    SELECT v.vec_id, v.u, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.u, c.cu) DESC, c.cell)
+             AS rn
+    FROM un v CROSS JOIN cents c) t
+  WHERE rn = 1)
+SELECT a.cell, a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.u, b.u), 6) AS cos
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+WHERE list_dot_product(a.u, b.u) >= {threshold}
+"""

@@ -491,3 +491,84 @@ SELECT {id_col}, CAST(row_number() OVER (PARTITION BY {id_col}
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap)
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_mod: int = 17,
+    ratio_threshold: float = 0.5,
+) -> DataFrame:
+    """Test-set decontamination: score every corpus document by its
+    word-n-gram overlap with a benchmark/eval set, the standard
+    pre-training hygiene pass (the n-gram analogue of the reference's
+    content-snapshot table dedup, data_prep.py:319-337).
+
+    The benchmark here is the deterministic subset ``id % bench_mod
+    == 0`` (stands in for an external eval-set table; swap the filter
+    for a real one). Output: (id, n_ngrams, n_matched, contamination,
+    contaminated) per corpus doc with >= 1 shingle.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval sets are MBs, corpora are TBs), so it is BROADCAST —
+    corpus shingles stream through a map-side hash join and the only
+    shuffle is the final (id)-keyed count aggregation, which AQE
+    coalesces. The corpus is never self-joined.
+    """
+    from tabsketchfm_spark.operators.dedup import _shingles
+
+    bench = df.where(F.col(id_col) % bench_mod == 0)
+    corpus = df.where(F.col(id_col) % bench_mod != 0)
+    bsh = _shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    csh = _shingles(corpus, id_col, text_col, n)
+    joined = csh.join(
+        F.broadcast(bsh.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    ratio = F.col("n_matched") / F.col("n_ngrams")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("_hit").alias("n_matched"),
+        )
+        .select(
+            "id",
+            "n_ngrams",
+            "n_matched",
+            ratio.alias("contamination"),
+            (ratio >= ratio_threshold).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_mod: int = 17,
+    ratio_threshold: float = 0.5,
+) -> str:
+    toks = _toks_duckdb(text_col)
+    sh = f"array_to_string(tk[i:i+{n - 1}], ' ')"
+    series = f"unnest(generate_series(1, len(tk) - {n} + 1)) t(i)"
+    return f"""
+WITH btoks AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}
+               WHERE {id_col} % {bench_mod} = 0),
+bsh AS (SELECT DISTINCT {sh} AS shingle FROM btoks, {series}),
+ctoks AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}
+          WHERE {id_col} % {bench_mod} <> 0),
+csh AS (SELECT DISTINCT id, {sh} AS shingle FROM ctoks, {series})
+SELECT id, count(*) AS n_ngrams, count(b.shingle) AS n_matched,
+       count(b.shingle)::DOUBLE / count(*) AS contamination,
+       (count(b.shingle)::DOUBLE / count(*) >= {ratio_threshold})::INTEGER
+         AS contaminated
+FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
+GROUP BY id
+"""

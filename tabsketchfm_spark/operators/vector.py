@@ -304,3 +304,57 @@ SELECT vec_id, round(mn, 9) AS mn, round(mx, 9) AS mx,
                'sum') / len(v), 9) AS mae
 FROM sc
 """
+
+
+# ---------------------------------------------------------------------------
+# group centroid pooling (K1-style mean pooling as a relational op)
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean embedding per group — the relational form of
+    K1's mean pooling (reference extract_embeddings.py:16-73 pools
+    token vectors per column; here vectors pool per label/group).
+
+    Exactness: a grouped double sum is partition-order nondeterministic,
+    so each (label, pos) group sorts its values and sums left-to-right
+    (aggregate over array_sort) — bit-identical to the oracle's
+    list_reduce over an ordered list. Output: (label, pos, centroid, n),
+    long form — one row per dimension avoids array-construction
+    ordering hazards.
+
+    Scale shape: posexplode fans out dim× rows, then one partial-agg
+    shuffle on (label, pos) — fine to ~10^9 vectors. Beyond that the
+    exact sorted-sum contract (collect_list per group) is the test
+    path; the production path is plain avg() or MLlib Summarizer.mean
+    with fp-tolerance, same plan minus the sort.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(x)), cast(0.0 as double),"
+                " (a, v) -> a + v)"
+            ).alias("_sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "pos", (F.col("_sx") / F.col("n")).alias("centroid"), "n")
+    )
+
+
+def label_centroids_oracle_sql(table: str, label_col: str = "label") -> str:
+    return f"""
+WITH ex AS (
+  SELECT {label_col} AS label, CAST(i - 1 AS INTEGER) AS pos, v[i] AS x
+  FROM (SELECT {label_col}, embedding::DOUBLE[] AS v FROM {table}),
+       unnest(generate_series(1, len(v))) t(i))
+SELECT label, pos,
+       list_reduce(list(x ORDER BY x), (a, v) -> a + v) / count(*) AS centroid,
+       count(*) AS n
+FROM ex GROUP BY label, pos
+"""

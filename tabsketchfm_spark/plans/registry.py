@@ -380,6 +380,23 @@ _register(
     lambda spark, sf: dedup.dedup_pipeline(load_table(spark, sf, "documents")),
     dedup.dedup_pipeline_oracle_sql("documents"),
 )
+_register(
+    "text_decontaminate_documents",
+    lambda spark, sf: txt.decontaminate(load_table(spark, sf, "documents")),
+    txt.decontaminate_oracle_sql("documents"),
+)
+_register(
+    "dedup_semantic_clustered",
+    lambda spark, sf: dedup.semantic_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    ),
+    dedup.semantic_dedup_oracle_sql("embeddings", threshold=0.4),
+)
+_register(
+    "k1p_label_centroids",
+    lambda spark, sf: vec.label_centroids(load_table(spark, sf, "embeddings")),
+    vec.label_centroids_oracle_sql("embeddings"),
+)
 
 
 # --- SK3: content snapshot + table-level dedup ------------------------------
