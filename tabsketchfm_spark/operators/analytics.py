@@ -283,3 +283,94 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+def large_order_customers(
+    spark: SparkSession, sf_dir: str, min_qty: int = 250
+) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed min_qty total
+    quantity. The HAVING filter runs on the lineitem aggregate BEFORE
+    any join, so only qualifying orderkeys (a tiny set at any scale —
+    the predicate is selective by construction) reach the join; that
+    set broadcasts against orders, and the customer dim broadcasts
+    last. lineitem shuffles exactly once, on its group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"))
+        .where(F.col("_sq") > min_qty)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def large_order_customers_oracle_sql(min_qty: int = 250) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {min_qty})
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def returned_item_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue on returned items.
+    Ranking happens on the EXACT decimal revenue with a c_custkey
+    tie-break (double cast only in the final projection) so the top-k
+    cut is partition-order-free. The single-partition window over the
+    per-customer aggregate is fine — its input is one row per customer;
+    at extreme customer counts swap in functions/ranking's two-phase
+    distributed rank (same contract)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    rev = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(p * (F.lit(1).cast("decimal(18,2)") - d)).alias("_r"))
+    )
+    w = Window.orderBy(F.desc("_r"), F.asc("o_custkey"))
+    top = rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "rank", F.col("_r").cast("double").alias("revenue")
+    )
+
+
+def returned_item_revenue_oracle_sql(k: int = 20) -> str:
+    return f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+           AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R' GROUP BY 1),
+ranked AS (
+  SELECT o_custkey, r,
+         CAST(row_number() OVER (ORDER BY r DESC, o_custkey) AS INTEGER) AS rank
+  FROM rev)
+SELECT c.c_custkey, c.c_name, rank, CAST(r AS DOUBLE) AS revenue
+FROM ranked JOIN customer c ON ranked.o_custkey = c.c_custkey
+WHERE rank <= {k}
+"""

@@ -770,6 +770,16 @@ _register(
     lambda spark, sf: ana.salted_join_agg(spark, sf),
     ana.salted_join_agg_oracle_sql(),
 )
+_register(
+    "q18_large_order_customers",
+    lambda spark, sf: ana.large_order_customers(spark, sf),
+    ana.large_order_customers_oracle_sql(),
+)
+_register(
+    "q10_returned_item_revenue",
+    lambda spark, sf: ana.returned_item_revenue(spark, sf),
+    ana.returned_item_revenue_oracle_sql(),
+)
 
 
 def _rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +909,11 @@ _register(
     "stream_windowed_counts_append",
     ps.streaming_windowed_counts_append,
     ps.streaming_windowed_counts_append_oracle_sql(),
+)
+_register(
+    "stream_enriched_revenue",
+    ps.streaming_enriched_revenue,
+    ps.streaming_enriched_revenue_oracle_sql(),
 )
 _register(
     "stream_dedup_events",

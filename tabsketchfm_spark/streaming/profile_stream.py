@@ -189,3 +189,40 @@ FROM events, mx
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
 GROUP BY 1, 2
 """
+
+
+def streaming_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join enrichment: the event stream joined to the
+    static customer dimension (user_id -> c_custkey), rolled up by
+    market segment × event type — the canonical ingest-time
+    enrichment shape (attach provenance/quality dims to a stream).
+
+    Stream-static equi-joins are STATELESS: each micro-batch hash-
+    joins against the broadcast dim — no state store, no watermark;
+    only the downstream aggregate keeps (tiny, per-group) state."""
+    from tabsketchfm_spark.sources.tables import load_table
+
+    s = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        s.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def streaming_enriched_revenue_oracle_sql() -> str:
+    return """
+SELECT c_mktsegment, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
