@@ -374,3 +374,94 @@ SELECT c.c_custkey, c.c_name, rank, CAST(r AS DOUBLE) AS revenue
 FROM ranked JOIN customer c ON ranked.o_custkey = c.c_custkey
 WHERE rank <= {k}
 """
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts widened into one column per event
+    type. The value list is PINNED (not discovered) — with an explicit
+    list Spark skips the extra distinct-scan job and the output schema
+    is stable at any scale; the physical plan is a single hash
+    aggregate over pivot-conditional counts, same as the oracle's
+    conditional-aggregation form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+def pivot_event_counts_oracle_sql() -> str:
+    cols = ",\n       ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+"""
+
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in
+    one pass — Spark expands to a single Expand+hash-aggregate, the
+    partial aggregation still map-side-combines before the shuffle.
+    Exact decimal money sums (grouped double sums are partition-order
+    nondeterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(tp).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+def cube_order_stats_oracle_sql() -> str:
+    return """
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set algebra over derived keysets: users who purchased
+    INTERSECT users who errored, plus purchasers EXCEPT error-ers —
+    labeled and unioned into one frame. Spark plans INTERSECT/EXCEPT
+    as left-semi/left-anti hash joins over pre-aggregated (distinct)
+    sides, so each input shuffles once on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = purch.intersect(err).select(F.lit("purchase_and_error").alias("segment"), "user_id")
+    only = purch.exceptAll(err).select(F.lit("purchase_no_error").alias("segment"), "user_id")
+    return both.unionByName(only)
+
+
+def user_set_ops_oracle_sql() -> str:
+    return """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT 'purchase_and_error' AS segment, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+UNION ALL
+SELECT 'purchase_no_error' AS segment, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+"""

@@ -572,3 +572,67 @@ SELECT id, count(*) AS n_ngrams, count(b.shingle) AS n_matched,
 FROM csh c LEFT JOIN bsh b ON c.shingle = b.shingle
 GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# Arrow-path twin of token_stats (the vectorized-Python seam, oracle-exact)
+
+
+def token_stats_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """token_stats computed in Arrow-batched Python (mapInPandas)
+    instead of JVM expressions — the vectorized-Python escape hatch
+    every custom operator that outgrows SQL lands on (same seam as
+    ml/embed and multimodal). Integer/count outputs only, so the
+    result is bit-identical to the SQL form and shares its DuckDB
+    oracle: the test proves the Arrow plumbing (schema, batch shape,
+    worker package shipping) end-to-end, not just the formula.
+
+    Stays the slow path for THIS op — the JVM form wins (whole-stage
+    codegen, no serialization); use this shape only when the per-row
+    logic genuinely can't be expressed in built-ins.
+    """
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    ws = _re.compile(r"\s+")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            toks = b[text_col].map(
+                lambda t: [w for w in ws.split(t) if w != ""] if t is not None else []
+            )
+            yield pd.DataFrame(
+                {
+                    "id": b[id_col],
+                    "n_tokens": toks.map(len).astype("int32"),
+                    "n_uniq_tokens": toks.map(lambda ts: len(set(ts))).astype("int32"),
+                    "n_bytes": toks.map(
+                        lambda ts: sum(len(w.encode("utf-8")) for w in ts)
+                    ).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        stats, schema="id long, n_tokens int, n_uniq_tokens int, n_bytes long"
+    )
+
+
+def token_stats_arrow_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = _toks_duckdb(text_col)
+    return f"""
+SELECT {id_col} AS id,
+       coalesce(len({toks}), 0)::INTEGER AS n_tokens,
+       coalesce(len(list_distinct({toks})), 0)::INTEGER AS n_uniq_tokens,
+       coalesce(list_sum(list_transform({toks}, t -> octet_length(t::BLOB))), 0)::BIGINT
+         AS n_bytes
+FROM {table}
+"""
