@@ -16,20 +16,23 @@ mode result is deterministic.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nano-longs (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,12 +41,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    # The lake's ts unit is read from the parquet footer (the driver has
+    # regenerated testdata with both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # over time): nanos arrive as longs (nanosAsLong) and are normalized to
+    # micro timestamps; micros are read as timestamps directly.
+    from tabsketchfm_spark.sources.tables import _nano_ts_columns
+
+    path = os.path.join(sf_dir, "events.parquet")
+    is_nano = "ts" in _nano_ts_columns(path)
+    schema = _events_schema(T.LongType() if is_nano else T.TimestampType())
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_nano:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:

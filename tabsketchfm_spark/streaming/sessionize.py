@@ -39,8 +39,9 @@ def _sessionize(
     (user_id,) = key
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     # epoch seconds via integer micros (ns/1e9 rounds differently than
-    # the oracle's micros/1e6 — last-ulp mismatch)
-    ts = (rows["ts"].astype("int64") // 1000) / 1e6
+    # the oracle's micros/1e6 — last-ulp mismatch); normalize to [us]
+    # first so the pandas datetime unit (ns or us) doesn't matter
+    ts = rows["ts"].astype("datetime64[us]").astype("int64") / 1e6
     if state.exists:
         start, last, n, idx = state.get
     else:
