@@ -627,21 +627,26 @@ def outlier_filter_oracle_sql(
     parts = []
     for c in columns:
         v = f"CAST({c} AS DOUBLE)"
-        d = f"CAST({v} AS DECIMAL(19,6))"
+        # DECIMAL(18,6) to match the Spark side exactly (same precision ⇒
+        # same exact sums; the value range fits either way).
+        d = f"CAST({v} AS DECIMAL(18,6))"
         mean = f"(CAST(sum({d}) AS DOUBLE) / count({v}))"
         var = (
             f"greatest(CAST(sum({d} * {d}) AS DOUBLE) / count({v})"
             f" - {mean} * {mean}, 0.0)"
         )
+        # CAST(sum(..) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT,
+        # which reaches pandas as a different dtype than Spark's bigint —
+        # numerically equal but hash-different at the driver.
         parts.append(
             f"""SELECT '{c}' AS column_name,
   count({v}) AS n_val,
-  sum(CASE WHEN abs({v} - (SELECT {mean} FROM {table}))
+  CAST(sum(CASE WHEN abs({v} - (SELECT {mean} FROM {table}))
              > {z_threshold} * (SELECT sqrt({var}) FROM {table})
-      THEN 1 ELSE 0 END) AS n_outliers,
-  round(sum(CASE WHEN abs({v} - (SELECT {mean} FROM {table}))
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  round(CAST(sum(CASE WHEN abs({v} - (SELECT {mean} FROM {table}))
              > {z_threshold} * (SELECT sqrt({var}) FROM {table})
-      THEN 1 ELSE 0 END) / CAST(count({v}) AS DOUBLE), 9) AS outlier_frac
+      THEN 1 ELSE 0 END) AS BIGINT) / CAST(count({v}) AS DOUBLE), 9) AS outlier_frac
 FROM {table} WHERE {v} IS NOT NULL"""
         )
     return "\nUNION ALL\n".join(parts)

@@ -42,6 +42,13 @@ def assert_match(spark_df, oracle_pdf: pd.DataFrame, name: str = "") -> None:
         f"{name}: columns differ: spark={list(s.columns)} oracle={list(o.columns)}"
     )
     assert len(s) == len(o), f"{name}: row count {len(s)} vs {len(o)}"
+    # Strict dtype parity: the driver hashes values, so int64 0 vs
+    # float64 0.0 (e.g. DuckDB sum(INTEGER) -> HUGEINT -> float64)
+    # mismatches even when numerically equal. Mimic that here.
+    for c in s.columns:
+        assert str(s[c].dtype) == str(o[c].dtype), (
+            f"{name}: col {c} dtype: spark={s[c].dtype} oracle={o[c].dtype}"
+        )
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
         for i, (a, b) in enumerate(zip(sv, ov)):
