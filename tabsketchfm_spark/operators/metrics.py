@@ -81,7 +81,7 @@ f AS (SELECT y, support, tp,
              CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec)
                   ELSE 0.0 END AS f1
       FROM cls)
-SELECT sum(support) AS n,
+SELECT CAST(sum(support) AS BIGINT) AS n,
        round(sum(tp) / CAST(sum(support) AS DOUBLE), 6) AS accuracy,
        round(sum(f1 * support) / sum(support), 6) AS f1_weighted
 FROM f

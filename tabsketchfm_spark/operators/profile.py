@@ -627,9 +627,11 @@ def outlier_filter_oracle_sql(
     parts = []
     for c in columns:
         v = f"CAST({c} AS DOUBLE)"
-        # DECIMAL(18,6) to match the Spark side exactly (same precision ⇒
-        # same exact sums; the value range fits either way).
-        d = f"CAST({v} AS DECIMAL(18,6))"
+        # DECIMAL(19,6): width>18 is int128-backed in DuckDB, so d*d cannot
+        # overflow (width 18 is int64-backed and sum(d*d) overflows on
+        # l_extendedprice). Decimal sums are exact at either precision, so
+        # parity with Spark's DECIMAL(18,6) holds regardless.
+        d = f"CAST({v} AS DECIMAL(19,6))"
         mean = f"(CAST(sum({d}) AS DOUBLE) / count({v}))"
         var = (
             f"greatest(CAST(sum({d} * {d}) AS DOUBLE) / count({v})"
