@@ -410,12 +410,66 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Pairs whose SimHashes differ in <= max_hamming bits.
 
-    Pairwise here; the scale path splits the signature into
-    (max_hamming+1) chunks — any pair within the Hamming ball agrees
-    exactly on >= 1 chunk (pigeonhole), so candidates come from
-    equi-joins on chunk values, then this check verifies.
-    Output: (id_a, id_b, hamming).
+    Pigeonhole candidate generation: the signature splits into
+    (max_hamming+1) disjoint bit chunks, and a pair within the Hamming
+    ball has <= max_hamming differing bits, so it agrees EXACTLY on at
+    least one chunk. Candidates therefore come from an equi-join on
+    (chunk_index, chunk_value) — the same bucketed shape as the banded
+    MinHash LSH join, linear in bucket sizes instead of O(n²) — and the
+    cheap ``bit_count`` check verifies; ``distinct`` collapses pairs
+    that agree on several chunks. Output: (id_a, id_b, hamming).
     """
+    k = max_hamming + 1
+    w = bits // k
+    widths = [w] * (k - 1) + [bits - w * (k - 1)]
+    offsets = [w * i for i in range(k)]
+    s = simhash(df, id_col, text_col, bits)
+    chunks = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright(F.col("simhash"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("cv"),
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.ci", "c.cv")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("ha"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("hb"), "ci", "cv"
+    )
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_dups_bruteforce(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """All-pairs reference form of :func:`simhash_near_dups` — O(n²)
+    crossJoin, kept ONLY as a test cross-check for the pigeonhole
+    candidate generator. Never register or run this at scale."""
     s = simhash(df, id_col, text_col, bits)
     a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
@@ -569,9 +623,10 @@ def semantic_dedup(
     """Cluster-bounded embedding near-dup (the SemDeDup scale shape,
     Abbas et al. 2023): assign every vector to its nearest coarse
     centroid, then find cosine >= threshold pairs ONLY within a
-    cluster. vector.embedding_near_dups is the brute-force O(n²)
-    twin; this bounds the quadratic term to the largest cluster,
-    which is what makes embedding dedup feasible at corpus scale.
+    cluster. vector.embedding_near_dups is the RH-LSH bucketed twin
+    (and embedding_near_dups_bruteforce the all-pairs test form); this
+    variant bounds the quadratic term to the largest cluster, which is
+    what makes embedding dedup feasible at corpus scale.
 
     Quantizer: the deterministic sampled quantizer from operators/ivf
     (first n_cells vectors by id) so the DuckDB oracle reproduces the

@@ -181,10 +181,74 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 3,
+    tables: int = 12,
 ) -> DataFrame:
     """North-star near-dup: vector pairs with cosine >= threshold.
-    Brute force here; at scale the pair generation becomes an LSH
-    bucket join with this as the verify stage."""
+
+    Candidate generation is a multi-table random-hyperplane LSH bucket
+    join — the banded-LSH shape, not a crossJoin: each vector hashes to
+    one bucket per table (``planes`` sign bits of closed-form
+    hyperplane dots, global plane index ``t*planes + p``), candidates
+    are pairs sharing a (table, bucket) key, ``distinct`` collapses
+    multi-table agreements, and the exact unit-dot verifies. Recall is
+    1-(1-s^planes)^tables for pair bit-agreement rate s; the DuckDB
+    oracle regenerates the same closed-form hyperplanes, so the gate is
+    bit-exact on this operator's actual semantics (same pattern as the
+    banded MinHash oracle). At 100 TB, ``planes`` grows with log(n) to
+    hold bucket sizes flat; only (table, bucket) keys shuffle.
+    Output: (id_a, id_b, cos).
+    """
+    from tabsketchfm_spark.operators.ann import _weights_spark
+
+    units = _unit(emb, {"id": F.col(id_col)}, vec_col).persist()
+    structs = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            dot = (
+                f"aggregate(zip_with(u, {_weights_spark(t * planes + p, dim)}, "
+                f"(x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            bits.append(f"CASE WHEN ({dot}) >= 0 THEN {2 ** p} ELSE 0 END")
+        structs.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(" + ".join(bits)).cast("int").alias("bucket"),
+            )
+        )
+    bk = units.select("id", F.explode(F.array(*structs)).alias("b")).select(
+        "id", "b.t", "b.bucket"
+    )
+    a = bk.select(F.col("id").alias("id_a"), "t", "bucket")
+    b = bk.select(F.col("id").alias("id_b"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ua = units.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    ub = units.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
+    return (
+        cand.join(ua, "id_a")
+        .join(ub, "id_b")
+        .select("id_a", "id_b", F.expr(dot_sql("ua", "ub")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dups_bruteforce(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs reference form of :func:`embedding_near_dups` — O(n²)
+    crossJoin, kept ONLY as the recall cross-check in tests. Never
+    register or run this at scale."""
     units = _unit(emb, {"id": F.col(id_col)}, vec_col)
     a = units.select(F.col("id").alias("id_a"), F.col("u").alias("ua"))
     b = units.select(F.col("id").alias("id_b"), F.col("u").alias("ub"))
@@ -196,13 +260,36 @@ def embedding_near_dups(
     )
 
 
-def embedding_near_dups_oracle_sql(table: str, threshold: float = 0.95) -> str:
+def embedding_near_dups_oracle_sql(
+    table: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 3,
+    tables: int = 12,
+) -> str:
+    from tabsketchfm_spark.operators.ann import _weights_duckdb
+
+    # regenerate the closed-form hyperplanes per global plane index gp;
+    # the lambda captures gp from the unnested series (DuckDB allows
+    # column capture in list lambdas, but NOT lateral args to the
+    # generate_series *table* function — hence unnest() in the SELECT).
+    w = _weights_duckdb("gp", dim)
     return f"""
-WITH un AS ({_unit_cte_duckdb(table)})
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.u, b.u), 6) AS cos
-FROM un a JOIN un b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.u, b.u) >= {threshold}
+WITH un AS ({_unit_cte_duckdb(table)}),
+g AS (SELECT vec_id, u, unnest(generate_series(0, {tables * planes - 1})) AS gp
+      FROM un),
+dots AS (SELECT vec_id, gp // {planes} AS t,
+                CASE WHEN list_dot_product(u, {w}) >= 0
+                     THEN 1 << (gp % {planes}) ELSE 0 END AS bit
+         FROM g),
+bk AS (SELECT vec_id AS id, t, CAST(sum(bit) AS INTEGER) AS bucket
+       FROM dots GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+         WHERE a.id < b.id)
+SELECT id_a, id_b, round(list_dot_product(ua.u, ub.u), 6) AS cos
+FROM cand JOIN un ua ON ua.vec_id = id_a JOIN un ub ON ub.vec_id = id_b
+WHERE list_dot_product(ua.u, ub.u) >= {threshold}
 """
 
 

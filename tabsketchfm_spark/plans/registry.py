@@ -270,10 +270,14 @@ _register(
 )
 _register(
     "dedup_embedding_cosine",
+    # threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ~0.51 at sf0.01), so a realistic 0.85+ threshold
+    # yields zero rows and the correctness hash proves nothing — 0.4
+    # exercises the LSH candidate join + verify on a non-empty output.
     lambda spark, sf: vec.embedding_near_dups(
-        load_table(spark, sf, "embeddings"), threshold=0.85
+        load_table(spark, sf, "embeddings"), threshold=0.4
     ),
-    vec.embedding_near_dups_oracle_sql("embeddings", threshold=0.85),
+    vec.embedding_near_dups_oracle_sql("embeddings", threshold=0.4),
 )
 
 
