@@ -106,15 +106,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact near-dup pairs by word-n-gram Jaccard >= threshold.
 
-    Scale: the shingle self-join is the candidate generator — fine to
-    ~10^7 docs with common-shingle frequency capping; beyond that use
-    minhash_lsh_pairs (same output contract) and keep this as the
-    verify stage. Output: (id_a, id_b, n_a, n_b, n_inter, jaccard).
+    Scale: the shingle self-join is the candidate generator. Its skew
+    killer is boilerplate shingles shared by a large doc fraction —
+    one shingle with document frequency d contributes d² join rows —
+    so shingles with DF > df_cap are pruned BEFORE the join and the
+    Jaccard is over the pruned shingle space (stop-shingle removal;
+    the DuckDB oracle mirrors the prune, so the gate stays exact at
+    any cap). At testdata scale nothing prunes (max DF 25 at sf0.1 vs
+    the 1000 default); at 100 TB the cap bounds the largest join
+    bucket. Beyond ~10^7 docs use minhash_lsh_pairs (same output
+    contract) and keep this as the verify stage.
+    Output: (id_a, id_b, n_a, n_b, n_inter, jaccard).
     """
     sh = _shingles(df, id_col, text_col, n).cache()
+    if df_cap is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle").select("id", "shingle")
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -149,12 +165,21 @@ def ngram_jaccard_oracle_sql(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = 1000,
 ) -> str:
+    prune = (
+        f"""rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {df_cap}),
+shk AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),"""
+        if df_cap is not None
+        else "shk AS (SELECT id, shingle FROM sh),"
+    )
     return f"""
 WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
-cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+{prune}
+cnt AS (SELECT id, count(*) AS n FROM shk GROUP BY 1),
 inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-          FROM sh a JOIN sh b USING (shingle)
+          FROM shk a JOIN shk b USING (shingle)
           WHERE a.id < b.id GROUP BY 1, 2)
 SELECT id_a, id_b, ca.n AS n_a, cb.n AS n_b, n_inter,
        n_inter / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jaccard

@@ -155,3 +155,21 @@ def test_embedding_near_dups_precision_and_recall(spark, sf01):
     assert len(slow) > 0
     assert all(slow[k] == v for k, v in fast.items())  # precision: subset, same cos
     assert len(fast) / len(slow) >= 0.8
+
+
+def test_ngram_jaccard_df_cap_prune_matches_oracle(spark, sf01):
+    """Force the high-DF shingle prune to actually fire (cap=3 < max DF
+    7 at sf0.01) and check the pruned-space Jaccard still matches the
+    mirrored DuckDB oracle bit-exactly."""
+    from tabsketchfm_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_oracle_sql,
+    )
+    from tests.oracle_util import assert_match, run_oracle
+
+    docs = load_table(spark, sf01, "documents")
+    sdf = ngram_jaccard_pairs(docs, threshold=0.5, df_cap=3)
+    opdf = run_oracle(
+        ngram_jaccard_oracle_sql("documents", threshold=0.5, df_cap=3), sf01
+    )
+    assert_match(sdf, opdf, "ngram_df_cap")
