@@ -30,6 +30,10 @@ def main() -> None:
 
     qs = registry.queries()
     oracles = registry.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"WARNING: unknown query names skipped: {sorted(unknown)}")
     t_all = time.time()
     times = {}
     for name, fn in qs.items():
@@ -43,8 +47,7 @@ def main() -> None:
                 odf = run_oracle(oracles[name], sf_dir)
                 assert_match(sdf, odf, name)
             else:
-                n = sdf.count()
-                assert n >= 0
+                sdf.count()  # forces materialization (rows-only query)
         except Exception as e:  # noqa: BLE001
             status = f"FAIL: {type(e).__name__}: {str(e)[:200]}"
         dt = time.time() - t0

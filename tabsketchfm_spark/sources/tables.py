@@ -54,8 +54,13 @@ def _nano_ts_columns(path: str) -> list[str]:
 
     try:
         schema = pq.read_schema(path)
-    except Exception:
-        return []
+    except Exception as e:
+        # A silent [] here would *guess* the timestamp unit and produce
+        # wrong values 1000x off when the guess misses — fail loudly.
+        raise IOError(
+            f"cannot read parquet footer of {path} to determine timestamp "
+            f"unit (nanos vs micros): {e}"
+        ) from e
     out = []
     for f in schema:
         t = f.type

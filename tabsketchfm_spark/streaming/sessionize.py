@@ -40,8 +40,11 @@ def _sessionize(
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     # epoch seconds via integer micros (ns/1e9 rounds differently than
     # the oracle's micros/1e6 — last-ulp mismatch); normalize to [us]
-    # first so the pandas datetime unit (ns or us) doesn't matter
-    ts = rows["ts"].astype("datetime64[us]").astype("int64") / 1e6
+    # at the numpy level so the pandas datetime unit (ns or us) doesn't
+    # matter AND pandas 1.x (which only supports ns Series) still works
+    import numpy as np
+
+    ts = np.asarray(rows["ts"]).astype("datetime64[us]").astype("int64") / 1e6
     if state.exists:
         start, last, n, idx = state.get
     else:

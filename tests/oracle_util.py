@@ -31,6 +31,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime64"):
+            # representation-only difference: DuckDB fetchdf yields
+            # datetime64[us], Spark toPandas datetime64[ns] — same
+            # instants; compare at one resolution
+            df[c] = df[c].astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
