@@ -53,8 +53,20 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = registry.queries()
-    # warm up the JVM / codegen paths on a trivial job
-    spark.range(1000).count()
+    # warm up the real execution paths once, untimed: parquet vectorized
+    # reader, whole-stage-codegen compile, shuffle + hash-agg machinery,
+    # and the C2 JIT — otherwise the first timed query absorbs them all
+    # (a trivial spark.range warms none of these)
+    from pyspark.sql import functions as F
+    from tabsketchfm_spark.sources.tables import load_table
+
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .write.mode("overwrite").format("noop").save()
+    )
+    spark.catalog.clearCache()
 
     # best of 2: one JVM/GC warm-up pass, then the measured capability;
     # local-mode timings vary ±20% run-to-run otherwise

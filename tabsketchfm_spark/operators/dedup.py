@@ -544,24 +544,34 @@ def connected_components(
     min over neighbors (self-loops included) of their labels;
     converged when no label shrinks. Rounds needed = component
     diameter — near-dup clusters are shallow (dups of dups), so this
-    terminates in a handful of rounds. Scale shape: every round
-    shuffles on node id only (no crossJoin, no driver data); labels
-    persist round-to-round and the previous round is unpersisted —
-    at 100 TB use the star-contraction variant (large-star/small-star,
-    Kiveris et al.) to cut round count to O(log n), same join shape,
-    plus checkpointing to truncate lineage.
+    terminates in a handful of rounds.
+
+    Only nodes that appear in a pair iterate: in a dedup workload the
+    overwhelming majority of docs are isolated (no near-dup), and an
+    isolated node is trivially its own cluster — keeping those out of
+    the loop shrinks every per-round join from |corpus| to |paired
+    nodes| and they rejoin via one anti-join projection at the end.
+    Scale shape: every round shuffles on node id only (no crossJoin,
+    no driver data); labels persist round-to-round and the previous
+    round is unpersisted — at 100 TB use the star-contraction variant
+    (large-star/small-star, Kiveris et al.) to cut round count to
+    O(log n), same join shape, plus checkpointing to truncate lineage.
     """
-    edges = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
-        .unionByName(
-            nodes.select(
-                F.col(node_col).alias("a"), F.col(node_col).alias("b")
-            )
-        )
-        .persist()
-    )
-    labels = edges.select("a").distinct().select(
+    # localCheckpoint truncates the pair-generation lineage: the loop
+    # re-analyzes its plan every round, and a persisted self-referencing
+    # union (edges ∪ f(edges)) defeats cache substitution under AQE —
+    # measured as the WHOLE shingle-join pipeline re-running per round.
+    # Checkpointing materializes the (small) pair list once on the
+    # executors; every round then scans a flat LogicalRDD. Same move
+    # GraphFrames CC makes (periodic checkpoint) for iterative graph
+    # algorithms.
+    p0 = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint()
+    edges = p0.unionByName(p0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    pair_nodes = edges.select("a").distinct()
+    edges = edges.unionByName(
+        pair_nodes.select(F.col("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = pair_nodes.select(
         F.col("a").alias("node"), F.col("a").alias("lbl")
     ).persist()
     # labels only ever shrink, so the label SUM is strictly decreasing
@@ -583,9 +593,15 @@ def connected_components(
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
-        F.col("node").alias(node_col), F.col("lbl").alias("cluster_id")
+    # isolated nodes (never in a pair) are their own cluster — no
+    # iteration needed; the paired-node set is tiny, so broadcast the
+    # anti-join side
+    isolated = nodes.select(F.col(node_col).alias("node")).join(
+        F.broadcast(labels.select("node")), "node", "left_anti"
     )
+    return labels.unionByName(
+        isolated.select("node", F.col("node").alias("lbl"))
+    ).select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))
 
 
 def dedup_clusters(

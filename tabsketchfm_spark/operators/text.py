@@ -362,10 +362,16 @@ def pack_sequences(
     doc may straddle its bin's end (soft budget), which pretraining
     tolerates (and exact bin-packing is NP-hard and order-unstable).
 
-    The running total is the TWO-PHASE distributed cumsum (range-
-    partition by id, cumsum per partition, driver-broadcast offsets —
-    same scheme as the profiler's exact deciles): no single task ever
-    sees the whole corpus, unlike a global Window.orderBy.
+    The running total is a TWO-PHASE distributed cumsum over id-range
+    buckets: bucket = floor((id - min_id) / width) is PURE ARITHMETIC
+    (no repartitionByRange — the range partitioner runs a whole extra
+    sampling job over its input), per-bucket sums are a map-side-
+    combined aggregate collected to the driver (bounded: one row per
+    bucket), and the final pass windows within each bucket plus its
+    broadcast offset. No single task ever sees the whole corpus,
+    unlike a global Window.orderBy. Uniform or dense ids give even
+    buckets; a pathologically clustered id space degrades bucket
+    balance but never correctness.
 
     Output: (doc_id, n_tokens, seq_id, seq_offset).
     """
@@ -373,26 +379,30 @@ def pack_sequences(
 
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist BEFORE repartitionByRange: the range partitioner runs a
-    # sampling job over its input, so an unpersisted upstream would
-    # tokenize every document three times (sample + shuffle + read)
+    # persist: consumed by the min/max+bucket-sum pass and the final pass
     toks = df.select(
         F.col(id_col), F.size(F.expr(_toks_spark(text_col))).alias("n_tokens")
     ).persist()
-    nv = (
-        toks.repartitionByRange(nparts, F.col(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    psums = nv.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    lo, hi = toks.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return toks.select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.lit(0).alias("seq_id"),
+            F.lit(0).alias("seq_offset"),
+        )
+    width = max(1, (int(hi) - int(lo)) // nparts + 1)
+    bkt = F.floor((F.col(id_col) - F.lit(int(lo))) / width).cast("int")
+    nv = toks.withColumn("__bkt", bkt)
+    psums = nv.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect()
     acc, off_rows = 0, []
-    for r in sorted(psums, key=lambda r: r["__pid"]):
-        off_rows.append((r["__pid"], acc))
+    for r in sorted(psums, key=lambda r: r["__bkt"]):
+        off_rows.append((r["__bkt"], acc))
         acc += r["s"]
-    off_df = spark.createDataFrame(off_rows, "__pid int, off bigint")
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    off_df = spark.createDataFrame(off_rows, "__bkt int, off bigint")
+    w = Window.partitionBy("__bkt").orderBy(id_col)
     cum = (
-        nv.join(F.broadcast(off_df), "__pid")
+        nv.join(F.broadcast(off_df), "__bkt")
         .withColumn("cum", F.sum("n_tokens").over(w) + F.col("off"))
         .withColumn("start", F.col("cum") - F.col("n_tokens"))
     )
