@@ -101,3 +101,44 @@ def test_ivf_assign_partitions_every_vector(spark, sf001):
     assert a.select("id").distinct().count() == emb.count()
     bad = a.where((F.col("cell") < 0) | (F.col("cell") >= 16)).count()
     assert bad == 0
+
+
+def _word_set(df, col):
+    rows = df.select(
+        F.explode(F.split(F.col(col).cast("string"), r"\s+")).alias("w")
+    ).where(F.col("w") != "").distinct().collect()
+    return {r.w for r in rows}
+
+
+@pytest.mark.parametrize("col_a,col_b", [("p_name", "p_type"), ("p_name", "p_brand")])
+def test_word_minhash_estimate_tracks_exact(spark, sf001, col_a, col_b):
+    """SK2 word-token sketches obey the MinHash property bound (the
+    datasketch-parity check from SURVEY §7.5 risk 1: no bit-parity with
+    the reference's digests, but estimates must track exact Jaccard
+    within the k=100 statistical bound on vocabulary overlap)."""
+    part = load_table(spark, sf001, "part")
+    sa = _word_set(part, col_a)
+    sb = _word_set(part, col_b)
+    exact = len(sa & sb) / len(sa | sb)
+    qs = minhash_signatures(part, "part", [col_a], words=True)
+    cs = minhash_signatures(part, "part", [col_b], words=True)
+    est = minhash_jaccard_estimate(qs, cs).first().est_jaccard
+    bound = 3.5 * math.sqrt(max(exact * (1 - exact), 0.01) / 100)
+    assert abs(est - exact) <= bound, (exact, est)
+
+
+def test_word_minhash_estimate_on_augmented_table(spark, sf001):
+    """A column-subset 'augmented view' of the same table (the SK5
+    augmentation family) must estimate high-but-not-perfect overlap
+    against its source: exact Jaccard of the half-vocabulary vs full
+    vocabulary is recovered within the property bound."""
+    part = load_table(spark, sf001, "part")
+    aug = part.where(F.col("p_partkey") % 2 == 0)  # row-subset augmentation
+    sa = _word_set(part, "p_name")
+    sb = _word_set(aug, "p_name")
+    exact = len(sa & sb) / len(sa | sb)
+    qs = minhash_signatures(part, "part", ["p_name"], words=True)
+    cs = minhash_signatures(aug, "part_aug", ["p_name"], words=True)
+    est = minhash_jaccard_estimate(qs, cs).first().est_jaccard
+    bound = 3.5 * math.sqrt(max(exact * (1 - exact), 0.01) / 100)
+    assert abs(est - exact) <= bound, (exact, est)
