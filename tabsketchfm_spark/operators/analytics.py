@@ -465,3 +465,36 @@ SELECT 'purchase_and_error' AS segment, user_id FROM (SELECT user_id FROM p INTE
 UNION ALL
 SELECT 'purchase_no_error' AS segment, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
 """
+
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two one-dimension marginals plus
+    the grand total in ONE pass, WITHOUT the pairwise cells a CUBE
+    would also compute: ((status), (priority), ()). Spark plans this
+    as a single Expand (3 projections per input row) + hash aggregate
+    with map-side partial combine — one scan, one shuffle, vs three
+    separate groupBys each rescanning at 100 TB. SQL-expressed: the
+    DataFrame API exposes cube/rollup but not arbitrary grouping
+    sets."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       count(1) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+    )
+
+
+def grouping_sets_order_stats_oracle_sql() -> str:
+    return """
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""

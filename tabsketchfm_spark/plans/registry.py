@@ -822,6 +822,11 @@ _register(
     ana.pivot_event_counts_oracle_sql(),
 )
 _register(
+    "grouping_sets_order_stats",
+    ana.grouping_sets_order_stats,
+    ana.grouping_sets_order_stats_oracle_sql(),
+)
+_register(
     "cube_order_stats",
     ana.cube_order_stats,
     ana.cube_order_stats_oracle_sql(),
@@ -864,6 +869,22 @@ _register(
     "range_join_error_followers",
     lambda spark, sf: win.range_join_follow_counts(load_table(spark, sf, "events")),
     win.range_join_follow_counts_oracle_sql(),
+)
+
+_register(
+    "mix_weighted_sample_documents",
+    lambda spark, sf: spl.weighted_sample(
+        load_table(spark, sf, "documents"),
+        F.size(F.expr("filter(split(text, '\\\\s+'), t -> t <> '')")).cast("long"),
+        "doc_id",
+        k=200,
+    ),
+    spl.weighted_sample_oracle_sql(
+        "documents",
+        "len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))",
+        "doc_id",
+        k=200,
+    ),
 )
 
 
@@ -945,6 +966,12 @@ _register(
     "stream_oph_minhash_events",
     ps.streaming_oph_minhash,
     ps.streaming_oph_minhash_oracle_sql(),
+)
+
+_register(
+    "stream_purchase_error_join",
+    ps.streaming_purchase_error_join,
+    ps.streaming_purchase_error_join_oracle_sql(),
 )
 
 from tabsketchfm_spark.streaming import sessionize as sess

@@ -82,3 +82,45 @@ def stratified_sample_oracle_sql(
 SELECT {columns} FROM {table}
 WHERE ({h}) % 10000 < (CASE {cases} ELSE {int(default_frac * 10000)} END)
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: include a
+    row with probability min(1, k·w/W) where W = Σ weights — the
+    Horvitz-Thompson inclusion design (expected sample size k, long
+    documents proportionally favored; the token-budget-aware variant
+    of the mixture sampler). The inclusion test is PURE INTEGER
+    arithmetic — h24·W < k·w·2^24 with h24 the md5-prefix hash mod
+    2^24 — so any executor, retry, or engine recomputes the identical
+    sample (no rand(), no float rounding; the DuckDB twin mirrors it
+    bit-for-bit). Two passes: one agg for the scalar W (broadcast as a
+    literal-free scalar subquery via crossJoin), one narrow filter —
+    no shuffle of the data itself.
+
+    Output: (id, w) for the sampled rows."""
+    w = F.col("w")
+    base = df.select(F.col(id_col).alias("id"), weight_col.alias("w"))
+    tot = base.agg(F.sum("w").cast("bigint").alias("tw"))
+    h24 = F.pmod(F.expr(h32_sql("id", "spark")), F.lit(1 << 24))
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .where(h24 * F.col("tw") < F.lit(k) * w.cast("bigint") * F.lit(1 << 24))
+        .select("id", "w")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str, weight_sql: str, id_col: str, k: int
+) -> str:
+    h = h32_sql("id", "duckdb")
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {weight_sql} AS w FROM {table}),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base)
+SELECT id, w FROM base, tot
+WHERE (({h}) % {1 << 24}) * tw < {k} * CAST(w AS BIGINT) * {1 << 24}
+"""

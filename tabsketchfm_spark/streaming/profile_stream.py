@@ -240,3 +240,51 @@ SELECT c_mktsegment, event_type, count(*) AS n_events,
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
+
+
+def streaming_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: for every purchase, the
+    error events of the same user within the following hour — the
+    funnel/attribution shape (join two live streams on key + time
+    range). Both sides carry a 1-hour watermark and the join condition
+    bounds the time range, so each side's state store holds at most
+    one watermark-window of rows — the scale requirement for an
+    unbounded stream. Inner interval joins emit every qualifying pair
+    under availableNow (nothing is held back by the watermark), so the
+    batch oracle is a plain self-join with the same range predicate.
+    Output: (user_id, purchase_epoch, error_epoch)."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    e = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 hour")
+    )
+    j = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = _run_to_memory(j, "append")
+    return out.select(
+        "user_id",
+        (F.unix_micros(F.col("p_ts")) / F.lit(1000000.0)).alias("purchase_epoch"),
+        (F.unix_micros(F.col("e_ts")) / F.lit(1000000.0)).alias("error_epoch"),
+    )
+
+
+def streaming_purchase_error_join_oracle_sql() -> str:
+    return """
+SELECT p.user_id, epoch(p.ts) AS purchase_epoch, epoch(e.ts) AS error_epoch
+FROM events p JOIN events e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+"""
