@@ -173,3 +173,22 @@ def test_ngram_jaccard_df_cap_prune_matches_oracle(spark, sf01):
         ngram_jaccard_oracle_sql("documents", threshold=0.5, df_cap=3), sf01
     )
     assert_match(sdf, opdf, "ngram_df_cap")
+
+
+def test_grouping_sets_single_scan_single_shuffle(spark, sf01):
+    """GROUPING SETS must compile to ONE scan + Expand + one aggregate
+    exchange — not three separate groupBy scans."""
+    from tabsketchfm_spark.operators.analytics import grouping_sets_order_stats
+
+    p = _plan(grouping_sets_order_stats(spark, sf01))
+    assert "Expand" in p
+    assert p.count("Scan parquet") == 1
+
+
+def test_pivot_pinned_values_no_distinct_scan(spark, sf01):
+    """A pivot with a PINNED value list must not run the extra
+    distinct-discovery pass: exactly one scan of events."""
+    from tabsketchfm_spark.operators.analytics import pivot_event_counts
+
+    p = _plan(pivot_event_counts(spark, sf01))
+    assert p.count("Scan parquet") == 1
