@@ -646,3 +646,67 @@ SELECT {id_col} AS id,
          AS n_bytes
 FROM {table}
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    rolling-hash scheme): hash every word k-gram, slide a w-wide window
+    over the hash sequence, keep each window's MINIMUM — the selected
+    set is guaranteed to share a fingerprint with any document that
+    shares a run of >= k+w-1 words, which is what makes it the
+    partial-overlap dedup key (vs the whole-doc fingerprint that only
+    catches exact matches).
+
+    One narrow projection per document — the k-gram hashes and window
+    minima are array expressions over the token list; only the distinct
+    fingerprint rows leave the scan, so the shuffle carries O(tokens/w)
+    longs per doc. Output: (id, fp) — one row per distinct selected
+    fingerprint.
+    """
+    toks = _toks_spark(text_col)
+    elems = " || ' ' || ".join(f"tk[i + {j}]" for j in range(k))
+    # h32 of each k-gram, inline (md5-prefix — same family as h32_sql)
+    gram_h = (
+        f"transform(sequence(0, size(tk) - {k}), i -> "
+        f"cast(conv(substring(md5({elems}), 1, 8), 16, 10) as bigint))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(0, size(hs) - {w}), "
+        f"i -> array_min(slice(hs, i + 1, {w}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.expr(toks).alias("tk"))
+        .where(F.expr(f"size(tk) >= {k + w - 1}"))
+        .select("id", F.expr(gram_h).alias("hs"))
+        .select("id", F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_fingerprints_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> str:
+    toks = _toks_duckdb(text_col)
+    elems = " || ' ' || ".join(f"tk[i + {j}]" for j in range(k))
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+big AS (SELECT id, tk FROM t WHERE len(tk) >= {k + w - 1}),
+hs AS (SELECT id,
+              list_transform(generate_series(1, len(tk) - {k - 1}), i ->
+                (('0x' || substring(md5({elems}), 1, 8))::BIGINT)) AS hs
+       FROM big),
+fp AS (SELECT id,
+              list_distinct(list_transform(generate_series(1, len(hs) - {w - 1}), i ->
+                list_min(hs[i:i + {w - 1}]))) AS fps
+       FROM hs)
+SELECT id, unnest(fps) AS fp FROM fp
+"""

@@ -827,6 +827,11 @@ _register(
     ana.grouping_sets_order_stats_oracle_sql(),
 )
 _register(
+    "text_winnow_fingerprints",
+    lambda spark, sf: txt.winnow_fingerprints(load_table(spark, sf, "documents")),
+    txt.winnow_fingerprints_oracle_sql("documents"),
+)
+_register(
     "cube_order_stats",
     ana.cube_order_stats,
     ana.cube_order_stats_oracle_sql(),
