@@ -16,6 +16,8 @@ def melt_values(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """Return (column_name string, v string) rows; '' is normalized to
     NULL first (P3, reference data_prep.py:202) and NULLs are dropped
     (P4, data_prep.py:207 — cleaner semantics per SURVEY §1.2)."""
+    from tabsketchfm_spark.sources.tables import spread
+
     columns = columns or df.columns
     structs = [
         F.struct(
@@ -25,7 +27,11 @@ def melt_values(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for c in columns
     ]
     return (
-        df.select(F.explode(F.array(*structs)).alias("kv"))
+        # spread: the explode amplifies rows |columns|-fold and feeds
+        # heavy downstream expressions (MinHash, set-sim) — it must not
+        # run single-task just because the source is one row group
+        spread(df)
+        .select(F.explode(F.array(*structs)).alias("kv"))
         .select("kv.column_name", "kv.v")
         .where(F.col("v").isNotNull())
     )

@@ -77,6 +77,8 @@ def profile_table(
     """
     from pyspark.sql import Window
 
+    from tabsketchfm_spark.sources.tables import spread
+
     dtypes = dict(df.dtypes)
     columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
 
@@ -145,8 +147,14 @@ def profile_table(
     # pass 2: value-counts frame — ONE shuffle keyed (cid, value) with
     # map-side partial counts; distinct counts and exact deciles both
     # read it. Nulls are excluded (pass 1 already counted them).
+    # spread: the |columns|-fold explode + 750k-group partial aggregate
+    # must not run single-task when the source is one unsplittable row
+    # group (measured 3.8s -> 2.4s on the counts build); pass 1 keeps
+    # the direct scan — its wide agg is cheap enough that an extra
+    # shuffle would cost more than it buys.
     melt = (
-        df.select(F.explode(F.array(*melt_structs)).alias("m"))
+        spread(df)
+        .select(F.explode(F.array(*melt_structs)).alias("m"))
         .select("m.*")
         .where(F.col("vd").isNotNull() | F.col("vs").isNotNull())
     )

@@ -80,3 +80,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Raise scan parallelism when the source provides fewer splits
+    than the session has cores — a single-row-group parquet file is
+    UNSPLITTABLE, so every stage upstream of the first shuffle would
+    otherwise run on one task no matter how heavy its per-row
+    expressions are. One narrow round-robin shuffle buys full-width
+    execution; within a single query plan the exchange is reused
+    (ReusedExchange), so multi-pass consumers pay it once. No-op when
+    the lake already yields enough splits — the 100 TB case, where an
+    unconditional repartition would be a catastrophic extra shuffle.
+    Only safe for partition-order-free consumers (all ops here are —
+    the determinism hardening guarantees it)."""
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < min(t, 8):
+        return df.repartition(t)
+    return df
