@@ -83,7 +83,12 @@ def _shingles(
         f"transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {elems})) "
         f"ELSE array() END"
     )
-    tk = df.select(
+    from tabsketchfm_spark.sources.tables import spread
+
+    # spread: tokenize + shingle explode is the heaviest per-row stage
+    # in every dedup pipeline — don't let a one-row-group source
+    # serialize it (no-op when the lake yields enough splits)
+    tk = spread(df).select(
         F.col(id_col).alias("id"),
         F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')").alias("tk"),
     )
