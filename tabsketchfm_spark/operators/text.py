@@ -710,3 +710,50 @@ fp AS (SELECT id,
        FROM hs)
 SELECT id, unnest(fps) AS fp FROM fp
 """
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-overlap near-dup pairs from winnowing fingerprints:
+    documents sharing >= min_shared selected fingerprints. The
+    candidate generator is the fingerprint equi-join (each fingerprint
+    is a bucket key — the same linear bucketed shape as the shingle
+    and LSH joins, never all-pairs), and the shared-count filter is
+    the verify stage. Catches documents that share long runs (>= k+w-1
+    words) even when their overall Jaccard is low — the
+    plagiarism/quotation detection complement to whole-doc dedup.
+    Output: (id_a, id_b, n_shared)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_near_dups_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+) -> str:
+    base = winnow_fingerprints_oracle_sql(table, id_col, text_col, k, w)
+    return f"""
+WITH f AS ({base})
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

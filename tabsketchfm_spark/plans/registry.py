@@ -832,6 +832,11 @@ _register(
     txt.winnow_fingerprints_oracle_sql("documents"),
 )
 _register(
+    "dedup_winnow_pairs_documents",
+    lambda spark, sf: txt.winnow_near_dups(load_table(spark, sf, "documents")),
+    txt.winnow_near_dups_oracle_sql("documents"),
+)
+_register(
     "cube_order_stats",
     ana.cube_order_stats,
     ana.cube_order_stats_oracle_sql(),
