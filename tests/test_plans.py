@@ -192,3 +192,13 @@ def test_pivot_pinned_values_no_distinct_scan(spark, sf01):
 
     p = _plan(pivot_event_counts(spark, sf01))
     assert p.count("Scan parquet") == 1
+
+
+def test_winnow_pairs_has_no_cartesian(spark, sf01):
+    """Winnowing near-dup candidates come from the fingerprint
+    equi-join — no CartesianProduct."""
+    from tabsketchfm_spark.operators.text import winnow_near_dups
+
+    docs = load_table(spark, sf01, "documents")
+    p = _plan(winnow_near_dups(docs))
+    assert "Cartesian" not in p and "NestedLoop" not in p
