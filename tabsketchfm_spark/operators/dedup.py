@@ -135,7 +135,10 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= df_cap)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle").select("id", "shingle")
+        # cache the PRUNED frame too: it feeds three consumers (the
+        # per-doc counts and both sides of the pair join) — uncached,
+        # the prune join re-runs per consumer
+        sh = sh.join(rare, "shingle").select("id", "shingle").cache()
     cnt = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
