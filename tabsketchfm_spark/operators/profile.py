@@ -79,6 +79,17 @@ def profile_table(
 
     from tabsketchfm_spark.sources.tables import spread
 
+    # BOTH passes are expression-heavy (60+ decimal aggregates; the
+    # |columns|-fold melt) — an unsplittable one-row-group source would
+    # serialize each on one task (pass 1 measured 2.6s -> 1.6s spread).
+    # When spread fires the source is by definition small (< 8 splits),
+    # so persisting the widened rows is bounded — and necessary: the
+    # profiler runs multiple jobs (offsets collect + final), and an
+    # unpersisted repartition re-shuffles in every one.
+    sdf = spread(df)
+    if sdf is not df:
+        df = sdf.persist()
+
     dtypes = dict(df.dtypes)
     columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
 
@@ -147,14 +158,8 @@ def profile_table(
     # pass 2: value-counts frame — ONE shuffle keyed (cid, value) with
     # map-side partial counts; distinct counts and exact deciles both
     # read it. Nulls are excluded (pass 1 already counted them).
-    # spread: the |columns|-fold explode + 750k-group partial aggregate
-    # must not run single-task when the source is one unsplittable row
-    # group (measured 3.8s -> 2.4s on the counts build); pass 1 keeps
-    # the direct scan — its wide agg is cheap enough that an extra
-    # shuffle would cost more than it buys.
     melt = (
-        spread(df)
-        .select(F.explode(F.array(*melt_structs)).alias("m"))
+        df.select(F.explode(F.array(*melt_structs)).alias("m"))
         .select("m.*")
         .where(F.col("vd").isNotNull() | F.col("vs").isNotNull())
     )
