@@ -757,3 +757,66 @@ FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, Table A1
+    shape): hard bounds on token count and mean token length, a
+    max share of very short tokens, and a stopword-presence floor —
+    each emitted as its own flag plus the conjunction, so downstream
+    filtering can audit WHICH gate fired (the operational requirement
+    a single opaque score fails). All pure arithmetic over one token
+    projection: one scan, no shuffle, bit-exact oracle.
+    Output: (id, n_tokens, mean_tok_len, short_frac, n_stop,
+    pass_len, pass_tok_len, pass_short, pass_stop, pass_all)."""
+    toks = _toks_spark(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n = f"size({toks})"
+    tot_len = f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
+    mean_len = f"({tot_len} / greatest({n}, 1))"
+    short = f"(size(filter({toks}, t -> length(t) <= 2)) / cast(greatest({n}, 1) as double))"
+    n_stop = f"size(filter({toks}, t -> t in ({stop_list})))"
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(n).alias("n_tokens"),
+        F.round(F.expr(mean_len), 6).alias("mean_tok_len"),
+        F.round(F.expr(short), 6).alias("short_frac"),
+        F.expr(n_stop).cast("int").alias("n_stop"),
+        F.expr(f"{n} BETWEEN 5 AND 100000").alias("pass_len"),
+        F.expr(f"{mean_len} BETWEEN 2.0 AND 12.0").alias("pass_tok_len"),
+        F.expr(f"{short} <= 0.6").alias("pass_short"),
+        F.expr(f"{n_stop} >= 1").alias("pass_stop"),
+        F.expr(
+            f"{n} BETWEEN 5 AND 100000 AND {mean_len} BETWEEN 2.0 AND 12.0 "
+            f"AND {short} <= 0.6 AND {n_stop} >= 1"
+        ).alias("pass_all"),
+    )
+
+
+def gopher_rules_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = _toks_duckdb(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+m AS (SELECT id,
+             CAST(len(tk) AS INTEGER) AS n_tokens,
+             list_sum(list_transform(tk, t -> CAST(strlen(t) AS DOUBLE)))
+               / greatest(len(tk), 1) AS mean_len,
+             len(list_filter(tk, t -> strlen(t) <= 2))
+               / CAST(greatest(len(tk), 1) AS DOUBLE) AS short_frac,
+             CAST(len(list_filter(tk, t -> t IN ({stop_list}))) AS INTEGER) AS n_stop
+      FROM t)
+SELECT id, n_tokens, round(mean_len, 6) AS mean_tok_len,
+       round(short_frac, 6) AS short_frac, n_stop,
+       n_tokens BETWEEN 5 AND 100000 AS pass_len,
+       mean_len BETWEEN 2.0 AND 12.0 AS pass_tok_len,
+       short_frac <= 0.6 AS pass_short,
+       n_stop >= 1 AS pass_stop,
+       (n_tokens BETWEEN 5 AND 100000 AND mean_len BETWEEN 2.0 AND 12.0
+        AND short_frac <= 0.6 AND n_stop >= 1) AS pass_all
+FROM m
+"""

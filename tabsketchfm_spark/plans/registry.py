@@ -837,6 +837,11 @@ _register(
     txt.winnow_near_dups_oracle_sql("documents"),
 )
 _register(
+    "text_gopher_rules",
+    lambda spark, sf: txt.gopher_rules(load_table(spark, sf, "documents")),
+    txt.gopher_rules_oracle_sql("documents"),
+)
+_register(
     "cube_order_stats",
     ana.cube_order_stats,
     ana.cube_order_stats_oracle_sql(),
