@@ -68,18 +68,82 @@ def detect_encoding(path: str, n_bytes: int = 65536) -> str:
         return "ISO-8859-1"
 
 
+def _read_xlsx_rows(path: str) -> list[list[str | None]]:
+    """Minimal native .xlsx reader — an xlsx is a zip of XML, so the
+    stdlib (zipfile + ElementTree) suffices for the plain tabular
+    sheets the reference's Excel fallback targets: sheet1 cells with
+    inline/shared strings and numbers. Supports the sharedStrings
+    table, cell types s/str/inlineStr/n/b, and sparse rows (missing
+    cells become None by column-reference decoding)."""
+    import re
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
+        sheet = next(
+            n for n in z.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(z.read(sheet))
+    rows: list[list[str | None]] = []
+    for row in root.iter(f"{NS}row"):
+        cells: dict[int, str | None] = {}
+        for c in row.findall(f"{NS}c"):
+            ref = c.get("r", "")
+            col = 0
+            for ch in ref:
+                if ch.isalpha():
+                    col = col * 26 + (ord(ch.upper()) - 64)
+                else:
+                    break
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                v = "".join(t.text or "" for t in c.iter(f"{NS}t"))
+            else:
+                ve = c.find(f"{NS}v")
+                v = ve.text if ve is not None else None
+                if ctype == "s" and v is not None:
+                    v = shared[int(v)]
+            cells[col - 1] = v
+        width = max(cells) + 1 if cells else 0
+        rows.append([cells.get(i) for i in range(width)])
+    width = max((len(r) for r in rows), default=0)
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
 def read_excel_fallback(spark: SparkSession, path: str) -> DataFrame | None:
-    """S3 (reference data_prep.py:78): pd.read_excel when CSV parsing
-    fails. Driver-side pandas → createDataFrame (no native xlsx
-    source); returns None when the engine (openpyxl/xlrd) is absent —
-    gated, as this environment has no excel reader."""
+    """S3 (reference data_prep.py:78): Excel ingestion when CSV parsing
+    fails. Tries pandas' reader first (openpyxl/xlrd when available),
+    then the stdlib zip+XML parser above — so the path works even in
+    environments with no Excel engine installed. Driver-side by
+    design: spreadsheets are human-authored small files, not lake
+    tables; the frame enters Spark via createDataFrame. Returns None
+    only when the file is genuinely unreadable."""
     try:
         import pandas as pd
 
         pdf = pd.read_excel(path)
+        return sanitize_columns(spark.createDataFrame(pdf))
+    except Exception:
+        pass
+    try:
+        rows = _read_xlsx_rows(path)
     except Exception:
         return None
-    return sanitize_columns(spark.createDataFrame(pdf))
+    if not rows:
+        return None
+    header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(rows[0])]
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows[1:]],
+        schema=", ".join(f"`{h}` string" for h in header),
+    )
+    return sanitize_columns(df)
 
 
 def sanitize_name(name: str) -> str:

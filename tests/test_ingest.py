@@ -59,3 +59,35 @@ def test_semicolon_sniff_and_bz2(spark, tmp_path):
     df = read_csv_robust(spark, str(p))
     assert df.columns == ["x", "y"]
     assert df.count() == 5
+
+
+def test_excel_fallback_stdlib_reader(spark, tmp_path):
+    """S3: the native zip+XML xlsx path — works with NO Excel engine
+    installed (pandas raises, the stdlib parser takes over). Covers
+    sharedStrings, inline strings, numeric cells, and sparse rows."""
+    import zipfile
+
+    from tabsketchfm_spark.sources.csv_ingest import read_excel_fallback
+
+    path = str(tmp_path / "book.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = (
+        f'<?xml version="1.0"?><sst {ns} count="3" uniqueCount="3">'
+        "<si><t>Name</t></si><si><t>Qty</t></si><si><t>widget a</t></si></sst>"
+    )
+    sheet = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>7</v></c></row>'
+        # sparse row: only column B present (A missing -> None)
+        '<row r="3"><c r="B3" t="inlineStr"><is><t>nine</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = read_excel_fallback(spark, path)
+    assert df is not None
+    rows = {tuple(r) for r in df.collect()}
+    assert df.columns == ["name", "qty"]
+    assert rows == {("widget a", "7"), (None, "nine")}
