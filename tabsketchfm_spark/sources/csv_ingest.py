@@ -292,3 +292,37 @@ def ingest_directory(
                 continue
             out[fn.split(".csv")[0]] = df
     return out
+
+
+def read_jsonl_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    sample_rows: int | None = None,
+) -> DataFrame:
+    """Robust JSON-lines ingestion — the de-facto interchange format of
+    training-data pipelines (one document object per line). PERMISSIVE
+    mode with a ``_corrupt_json`` capture column: malformed lines land
+    there instead of failing the scan or being silently dropped, so a
+    curation pipeline can count/route them (the same
+    never-lose-a-record posture as the CSV path). Schema is inferred
+    from the data unless given explicitly — at 100 TB pass ``schema``
+    to skip the inference scan. Multiline objects are out of scope by
+    design (JSONL contract: newline-delimited)."""
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_json")
+    )
+    if schema is not None:
+        df = reader.schema(f"{schema}, _corrupt_json string").json(path)
+    else:
+        df = reader.json(path)
+        if "_corrupt_json" not in df.columns:
+            df = df.withColumn("_corrupt_json", F.lit(None).cast("string"))
+        # Spark requires caching/re-reading to SELECT only the corrupt
+        # column; keeping it alongside data columns (as here) is the
+        # supported access pattern.
+    df = sanitize_columns(df.select(*[c for c in df.columns if c != "_corrupt_json"], "_corrupt_json"))
+    if sample_rows:
+        df = df.limit(sample_rows)
+    return df

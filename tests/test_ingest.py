@@ -91,3 +91,25 @@ def test_excel_fallback_stdlib_reader(spark, tmp_path):
     rows = {tuple(r) for r in df.collect()}
     assert df.columns == ["name", "qty"]
     assert rows == {("widget a", "7"), (None, "nine")}
+
+
+def test_jsonl_robust_captures_corrupt_lines(spark, tmp_path):
+    """JSONL ingest: valid lines parse into columns, malformed lines
+    land in _corrupt_json instead of failing or vanishing."""
+    from tabsketchfm_spark.sources.csv_ingest import read_jsonl_robust
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        "{not valid json at all\n"
+        '{"doc_id": 4, "text": "fine"}\n'
+    )
+    df = read_jsonl_robust(
+        spark, str(p), schema="doc_id bigint, text string"
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt_json is None]
+    bad = [r for r in rows if r._corrupt_json is not None]
+    assert {r.doc_id for r in good} == {1, 2, 4}
+    assert len(bad) == 1 and "not valid" in bad[0]._corrupt_json
