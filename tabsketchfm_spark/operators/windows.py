@@ -435,3 +435,72 @@ SELECT user_id, session_idx, min(e) AS start_epoch, max(e) AS end_epoch,
        count(*) AS n_events
 FROM sess GROUP BY user_id, session_idx
 """
+
+
+def cusum_drift(
+    events: DataFrame,
+    k: float = 50.0,
+    h: float = 200.0,
+) -> DataFrame:
+    """Per-user CUSUM drift detection over the event value stream.
+
+    The textbook recursion s_i = max(0, s_{i-1} + (x_i - k)) looks
+    irreducibly stateful, but the reflected-walk identity makes it
+    pure window algebra: with S_i the running sum of (x_i - k),
+    s_i = S_i - least(0, running_min(S_i)) — two window passes over
+    one (user, time) ordering, no recursion, no UDF. An alarm fires
+    when s crosses h from below (lag-based edge detection). One
+    shuffle on user_id, per-user window state O(1). Both engines
+    evaluate the same double sums in the same (ts, event_id) order,
+    so values are bit-identical cross-engine.
+
+    Output: (user_id, n_alarms, max_s).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = F.col("value").cast("double") - F.lit(k)
+    cum = (
+        events.where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", d.alias("d"))
+        .withColumn("S", F.sum("d").over(w))
+        .withColumn("runmin", F.min("S").over(w))
+        .withColumn("s", F.col("S") - F.least(F.col("runmin"), F.lit(0.0)))
+        .withColumn("s_prev", F.lag("s", 1, 0.0).over(wlag))
+        .withColumn(
+            "alarm",
+            ((F.col("s") > h) & (F.col("s_prev") <= h)).cast("int"),
+        )
+    )
+    return cum.groupBy("user_id").agg(
+        F.sum("alarm").alias("n_alarms"),
+        F.round(F.max("s"), 6).alias("max_s"),
+    )
+
+
+def cusum_drift_oracle_sql(table: str, k: float = 50.0, h: float = 200.0) -> str:
+    return f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         sum(CAST(value AS DOUBLE) - {k})
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM {table} WHERE value IS NOT NULL),
+x AS (
+  SELECT user_id, ts, event_id,
+         S - least(min(S) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0.0) AS s
+  FROM c),
+a AS (
+  SELECT user_id, s,
+         coalesce(lag(s) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS s_prev
+  FROM x)
+SELECT user_id,
+       CAST(sum(CASE WHEN s > {h} AND s_prev <= {h} THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       round(max(s), 6) AS max_s
+FROM a GROUP BY user_id
+"""

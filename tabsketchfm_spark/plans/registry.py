@@ -941,6 +941,11 @@ _register(
     met.drift_monitor_oracle_sql("events"),
 )
 _register(
+    "w5_cusum_drift_events",
+    lambda spark, sf: win.cusum_drift(load_table(spark, sf, "events")),
+    win.cusum_drift_oracle_sql("events"),
+)
+_register(
     "p9_name_repair",
     met.name_repair,
     met.name_repair_oracle_sql(),
