@@ -12,11 +12,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def melt_values(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def melt_values(
+    df: DataFrame, columns: list[str] | None = None, spread: bool = True
+) -> DataFrame:
     """Return (column_name string, v string) rows; '' is normalized to
     NULL first (P3, reference data_prep.py:202) and NULLs are dropped
-    (P4, data_prep.py:207 — cleaner semantics per SURVEY §1.2)."""
-    from tabsketchfm_spark.sources.tables import spread
+    (P4, data_prep.py:207 — cleaner semantics per SURVEY §1.2).
+
+    ``spread=False`` skips the parallelism-raising repartition: cheap
+    consumers (one hash per row + a grouped MIN, e.g. OPH) finish faster
+    single-task than they would paying an extra round-robin shuffle —
+    keep the spread only for expression-heavy downstreams (k-perm
+    MinHash, set-sim, shingle explodes)."""
+    from tabsketchfm_spark.sources.tables import spread as _spread
 
     columns = columns or df.columns
     structs = [
@@ -26,12 +34,12 @@ def melt_values(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
         for c in columns
     ]
+    # spread: the explode amplifies rows |columns|-fold and feeds
+    # heavy downstream expressions (MinHash, set-sim) — it must not
+    # run single-task just because the source is one row group
+    src = _spread(df) if spread else df
     return (
-        # spread: the explode amplifies rows |columns|-fold and feeds
-        # heavy downstream expressions (MinHash, set-sim) — it must not
-        # run single-task just because the source is one row group
-        spread(df)
-        .select(F.explode(F.array(*structs)).alias("kv"))
+        src.select(F.explode(F.array(*structs)).alias("kv"))
         .select("kv.column_name", "kv.v")
         .where(F.col("v").isNotNull())
     )

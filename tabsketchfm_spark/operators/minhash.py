@@ -109,7 +109,12 @@ def oph_signatures(
     Output: (table_name, column_name, bucket, sig) — only non-empty
     buckets present.
     """
-    m = melt_values(df, columns)
+    # spread=False: one hash/row + grouped MIN is the textbook "cheap
+    # wide agg" where the spread shuffle costs more than it saves
+    # (CLAUDE.md round-3 lesson; r3 bench regression on all-pairs ×9
+    # tables). k-perm minhash_signatures keeps the spread — 100 perm
+    # expressions per row IS expression-heavy.
+    m = melt_values(df, columns, spread=False)
     h = F.expr(h32_sql("v", "spark")).alias("h")
     return (
         m.select("column_name", h)

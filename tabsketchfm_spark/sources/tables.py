@@ -96,6 +96,50 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     the determinism hardening guarantees it)."""
     sc = df.sparkSession.sparkContext
     t = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < min(t, 8):
+    if _split_count(df) < min(t, 8):
         return df.repartition(t)
     return df
+
+
+# per-file row-group counts (immutable parquet footer metadata): the
+# effective scan parallelism of a parquet source is its total row-group
+# count — Spark's byte-range splits of a single-row-group file all land
+# on one populated split. Reading the footer via pyarrow avoids the
+# plan→RDD conversion that getNumPartitions() forces (one Spark-side
+# plan analysis per call — 9× in the all-pairs query).
+_ROWGROUP_CACHE: dict[str, int] = {}
+
+
+def _split_count(df: DataFrame) -> int:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    paths = []
+    for f in files:
+        # inputFiles yields URIs like file:///root/...; only local
+        # parquet is probeable — anything else falls back to the RDD
+        if f.startswith("file:"):
+            p = f[5:]
+            while p.startswith("//"):
+                p = p[1:]
+            paths.append(p)
+        elif f.startswith("/"):
+            paths.append(f)
+        else:
+            paths = []
+            break
+    if not paths or not all(p.endswith(".parquet") and os.path.exists(p) for p in paths):
+        # in-memory / derived / non-parquet frame — probe directly
+        return df.rdd.getNumPartitions()
+    total = 0
+    for p in paths:
+        if p not in _ROWGROUP_CACHE:
+            import pyarrow.parquet as pq
+
+            try:
+                _ROWGROUP_CACHE[p] = pq.ParquetFile(p).metadata.num_row_groups
+            except Exception:
+                _ROWGROUP_CACHE[p] = 1
+        total += _ROWGROUP_CACHE[p]
+    return total
