@@ -64,7 +64,7 @@ WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})
 SELECT id,
        CAST(len(tk) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(tk)) AS INTEGER) AS n_uniq_tokens,
-       round(list_sum(list_transform(tk, t -> CAST(strlen(t) AS DOUBLE)))
+       round(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
              / greatest(len(tk), 1), 6) AS avg_token_len,
        CAST(list_sum(list_transform(tk, t -> CAST(ceil(strlen(t) / 4.0) AS BIGINT)))
             AS BIGINT) AS n_subwords
@@ -804,9 +804,9 @@ def gopher_rules_oracle_sql(
 WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
 m AS (SELECT id,
              CAST(len(tk) AS INTEGER) AS n_tokens,
-             list_sum(list_transform(tk, t -> CAST(strlen(t) AS DOUBLE)))
+             list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
                / greatest(len(tk), 1) AS mean_len,
-             len(list_filter(tk, t -> strlen(t) <= 2))
+             len(list_filter(tk, t -> length(t) <= 2))
                / CAST(greatest(len(tk), 1) AS DOUBLE) AS short_frac,
              CAST(len(list_filter(tk, t -> t IN ({stop_list}))) AS INTEGER) AS n_stop
       FROM t)

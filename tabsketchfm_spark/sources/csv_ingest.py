@@ -86,14 +86,12 @@ def _read_xlsx_rows(path: str) -> list[list[str | None]]:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{NS}t")))
-        sheet = next(
-            n for n in z.namelist()
-            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
+        sheet = _first_sheet_path(z, NS)
         root = ET.fromstring(z.read(sheet))
     rows: list[list[str | None]] = []
     for row in root.iter(f"{NS}row"):
         cells: dict[int, str | None] = {}
+        next_col = 0  # implied position for cells without an r attribute
         for c in row.findall(f"{NS}c"):
             ref = c.get("r", "")
             col = 0
@@ -102,6 +100,11 @@ def _read_xlsx_rows(path: str) -> list[list[str | None]]:
                     col = col * 26 + (ord(ch.upper()) - 64)
                 else:
                     break
+            # the r attribute is optional in OOXML — position is then
+            # implied as one past the previous cell in the row
+            if col == 0:
+                col = next_col + 1
+            next_col = col
             ctype = c.get("t", "n")
             if ctype == "inlineStr":
                 v = "".join(t.text or "" for t in c.iter(f"{NS}t"))
@@ -115,6 +118,36 @@ def _read_xlsx_rows(path: str) -> list[list[str | None]]:
         rows.append([cells.get(i) for i in range(width)])
     width = max((len(r) for r in rows), default=0)
     return [r + [None] * (width - len(r)) for r in rows]
+
+
+def _first_sheet_path(z, NS: str) -> str:
+    """Resolve the workbook's FIRST sheet (tab order), not whatever
+    xl/worksheets/sheetN.xml happens to come first in the zip
+    directory: xl/workbook.xml lists sheets in order with r:id refs
+    that xl/_rels/workbook.xml.rels maps to worksheet targets. Falls
+    back to the lowest sheet number when either part is missing."""
+    import re
+    import xml.etree.ElementTree as ET
+
+    R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        RNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+        targets = {
+            rel.get("Id"): rel.get("Target", "") for rel in rels.iter(f"{RNS}Relationship")
+        }
+        first = next(iter(wb.iter(f"{NS}sheet")))
+        target = targets[first.get(f"{R}id")]
+        if target.startswith("/"):
+            return target.lstrip("/")
+        return "xl/" + target
+    except Exception:
+        sheets = sorted(
+            (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"(\d+)", n).group(1)),
+        )
+        return sheets[0]
 
 
 def read_excel_fallback(spark: SparkSession, path: str) -> DataFrame | None:

@@ -107,9 +107,19 @@ def weighted_sample(
     base = df.select(F.col(id_col).alias("id"), weight_col.alias("w"))
     tot = base.agg(F.sum("w").cast("bigint").alias("tw"))
     h24 = F.pmod(F.expr(h32_sql("id", "spark")), F.lit(1 << 24))
+    # 128-bit comparison: h24·W and k·w·2^24 both overflow int64 once
+    # total weight W exceeds ~2^39 (realistic for token-count weights at
+    # corpus scale) — Spark's non-ANSI int64 would wrap silently while
+    # the DuckDB twin errors. Decimal operands promote the products to
+    # int128-backed decimals (values ≤ ~10^27 fit the 38-digit cap
+    # exactly) == DuckDB HUGEINT on the oracle side.
+    lhs = h24.cast("decimal(19,0)") * F.col("tw").cast("decimal(19,0)")
+    rhs = (
+        F.lit(k * (1 << 24)).cast("decimal(19,0)") * w.cast("decimal(19,0)")
+    )
     return (
         base.crossJoin(F.broadcast(tot))
-        .where(h24 * F.col("tw") < F.lit(k) * w.cast("bigint") * F.lit(1 << 24))
+        .where(lhs < rhs)
         .select("id", "w")
     )
 
@@ -122,5 +132,6 @@ def weighted_sample_oracle_sql(
 WITH base AS (SELECT {id_col} AS id, {weight_sql} AS w FROM {table}),
 tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base)
 SELECT id, w FROM base, tot
-WHERE (({h}) % {1 << 24}) * tw < {k} * CAST(w AS BIGINT) * {1 << 24}
+WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(tw AS HUGEINT)
+    < CAST({k * (1 << 24)} AS HUGEINT) * CAST(w AS HUGEINT)
 """

@@ -113,3 +113,53 @@ def test_jsonl_robust_captures_corrupt_lines(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_json is not None]
     assert {r.doc_id for r in good} == {1, 2, 4}
     assert len(bad) == 1 and "not valid" in bad[0]._corrupt_json
+
+
+def test_native_xlsx_multi_sheet_order_and_rless_cells(spark, tmp_path):
+    """Regression (round-4 ADVICE): (a) a multi-sheet workbook must
+    yield the workbook's FIRST tab even when the zip directory lists
+    another sheet file earlier; (b) cells without the optional r
+    attribute occupy the implied next column instead of corrupting
+    the row at key -1."""
+    import zipfile
+
+    from tabsketchfm_spark.sources.csv_ingest import read_excel_fallback
+
+    path = str(tmp_path / "multi.xlsx")
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns="http://schemas.openxmlformats.org/package/2006/relationships"'
+    wb = (
+        f'<?xml version="1.0"?><workbook {ns} '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Main" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Extra" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    rels = (
+        f'<?xml version="1.0"?><Relationships {rns}>'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    # the FIRST tab lives in sheet2.xml; its data row uses r-less cells
+    main = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>'
+        "<row><c><v>1</v></c><c><v>2</v></c></row>"
+        "</sheetData></worksheet>"
+    )
+    decoy = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>wrong_sheet</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        # zip order deliberately lists the decoy (sheet1.xml) first
+        z.writestr("xl/worksheets/sheet1.xml", decoy)
+        z.writestr("xl/worksheets/sheet2.xml", main)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+    df = read_excel_fallback(spark, path)
+    assert df is not None
+    assert df.columns == ["a", "b"]
+    assert [tuple(r) for r in df.collect()] == [("1", "2")]

@@ -136,7 +136,7 @@ def test_embedding_near_dups_has_no_cartesian(spark, sf01):
 def test_embedding_near_dups_precision_and_recall(spark, sf01):
     """Against the all-pairs form: every emitted pair is a true pair
     with the identical cosine (exact precision — the verify stage is an
-    exact dot), and recall at the default (planes=4, tables=12) config
+    exact dot), and recall at the default (planes=3, tables=12) config
     clears 0.8 on the sf0.01 pair set."""
     from tabsketchfm_spark.operators.vector import (
         embedding_near_dups,

@@ -142,3 +142,77 @@ def test_word_minhash_estimate_on_augmented_table(spark, sf001):
     est = minhash_jaccard_estimate(qs, cs).first().est_jaccard
     bound = 3.5 * math.sqrt(max(exact * (1 - exact), 0.01) / 100)
     assert abs(est - exact) <= bound, (exact, est)
+
+
+def test_weighted_sample_no_int64_overflow(spark):
+    """Regression (round-4 ADVICE): the inclusion test h24·W < k·w·2^24
+    overflows int64 once total weight W exceeds (2^63-1)/2^24 ≈ 5.5e11
+    — realistic for token-count weights at corpus scale. Spark
+    (non-ANSI) would wrap silently; the fix compares int128-backed
+    decimals. With uniform giant weights the inclusion probability is
+    min(1, k·w/W) = 1 for k ≥ n, so EVERY row must be kept — under the
+    old wrapped arithmetic the sample came back near-empty."""
+    import duckdb
+
+    from tabsketchfm_spark.sources.splits import (
+        weighted_sample,
+        weighted_sample_oracle_sql,
+    )
+
+    n = 8
+    big = 200_000_000_000  # 2e11 each → W = 1.6e12 > 5.5e11 threshold
+    df = spark.createDataFrame(
+        [(f"doc{i}", big) for i in range(n)], "doc_id string, w long"
+    )
+    got = weighted_sample(df, F.col("w"), "doc_id", k=n).collect()
+    assert len(got) == n, f"overflow dropped rows: kept {len(got)}/{n}"
+
+    # oracle twin agrees bit-for-bit on the same frame
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT 'doc' || CAST(i AS VARCHAR) AS doc_id, "
+        f"CAST({big} AS BIGINT) AS wt FROM range({n}) r(i)"
+    )
+    oracle = con.execute(
+        weighted_sample_oracle_sql("t", "wt", "doc_id", k=n)
+    ).fetchall()
+    assert sorted(r[0] for r in oracle) == sorted(r["id"] for r in got)
+
+
+def test_token_length_oracles_are_character_based(spark):
+    """Regression (round-4 ADVICE): DuckDB strlen() counts BYTES while
+    Spark length() counts CHARACTERS — the token_stats avg_token_len
+    and gopher mean_tok_len/short_frac oracles silently diverge on any
+    non-ASCII document (the shipped testdata is ASCII, so the parity
+    gate was green only by luck). Drive both engines over multibyte
+    text and demand bit-equality."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.text import (
+        gopher_rules,
+        gopher_rules_oracle_sql,
+        token_stats,
+        token_stats_oracle_sql,
+    )
+
+    rows = [
+        ("d1", "café naïve résumé the of and über schön"),
+        ("d2", "日本語 テスト ascii words the in on at"),
+        ("d3", "plain ascii text with the usual stopwords in it"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id VARCHAR, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+
+    for op, osql in (
+        (token_stats, token_stats_oracle_sql),
+        (gopher_rules, gopher_rules_oracle_sql),
+    ):
+        got = {r["id"]: r.asDict() for r in op(df).collect()}
+        cur = con.execute(osql("docs"))
+        cols = [d[0] for d in cur.description]
+        want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+        assert got == want, (op.__name__, got, want)
