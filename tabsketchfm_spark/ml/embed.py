@@ -51,62 +51,80 @@ def _encoder():
         import torch  # noqa: F401
 
         # A production build loads the finetuned TabularBert checkpoint
-        # here (broadcast path), batches token features, and mean-pools
-        # hidden layer 1 per SEP group (reference extract_embeddings.py
-        # find_table_col, :16-73).
+        # here (broadcast path) in place of the seeded weights inside
+        # ml/reference_forward.py — the forward/pooling math is the
+        # same (reference extract_embeddings.py find_table_col, :16-73).
         return None
     except ImportError:
         return None
 
 
-_STAT_COLS = [
-    "row_cnt", "num_nan", "distinct_cnt", "cell_width_bytes",
-    "q10", "q20", "q30", "q40", "q50", "q60", "q70", "q80", "q90",
-    "mean_v", "std_v", "min_v", "max_v",
-]
+def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> DataFrame:
+    """profile rows (one per column) → embedding table via the numpy
+    M1 reference forward (ml/reference_forward.py — the six-stream
+    embedding sum + LayerNorm of reference transformer_bert.py:24-85,
+    with seeded deterministic weights standing in for a checkpoint):
 
+    - one 'column' row per column — SEP-group mean pooling,
+    - one 'table' row per table — mean over all non-special tokens,
+    - one 'cls' row per table — the unpooled [CLS] state,
 
-def extract_embeddings(profile: DataFrame) -> DataFrame:
-    """profile rows (one per column) → embedding table:
-    one 'column' row per column + one mean-pooled 'table' row per
-    table (reference K1 pooling, extract_embeddings.py:98-117)."""
+    exactly the find_table_col contract (extract_embeddings.py:16-73,
+    98-117). Grouped ``applyInPandas`` per table: one table's token
+    sequence (≤ cols × ~5 tokens) is the reference's unit of work, so
+    the group is bounded; lake-wide extraction distributes across
+    tables. ``minhash`` optionally supplies (column_name, minhash_exact
+    array) rows (sketch_store.column_minhash_wide) for the sixth
+    stream; absent signatures fall back to zeros exactly like the
+    reference tokenizer's missing-key path (tabular_tokenizer.py:206).
+    """
+    from pyspark.sql import functions as F
 
     from tabsketchfm_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(profile.sparkSession)
 
-    def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_rows = []
-            for _, r in pdf.iterrows():
-                stats = np.array(
-                    [float(r[c]) if pd.notna(r[c]) else 0.0 for c in _STAT_COLS]
-                )
-                vec = _stub_encode(stats, f"{r.table_name}|{r.column_name}")
-                out_rows.append(
-                    (r.table_name, r.column_name, "column", vec.tolist())
-                )
-            yield pd.DataFrame(
-                out_rows, columns=["table_name", "column_name", "kind", "vector"]
-            )
+    src = profile
+    if minhash is not None:
+        src = src.join(
+            F.broadcast(minhash.select("column_name", F.col("minhash_exact").alias("_mh"))),
+            "column_name",
+            "left",
+        )
+    else:
+        src = src.withColumn("_mh", F.lit(None).cast("array<bigint>"))
 
-    cols = profile.mapInPandas(infer, schema=EMBED_SCHEMA)
-
-    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[str, list] = {}
-        for pdf in batches:
-            for _, r in pdf.iterrows():
-                acc.setdefault(r.table_name, []).append(np.array(r.vector))
-        rows = [
-            (t, None, "table", np.mean(vs, axis=0).astype(np.float32).tolist())
-            for t, vs in acc.items()
-        ]
-        yield pd.DataFrame(
-            rows, columns=["table_name", "column_name", "kind", "vector"]
+    def infer(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tabsketchfm_spark.ml.reference_forward import (
+            build_token_sequence,
+            find_table_col_pool,
+            m1_forward,
         )
 
-    tables = cols.repartition("table_name").mapInPandas(pool, schema=EMBED_SCHEMA)
-    return cols.unionByName(tables)
+        col_rows = []
+        names = {}
+        for _, r in pdf.iterrows():
+            d = {c: r[c] for c in pdf.columns if c not in ("_mh",)}
+            mh = r["_mh"]
+            d["minhash"] = None if mh is None or (isinstance(mh, float) and pd.isna(mh)) else list(mh)
+            col_rows.append(d)
+        for ci, r in enumerate(sorted(col_rows, key=lambda d: d["col_idx"])):
+            names[ci] = r["column_name"]
+        table_name = col_rows[0]["table_name"]
+        seq = build_token_sequence(col_rows)
+        states = m1_forward(seq)
+        tab, cols, cls = find_table_col_pool(seq, states)
+        out = [
+            (table_name, names[k], "column", v.astype(np.float32).tolist())
+            for k, v in sorted(cols.items())
+        ]
+        out.append((table_name, None, "table", tab.astype(np.float32).tolist()))
+        out.append((table_name, None, "cls", cls.astype(np.float32).tolist()))
+        return pd.DataFrame(
+            out, columns=["table_name", "column_name", "kind", "vector"]
+        )
+
+    return src.groupBy("table_name").applyInPandas(infer, schema=EMBED_SCHEMA)
 
 
 def value_embeddings(value_docs: DataFrame) -> DataFrame:

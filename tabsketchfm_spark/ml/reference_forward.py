@@ -1,0 +1,189 @@
+"""M1 numpy reference forward: the tabular-BERT *embedding layer* math
+without torch.
+
+Mirrors the reference's ``TabularBertEmbeddings.forward`` (reference
+transformer_bert.py:24-85): six summed streams —
+
+  1. word_embeddings(input_ids)            — wordpiece lookup
+  2. token_type_embeddings(token_type_ids) — hijacked: COLUMN TYPE
+  3. position_embeddings(position_ids)     — hijacked: COLUMN POSITION
+  4. token_position_embeddings(...)        — token position in column
+  5. value_embeddings(value_ids)           — Linear over the per-column
+     stat vector (z-scored hstack of [unique, num_nan, cell_width,
+     quantiles, pad], reference tabular_tokenizer.py:149-246)
+  6. minhash_embeddings(minhash_vals)      — Linear over the column's
+     minhash signature / 1e8 (tabular_tokenizer.py:236-246)
+
+followed by LayerNorm (eps 1e-12; dropout is identity at inference).
+Weights are DETERMINISTIC AND SEEDED — md5-derived Gaussians standing
+in for a trained checkpoint (torch is absent in this environment; a
+production build swaps ``_emb_row``/``_linear`` for checkpoint
+tensors). Embedding rows are generated on demand per (stream, id), so
+no 30k×H vocabulary table is ever materialized.
+
+Pooling follows ``find_table_col`` (reference extract_embeddings.py:
+16-73) exactly: special tokens ([CLS]/[SEP]) are masked out, the
+tokens between consecutive SEPs form one column's group, column
+embedding = mean of its token states, table embedding = mean over ALL
+non-special token states, and the CLS state rides along unpooled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+HIDDEN = 32  # hidden_size analogue — matches EMBED_DIM downstream
+VOCAB = 30522  # bert-base-uncased vocab size (public constant)
+LAYER_NORM_EPS = 1e-12
+MINHASH_SCALE = 1.0e8  # reference tabular_tokenizer.py:245 min_hash/1e8
+
+# type_dict analogue (reference tokenizer's type ids; 0 = special/other)
+TYPE_IDS = {"string": 1, "integer": 2, "float": 3, "date": 4}
+
+_STAT_COLS = [
+    "distinct_cnt", "num_nan", "cell_width_bytes",
+    "q10", "q20", "q30", "q40", "q50", "q60", "q70", "q80", "q90",
+    "mean_v", "std_v", "min_v", "max_v",
+]
+
+
+def _seed(*parts) -> int:
+    h = hashlib.md5("|".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(h[:4], "big")
+
+
+def _emb_row(stream: str, idx: int) -> np.ndarray:
+    """Deterministic embedding-table row: the (stream, id) cell of a
+    virtual embedding matrix. Scaled 1/sqrt(H) so the six-stream sum
+    stays O(1) before LayerNorm."""
+    rng = np.random.RandomState(_seed("emb", stream, idx))
+    return rng.standard_normal(HIDDEN) / math.sqrt(HIDDEN)
+
+
+def _linear(stream: str, x: np.ndarray) -> np.ndarray:
+    """Deterministic Linear(in=|x|, out=HIDDEN): W @ x + b."""
+    rng = np.random.RandomState(_seed("lin", stream, x.shape[0]))
+    w = rng.standard_normal((HIDDEN, x.shape[0])) / math.sqrt(x.shape[0])
+    b = rng.standard_normal(HIDDEN) / math.sqrt(HIDDEN)
+    return w @ x + b
+
+
+def word_id(token: str) -> int:
+    """Wordpiece-vocab id proxy: md5(token) mod vocab size. A real
+    checkpoint pairs ids with its own vocab file; the forward only
+    needs a deterministic token → id map."""
+    return _seed("wp", token) % VOCAB
+
+
+def _zscore_full(vec: np.ndarray) -> np.ndarray:
+    """scipy.stats.zscore analogue over the FULL padded vector
+    (population std), as the reference applies it to the hstack
+    including the zero padding (tabular_tokenizer.py:238-241)."""
+    m = vec.mean()
+    s = vec.std()
+    if not np.isfinite(s) or s == 0:
+        return np.zeros_like(vec)
+    return (vec - m) / s
+
+
+def build_token_sequence(col_rows: list[dict]) -> list[dict]:
+    """Column profile rows (sorted by col_idx) → the token sequence
+    [CLS, col1 name tokens, SEP, col2 name tokens, SEP, ...] with the
+    per-token id streams, mirroring the M9 layout (features.py
+    token_features) plus the full value/minhash vectors the scalar M9
+    projection drops.
+
+    Each col row dict carries: column_name, col_idx, col_type, the
+    _STAT_COLS floats (None → 0 like the reference's nan guard), and
+    optionally 'minhash' (list of signature values)."""
+    seq: list[dict] = [
+        {
+            "token": "[CLS]", "col_encoding": 0, "token_position": 0,
+            "type_id": 0, "value_vec": np.zeros(HIDDEN),
+            "minhash_vec": np.zeros(HIDDEN), "special": True,
+        }
+    ]
+    for ci, row in enumerate(sorted(col_rows, key=lambda r: r["col_idx"])):
+        stats = np.array(
+            [
+                0.0 if row.get(c) is None or (isinstance(row.get(c), float) and math.isnan(row[c]))
+                else float(row[c])
+                for c in _STAT_COLS
+            ]
+        )
+        padded = np.zeros(HIDDEN)
+        padded[: len(stats)] = stats
+        value_vec = _zscore_full(padded)
+        mh = np.zeros(HIDDEN)
+        sig = row.get("minhash") or []
+        sig = np.asarray(sig, dtype=np.float64)[: HIDDEN]
+        mh[: len(sig)] = sig / MINHASH_SCALE
+        type_id = TYPE_IDS.get(row.get("col_type"), 0)
+        name_toks = [t for t in str(row["column_name"]).split("_") if t]
+        for tp, tok in enumerate(name_toks):
+            seq.append(
+                {
+                    "token": tok, "col_encoding": ci + 1,
+                    "token_position": tp + 1, "type_id": type_id,
+                    "value_vec": value_vec, "minhash_vec": mh,
+                    "special": False,
+                }
+            )
+        seq.append(
+            {
+                "token": "[SEP]", "col_encoding": 0, "token_position": 0,
+                "type_id": 0, "value_vec": np.zeros(HIDDEN),
+                "minhash_vec": np.zeros(HIDDEN), "special": True,
+            }
+        )
+    return seq
+
+
+def m1_forward(seq: list[dict]) -> np.ndarray:
+    """The six-stream embedding sum + LayerNorm over one token
+    sequence. Returns (len(seq), HIDDEN) float64 states."""
+    out = np.empty((len(seq), HIDDEN))
+    for i, t in enumerate(seq):
+        e = (
+            _emb_row("word", word_id(t["token"]))
+            + _emb_row("type", t["type_id"])
+            + _emb_row("colpos", t["col_encoding"])
+            + _emb_row("tokpos", t["token_position"])
+            + _linear("value", t["value_vec"])
+            + _linear("minhash", t["minhash_vec"])
+        )
+        out[i] = e
+    # LayerNorm, gamma=1 beta=0 (identity affine — the untrained init)
+    m = out.mean(axis=1, keepdims=True)
+    v = out.var(axis=1, keepdims=True)
+    return (out - m) / np.sqrt(v + LAYER_NORM_EPS)
+
+
+def find_table_col_pool(
+    seq: list[dict], states: np.ndarray
+) -> tuple[np.ndarray, dict[int, np.ndarray], np.ndarray]:
+    """SEP-group mean pooling per reference find_table_col
+    (extract_embeddings.py:16-73): returns (table_embedding,
+    {column_group: column_embedding}, cls_embedding). Column groups
+    count SEPs seen AFTER the sequence start, so group k is the k-th
+    profiled column (0-based)."""
+    cls_embedding = states[0]
+    num_sep = 0
+    col_states: dict[int, list[np.ndarray]] = {}
+    kept: list[np.ndarray] = []
+    for i in range(len(seq)):
+        t = seq[i]
+        if t["special"]:
+            if t["token"] == "[SEP]" and i != 0:
+                num_sep += 1
+            continue
+        col_states.setdefault(num_sep, []).append(states[i])
+        kept.append(states[i])
+    table_embedding = np.mean(np.stack(kept), axis=0)
+    col_embeddings = {
+        k: np.mean(np.stack(v), axis=0) for k, v in col_states.items()
+    }
+    return table_embedding, col_embeddings, cls_embedding

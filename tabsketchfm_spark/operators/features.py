@@ -344,3 +344,88 @@ counts AS (SELECT feature_idx, sum(sign) AS c FROM signed GROUP BY 1 HAVING sum(
 norm AS (SELECT sqrt(sum(c * c)) AS l2 FROM counts)
 SELECT feature_idx, round(c / l2, 10) AS tf FROM counts, norm
 """
+
+
+def sep_group_pooling(profile: DataFrame, dim: int = 4) -> DataFrame:
+    """The K1 POOLING stage, SQL-expressible: SEP-group mean pooling
+    (reference extract_embeddings.py find_table_col, :16-73) over
+    FIXED closed-form per-token vectors, so DuckDB can certify the
+    pooling algebra bit-exactly while the real M1 forward (seeded
+    Gaussians, ml/reference_forward.py) keeps a rows-only check.
+
+    Token j's fixed vector component: md5(token|position_id|j) first 8
+    hex digits as a bigint — summed EXACTLY as int64 per group, divided
+    once at the end, so float accumulation order can't perturb the
+    result. Output: one row per column group (group = col_encoding,
+    i.e. 1-based column index) plus the table row (group 0, mean over
+    ALL non-special tokens):
+    (grp, n_tokens, e0..e{dim-1})."""
+    tf = token_features(profile)
+    comps = [
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("token"),
+                        F.col("position_id").cast("string"),
+                        F.lit(str(j)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias(f"h{j}")
+        for j in range(dim)
+    ]
+    toks = tf.where(~F.col("token").isin("[CLS]", "[SEP]")).select(
+        F.col("col_encoding").cast("int").alias("grp"), *comps
+    )
+    toks = toks.persist()  # two consumers: per-column groups + table row
+    scale = float(1 << 32)
+
+    def pooled(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            *[F.sum(f"h{j}").alias(f"s{j}") for j in range(dim)],
+        ).select(
+            "grp",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            *[
+                F.round(F.col(f"s{j}") / F.col("n_tokens") / scale, 12).alias(f"e{j}")
+                for j in range(dim)
+            ],
+        )
+
+    cols = pooled(toks.groupBy("grp"))
+    table = pooled(toks.withColumn("grp", F.lit(0)).groupBy("grp"))
+    return cols.unionByName(table)
+
+
+def sep_group_pooling_oracle_sql(profile_sql: str, dim: int = 4) -> str:
+    """DuckDB mirror: identical fixed vectors via the md5-prefix bigint
+    toolkit, identical exact-int64 pooling."""
+    tf = token_features_oracle_sql(profile_sql)
+    comps = ", ".join(
+        f"('0x' || substring(md5(token || '|' || CAST(position_id AS VARCHAR) || '|{j}'), 1, 8))::BIGINT AS h{j}"
+        for j in range(dim)
+    )
+    sums = ", ".join(f"sum(h{j}) AS s{j}" for j in range(dim))
+    means = ", ".join(
+        f"round(CAST(s{j} AS DOUBLE) / n_tokens / {float(1 << 32)}, 12) AS e{j}"
+        for j in range(dim)
+    )
+    return f"""
+WITH tf AS ({tf}),
+toks AS (SELECT CAST(col_encoding AS INTEGER) AS grp, {comps}
+         FROM tf WHERE token NOT IN ('[CLS]', '[SEP]')),
+bycol AS (SELECT grp, CAST(count(*) AS INTEGER) AS n_tokens, {sums} FROM toks GROUP BY grp),
+bytab AS (SELECT 0 AS grp, CAST(count(*) AS INTEGER) AS n_tokens, {sums} FROM toks)
+SELECT grp, n_tokens, {means} FROM bycol
+UNION ALL
+SELECT grp, n_tokens, {means} FROM bytab
+"""

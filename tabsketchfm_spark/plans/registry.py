@@ -510,6 +510,19 @@ _register(
 )
 
 _register(
+    # the K1 pooling stage with SQL-expressible fixed vectors — the
+    # bit-exact twin of the find_table_col pooling the real M1 forward
+    # (k1_embeddings_customer, rows-only) applies to its hidden states
+    "k1_pool_sep_groups_customer",
+    lambda spark, sf: feat.sep_group_pooling(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
+    ),
+    feat.sep_group_pooling_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4)
+    ),
+)
+
+_register(
     "m8_mask_plan_customer",
     lambda spark, sf: feat.mask_plan(
         prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)

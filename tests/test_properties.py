@@ -216,3 +216,92 @@ def test_token_length_oracles_are_character_based(spark):
         cols = [d[0] for d in cur.description]
         want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
         assert got == want, (op.__name__, got, want)
+
+
+def _m1_fixture_rows():
+    return [
+        {"table_name": "t", "column_name": "c_cust_key", "col_idx": 0,
+         "col_type": "integer", "distinct_cnt": 10, "num_nan": 0,
+         "cell_width_bytes": 4.0, "q10": 1.0, "q20": 2.0, "q30": 3.0,
+         "q40": 4.0, "q50": 5.0, "q60": 6.0, "q70": 7.0, "q80": 8.0,
+         "q90": 9.0, "mean_v": 5.0, "std_v": 2.9, "min_v": 1.0,
+         "max_v": 10.0, "minhash": [17, 23, 99]},
+        {"table_name": "t", "column_name": "c_name", "col_idx": 1,
+         "col_type": "string", "distinct_cnt": 9, "num_nan": 1,
+         "cell_width_bytes": 12.0, "q10": None, "q20": None, "q30": None,
+         "q40": None, "q50": None, "q60": None, "q70": None, "q80": None,
+         "q90": None, "mean_v": None, "std_v": None, "min_v": None,
+         "max_v": None, "minhash": None},
+    ]
+
+
+def test_m1_forward_layernorm_and_shape():
+    """The six-stream sum + LayerNorm (reference transformer_bert.py:
+    24-85): every token state has zero mean and unit variance across
+    the hidden dim (gamma=1/beta=0 at init), and the sequence is
+    [CLS, col1 toks, SEP, col2 toks, SEP]."""
+    import numpy as np
+
+    from tabsketchfm_spark.ml.reference_forward import (
+        HIDDEN,
+        build_token_sequence,
+        m1_forward,
+    )
+
+    seq = build_token_sequence(_m1_fixture_rows())
+    assert [t["token"] for t in seq] == [
+        "[CLS]", "c", "cust", "key", "[SEP]", "c", "name", "[SEP]"
+    ]
+    states = m1_forward(seq)
+    assert states.shape == (8, HIDDEN)
+    assert np.allclose(states.mean(axis=1), 0, atol=1e-9)
+    assert np.allclose(states.var(axis=1), 1, atol=1e-6)
+    # deterministic: same inputs, bit-identical outputs
+    assert np.array_equal(states, m1_forward(build_token_sequence(_m1_fixture_rows())))
+
+
+def test_m1_pooling_linearity():
+    """find_table_col semantics (reference extract_embeddings.py:16-73):
+    one group per column; the table embedding is the token-count-
+    weighted mean of the column embeddings (mean over all non-special
+    tokens), and the CLS state is position 0 unpooled."""
+    import numpy as np
+
+    from tabsketchfm_spark.ml.reference_forward import (
+        build_token_sequence,
+        find_table_col_pool,
+        m1_forward,
+    )
+
+    seq = build_token_sequence(_m1_fixture_rows())
+    states = m1_forward(seq)
+    tab, cols, cls = find_table_col_pool(seq, states)
+    assert sorted(cols) == [0, 1]  # one SEP group per column
+    counts = {0: 3, 1: 2}  # c/cust/key and c/name
+    weighted = sum(counts[k] * cols[k] for k in cols) / sum(counts.values())
+    assert np.allclose(tab, weighted, atol=1e-12)
+    assert np.array_equal(cls, states[0])
+
+
+def test_m1_value_stream_changes_embedding():
+    """The value/minhash streams are live inputs, not dead weights: the
+    SAME token sequence with different column stats or signatures must
+    produce different states (the round-3 stub ignored the minhash
+    stream entirely)."""
+    import numpy as np
+
+    from tabsketchfm_spark.ml.reference_forward import (
+        build_token_sequence,
+        m1_forward,
+    )
+
+    base = _m1_fixture_rows()
+    states0 = m1_forward(build_token_sequence(base))
+    bumped = _m1_fixture_rows()
+    bumped[0]["q50"] = 500.0
+    states1 = m1_forward(build_token_sequence(bumped))
+    assert not np.array_equal(states0, states1)
+    resig = _m1_fixture_rows()
+    resig[0]["minhash"] = [18, 23, 99]
+    states2 = m1_forward(build_token_sequence(resig))
+    assert not np.array_equal(states0, states2)
