@@ -288,6 +288,7 @@ def minhash_lsh_pairs(
     num_perm: int = 100,
     bands: int = 20,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates via banded MinHash LSH, verified by the
     signature-level Jaccard estimate.
@@ -299,7 +300,11 @@ def minhash_lsh_pairs(
 
     Scale: the only joins are equi-joins on band keys (bucket sizes
     are small by construction) and on doc id against the tiny signature
-    relation. Nothing is O(n²). Output: (id_a, id_b, est_jaccard).
+    relation. Nothing is O(n²). ``bucket_cap`` bounds the one residual
+    quadratic risk — a hot bucket of boilerplate near-identicals —
+    by hash re-splitting oversized buckets (operators/lsh.py; the
+    oracle mirrors the split bit-exactly).
+    Output: (id_a, id_b, est_jaccard).
     """
     rows = num_perm // bands
     sh = _shingles(df, id_col, text_col, n, dedupe=False)
@@ -329,9 +334,15 @@ def minhash_lsh_pairs(
         "id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("id", "bk.band", "bk.bkey")
 
+    join_keys = ["band", "bkey"]
+    if bucket_cap is not None:
+        from tabsketchfm_spark.operators.lsh import cap_bucket_split
+
+        banded = cap_bucket_split(banded, ["band", "bkey"], bucket_cap)
+        join_keys = ["band", "bkey", "sub"]
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band", "bkey"])
+        .join(banded.alias("y"), join_keys)
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -360,9 +371,16 @@ def minhash_lsh_oracle_sql(
     num_perm: int = 100,
     bands: int = 20,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> str:
     rows = num_perm // bands
     h = h32_sql("shingle", "duckdb")
+    if bucket_cap is None:
+        capped = "SELECT id, band, bkey, 0 AS sub FROM banded"
+    else:
+        from tabsketchfm_spark.operators.lsh import cap_split_sql_duckdb
+
+        capped = cap_split_sql_duckdb("banded", ["band", "bkey"], bucket_cap)
     return f"""
 WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
 perms AS ({perms_cte_duckdb(num_perm)}),
@@ -371,8 +389,9 @@ sig AS (SELECT id, i, min((a * {h} + b) % {MINHASH_PRIME}) AS s
 banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
                   md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
            FROM sig GROUP BY id, i // {rows}),
+capped AS ({capped}),
 cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-         FROM banded x JOIN banded y USING (band, bkey) WHERE x.id < y.id),
+         FROM capped x JOIN capped y USING (band, bkey, sub) WHERE x.id < y.id),
 est AS (SELECT id_a, id_b,
                sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / CAST({num_perm} AS DOUBLE)
                  AS est_jaccard

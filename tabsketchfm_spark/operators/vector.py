@@ -184,6 +184,7 @@ def embedding_near_dups(
     dim: int = 64,
     planes: int = 3,
     tables: int = 12,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """North-star near-dup: vector pairs with cosine >= threshold.
 
@@ -221,10 +222,16 @@ def embedding_near_dups(
     bk = units.select("id", F.explode(F.array(*structs)).alias("b")).select(
         "id", "b.t", "b.bucket"
     )
-    a = bk.select(F.col("id").alias("id_a"), "t", "bucket")
-    b = bk.select(F.col("id").alias("id_b"), "t", "bucket")
+    join_keys = ["t", "bucket"]
+    if bucket_cap is not None:
+        from tabsketchfm_spark.operators.lsh import cap_bucket_split
+
+        bk = cap_bucket_split(bk, ["t", "bucket"], bucket_cap)
+        join_keys = ["t", "bucket", "sub"]
+    a = bk.select(F.col("id").alias("id_a"), *join_keys)
+    b = bk.select(F.col("id").alias("id_b"), *join_keys)
     cand = (
-        a.join(b, ["t", "bucket"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -270,6 +277,7 @@ def embedding_near_dups_oracle_sql(
     dim: int = 64,
     planes: int = 3,
     tables: int = 12,
+    bucket_cap: int | None = None,
 ) -> str:
     from tabsketchfm_spark.operators.ann import _weights_duckdb
 
@@ -278,6 +286,12 @@ def embedding_near_dups_oracle_sql(
     # column capture in list lambdas, but NOT lateral args to the
     # generate_series *table* function — hence unnest() in the SELECT).
     w = _weights_duckdb("gp", dim)
+    if bucket_cap is None:
+        capped = "SELECT id, t, bucket, 0 AS sub FROM bk"
+    else:
+        from tabsketchfm_spark.operators.lsh import cap_split_sql_duckdb
+
+        capped = cap_split_sql_duckdb("bk", ["t", "bucket"], bucket_cap)
     return f"""
 WITH un AS ({_unit_cte_duckdb(table)}),
 g AS (SELECT vec_id, u, unnest(generate_series(0, {tables * planes - 1})) AS gp
@@ -288,8 +302,9 @@ dots AS (SELECT vec_id, gp // {planes} AS t,
          FROM g),
 bk AS (SELECT vec_id AS id, t, CAST(sum(bit) AS INTEGER) AS bucket
        FROM dots GROUP BY vec_id, t),
+capped AS ({capped}),
 cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+         FROM capped a JOIN capped b ON a.t = b.t AND a.bucket = b.bucket AND a.sub = b.sub
          WHERE a.id < b.id)
 SELECT id_a, id_b, round(list_dot_product(ua.u, ub.u), 6) AS cos
 FROM cand JOIN un ua ON ua.vec_id = id_a JOIN un ub ON ub.vec_id = id_b

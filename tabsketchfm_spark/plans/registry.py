@@ -279,6 +279,18 @@ _register(
     ),
     vec.embedding_near_dups_oracle_sql("embeddings", threshold=0.4),
 )
+_register(
+    # bucket-cap variant: with planes=3 the per-table buckets hold
+    # ~1/8 of the lake, far over cap=32, so the re-split path is
+    # exercised end-to-end with a bit-exact oracle
+    "dedup_embedding_cosine_capped",
+    lambda spark, sf: vec.embedding_near_dups(
+        load_table(spark, sf, "embeddings"), threshold=0.4, bucket_cap=32
+    ),
+    vec.embedding_near_dups_oracle_sql(
+        "embeddings", threshold=0.4, bucket_cap=32
+    ),
+)
 
 
 # --- dedup family on documents (north-star) ---------------------------------
@@ -310,6 +322,18 @@ _register(
         load_table(spark, sf, "documents"), threshold=0.5
     ),
     dedup.minhash_lsh_oracle_sql("documents", threshold=0.5),
+)
+_register(
+    # hot-bucket cap actually FIRING on testdata (cap=2 << the exact-dup
+    # bucket sizes): oversized (band, bkey) buckets hash re-split into
+    # sub-buckets before the pair join, bounding the one residual O(b²)
+    # island a 100 TB corpus of boilerplate would create; the oracle
+    # mirrors the sub-bucket assignment bit-exactly (operators/lsh.py)
+    "dedup_lsh_capped_documents",
+    lambda spark, sf: dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), threshold=0.5, bucket_cap=2
+    ),
+    dedup.minhash_lsh_oracle_sql("documents", threshold=0.5, bucket_cap=2),
 )
 _register(
     "dedup_simhash_documents",

@@ -202,3 +202,51 @@ def test_winnow_pairs_has_no_cartesian(spark, sf01):
     docs = load_table(spark, sf01, "documents")
     p = _plan(winnow_near_dups(docs))
     assert "Cartesian" not in p and "NestedLoop" not in p
+
+
+def test_lsh_bucket_cap_subset_and_vacuous(spark, sf01):
+    """Hot-bucket cap (operators/lsh.py): a small cap yields a SUBSET
+    of the uncapped pair set with identical estimates (re-splitting
+    only ever drops cross-sub-bucket pairs), and a cap above the
+    largest testdata bucket is vacuous — bit-identical output. The
+    capped plan stays Cartesian-free."""
+    from tabsketchfm_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf01, "documents")
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    capped_df = minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=2)
+    p = _plan(capped_df)
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    capped = {(r.id_a, r.id_b): r.est_jaccard for r in capped_df.collect()}
+    assert set(capped) <= set(full)
+    assert all(full[k] == v for k, v in capped.items())
+    vacuous = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5, bucket_cap=10**6).collect()
+    }
+    assert vacuous == full
+
+
+def test_embedding_cap_subset_and_vacuous(spark, sf01):
+    """Same contract for the RH-LSH embedding near-dup cap."""
+    from tabsketchfm_spark.operators.vector import embedding_near_dups
+
+    emb = load_table(spark, sf01, "embeddings")
+    full = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dups(emb, threshold=0.35).collect()
+    }
+    capped_df = embedding_near_dups(emb, threshold=0.35, bucket_cap=32)
+    p = _plan(capped_df)
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    capped = {(r.id_a, r.id_b): r.cos for r in capped_df.collect()}
+    assert set(capped) <= set(full)
+    assert all(full[k] == v for k, v in capped.items())
+    vacuous = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dups(emb, threshold=0.35, bucket_cap=10**6).collect()
+    }
+    assert vacuous == full
