@@ -472,6 +472,7 @@ def profile_merge_check(
     table_name: str,
     columns: list[str],
     split_col: str,
+    new_pred=None,
 ) -> DataFrame:
     """Incremental-profile algebra: the mergeable subset of the A1-A9
     stats (count / null count / exact decimal sum & sum-of-squares /
@@ -485,6 +486,11 @@ def profile_merge_check(
 
     Output: (column_name, n_val, mean_v, std_v, min_v, max_v,
     matches_direct).
+
+    ``new_pred`` overrides the parity split with an arbitrary boolean
+    Column marking the "arriving" partition — the store-lifecycle
+    callers (sketch_store.store_incremental_update) merge an existing
+    store's partials with one new partition's.
     """
     def partial_aggs(frame: DataFrame) -> DataFrame:
         aggs = []
@@ -500,8 +506,10 @@ def profile_merge_check(
             ]
         return frame.agg(*aggs)
 
-    even = partial_aggs(df.where(F.col(split_col) % 2 == 0))
-    odd = partial_aggs(df.where(F.col(split_col) % 2 == 1))
+    if new_pred is None:
+        new_pred = F.col(split_col) % 2 == 1
+    even = partial_aggs(df.where(~new_pred))
+    odd = partial_aggs(df.where(new_pred))
     both = even.unionByName(odd)
     merge_aggs = []
     for i in range(len(columns)):

@@ -244,6 +244,33 @@ _register(
 )
 
 
+def _store_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.sources.sketch_store import store_incremental_update
+
+    return store_incremental_update(
+        load_table(spark, sf, "lineitem"), "lineitem", _LI_NUM, "l_orderkey"
+    )
+
+
+def _store_incremental_oracle() -> str:
+    from tabsketchfm_spark.sources.sketch_store import (
+        store_incremental_update_oracle_sql,
+    )
+
+    return store_incremental_update_oracle_sql("lineitem", _LI_NUM, "l_orderkey")
+
+
+_register(
+    # the store LIFECYCLE: new-partition signatures + profile partials
+    # merged into "yesterday's" store entry and proven equal to the
+    # recompute, gated by the SK6 content hash — the reference's
+    # content-addressed cache (data_prep.py:150-163) done incrementally
+    "store_incremental_update",
+    _store_incremental,
+    _store_incremental_oracle(),
+)
+
+
 # --- T2/K3/K4 + embedding dedup: vector search (SURVEY §2.8) ----------------
 
 from tabsketchfm_spark.operators import vector as vec

@@ -139,3 +139,130 @@ def read_sketch_store(spark: SparkSession, path: str) -> DataFrame:
     """S8/S10: the store scan — also the lake index (file_name →
     sketch lookup is a filter on table_name)."""
     return spark.read.parquet(path)
+
+
+def store_incremental_update(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    split_col: str,
+    num_buckets: int = NUM_PERM,
+) -> DataFrame:
+    """The store MAINTENANCE path: a new partition arrives and the
+    existing sketch-store entry must be updated without rescanning
+    history — the reference's content-addressed cache
+    (data_prep.py:150-163) done incrementally instead of
+    recompute-on-hash-miss. Rows with ``split_col % 4 == 3`` play the
+    arriving partition; the other three quarters are "yesterday's
+    store". The query
+
+    1. detects the change with the SK6 content hash (old vs full —
+       the trigger that invalidates the cached entry),
+    2. merges the stored OPH signatures with the new partition's
+       (elementwise bucket MIN — minhash.merge_oph_signatures),
+    3. merges the stored mergeable profile partials with the new
+       partition's (exact decimal sums — profile.profile_merge_check),
+
+    and proves each merged result equals the recompute-from-scratch
+    bit-for-bit. Output, one row per column: (column_name, n_val,
+    mean_v, std_v, min_v, max_v, n_buckets, stats_match, sigs_match,
+    content_changed) — every flag TRUE on any input.
+    """
+    from tabsketchfm_spark.operators.minhash import (
+        merge_oph_signatures,
+        oph_signatures,
+    )
+    from tabsketchfm_spark.operators.profile import profile_merge_check
+
+    new_pred = F.pmod(F.col(split_col), F.lit(4)) == 3
+    old = df.where(~new_pred)
+    new = df.where(new_pred)
+
+    updated = merge_oph_signatures(
+        oph_signatures(old, table_name, columns, num_buckets),
+        oph_signatures(new, table_name, columns, num_buckets),
+    )
+    direct = oph_signatures(df, table_name, columns, num_buckets).select(
+        "column_name", "bucket", F.col("sig").alias("sig_direct")
+    )
+    sig_cmp = (
+        updated.join(direct, ["column_name", "bucket"], "full_outer")
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            (
+                F.sum(
+                    (F.col("sig") == F.col("sig_direct")).cast("int")
+                )
+                == F.count(F.lit(1))
+            ).alias("sigs_match"),
+        )
+    )
+
+    stats = profile_merge_check(
+        df, table_name, columns, split_col, new_pred=new_pred
+    ).withColumnRenamed("matches_direct", "stats_match")
+
+    changed = (
+        table_content_hash(old, columns)
+        .select(F.col("table_hash").alias("old_hash"))
+        .crossJoin(
+            F.broadcast(
+                table_content_hash(df, columns).select(
+                    F.col("table_hash").alias("full_hash")
+                )
+            )
+        )
+        # null-safe: an empty "yesterday" store hashes to NULL and must
+        # still read as changed (mirrors DuckDB IS DISTINCT FROM)
+        .select(
+            (~F.col("old_hash").eqNullSafe(F.col("full_hash"))).alias(
+                "content_changed"
+            )
+        )
+    )
+
+    return stats.join(sig_cmp, "column_name").crossJoin(F.broadcast(changed))
+
+
+def store_incremental_update_oracle_sql(
+    table: str,
+    columns: list[str],
+    split_col: str,
+    num_buckets: int = NUM_PERM,
+) -> str:
+    """Direct recompute with all-TRUE flags — any broken merge shows
+    up as a value or flag mismatch. n_buckets is the occupied-bucket
+    count of the direct signature; content_changed is a real hash
+    comparison (TRUE whenever the arriving quarter is non-empty)."""
+    h = h32_sql("v", "duckdb")
+    hr = h64_sql("row_str", "duckdb")
+    cols_str = ", ".join(f"CAST({c} AS VARCHAR)" for c in columns)
+    stat_parts = []
+    for c in columns:
+        v = f"CAST({c} AS DOUBLE)"
+        d = f"CAST({v} AS DECIMAL(19,6))"
+        mean = f"(CAST(sum({d}) AS DOUBLE) / count({v}))"
+        var = (
+            f"greatest(CAST(sum({d} * {d}) AS DOUBLE) / count({v})"
+            f" - {mean} * {mean}, 0.0)"
+        )
+        vals = (
+            f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table} "
+            f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+        )
+        stat_parts.append(
+            f"""SELECT '{c}' AS column_name, count({v}) AS n_val,
+  round({mean}, 6) AS mean_v, round(sqrt({var}), 6) AS std_v,
+  min({v}) AS min_v, max({v}) AS max_v,
+  (SELECT CAST(count(DISTINCT h % {num_buckets}) AS INTEGER)
+   FROM (SELECT {h} AS h FROM ({vals}) vals) hs) AS n_buckets,
+  TRUE AS stats_match, TRUE AS sigs_match,
+  (SELECT bit_xor({hr}) FROM (SELECT concat_ws(chr(1), {cols_str}) AS row_str
+                              FROM {table} WHERE {split_col} % 4 <> 3) o)
+  IS DISTINCT FROM
+  (SELECT bit_xor({hr}) FROM (SELECT concat_ws(chr(1), {cols_str}) AS row_str
+                              FROM {table}) f) AS content_changed
+FROM {table}"""
+        )
+    return "\nUNION ALL\n".join(stat_parts)

@@ -108,3 +108,38 @@ def test_content_hash_deterministic_and_sensitive(spark, sf001):
     assert h1 == h2
     h3 = table_content_hash(nation.limit(10), nation.columns).first().table_hash
     assert h1 != h3
+
+
+def test_store_incremental_update_all_flags_true(spark, sf001):
+    """Store lifecycle: merging the arriving quarter's signatures and
+    profile partials into 'yesterday's' store entry must equal the
+    recompute bit-for-bit for every column, and the content-hash gate
+    must report the change."""
+    from tabsketchfm_spark.sources.sketch_store import store_incremental_update
+
+    li = load_table(spark, sf001, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    rows = store_incremental_update(li, "lineitem", cols, "l_orderkey").collect()
+    assert {r.column_name for r in rows} == set(cols)
+    assert all(r.stats_match for r in rows)
+    assert all(r.sigs_match for r in rows)
+    assert all(r.content_changed for r in rows)
+    assert all(r.n_buckets > 0 for r in rows)
+
+
+def test_store_incremental_update_unchanged_partition(spark, sf001):
+    """With an EMPTY arriving partition (no rows hit split % 4 == 3 on
+    a doctored key) the content gate reports no change and the merged
+    store still equals the recompute — the idempotent no-op update."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.sources.sketch_store import store_incremental_update
+
+    li = load_table(spark, sf001, "lineitem").withColumn(
+        "k4", (F.col("l_orderkey") * 4).cast("bigint")
+    )
+    rows = store_incremental_update(
+        li, "lineitem", ["l_quantity", "l_discount"], "k4"
+    ).collect()
+    assert all(not r.content_changed for r in rows)
+    assert all(r.stats_match and r.sigs_match for r in rows)
