@@ -1076,6 +1076,10 @@ _register(
 # variants. Everything else keeps registration order after the prefix and
 # is still covered by the local oracle mirror (tests/test_oracle_parity.py).
 
+# Curated per round: one representative per operator family, with each
+# round's new flagships swapped in for near-duplicate family slots so
+# the driver's 50-row window certifies them (the full registry is still
+# checked by tests/test_oracle_parity.py).
 _DRIVER_WINDOW = [
     "a1a8_profile_lineitem",
     "clean_outlier_scan_lineitem",
@@ -1083,7 +1087,7 @@ _DRIVER_WINDOW = [
     "p6_serial_key_events",
     "p9_name_repair",
     "sk1_minhash_orders_keys",
-    "sk2_minhash_words_part",
+    "dedup_winnow_pairs_documents",
     "sk_merge_oph_lineitem",
     "sk3_snapshot_lineitem",
     "sk4_hashing_vector_part",
@@ -1096,11 +1100,11 @@ _DRIVER_WINDOW = [
     "k5_search_eval",
     "j1_lake_index",
     "j2_pair_completeness",
-    "j3_query_candidate_pairs",
+    "k1_pool_sep_groups_customer",
     "t2_cosine_topk_embeddings",
     "vec_quantize_int8",
     "dedup_exact_documents",
-    "dedup_ngram_jaccard_documents",
+    "dedup_lsh_capped_documents",
     "dedup_minhash_lsh_documents",
     "dedup_simhash_pairs_documents",
     "dedup_clusters_documents",
@@ -1108,7 +1112,7 @@ _DRIVER_WINDOW = [
     "dedup_semantic_clustered",
     "text_token_stats",
     "text_quality_score",
-    "text_lang_id",
+    "text_gopher_rules",
     "text_pack_sequences",
     "text_decontaminate_documents",
     "w1_running_user_totals",
@@ -1119,9 +1123,9 @@ _DRIVER_WINDOW = [
     "m9_token_features_customer",
     "m10_pair_tokens_customer_supplier",
     "a12_classification_metrics",
-    "a12_regression_metrics",
+    "w5_cusum_drift_events",
     "q1_pricing_summary",
-    "q18_large_order_customers",
+    "store_incremental_update",
     "pivot_event_counts",
     "cube_order_stats",
     "user_set_ops",
