@@ -270,6 +270,96 @@ def salted_join_agg(
     )
 
 
+def salted_join_agg_adaptive(
+    spark: SparkSession,
+    sf_dir: str,
+    n_salts: int = 8,
+    hot_threshold: int = 5,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Skew-ADAPTIVE salted join: the salt width follows the measured
+    skew instead of a fixed factor. A cheap heavy-hitter pre-pass
+    (deterministic hash-sample of the fact side — ``sample_mod=1``
+    reads everything, at 100 TB set ~100 for a 1% sample) finds join
+    keys with more than ``hot_threshold`` (sampled) rows; ONLY those
+    keys get salted. Cold keys keep salt 0, so the build side is
+    replicated just (n_salts−1)×|hot keys| extra rows instead of
+    (n_salts−1)×|orders| — the fixed-salt variant's cost — while hot
+    keys still fan across ``n_salts`` reducers. The hot-key set is a
+    heavy-hitter relation by construction (tiny), so it broadcasts to
+    tag both sides. Results are bit-identical to the unsalted join —
+    the same DuckDB oracle as the fixed-salt query.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        ).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    sample = lineitem
+    if sample_mod > 1:
+        # deterministic row sample — retries recompute the same set
+        sample = lineitem.where(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(sample_mod)) == 0
+        )
+    hot = (
+        sample.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_kc"))
+        .where(F.col("_kc") > hot_threshold)
+        .select("l_orderkey", F.lit(True).alias("is_hot"))
+    )
+
+    fact = lineitem.join(F.broadcast(hot), "l_orderkey", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"),
+            F.pmod(F.xxhash64("l_linenumber"), F.lit(n_salts)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    build = (
+        orders.join(
+            F.broadcast(hot.withColumnRenamed("l_orderkey", "o_orderkey")),
+            "o_orderkey",
+            "left",
+        )
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("is_hot"), F.lit(n_salts - 1)).otherwise(F.lit(0)),
+                )
+            ),
+        )
+        .drop("is_hot")
+    )
+    joined = fact.join(
+        build.hint("merge"),
+        (fact["l_orderkey"] == build["o_orderkey"]) & (fact["salt"] == build["salt"]),
+    )
+    return (
+        joined.join(F.broadcast(customer), joined["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .select("c_mktsegment", "revenue", "line_cnt")
+    )
+
+
 def salted_join_agg_oracle_sql() -> str:
     """The UNSALTED equivalent — salting must not change results."""
     return """

@@ -839,6 +839,13 @@ _register(
     ana.salted_join_agg_oracle_sql(),
 )
 _register(
+    # skew-ADAPTIVE variant: heavy-hitter pre-pass picks the hot keys,
+    # only those are salted/replicated — same unsalted oracle
+    "scale_salted_join_adaptive",
+    lambda spark, sf: ana.salted_join_agg_adaptive(spark, sf),
+    ana.salted_join_agg_oracle_sql(),
+)
+_register(
     "q18_large_order_customers",
     lambda spark, sf: ana.large_order_customers(spark, sf),
     ana.large_order_customers_oracle_sql(),

@@ -250,3 +250,61 @@ def test_embedding_cap_subset_and_vacuous(spark, sf01):
         for r in embedding_near_dups(emb, threshold=0.35, bucket_cap=10**6).collect()
     }
     assert vacuous == full
+
+
+def test_adaptive_salt_only_on_hot_keys(spark, sf01):
+    """Skew-adaptive salting: only keys over the heavy-hitter threshold
+    are salted — the build side carries (n_salts−1)×|hot| extra rows,
+    not (n_salts−1)×|orders| — and the aggregate is bit-identical to
+    the fixed-salt form. Join stays a shuffle join on the composite
+    key with the dims broadcast."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.analytics import (
+        salted_join_agg,
+        salted_join_agg_adaptive,
+    )
+    from tabsketchfm_spark.sources.tables import load_table as lt
+
+    n_salts, thr = 8, 5
+    adf = salted_join_agg_adaptive(spark, sf01, n_salts=n_salts, hot_threshold=thr)
+    p = _plan(adf)
+    assert "BroadcastHashJoin" in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "Cartesian" not in p and "NestedLoop" not in p
+
+    fixed = {tuple(r) for r in salted_join_agg(spark, sf01).collect()}
+    adaptive = {tuple(r) for r in adf.collect()}
+    assert adaptive == fixed
+
+    # replication accounting: hot keys measured independently
+    li = lt(spark, sf01, "lineitem")
+    n_hot = (
+        li.groupBy("l_orderkey").count().where(F.col("count") > thr).count()
+    )
+    n_orders = lt(spark, sf01, "orders").count()
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_kc"))
+        .where(F.col("_kc") > thr)
+        .select("l_orderkey", F.lit(True).alias("is_hot"))
+    )
+    build = (
+        lt(spark, sf01, "orders")
+        .join(
+            F.broadcast(hot.withColumnRenamed("l_orderkey", "o_orderkey")),
+            "o_orderkey",
+            "left",
+        )
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.col("is_hot"), F.lit(n_salts - 1)).otherwise(F.lit(0)),
+                )
+            ),
+        )
+    )
+    assert n_hot > 0  # threshold actually splits the testdata key set
+    assert build.count() == n_orders + (n_salts - 1) * n_hot
