@@ -1,0 +1,124 @@
+"""S13: model checkpoint sink/scan — without torch.
+
+The reference trains with pytorch-lightning and persists torch
+checkpoints (pretrain.py:135-158, the ModelCheckpoint callback); the
+inference side then loads the state dict before extraction
+(extract_embeddings.py). Here the model is the numpy reference
+forward (ml/reference_forward.py), so the checkpoint is its full
+tensor set, materialized from the seeded generators:
+
+- the four embedding tables (word 30522×H, type, column-position,
+  token-position — the "hijacked" BERT streams),
+- the two Linear streams (value, minhash),
+- every encoder-block matrix/bias (q/k/v per head, output, FFN).
+
+Sink: one ``.npz`` (compressed) plus a JSON manifest carrying dims
+and an md5 content hash over the tensor bytes — the same
+content-addressed integrity idea as the sketch store's SK6. Scan:
+load, verify the hash, and INSTALL the tensors so the forward
+resolves weights from the checkpoint instead of the seeded
+generators — the state_dict swap a torch build performs. A finetuned
+build would write different tensors into the same layout; everything
+downstream (extraction, pooling, search) is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+from tabsketchfm_spark.ml import reference_forward as rf
+
+MAX_POS = 512  # position-table sizes (config.max_position_embeddings)
+N_TYPES = 5
+
+
+def materialize_weights() -> dict[str, np.ndarray]:
+    """Every tensor the forward consults, generated from the seeds —
+    the model's full state dict."""
+    w: dict[str, np.ndarray] = {}
+    w["emb.word"] = np.stack([rf._emb_row("word", i) for i in range(rf.VOCAB)])
+    w["emb.type"] = np.stack([rf._emb_row("type", i) for i in range(N_TYPES)])
+    w["emb.colpos"] = np.stack([rf._emb_row("colpos", i) for i in range(MAX_POS)])
+    w["emb.tokpos"] = np.stack([rf._emb_row("tokpos", i) for i in range(MAX_POS)])
+    for stream in ("value", "minhash"):
+        rng = np.random.RandomState(rf._seed("lin", stream, rf.HIDDEN))
+        w[f"lin.{stream}.w"] = rng.standard_normal(
+            (rf.HIDDEN, rf.HIDDEN)
+        ) / np.sqrt(rf.HIDDEN)
+        w[f"lin.{stream}.b"] = rng.standard_normal(rf.HIDDEN) / np.sqrt(rf.HIDDEN)
+    layer = 0
+    for h in range(rf.N_HEADS):
+        for kind in ("q", "k", "v"):
+            name = f"l{layer}.{kind}{h}"
+            w[f"mat.{name}"] = rf._mat(name, rf.HEAD_DIM, rf.HIDDEN)
+            w[f"bias.{name}"] = rf._bias(name, rf.HEAD_DIM)
+    w[f"mat.l{layer}.o"] = rf._mat(f"l{layer}.o", rf.HIDDEN, rf.HIDDEN)
+    w[f"bias.l{layer}.o"] = rf._bias(f"l{layer}.o", rf.HIDDEN)
+    w[f"mat.l{layer}.ffn_in"] = rf._mat(f"l{layer}.ffn_in", rf.INTERMEDIATE, rf.HIDDEN)
+    w[f"bias.l{layer}.ffn_in"] = rf._bias(f"l{layer}.ffn_in", rf.INTERMEDIATE)
+    w[f"mat.l{layer}.ffn_out"] = rf._mat(f"l{layer}.ffn_out", rf.HIDDEN, rf.INTERMEDIATE)
+    w[f"bias.l{layer}.ffn_out"] = rf._bias(f"l{layer}.ffn_out", rf.HIDDEN)
+    return w
+
+
+def _content_hash(w: dict[str, np.ndarray]) -> str:
+    h = hashlib.md5()
+    for k in sorted(w):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(w[k]).tobytes())
+    return h.hexdigest()
+
+
+def save_checkpoint(path: str, weights: dict[str, np.ndarray] | None = None) -> dict:
+    """Sink: write <path>.npz + <path>.json manifest; returns the
+    manifest (with the content hash — the checkpoint's identity)."""
+    w = weights if weights is not None else materialize_weights()
+    np.savez_compressed(path + ".npz", **w)
+    manifest = {
+        "hidden": rf.HIDDEN,
+        "vocab": rf.VOCAB,
+        "n_heads": rf.N_HEADS,
+        "intermediate": rf.INTERMEDIATE,
+        "tensors": {k: list(v.shape) for k, v in sorted(w.items())},
+        "content_hash": _content_hash(w),
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def load_checkpoint(path: str, verify: bool = True) -> dict[str, np.ndarray]:
+    """Scan: load the npz, verify the manifest hash (a corrupted or
+    tampered checkpoint fails loudly, never silently misinfers)."""
+    with np.load(path + ".npz") as z:
+        w = {k: z[k] for k in z.files}
+    if verify:
+        with open(path + ".json") as f:
+            manifest = json.load(f)
+        got = _content_hash(w)
+        if got != manifest["content_hash"]:
+            raise IOError(
+                f"checkpoint content hash mismatch at {path}: "
+                f"manifest {manifest['content_hash']}, tensors {got}"
+            )
+    return w
+
+
+def install_checkpoint(weights: dict[str, np.ndarray]) -> None:
+    """Route the forward's weight lookups through these tensors (the
+    state_dict swap). Affects the current process only — workers each
+    install from the broadcast path in a real deployment."""
+    rf._OVERRIDE.clear()
+    rf._OVERRIDE.update(weights)
+
+
+def clear_checkpoint() -> None:
+    rf._OVERRIDE.clear()
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.exists(path + ".npz") and os.path.exists(path + ".json")

@@ -61,9 +61,11 @@ def _encoder():
 
 def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> DataFrame:
     """profile rows (one per column) → embedding table via the numpy
-    M1 reference forward (ml/reference_forward.py — the six-stream
-    embedding sum + LayerNorm of reference transformer_bert.py:24-85,
-    with seeded deterministic weights standing in for a checkpoint):
+    reference forward (ml/reference_forward.py): the M1 six-stream
+    embedding sum + LayerNorm (reference transformer_bert.py:24-85)
+    fed through one M2 encoder block, pooling the HIDDEN LAYER 1
+    states the reference pools (extract_embeddings.py:100,105), with
+    seeded deterministic weights standing in for a checkpoint:
 
     - one 'column' row per column — SEP-group mean pooling,
     - one 'table' row per table — mean over all non-special tokens,
@@ -98,7 +100,7 @@ def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> 
         from tabsketchfm_spark.ml.reference_forward import (
             build_token_sequence,
             find_table_col_pool,
-            m1_forward,
+            hidden_layer_1,
         )
 
         col_rows = []
@@ -112,7 +114,9 @@ def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> 
             names[ci] = r["column_name"]
         table_name = col_rows[0]["table_name"]
         seq = build_token_sequence(col_rows)
-        states = m1_forward(seq)
+        # hidden layer 1 — embedding layer + first encoder block — is
+        # what the reference pools (extract_embeddings.py:100,105)
+        states = hidden_layer_1(seq)
         tab, cols, cls = find_table_col_pool(seq, states)
         out = [
             (table_name, names[k], "column", v.astype(np.float32).tolist())

@@ -55,19 +55,32 @@ def _seed(*parts) -> int:
     return int.from_bytes(h[:4], "big")
 
 
+# Installed checkpoint weights (ml/checkpoint.py S13 scan). When empty,
+# every weight regenerates from its md5 seed; when a checkpoint is
+# installed, lookups resolve against its tensors instead — the same
+# swap a torch build performs with state_dict loading.
+_OVERRIDE: dict[str, np.ndarray] = {}
+
+
 def _emb_row(stream: str, idx: int) -> np.ndarray:
     """Deterministic embedding-table row: the (stream, id) cell of a
     virtual embedding matrix. Scaled 1/sqrt(H) so the six-stream sum
     stays O(1) before LayerNorm."""
+    ovr = _OVERRIDE.get(f"emb.{stream}")
+    if ovr is not None and idx < ovr.shape[0]:
+        return ovr[idx]
     rng = np.random.RandomState(_seed("emb", stream, idx))
     return rng.standard_normal(HIDDEN) / math.sqrt(HIDDEN)
 
 
 def _linear(stream: str, x: np.ndarray) -> np.ndarray:
     """Deterministic Linear(in=|x|, out=HIDDEN): W @ x + b."""
-    rng = np.random.RandomState(_seed("lin", stream, x.shape[0]))
-    w = rng.standard_normal((HIDDEN, x.shape[0])) / math.sqrt(x.shape[0])
-    b = rng.standard_normal(HIDDEN) / math.sqrt(HIDDEN)
+    w = _OVERRIDE.get(f"lin.{stream}.w")
+    b = _OVERRIDE.get(f"lin.{stream}.b")
+    if w is None or b is None:
+        rng = np.random.RandomState(_seed("lin", stream, x.shape[0]))
+        w = rng.standard_normal((HIDDEN, x.shape[0])) / math.sqrt(x.shape[0])
+        b = rng.standard_normal(HIDDEN) / math.sqrt(HIDDEN)
     return w @ x + b
 
 
@@ -187,3 +200,100 @@ def find_table_col_pool(
         k: np.mean(np.stack(v), axis=0) for k, v in col_states.items()
     }
     return table_embedding, col_embeddings, cls_embedding
+
+
+# ---------------------------------------------------------------------------
+# M2: one BERT encoder layer (numpy) — the reference pools HIDDEN LAYER
+# 1, i.e. the output of the first transformer block, not the embedding
+# layer (extract_embeddings.py:100 `hidden_states[1:]`, :105 layer 0).
+# Standard public BERT layer math (Vaswani et al. 2017 / Devlin et al.
+# 2018): multi-head self-attention + residual + LayerNorm, then a
+# GELU FFN + residual + LayerNorm. Weights are the same seeded
+# deterministic scheme as the embedding streams — a checkpoint drop-in
+# replaces _mat/_bias.
+
+N_HEADS = 4
+HEAD_DIM = HIDDEN // N_HEADS
+INTERMEDIATE = 4 * HIDDEN
+
+
+def _mat(name: str, out_dim: int, in_dim: int) -> np.ndarray:
+    ovr = _OVERRIDE.get(f"mat.{name}")
+    if ovr is not None:
+        return ovr
+    rng = np.random.RandomState(_seed("mat", name, out_dim, in_dim))
+    return rng.standard_normal((out_dim, in_dim)) / math.sqrt(in_dim)
+
+
+def _bias(name: str, dim: int) -> np.ndarray:
+    ovr = _OVERRIDE.get(f"bias.{name}")
+    if ovr is not None:
+        return ovr
+    rng = np.random.RandomState(_seed("bias", name, dim))
+    return rng.standard_normal(dim) / math.sqrt(dim)
+
+
+def _layer_norm_rows(x: np.ndarray) -> np.ndarray:
+    m = x.mean(axis=1, keepdims=True)
+    v = x.var(axis=1, keepdims=True)
+    return (x - m) / np.sqrt(v + LAYER_NORM_EPS)
+
+
+_erf = np.vectorize(math.erf)
+
+
+def _gelu(x: np.ndarray) -> np.ndarray:
+    """Exact erf GELU (BERT's gelu), via math.erf — no scipy in env."""
+    return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)))
+
+
+def attention_probs(states: np.ndarray, layer: int = 0) -> np.ndarray:
+    """(heads, seq, seq) softmax attention rows — exposed for the
+    rows-sum-to-1 property test."""
+    n = states.shape[0]
+    probs = np.empty((N_HEADS, n, n))
+    for h in range(N_HEADS):
+        q = states @ _mat(f"l{layer}.q{h}", HEAD_DIM, HIDDEN).T + _bias(
+            f"l{layer}.q{h}", HEAD_DIM
+        )
+        k = states @ _mat(f"l{layer}.k{h}", HEAD_DIM, HIDDEN).T + _bias(
+            f"l{layer}.k{h}", HEAD_DIM
+        )
+        scores = (q @ k.T) / math.sqrt(HEAD_DIM)
+        scores -= scores.max(axis=1, keepdims=True)  # stable softmax
+        e = np.exp(scores)
+        probs[h] = e / e.sum(axis=1, keepdims=True)
+    return probs
+
+
+def encoder_layer(states: np.ndarray, layer: int = 0) -> np.ndarray:
+    """One transformer block over (seq, HIDDEN) states."""
+    probs = attention_probs(states, layer)
+    ctx = np.concatenate(
+        [
+            probs[h]
+            @ (
+                states @ _mat(f"l{layer}.v{h}", HEAD_DIM, HIDDEN).T
+                + _bias(f"l{layer}.v{h}", HEAD_DIM)
+            )
+            for h in range(N_HEADS)
+        ],
+        axis=1,
+    )
+    attn_out = ctx @ _mat(f"l{layer}.o", HIDDEN, HIDDEN).T + _bias(
+        f"l{layer}.o", HIDDEN
+    )
+    x1 = _layer_norm_rows(states + attn_out)
+    ffn = (
+        _gelu(x1 @ _mat(f"l{layer}.ffn_in", INTERMEDIATE, HIDDEN).T
+              + _bias(f"l{layer}.ffn_in", INTERMEDIATE))
+        @ _mat(f"l{layer}.ffn_out", HIDDEN, INTERMEDIATE).T
+        + _bias(f"l{layer}.ffn_out", HIDDEN)
+    )
+    return _layer_norm_rows(x1 + ffn)
+
+
+def hidden_layer_1(seq: list[dict]) -> np.ndarray:
+    """The states the reference actually pools: embedding layer (M1)
+    fed through the first encoder block (M2)."""
+    return encoder_layer(m1_forward(seq), layer=0)

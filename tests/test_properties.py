@@ -305,3 +305,45 @@ def test_m1_value_stream_changes_embedding():
     resig[0]["minhash"] = [18, 23, 99]
     states2 = m1_forward(build_token_sequence(resig))
     assert not np.array_equal(states0, states2)
+
+
+def test_m2_encoder_layer_properties():
+    """One BERT block (reference pools its output as hidden layer 1):
+    attention rows are probability distributions (sum to 1), the block
+    output is LayerNormed (zero mean / unit variance per token),
+    deterministic, and actually mixes information across positions
+    (perturbing one token's stats changes OTHER tokens' layer-1 states,
+    which the embedding layer alone cannot do)."""
+    import numpy as np
+
+    from tabsketchfm_spark.ml.reference_forward import (
+        HIDDEN,
+        attention_probs,
+        build_token_sequence,
+        hidden_layer_1,
+        m1_forward,
+    )
+
+    seq = build_token_sequence(_m1_fixture_rows())
+    states0 = m1_forward(seq)
+    probs = attention_probs(states0)
+    assert probs.shape == (4, len(seq), len(seq))
+    assert np.allclose(probs.sum(axis=2), 1.0, atol=1e-12)
+    assert (probs >= 0).all()
+
+    h1 = hidden_layer_1(seq)
+    assert h1.shape == (len(seq), HIDDEN)
+    assert np.allclose(h1.mean(axis=1), 0, atol=1e-9)
+    assert np.allclose(h1.var(axis=1), 1, atol=1e-6)
+    assert np.array_equal(h1, hidden_layer_1(build_token_sequence(_m1_fixture_rows())))
+
+    bumped = _m1_fixture_rows()
+    bumped[0]["q50"] = 500.0
+    h1b = hidden_layer_1(build_token_sequence(bumped))
+    m1b = m1_forward(build_token_sequence(bumped))
+    # embedding layer: only column-0 token states change (positions 1-3)
+    changed_m1 = [i for i in range(len(seq)) if not np.allclose(states0[i], m1b[i])]
+    assert changed_m1 == [1, 2, 3]
+    # after attention, the change propagates to every position
+    changed_h1 = [i for i in range(len(seq)) if not np.allclose(h1[i], h1b[i])]
+    assert changed_h1 == list(range(len(seq)))

@@ -31,3 +31,55 @@ def test_search_result_sink_roundtrip(spark, sf001, tmp_path):
     assert back.count() == res.count()
     top = back.where("rank = 1").first()
     assert (top.cand_table, top.cand_column) == ("customer", "c_custkey")
+
+
+def test_checkpoint_roundtrip_drives_inference(tmp_path):
+    """S13: the npz checkpoint sink/scan. Materialized weights round-
+    trip bit-exactly (install → identical forward), the manifest hash
+    rejects tampered tensors, and installed tensors genuinely DRIVE
+    inference (a zeroed word table changes the states)."""
+    import numpy as np
+    import pytest
+
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml.reference_forward import (
+        build_token_sequence,
+        hidden_layer_1,
+    )
+
+    rows = [
+        {"table_name": "t", "column_name": "a_key", "col_idx": 0,
+         "col_type": "integer", "distinct_cnt": 3, "num_nan": 0,
+         "cell_width_bytes": 4.0, "q10": 1.0, "q20": 1.0, "q30": 2.0,
+         "q40": 2.0, "q50": 2.0, "q60": 3.0, "q70": 3.0, "q80": 3.0,
+         "q90": 3.0, "mean_v": 2.0, "std_v": 0.8, "min_v": 1.0,
+         "max_v": 3.0, "minhash": [5, 7]},
+    ]
+    seq = build_token_sequence(rows)
+    base = hidden_layer_1(seq)
+
+    path = str(tmp_path / "model-ckpt")
+    manifest = ck.save_checkpoint(path)
+    assert ck.checkpoint_exists(path)
+    assert manifest["hidden"] == 32 and "emb.word" in manifest["tensors"]
+
+    w = ck.load_checkpoint(path)
+    try:
+        ck.install_checkpoint(w)
+        assert np.array_equal(hidden_layer_1(seq), base)  # state-dict swap is lossless
+        zeroed = dict(w)
+        zeroed["emb.word"] = np.zeros_like(w["emb.word"])
+        ck.install_checkpoint(zeroed)
+        assert not np.array_equal(hidden_layer_1(seq), base)  # weights drive inference
+    finally:
+        ck.clear_checkpoint()
+    assert np.array_equal(hidden_layer_1(seq), base)
+
+    # tamper → loud failure
+    import numpy as _np
+
+    bad = dict(w)
+    bad["lin.value.b"] = w["lin.value.b"] + 1.0
+    _np.savez_compressed(path + ".npz", **bad)
+    with pytest.raises(IOError, match="hash mismatch"):
+        ck.load_checkpoint(path)
