@@ -820,3 +820,208 @@ SELECT id, n_tokens, round(mean_len, 6) AS mean_tok_len,
         AND short_frac <= 0.6 AND n_stop >= 1) AS pass_all
 FROM m
 """
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term query (Robertson &
+    Spärck Jones BM25; Lucene's non-negative idf form
+    ln(1 + (N - df + 0.5)/(df + 0.5))) — the corpus-search face of the
+    text stack: decontamination lookups, eval-set retrieval, boosted
+    quality sampling.
+
+    Scale shape = inverted index as relational algebra: the token
+    explode is filtered to the query's terms BEFORE any shuffle (the
+    posting lists), tf is one grouped count, df one more, and the
+    global (N, avgdl) scalar attaches as a broadcast literal row.
+    Nothing is O(corpus × query). Per-doc scores sum their per-term
+    contributions via sorted left-to-right aggregate, so the float
+    total is partition-order-free and the DuckDB twin (list_reduce
+    over an ORDER BY list) lands bit-identically. Final top-k is a
+    row_number over the MATCHED docs only (bounded by the posting
+    lists, not the corpus). Output: (id, score, rank) — rank 1..k,
+    ties broken by id.
+    """
+    toks = _toks_spark(text_col)
+    terms = sorted(set(query_terms))
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(toks)).alias("t")
+    )
+    # corpus scalars: exact int sums → deterministic doubles
+    dl = df.select(
+        F.col(id_col).alias("id"), F.expr(f"size({toks})").alias("dl")
+    )
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("_tot")
+    ).select(
+        "n_docs", (F.col("_tot") / F.col("n_docs")).alias("avgdl")
+    )
+    post = tok_rows.where(F.col("t").isin(terms))
+    tf = post.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    from pyspark.sql import Window
+
+    total = scored.groupBy("id").agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(s)), cast(0.0 as double),"
+                " (a, v) -> a + v)"
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return (
+        total.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "score", "rank")
+    )
+
+
+def bm25_topk_oracle_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = _toks_duckdb(text_col)
+    terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
+    return f"""
+WITH dl AS (SELECT {id_col} AS id, len({toks}) AS dl FROM {table}),
+scal AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+post AS (SELECT {id_col} AS id, t
+         FROM (SELECT {id_col}, unnest({toks}) AS t FROM {table})
+         WHERE t IN ({terms})),
+tf AS (SELECT id, t, count(*) AS tf FROM post GROUP BY 1, 2),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+scored AS (SELECT id,
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf * ({k1} + 1))
+                  / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)) AS s
+           FROM tf JOIN dfreq USING (t) JOIN dl USING (id), scal),
+total AS (SELECT id,
+                 round(list_reduce(list(s ORDER BY s), (a, v) -> a + v), 6) AS score
+          FROM scored GROUP BY id),
+ranked AS (SELECT id, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rank
+           FROM total)
+SELECT id, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def unigram_logppl(
+    df: DataFrame,
+    nll_threshold: float = 4.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model scoring — the cheap perplexity-style
+    quality filter of LLM corpus pipelines (KenLM-shaped gate, one
+    order): train add-one-smoothed unigram probabilities on the corpus
+    itself, score each document by its mean negative log-likelihood
+    (= log perplexity), and flag documents above the threshold
+    (gibberish / far-out-of-domain text scores high).
+
+    p(t) = (c(t) + 1) / (T + V) from exact integer corpus counts; a
+    document's NLL sums tf·ln p(t) over its distinct terms via the
+    sorted left-to-right aggregate, so the float total is
+    partition-order-free and bit-equal to the DuckDB list_reduce twin.
+    ln perplexity (not perplexity) is emitted deliberately: exp() is
+    libm-dependent across engines, ln of a deterministic ratio is not.
+
+    Scale: one token-count shuffle (map-side combined), one posting
+    join on the term, one grouped sorted-sum per doc. Output:
+    (id, n_tokens, avg_nll, pass_lm).
+    """
+    toks = _toks_spark(text_col)
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(toks)).alias("t")
+    )
+    counts = tok_rows.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    scal = counts.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("vocab")
+    )
+    tf = tok_rows.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        tf.join(counts, "t")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            "tf",
+            (
+                F.col("tf")
+                * -F.log((F.col("c") + 1.0) / (F.col("tot") + F.col("vocab")))
+            ).alias("nll_t"),
+        )
+    )
+    return (
+        terms.groupBy("id")
+        .agg(
+            F.sum("tf").cast("int").alias("n_tokens"),
+            F.expr(
+                "aggregate(array_sort(collect_list(nll_t)), cast(0.0 as double),"
+                " (a, v) -> a + v)"
+            ).alias("_nll"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(F.col("_nll") / F.col("n_tokens"), 6).alias("avg_nll"),
+            (F.round(F.col("_nll") / F.col("n_tokens"), 6) <= nll_threshold).alias(
+                "pass_lm"
+            ),
+        )
+    )
+
+
+def unigram_logppl_oracle_sql(
+    table: str,
+    nll_threshold: float = 4.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = _toks_duckdb(text_col)
+    return f"""
+WITH tok AS (SELECT {id_col} AS id, unnest({toks}) AS t FROM {table}),
+counts AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+scal AS (SELECT sum(c) AS tot, count(*) AS vocab FROM counts),
+tf AS (SELECT id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+terms AS (SELECT id, tf,
+                 tf * -ln((c + 1.0) / (tot + vocab)) AS nll_t
+          FROM tf JOIN counts USING (t), scal),
+agg AS (SELECT id, CAST(sum(tf) AS INTEGER) AS n_tokens,
+               list_reduce(list(nll_t ORDER BY nll_t), (a, v) -> a + v) AS nll
+        FROM terms GROUP BY id)
+SELECT id, n_tokens, round(nll / n_tokens, 6) AS avg_nll,
+       round(nll / n_tokens, 6) <= {nll_threshold} AS pass_lm
+FROM agg
+"""

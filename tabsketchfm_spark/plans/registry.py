@@ -908,6 +908,19 @@ _register(
     txt.winnow_near_dups_oracle_sql("documents"),
 )
 _register(
+    "text_unigram_logppl",
+    lambda spark, sf: txt.unigram_logppl(load_table(spark, sf, "documents")),
+    txt.unigram_logppl_oracle_sql("documents"),
+)
+_BM25_QUERY = ["spark", "window", "customer", "vector"]
+_register(
+    "text_bm25_topk_documents",
+    lambda spark, sf: txt.bm25_topk(
+        load_table(spark, sf, "documents"), _BM25_QUERY, k=10
+    ),
+    txt.bm25_topk_oracle_sql("documents", _BM25_QUERY, k=10),
+)
+_register(
     "text_gopher_rules",
     lambda spark, sf: txt.gopher_rules(load_table(spark, sf, "documents")),
     txt.gopher_rules_oracle_sql("documents"),

@@ -347,3 +347,41 @@ def test_m2_encoder_layer_properties():
     # after attention, the change propagates to every position
     changed_h1 = [i for i in range(len(seq)) if not np.allclose(h1[i], h1b[i])]
     assert changed_h1 == list(range(len(seq)))
+
+
+def test_bm25_ranks_by_relevance(spark):
+    """BM25 sanity on a controlled corpus: the doc with both query
+    terms outranks single-term docs; repeated-term docs outrank
+    single-occurrence ones; docs with no query terms don't appear."""
+    from tabsketchfm_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark window filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "window filler filler filler filler"),
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_topk(docs, ["spark", "window"], k=10).collect()
+    ranks = {r.id: r.rank for r in rows}
+    assert 4 not in ranks
+    assert ranks[1] == 1
+    assert set(ranks) == {1, 2, 3}
+
+
+def test_unigram_logppl_flags_rare_text(spark):
+    """The unigram LM gate: a document of corpus-rare tokens carries
+    higher mean NLL than one of corpus-common tokens, and n_tokens
+    totals are exact."""
+    from tabsketchfm_spark.operators.text import unigram_logppl
+
+    common = "the table row value scan " * 20
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(9, "zyx qwv jkl pqr mnb")],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r for r in unigram_logppl(docs).collect()}
+    assert got[9].avg_nll > got[0].avg_nll
+    assert got[0].n_tokens == 100 and got[9].n_tokens == 5
