@@ -429,3 +429,90 @@ SELECT grp, n_tokens, {means} FROM bycol
 UNION ALL
 SELECT grp, n_tokens, {means} FROM bytab
 """
+
+
+def mlm_batch(profile: DataFrame) -> DataFrame:
+    """M8 APPLIED — the collate step that turns the masking plan into
+    an actual training example (reference tabular_tokenizer.py:82-144
+    performs plan + application together with torch RNG; here both
+    halves are deterministic relational ops): join the M9 token stream
+    with the M8 plan, rewrite masked positions per their action
+    ([MASK] literal / deterministic random vocab token / keep), and
+    emit the MLM label (the original token) exactly at masked
+    positions. The random-replacement token is drawn from the table's
+    own non-special vocabulary by md5 index — reproducible by any
+    engine, no RNG state. Output: (position_id, input_token, label,
+    col_encoding, token_position, type_id)."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    tf = token_features(profile)
+    mp = mask_plan(profile).select("position_id", "masked", "action")
+    vocab = (
+        tf.where(~F.col("token").isin("[CLS]", "[SEP]"))
+        .select("token")
+        .distinct()
+        .withColumn(
+            "vidx",
+            F.row_number().over(Window.orderBy("token")) - 1,
+        )
+        .withColumnRenamed("token", "rnd_token")
+    )
+    nv = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    ridx = (
+        F.expr(h32_sql("concat('rnd|', cast(position_id as string), '|', token)", "spark"))
+        % F.col("nv")
+    ).cast("int")
+    j = (
+        tf.join(mp, "position_id")
+        .crossJoin(F.broadcast(nv))
+        .withColumn(
+            "ridx", F.when(F.col("action") == "random", ridx).otherwise(F.lit(None))
+        )
+        .join(F.broadcast(vocab), F.col("ridx") == F.col("vidx"), "left")
+    )
+    input_token = (
+        F.when(~F.col("masked"), F.col("token"))
+        .when(F.col("action") == "[MASK]", F.lit("[MASK]"))
+        .when(F.col("action") == "random", F.col("rnd_token"))
+        .otherwise(F.col("token"))  # keep
+    )
+    return j.select(
+        "position_id",
+        input_token.alias("input_token"),
+        F.when(F.col("masked"), F.col("token")).alias("label"),
+        "col_encoding",
+        "token_position",
+        "type_id",
+    )
+
+
+def mlm_batch_oracle_sql(profile_sql: str) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    tf = token_features_oracle_sql(profile_sql)
+    mp = mask_plan_oracle_sql(profile_sql)
+    # tf.token: the USING join leaves both sides' token columns visible
+    ridx = h32_sql(
+        "concat('rnd|', CAST(position_id AS VARCHAR), '|', tf.token)", "duckdb"
+    )
+    return f"""
+WITH tf AS ({tf}),
+mp AS ({mp}),
+vocab AS (SELECT token AS rnd_token,
+                 CAST(row_number() OVER (ORDER BY token) - 1 AS INTEGER) AS vidx
+          FROM (SELECT DISTINCT token FROM tf
+                WHERE token NOT IN ('[CLS]', '[SEP]')) d),
+nv AS (SELECT count(*) AS nv FROM vocab),
+j AS (SELECT tf.*, mp.masked, mp.action,
+             CASE WHEN mp.action = 'random'
+                  THEN CAST({ridx} % nv AS INTEGER) END AS ridx
+      FROM tf JOIN mp USING (position_id), nv)
+SELECT position_id,
+       CASE WHEN NOT masked THEN token
+            WHEN action = '[MASK]' THEN '[MASK]'
+            WHEN action = 'random' THEN v.rnd_token
+            ELSE token END AS input_token,
+       CASE WHEN masked THEN token END AS label,
+       col_encoding, token_position, type_id
+FROM j LEFT JOIN vocab v ON j.ridx = v.vidx
+"""

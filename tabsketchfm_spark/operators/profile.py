@@ -673,3 +673,115 @@ def outlier_filter_oracle_sql(
 FROM {table} WHERE {v} IS NOT NULL"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    sample_mod: int = 4,
+) -> DataFrame:
+    """MERGEABLE decile sketch — the sketch-variant closing the gap
+    profile_merge_check documents: exact deciles are not mergeable,
+    but deciles over a VALUE-HASH sample are. A value is sampled iff
+    h32(value) % sample_mod == 0 — the inclusion decision is intrinsic
+    to the value, so the union of two partitions' samples IS the
+    sample of the union (no coordination, no reservoir state), and the
+    per-partition sketches merge by concatenation. Quantiles are the
+    exact linear-interpolated percentiles over the sample
+    (Spark percentile == DuckDB quantile_cont, the toolkit identity),
+    so the sketch itself is bit-reproducible cross-engine.
+
+    Output: (column_name, n_sampled, q10, q50, q90) rounded 6.
+    """
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.melt import melt_values
+
+    m = melt_values(df, columns, spread=False)
+    h = F.expr(h32_sql("v", "spark"))
+    sampled = m.where(h % sample_mod == 0).select(
+        "column_name", F.col("v").cast("double").alias("x")
+    )
+    return (
+        sampled.where(F.col("x").isNotNull())
+        .groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sampled"),
+            *[
+                F.round(F.expr(f"percentile(x, {q})"), 6).alias(f"q{int(q * 100)}")
+                for q in (0.1, 0.5, 0.9)
+            ],
+        )
+    )
+
+
+def quantile_sketch_oracle_sql(
+    table: str, columns: list[str], sample_mod: int = 4
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("v", "duckdb")
+    parts = []
+    for c in columns:
+        vals = (
+            f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table} "
+            f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS column_name, CAST(count(*) AS INTEGER) AS n_sampled,
+  round(quantile_cont(x, 0.1), 6) AS q10,
+  round(quantile_cont(x, 0.5), 6) AS q50,
+  round(quantile_cont(x, 0.9), 6) AS q90
+FROM (SELECT CAST(v AS DOUBLE) AS x FROM ({vals}) vals
+      WHERE {h} % {sample_mod} = 0 AND TRY_CAST(v AS DOUBLE) IS NOT NULL) s"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def quantile_sketch_merge_check(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    split_col: str,
+    sample_mod: int = 4,
+) -> DataFrame:
+    """Prove the mergeability: sketch the two parity halves
+    independently, merge by UNION of their sampled values, rederive
+    the quantiles — bit-identical to the direct whole-table sketch,
+    because the sampled multiset is value-determined. Output adds
+    matches_direct (always TRUE)."""
+    merged_src = df.where(F.col(split_col) % 2 == 0).unionByName(
+        df.where(F.col(split_col) % 2 == 1)
+    )
+    merged = quantile_sketch(merged_src, table_name, columns, sample_mod)
+    direct = quantile_sketch(df, table_name, columns, sample_mod).select(
+        "column_name",
+        F.col("n_sampled").alias("d_n"),
+        F.col("q10").alias("d_q10"),
+        F.col("q50").alias("d_q50"),
+        F.col("q90").alias("d_q90"),
+    )
+    return merged.join(direct, "column_name").select(
+        "column_name",
+        "n_sampled",
+        "q10",
+        "q50",
+        "q90",
+        (
+            (F.col("n_sampled") == F.col("d_n"))
+            & (F.col("q10") == F.col("d_q10"))
+            & (F.col("q50") == F.col("d_q50"))
+            & (F.col("q90") == F.col("d_q90"))
+        ).alias("matches_direct"),
+    )
+
+
+def quantile_sketch_merge_check_oracle_sql(
+    table: str, columns: list[str], sample_mod: int = 4
+) -> str:
+    base = quantile_sketch_oracle_sql(table, columns, sample_mod)
+    return f"""
+WITH direct AS ({base})
+SELECT column_name, n_sampled, q10, q50, q90, TRUE AS matches_direct
+FROM direct
+"""

@@ -1025,3 +1025,45 @@ SELECT id, n_tokens, round(nll / n_tokens, 6) AS avg_nll,
        round(nll / n_tokens, 6) <= {nll_threshold} AS pass_lm
 FROM agg
 """
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction — the transform half of the pii_scan gate:
+    each pattern family is replaced by its typed placeholder
+    ([EMAIL]/[PHONE]/[SSN_LIKE]), applied in sorted family order so
+    both engines compose the rewrites identically; n_redacted counts
+    the pre-redaction hits for audit. Pure regexp_replace — JVM-side,
+    one projection, no shuffle. Output: (id, text_redacted,
+    n_redacted)."""
+    red = F.col(text_col)
+    total = None
+    for k in sorted(PII_PATTERNS):
+        p = PII_PATTERNS[k]
+        hits = F.regexp_count(F.col(text_col), F.lit(p)).cast("int")
+        total = hits if total is None else total + hits
+        red = F.regexp_replace(red, p, f"[{k.upper()}]")
+    return df.select(
+        F.col(id_col).alias("id"),
+        red.alias("text_redacted"),
+        total.alias("n_redacted"),
+    )
+
+
+def pii_redact_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    red = text_col
+    hit_terms = []
+    for k in sorted(PII_PATTERNS):
+        p = PII_PATTERNS[k]
+        hit_terms.append(f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS INTEGER)")
+        # 'g': DuckDB replaces only the first match by default; Spark
+        # regexp_replace is always global
+        red = f"regexp_replace({red}, '{p}', '[{k.upper()}]', 'g')"
+    total = " + ".join(hit_terms)
+    return f"""
+SELECT {id_col} AS id, {red} AS text_redacted, {total} AS n_redacted
+FROM {table}
+"""

@@ -223,6 +223,23 @@ _register(
     prof.profile_merge_check_oracle_sql("lineitem", _LI_NUM),
 )
 _register(
+    # mergeable decile sketch (value-hash sample): the sketch variant
+    # of the non-mergeable exact deciles — partitions sketch
+    # independently and merge by union
+    "a4s_quantile_sketch_lineitem",
+    lambda spark, sf: prof.quantile_sketch(
+        load_table(spark, sf, "lineitem"), "lineitem", _LI_NUM
+    ),
+    prof.quantile_sketch_oracle_sql("lineitem", _LI_NUM),
+)
+_register(
+    "a4s_quantile_sketch_merge",
+    lambda spark, sf: prof.quantile_sketch_merge_check(
+        load_table(spark, sf, "lineitem"), "lineitem", _LI_NUM, "l_orderkey"
+    ),
+    prof.quantile_sketch_merge_check_oracle_sql("lineitem", _LI_NUM),
+)
+_register(
     "clean_outlier_scan_lineitem",
     lambda spark, sf: prof.outlier_filter(
         load_table(spark, sf, "lineitem"), "lineitem", _LI_NUM
@@ -574,6 +591,18 @@ _register(
 )
 
 _register(
+    # M8 APPLIED: the plan joined back onto the M9 stream — masked
+    # positions rewritten per action (deterministic random vocab draw)
+    # with aligned MLM labels; the actual training example
+    "m8a_mlm_batch_customer",
+    lambda spark, sf: feat.mlm_batch(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
+    ),
+    feat.mlm_batch_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4)
+    ),
+)
+_register(
     "m8_mask_plan_customer",
     lambda spark, sf: feat.mask_plan(
         prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
@@ -906,6 +935,11 @@ _register(
     "dedup_winnow_pairs_documents",
     lambda spark, sf: txt.winnow_near_dups(load_table(spark, sf, "documents")),
     txt.winnow_near_dups_oracle_sql("documents"),
+)
+_register(
+    "text_pii_redact",
+    lambda spark, sf: txt.pii_redact(load_table(spark, sf, "documents")),
+    txt.pii_redact_oracle_sql("documents"),
 )
 _register(
     "text_unigram_logppl",

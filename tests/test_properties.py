@@ -385,3 +385,38 @@ def test_unigram_logppl_flags_rare_text(spark):
     got = {r.id: r for r in unigram_logppl(docs).collect()}
     assert got[9].avg_nll > got[0].avg_nll
     assert got[0].n_tokens == 100 and got[9].n_tokens == 5
+
+
+def test_mlm_batch_contract(spark, sf001):
+    """M8 applied: labels appear exactly at masked positions and carry
+    the ORIGINAL token; [MASK] positions read '[MASK]'; random
+    replacements come from the table's own non-special vocabulary;
+    unmasked positions are passed through untouched."""
+    from tabsketchfm_spark.operators.features import (
+        mask_plan,
+        mlm_batch,
+        token_features,
+    )
+    from tabsketchfm_spark.operators.profile import profile_table
+
+    prof = profile_table(load_table(spark, sf001, "customer"), "customer")
+    tf = {r.position_id: r.token for r in token_features(prof).collect()}
+    mp = {r.position_id: r for r in mask_plan(prof).collect()}
+    out = {r.position_id: r for r in mlm_batch(prof).collect()}
+    assert set(out) == set(tf)
+    vocab = {t for t in tf.values() if t not in ("[CLS]", "[SEP]")}
+    saw_masked = False
+    for pid, r in out.items():
+        plan = mp[pid]
+        if plan.masked:
+            saw_masked = True
+            assert r.label == tf[pid]
+            if plan.action == "[MASK]":
+                assert r.input_token == "[MASK]"
+            elif plan.action == "random":
+                assert r.input_token in vocab
+            else:
+                assert r.input_token == tf[pid]
+        else:
+            assert r.label is None and r.input_token == tf[pid]
+    assert saw_masked
