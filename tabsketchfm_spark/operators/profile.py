@@ -785,3 +785,102 @@ WITH direct AS ({base})
 SELECT column_name, n_sampled, q10, q50, q90, TRUE AS matches_direct
 FROM direct
 """
+
+
+def distinct_sketch(
+    df: DataFrame,
+    table_name: str,
+    columns: list[str],
+    m: int = 1024,
+) -> DataFrame:
+    """Mergeable approximate-distinct sketch via LINEAR COUNTING
+    (Whang et al. 1990): hash every value into an m-slot bitmap and
+    estimate n̂ = -m·ln(empty/m) from the occupancy. Deterministic by
+    construction — the bitmap is a set of h32(value) % m slots, no
+    RNG — so unlike HLL implementations the estimate is bit-identical
+    across engines and the DuckDB twin checks it EXACTLY (the a2s
+    approx_count_distinct twin can only be rows-checked). Mergeable:
+    the bitmap of a union is the OR of the bitmaps (value-determined
+    slots, same argument as the quantile sketch sample). At 100 TB the
+    shuffle carries at most m slots per column, not the distinct set.
+
+    Output: (column_name, occupied, est_distinct); est_distinct NULL
+    on a saturated bitmap (occupied == m — grow m instead).
+    """
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.melt import melt_values
+
+    mm = melt_values(df, columns, spread=False)
+    h = F.expr(h32_sql("v", "spark"))
+    slots = mm.select(
+        "column_name", (h % m).cast("int").alias("slot")
+    ).distinct()
+    occ = slots.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("int").alias("occupied")
+    )
+    est = F.when(
+        F.col("occupied") < m,
+        F.round(-m * F.log((m - F.col("occupied")) / float(m)), 6),
+    )
+    return occ.select("column_name", "occupied", est.alias("est_distinct"))
+
+
+def distinct_sketch_oracle_sql(table: str, columns: list[str], m: int = 1024) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("v", "duckdb")
+    parts = []
+    for c in columns:
+        vals = (
+            f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table} "
+            f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
+        )
+        parts.append(
+            f"""SELECT '{c}' AS column_name,
+  CAST(count(DISTINCT {h} % {m}) AS INTEGER) AS occupied,
+  CASE WHEN count(DISTINCT {h} % {m}) < {m}
+       THEN round(-{m} * ln(({m} - count(DISTINCT {h} % {m})) / CAST({m} AS DOUBLE)), 6)
+  END AS est_distinct
+FROM ({vals}) vals"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def k_anonymity_scan(
+    df: DataFrame,
+    table_name: str,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit — the privacy gate of a training-data release:
+    every combination of quasi-identifier values held by fewer than
+    ``k`` rows can re-identify individuals and must be suppressed or
+    generalized before the corpus ships. One grouped count (map-side
+    combined) over the quasi columns; the flag marks groups meeting
+    the k threshold. Output: (q_<col>... as strings, group_size,
+    is_anonymous), one row per observed combination."""
+    qs = [
+        F.col(c).cast("string").alias(f"q_{c}") for c in quasi_cols
+    ]
+    return (
+        df.select(*qs)
+        .groupBy(*[f"q_{c}" for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            *[f"q_{c}" for c in quasi_cols],
+            "group_size",
+            (F.col("group_size") >= k).alias("is_anonymous"),
+        )
+    )
+
+
+def k_anonymity_scan_oracle_sql(
+    table: str, quasi_cols: list[str], k: int = 5
+) -> str:
+    qs = ", ".join(f"CAST({c} AS VARCHAR) AS q_{c}" for c in quasi_cols)
+    gs = ", ".join(f"q_{c}" for c in quasi_cols)
+    return f"""
+SELECT {gs}, count(*) AS group_size, count(*) >= {k} AS is_anonymous
+FROM (SELECT {qs} FROM {table}) t
+GROUP BY {gs}
+"""

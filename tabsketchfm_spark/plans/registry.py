@@ -223,6 +223,33 @@ _register(
     prof.profile_merge_check_oracle_sql("lineitem", _LI_NUM),
 )
 _register(
+    # privacy gate: quasi-identifier group sizes vs the k threshold
+    "p12_k_anonymity_customer",
+    lambda spark, sf: prof.k_anonymity_scan(
+        load_table(spark, sf, "customer"),
+        "customer",
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    ),
+    prof.k_anonymity_scan_oracle_sql(
+        "customer", ["c_nationkey", "c_mktsegment"], k=5
+    ),
+)
+_register(
+    # mergeable approx-distinct via linear counting: deterministic
+    # bitmap, so the estimate itself is oracle-EXACT (the HLL-based
+    # a2s twins can only be rows-checked)
+    "a2l_distinct_sketch_lineitem",
+    lambda spark, sf: prof.distinct_sketch(
+        load_table(spark, sf, "lineitem"),
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+    ),
+    prof.distinct_sketch_oracle_sql(
+        "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]
+    ),
+)
+_register(
     # mergeable decile sketch (value-hash sample): the sketch variant
     # of the non-mergeable exact deciles — partitions sketch
     # independently and merge by union

@@ -420,3 +420,33 @@ def test_mlm_batch_contract(spark, sf001):
         else:
             assert r.label is None and r.input_token == tf[pid]
     assert saw_masked
+
+
+def test_distinct_sketch_accuracy_and_mergeability(spark, sf01):
+    """Linear counting: with load factor n/m ≲ 1 the estimate tracks
+    exact distinct within ~10%, and the bitmap is mergeable — the
+    occupied-slot set of the whole equals the union of the halves'
+    (value-determined slots)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.profile import distinct_sketch
+
+    li = load_table(spark, sf01, "lineitem")
+    cols = ["l_orderkey", "l_partkey"]
+    m = 8192
+    est = {
+        r.column_name: r.est_distinct
+        for r in distinct_sketch(li, "lineitem", cols, m=m).collect()
+    }
+    for c in cols:
+        exact = li.select(c).distinct().count()
+        assert abs(est[c] - exact) / exact < 0.10, (c, est[c], exact)
+
+    h = F.expr(h32_sql(f"cast(l_orderkey as string)", "spark"))
+    slots_of = lambda frame: {
+        r.s for r in frame.select((h % m).alias("s")).distinct().collect()
+    }
+    even = li.where(F.col("l_orderkey") % 2 == 0)
+    odd = li.where(F.col("l_orderkey") % 2 == 1)
+    assert slots_of(li) == slots_of(even) | slots_of(odd)
