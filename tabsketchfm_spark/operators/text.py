@@ -1067,3 +1067,83 @@ def pii_redact_oracle_sql(
 SELECT {id_col} AS id, {red} AS text_redacted, {total} AS n_redacted
 FROM {table}
 """
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the BM25 lexical ranking with the embedding cosine
+    ranking for the same corpus (vec_id aligns with doc_id in the
+    lake), score = Σ 1/(c + rank_i) with an absent ranker contributing
+    0. The modern lexical+semantic search combiner, as a three-way
+    relational plan: two top-``pool`` rankers (each already bounded
+    and shuffle-light), one full-outer equi-join on the doc id, one
+    window for the final top-k. The fused score is a sum of two exact
+    rationals in fixed order — bit-stable, so the DuckDB twin composes
+    the two ranker oracles and lands identically.
+    Output: (id, r_lex, r_sem, rrf, rank)."""
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.operators.vector import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=pool).select(
+        "id", F.col("rank").alias("r_lex")
+    )
+    sem = (
+        cosine_topk(emb, query_vec_id + 1, k=pool)
+        .where(F.col("q_id") == query_vec_id)
+        .select(F.col("cand_id").alias("id"), F.col("rank").alias("r_sem"))
+    )
+    fused = (
+        lex.join(sem, "id", "full_outer")
+        .select(
+            "id",
+            "r_lex",
+            "r_sem",
+            F.round(
+                F.coalesce(1.0 / (F.lit(c) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(c) + F.col("r_sem")), F.lit(0.0)),
+                9,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "r_lex", "r_sem", "rrf", "rank")
+    )
+
+
+def hybrid_rrf_topk_oracle_sql(
+    doc_table: str,
+    emb_table: str,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    c: int = 60,
+) -> str:
+    from tabsketchfm_spark.operators.vector import cosine_topk_oracle_sql
+
+    bm25 = bm25_topk_oracle_sql(doc_table, query_terms, k=pool)
+    cos = cosine_topk_oracle_sql(emb_table, query_vec_id + 1, k=pool)
+    return f"""
+WITH lex AS (SELECT id, rank AS r_lex FROM ({bm25}) b),
+sem AS (SELECT cand_id AS id, rank AS r_sem FROM ({cos}) s
+        WHERE q_id = {query_vec_id}),
+fused AS (SELECT COALESCE(lex.id, sem.id) AS id, r_lex, r_sem,
+                 round(COALESCE(1.0 / ({c} + r_lex), 0.0)
+                       + COALESCE(1.0 / ({c} + r_sem), 0.0), 9) AS rrf
+          FROM lex FULL OUTER JOIN sem ON lex.id = sem.id),
+ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) AS rank
+           FROM fused)
+SELECT id, r_lex, r_sem, rrf, rank FROM ranked WHERE rank <= {k}
+"""

