@@ -1147,3 +1147,63 @@ ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INTEGER) 
            FROM fused)
 SELECT id, r_lex, r_sem, rrf, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def duplicate_span_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document duplicate-SPAN coverage — the curation metric
+    behind "remove docs that are >X% copied": the fraction of a
+    document's winnowing fingerprints that also appear in some OTHER
+    document. Near-dup pair ops answer "which docs overlap"; this
+    answers "how much of THIS doc is duplicated anywhere", the
+    per-document quality signal (ExactSubstr-style coverage at
+    fingerprint granularity).
+
+    Shape: the fingerprint relation (linear in corpus tokens), one
+    grouped fingerprint-frequency count, one semi-style join back —
+    no pair enumeration at all, so a fingerprint shared by 10^6
+    boilerplate docs costs one count row, not 10^12 pairs.
+    Output: (id, n_fp, n_dup_fp, dup_frac)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).persist()
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = fps.join(freq, "fp").select(
+        "id", (F.col("n_docs") > 1).cast("int").alias("dup")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_fp"),
+            F.sum("dup").cast("int").alias("n_dup_fp"),
+        )
+        .select(
+            "id",
+            "n_fp",
+            "n_dup_fp",
+            F.round(F.col("n_dup_fp") / F.col("n_fp"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_span_fraction_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> str:
+    base = winnow_fingerprints_oracle_sql(table, id_col, text_col, k, w)
+    return f"""
+WITH f AS ({base}),
+freq AS (SELECT fp, count(*) AS n_docs FROM f GROUP BY 1)
+SELECT id, CAST(count(*) AS INTEGER) AS n_fp,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup_fp,
+       round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_frac
+FROM f JOIN freq USING (fp)
+GROUP BY id
+"""

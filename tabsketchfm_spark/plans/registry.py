@@ -994,6 +994,13 @@ _register(
     txt.hybrid_rrf_topk_oracle_sql("documents", "embeddings", _BM25_QUERY, k=10),
 )
 _register(
+    # per-doc duplicate-span coverage: fraction of a doc's winnow
+    # fingerprints appearing in ANY other doc — counts, never pairs
+    "text_dup_span_fraction",
+    lambda spark, sf: txt.duplicate_span_fraction(load_table(spark, sf, "documents")),
+    txt.duplicate_span_fraction_oracle_sql("documents"),
+)
+_register(
     "text_gopher_rules",
     lambda spark, sf: txt.gopher_rules(load_table(spark, sf, "documents")),
     txt.gopher_rules_oracle_sql("documents"),

@@ -472,3 +472,26 @@ def test_hybrid_rrf_fuses_both_rankers(spark, sf01):
             1.0 / (60 + r.r_sem) if r.r_sem else 0.0
         )
         assert abs(r.rrf - expect) < 1e-9
+
+
+def test_duplicate_span_fraction_semantics(spark):
+    """A doc copied verbatim scores dup_frac 1.0 on both copies; a doc
+    with no shared runs scores 0.0; a half-copied doc lands strictly
+    between."""
+    from tabsketchfm_spark.operators.text import duplicate_span_fraction
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler),
+            (2, boiler),
+            (3, uniq),
+            (4, boiler + " nine ten eleven twelve thirteen fourteen"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r for r in duplicate_span_fraction(docs).collect()}
+    assert got[1].dup_frac == 1.0 and got[2].dup_frac == 1.0
+    assert got[3].dup_frac == 0.0
+    assert 0.0 < got[4].dup_frac < 1.0
