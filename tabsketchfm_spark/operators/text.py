@@ -1207,3 +1207,103 @@ SELECT id, CAST(count(*) AS INTEGER) AS n_fp,
 FROM f JOIN freq USING (fp)
 GROUP BY id
 """
+
+
+def bigram_logppl(
+    df: DataFrame,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Order-2 language-model scoring with interpolation backoff —
+    the sharper sibling of unigram_logppl (word-order damage that a
+    bag-of-words model cannot see raises bigram NLL):
+    p(t|prev) = λ·c(prev,t)/c(prev) + (1−λ)·(c(t)+1)/(T+V).
+
+    Bigrams come from one array projection per doc (tk[i], tk[i+1] —
+    indexing, not slice, per the shingle lesson); corpus bigram and
+    unigram counts are two grouped counts; the doc score is the
+    sorted left-to-right sum of tf·NLL over its distinct bigrams.
+    All probability inputs are exact integer counts, so the doubles
+    agree cross-engine. Output: (id, n_bigrams, avg_nll).
+    """
+    toks = _toks_spark(text_col)
+    base = df.select(F.col(id_col).alias("id"), F.expr(toks).alias("tk")).where(
+        F.expr("size(tk) >= 2")
+    )
+    bi = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] as p, tk[i + 1] as t))"
+            )
+        ).alias("b"),
+    ).select("id", "b.p", "b.t")
+    uni = base.select("id", F.explode("tk").alias("t"))
+    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    scal = c1.agg(F.sum("c1").alias("tot"), F.count(F.lit(1)).alias("vocab"))
+    c2 = bi.groupBy("p", "t").agg(F.count(F.lit(1)).alias("c2"))
+    tf = bi.groupBy("id", "p", "t").agg(F.count(F.lit(1)).alias("tf"))
+    cp = c1.select(F.col("t").alias("p"), F.col("c1").alias("cp"))
+    prob = (
+        F.lit(lam) * (F.col("c2") / F.col("cp"))
+        + F.lit(1.0 - lam) * ((F.col("c1") + 1.0) / (F.col("tot") + F.col("vocab")))
+    )
+    terms = (
+        tf.join(c2, ["p", "t"])
+        .join(cp, "p")
+        .join(c1, "t")
+        .crossJoin(F.broadcast(scal))
+        .select("id", (F.col("tf") * -F.log(prob)).alias("nll_t"))
+    )
+    return (
+        terms.groupBy("id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(nll_t)), cast(0.0 as double),"
+                " (a, v) -> a + v)"
+            ).alias("_nll")
+        )
+        .join(
+            bi.groupBy("id").agg(F.count(F.lit(1)).cast("int").alias("n_bigrams")),
+            "id",
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            F.round(F.col("_nll") / F.col("n_bigrams"), 6).alias("avg_nll"),
+        )
+    )
+
+
+def bigram_logppl_oracle_sql(
+    table: str,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = _toks_duckdb(text_col)
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+big AS (SELECT id, tk FROM base WHERE len(tk) >= 2),
+bi AS (SELECT id, tk[i] AS p, tk[i + 1] AS t
+       FROM big, unnest(generate_series(1, len(tk) - 1)) u(i)),
+uni AS (SELECT id, unnest(tk) AS t FROM big),
+c1 AS (SELECT t, count(*) AS c1 FROM uni GROUP BY 1),
+scal AS (SELECT sum(c1) AS tot, count(*) AS vocab FROM c1),
+c2 AS (SELECT p, t, count(*) AS c2 FROM bi GROUP BY 1, 2),
+tf AS (SELECT id, p, t, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+terms AS (SELECT id,
+                 tf * -ln({lam} * (c2 / CAST(cp.c1 AS DOUBLE))
+                          + {1.0 - lam} * ((c1.c1 + 1.0) / (tot + vocab))) AS nll_t
+          FROM tf
+          JOIN c2 USING (p, t)
+          JOIN c1 cp ON cp.t = tf.p
+          JOIN c1 ON c1.t = tf.t, scal),
+agg AS (SELECT id, list_reduce(list(nll_t ORDER BY nll_t), (a, v) -> a + v) AS nll
+        FROM terms GROUP BY id),
+nb AS (SELECT id, CAST(count(*) AS INTEGER) AS n_bigrams FROM bi GROUP BY id)
+SELECT id, n_bigrams, round(nll / n_bigrams, 6) AS avg_nll
+FROM agg JOIN nb USING (id)
+"""

@@ -973,6 +973,11 @@ _register(
     lambda spark, sf: txt.unigram_logppl(load_table(spark, sf, "documents")),
     txt.unigram_logppl_oracle_sql("documents"),
 )
+_register(
+    "text_bigram_logppl",
+    lambda spark, sf: txt.bigram_logppl(load_table(spark, sf, "documents")),
+    txt.bigram_logppl_oracle_sql("documents"),
+)
 _BM25_QUERY = ["spark", "window", "customer", "vector"]
 _register(
     "text_bm25_topk_documents",

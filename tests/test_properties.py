@@ -495,3 +495,22 @@ def test_duplicate_span_fraction_semantics(spark):
     assert got[1].dup_frac == 1.0 and got[2].dup_frac == 1.0
     assert got[3].dup_frac == 0.0
     assert 0.0 < got[4].dup_frac < 1.0
+
+
+def test_bigram_logppl_detects_word_order_damage(spark):
+    """The order-2 gate sees what bag-of-words cannot: shuffling a
+    document's word order (same unigram bag) raises its bigram NLL
+    relative to in-order copies of the corpus idiom."""
+    from tabsketchfm_spark.operators.text import bigram_logppl, unigram_logppl
+
+    idiom = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the over quick lazy jumps brown the fox"
+    docs = spark.createDataFrame(
+        [(i, idiom) for i in range(9)] + [(9, scrambled)],
+        "doc_id bigint, text string",
+    )
+    bg = {r.id: r.avg_nll for r in bigram_logppl(docs).collect()}
+    assert bg[9] > bg[0]
+    # unigram model cannot distinguish them (same bag, same length)
+    ug = {r.id: r.avg_nll for r in unigram_logppl(docs).collect()}
+    assert ug[9] == ug[0]
