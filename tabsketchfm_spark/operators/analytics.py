@@ -588,3 +588,115 @@ SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
+
+
+FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
+
+def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered funnel analysis with earliest-completion semantics: a
+    user is at step k if they performed step k at-or-after their
+    earliest completion of step k-1 (ties allowed — simultaneous
+    events count, matching the SQL twin's >=). The product-analytics
+    staple, as k tiny per-user aggregates chained by broadcastable
+    joins: each stage is a conditional MIN over the user's events on
+    the epoch-seconds axis (exact micros/1e6, the toolkit identity),
+    so no window function and no per-user event sorting is needed.
+    Output: (step, step_name, n_users) — monotonically non-increasing.
+    """
+    steps = steps or FUNNEL_STEPS
+    e = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("et"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)).alias("es"),
+    )
+    cur = None
+    stage_counts = []
+    for i, s in enumerate(steps):
+        part = e.where(F.col("et") == s)
+        if cur is None:
+            cur = part.groupBy("uid").agg(F.min("es").alias("t"))
+        else:
+            cur = (
+                part.join(cur.select("uid", F.col("t").alias("t_prev")), "uid")
+                .where(F.col("es") >= F.col("t_prev"))
+                .groupBy("uid")
+                .agg(F.min("es").alias("t"))
+            )
+        stage_counts.append(
+            cur.agg(F.count(F.lit(1)).cast("int").alias("n_users")).select(
+                F.lit(i + 1).alias("step"), F.lit(s).alias("step_name"), "n_users"
+            )
+        )
+    out = stage_counts[0]
+    for sc in stage_counts[1:]:
+        out = out.unionByName(sc)
+    return out
+
+
+def funnel_counts_oracle_sql(steps: list[str] | None = None) -> str:
+    steps = steps or FUNNEL_STEPS
+    ctes = [
+        "e AS (SELECT user_id AS uid, event_type AS et, epoch(ts) AS es FROM events)"
+    ]
+    prev = None
+    selects = []
+    for i, s in enumerate(steps):
+        name = f"s{i + 1}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT uid, min(es) AS t FROM e WHERE et = '{s}' GROUP BY uid)"
+            )
+        else:
+            ctes.append(
+                f"""{name} AS (SELECT e.uid, min(es) AS t
+  FROM e JOIN {prev} USING (uid)
+  WHERE et = '{s}' AND es >= {prev}.t GROUP BY e.uid)"""
+            )
+        selects.append(
+            f"SELECT {i + 1} AS step, '{s}' AS step_name, "
+            f"CAST(count(*) AS INTEGER) AS n_users FROM {name}"
+        )
+        prev = name
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the epoch-week of
+    their FIRST event; for each (cohort_week, activity_week), how many
+    of the cohort were active. Weeks are arithmetic epoch buckets
+    (floor(epoch/604800)) — identical in any engine and timezone,
+    unlike date_trunc('week') whose week-start convention varies.
+    Two shuffles: first-event per user, then the cohort×week count.
+    Output: (cohort_week, activity_week, n_users)."""
+    wk = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(1000000.0)
+            / F.lit(604800.0)
+        )
+        .cast("int")
+        .alias("wk")
+    )
+    e = events.select(F.col("user_id").alias("uid"), wk)
+    first = e.groupBy("uid").agg(F.min("wk").alias("cohort_week"))
+    return (
+        e.join(first, "uid")
+        .select("uid", "cohort_week", F.col("wk").alias("activity_week"))
+        .distinct()
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_users"))
+    )
+
+
+def cohort_retention_oracle_sql() -> str:
+    return """
+WITH e AS (SELECT user_id AS uid,
+                  CAST(floor(epoch(ts) / 604800.0) AS INTEGER) AS wk
+           FROM events),
+first AS (SELECT uid, min(wk) AS cohort_week FROM e GROUP BY uid),
+act AS (SELECT DISTINCT uid, cohort_week, wk AS activity_week
+        FROM e JOIN first USING (uid))
+SELECT cohort_week, activity_week, CAST(count(*) AS INTEGER) AS n_users
+FROM act GROUP BY 1, 2
+"""

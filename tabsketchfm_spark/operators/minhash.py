@@ -791,3 +791,107 @@ def oph_merge_check_oracle_sql(
 WITH full_sig AS ({full})
 SELECT column_name, bucket, sig, TRUE AS matches_full FROM full_sig
 """
+
+
+def join_cardinality_estimate(
+    spark,
+    sf_dir: str,
+    left: tuple[str, str],
+    right: tuple[str, str],
+    num_buckets: int = NUM_PERM,
+    lc_slots: int = 1024,
+) -> DataFrame:
+    """Sketch-only equi-join SIZE estimation — the query-planning face
+    of joinability search: estimate |A ⋈ B| on key columns from (a)
+    the OPH slot-agreement Jaccard estimate, (b) linear-counting
+    distinct estimates d̂A/d̂B, and (c) exact row counts, assuming
+    per-key multiplicities near their column averages:
+
+        overlap ≈ Ĵ/(1+Ĵ)·(d̂A + d̂B)
+        |A ⋈ B| ≈ overlap · (nA/d̂A) · (nB/d̂B)
+
+    Everything is computed FROM SKETCH STATE (plus two row counts) —
+    the estimate a catalog answers without touching the data — and
+    every stage is closed-form deterministic, so the DuckDB oracle
+    reproduces the estimate bit-exactly (accuracy vs the true join
+    size is property-tested separately, as with the other sketches).
+    Output: (est_jaccard, est_distinct_a, est_distinct_b,
+    est_overlap, est_join_rows).
+    """
+    from tabsketchfm_spark.operators.profile import distinct_sketch
+    from tabsketchfm_spark.sources.tables import load_table
+
+    (ta, ca), (tb, cb) = left, right
+    dfa, dfb = load_table(spark, sf_dir, ta), load_table(spark, sf_dir, tb)
+    sa = oph_signatures(dfa, ta, [ca], num_buckets).select(
+        "bucket", F.col("sig").alias("sig_a")
+    )
+    sb = oph_signatures(dfb, tb, [cb], num_buckets).select(
+        "bucket", F.col("sig").alias("sig_b")
+    )
+    jac = (
+        sa.join(sb, "bucket", "full_outer")
+        .agg(
+            (
+                F.sum((F.col("sig_a") == F.col("sig_b")).cast("int"))
+                / F.count(F.lit(1))
+            ).alias("j")
+        )
+    )
+    da = distinct_sketch(dfa, ta, [ca], m=lc_slots).select(
+        F.col("est_distinct").alias("da")
+    )
+    db = distinct_sketch(dfb, tb, [cb], m=lc_slots).select(
+        F.col("est_distinct").alias("db")
+    )
+    na = dfa.where(F.col(ca).isNotNull()).agg(F.count(F.lit(1)).alias("na"))
+    nb = dfb.where(F.col(cb).isNotNull()).agg(F.count(F.lit(1)).alias("nb"))
+    est = (
+        jac.crossJoin(F.broadcast(da))
+        .crossJoin(F.broadcast(db))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .withColumn("ov", F.col("j") / (1.0 + F.col("j")) * (F.col("da") + F.col("db")))
+    )
+    return est.select(
+        F.round("j", 6).alias("est_jaccard"),
+        F.round("da", 6).alias("est_distinct_a"),
+        F.round("db", 6).alias("est_distinct_b"),
+        F.round("ov", 6).alias("est_overlap"),
+        F.round(
+            F.col("ov") * (F.col("na") / F.col("da")) * (F.col("nb") / F.col("db")), 6
+        ).alias("est_join_rows"),
+    )
+
+
+def join_cardinality_oracle_sql(
+    left: tuple[str, str],
+    right: tuple[str, str],
+    num_buckets: int = NUM_PERM,
+    lc_slots: int = 1024,
+) -> str:
+    from tabsketchfm_spark.operators.profile import distinct_sketch_oracle_sql
+
+    (ta, ca), (tb, cb) = left, right
+    siga = oph_signatures_oracle_sql(ta, [ca], num_buckets)
+    sigb = oph_signatures_oracle_sql(tb, [cb], num_buckets)
+    dsa = distinct_sketch_oracle_sql(ta, [ca], lc_slots)
+    dsb = distinct_sketch_oracle_sql(tb, [cb], lc_slots)
+    return f"""
+WITH sa AS (SELECT bucket, sig AS sig_a FROM ({siga}) x),
+sb AS (SELECT bucket, sig AS sig_b FROM ({sigb}) x),
+jac AS (SELECT sum(CASE WHEN sig_a = sig_b THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE) AS j
+        FROM sa FULL OUTER JOIN sb USING (bucket)),
+da AS (SELECT est_distinct AS da FROM ({dsa}) x),
+db AS (SELECT est_distinct AS db FROM ({dsb}) x),
+na AS (SELECT count(*) AS na FROM {ta} WHERE {ca} IS NOT NULL),
+nb AS (SELECT count(*) AS nb FROM {tb} WHERE {cb} IS NOT NULL),
+est AS (SELECT j, da, db, na, nb, j / (1.0 + j) * (da + db) AS ov
+        FROM jac, da, db, na, nb)
+SELECT round(j, 6) AS est_jaccard,
+       round(da, 6) AS est_distinct_a, round(db, 6) AS est_distinct_b,
+       round(ov, 6) AS est_overlap,
+       round(ov * (na / da) * (nb / db), 6) AS est_join_rows
+FROM est
+"""

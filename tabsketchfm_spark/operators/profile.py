@@ -884,3 +884,113 @@ SELECT {gs}, count(*) AS group_size, count(*) >= {k} AS is_anonymous
 FROM (SELECT {qs} FROM {table}) t
 GROUP BY {gs}
 """
+
+
+def histogram_kl_drift(
+    df: DataFrame,
+    table_name: str,
+    col: str,
+    split_col: str,
+    bins: int = 20,
+) -> DataFrame:
+    """Distribution-drift audit between two slices of one table (the
+    new-partition-vs-history check a 100 TB ingest runs before
+    accepting data): equi-width histograms of ``col`` over the two
+    parity halves of ``split_col`` on a SHARED bin spec (global
+    min/max), add-one smoothing, and symmetric KL divergences. All
+    histogram counts are exact integers; each KL is a sum of per-bin
+    terms in bin order (sorted left-to-right aggregate), so the result
+    is partition-order-free and bit-equal to the DuckDB twin. Output:
+    one row (n_bins, n_p, n_q, kl_pq, kl_qp).
+    """
+    v = F.col(col).cast("double")
+    base = df.select(v.alias("x"), (F.col(split_col) % 2 == 0).alias("is_p")).where(
+        F.col("x").isNotNull()
+    )
+    rng = base.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    binned = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "is_p",
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / bins)),
+                F.lit(bins - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.col("is_p").cast("int")).alias("pc"),
+            F.sum((~F.col("is_p")).cast("int")).alias("qc"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("pc").alias("np"), F.sum("qc").alias("nq")
+    )
+    terms = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (
+            ((F.col("pc") + 1.0) / (F.col("np") + bins))
+            * F.log(
+                ((F.col("pc") + 1.0) / (F.col("np") + bins))
+                / ((F.col("qc") + 1.0) / (F.col("nq") + bins))
+            )
+        ).alias("t_pq"),
+        (
+            ((F.col("qc") + 1.0) / (F.col("nq") + bins))
+            * F.log(
+                ((F.col("qc") + 1.0) / (F.col("nq") + bins))
+                / ((F.col("pc") + 1.0) / (F.col("np") + bins))
+            )
+        ).alias("t_qp"),
+        "np",
+        "nq",
+    )
+    return terms.groupBy("np", "nq").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(bin, t_pq))),"
+                " s -> s.t_pq), cast(0.0 as double), (a, v) -> a + v)"
+            ),
+            9,
+        ).alias("kl_pq"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(bin, t_qp))),"
+                " s -> s.t_qp), cast(0.0 as double), (a, v) -> a + v)"
+            ),
+            9,
+        ).alias("kl_qp"),
+    ).select(
+        "n_bins",
+        F.col("np").cast("bigint").alias("n_p"),
+        F.col("nq").cast("bigint").alias("n_q"),
+        "kl_pq",
+        "kl_qp",
+    )
+
+
+def histogram_kl_drift_oracle_sql(
+    table: str, col: str, split_col: str, bins: int = 20
+) -> str:
+    return f"""
+WITH base AS (SELECT CAST({col} AS DOUBLE) AS x, {split_col} % 2 = 0 AS is_p
+              FROM {table} WHERE {col} IS NOT NULL),
+rng AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+binned AS (SELECT CAST(least(floor((x - mn) / ((mx - mn) / {bins})), {bins} - 1) AS INTEGER) AS bin,
+                  sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS pc,
+                  sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS qc
+           FROM base, rng GROUP BY 1),
+tot AS (SELECT sum(pc) AS np, sum(qc) AS nq FROM binned),
+terms AS (SELECT bin, np, nq,
+                 ((pc + 1.0) / (np + {bins})) * ln(((pc + 1.0) / (np + {bins})) / ((qc + 1.0) / (nq + {bins}))) AS t_pq,
+                 ((qc + 1.0) / (nq + {bins})) * ln(((qc + 1.0) / (nq + {bins})) / ((pc + 1.0) / (np + {bins}))) AS t_qp
+          FROM binned, tot)
+SELECT CAST(count(*) AS INTEGER) AS n_bins,
+       CAST(np AS BIGINT) AS n_p, CAST(nq AS BIGINT) AS n_q,
+       round(list_reduce(list(t_pq ORDER BY bin), (a, v) -> a + v), 9) AS kl_pq,
+       round(list_reduce(list(t_qp ORDER BY bin), (a, v) -> a + v), 9) AS kl_qp
+FROM terms GROUP BY np, nq
+"""

@@ -223,6 +223,24 @@ _register(
     prof.profile_merge_check_oracle_sql("lineitem", _LI_NUM),
 )
 _register(
+    # sketch-only equi-join size estimate (OPH Jaccard + linear
+    # counting + row counts) — the catalog answer a planner reads
+    # without touching the data; estimator mirrored bit-exactly
+    "k3c_join_cardinality_estimate",
+    lambda spark, sf: mh.join_cardinality_estimate(
+        spark, sf, ("orders", "o_custkey"), ("customer", "c_custkey")
+    ),
+    mh.join_cardinality_oracle_sql(("orders", "o_custkey"), ("customer", "c_custkey")),
+)
+_register(
+    # distribution drift between two slices on a shared bin spec
+    "a13_kl_drift_lineitem_price",
+    lambda spark, sf: prof.histogram_kl_drift(
+        load_table(spark, sf, "lineitem"), "lineitem", "l_extendedprice", "l_orderkey"
+    ),
+    prof.histogram_kl_drift_oracle_sql("lineitem", "l_extendedprice", "l_orderkey"),
+)
+_register(
     # privacy gate: quasi-identifier group sizes vs the k threshold
     "p12_k_anonymity_customer",
     lambda spark, sf: prof.k_anonymity_scan(
@@ -1049,6 +1067,16 @@ _register(
     ),
 )
 
+_register(
+    "w6_funnel_counts_events",
+    lambda spark, sf: ana.funnel_counts(load_table(spark, sf, "events")),
+    ana.funnel_counts_oracle_sql(),
+)
+_register(
+    "w7_cohort_retention_events",
+    lambda spark, sf: ana.cohort_retention(load_table(spark, sf, "events")),
+    ana.cohort_retention_oracle_sql(),
+)
 _register(
     "range_join_error_followers",
     lambda spark, sf: win.range_join_follow_counts(load_table(spark, sf, "events")),

@@ -19,3 +19,47 @@ def test_q3_broadcasts_dimension(spark, sf01):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_ordering_semantics(spark):
+    """Earliest-completion funnel: a click BEFORE the user's first view
+    does not advance the funnel; monotone drop-off across steps."""
+    from datetime import datetime
+
+    from tabsketchfm_spark.operators.analytics import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, datetime(2024, 1, 1, 10), 1, "view", 0.0, ""),
+        (2, datetime(2024, 1, 1, 11), 1, "click", 0.0, ""),
+        (3, datetime(2024, 1, 1, 12), 1, "signup", 0.0, ""),
+        (4, datetime(2024, 1, 1, 13), 1, "purchase", 0.0, ""),
+        # u2: click precedes the first view — stalls at step 1
+        (5, datetime(2024, 1, 1, 9), 2, "click", 0.0, ""),
+        (6, datetime(2024, 1, 1, 10), 2, "view", 0.0, ""),
+        # u3: view then click, nothing else
+        (7, datetime(2024, 1, 1, 10), 3, "view", 0.0, ""),
+        (8, datetime(2024, 1, 1, 10), 3, "click", 0.0, ""),  # tie counts (>=)
+        # u4: never viewed
+        (9, datetime(2024, 1, 1, 10), 4, "purchase", 0.0, ""),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {r.step: r.n_users for r in funnel_counts(events).collect()}
+    assert got == {1: 3, 2: 2, 3: 1, 4: 1}
+
+
+def test_cohort_retention_shape(spark, sf01):
+    """Every user appears in their own cohort's first activity week,
+    and activity weeks never precede the cohort week."""
+    from tabsketchfm_spark.operators.analytics import cohort_retention
+    from tabsketchfm_spark.sources.tables import load_table
+
+    rows = cohort_retention(load_table(spark, sf01, "events")).collect()
+    assert rows
+    assert all(r.activity_week >= r.cohort_week for r in rows)
+    diag = {r.cohort_week: r.n_users for r in rows if r.activity_week == r.cohort_week}
+    assert diag, "no diagonal cohort rows"

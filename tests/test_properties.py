@@ -514,3 +514,49 @@ def test_bigram_logppl_detects_word_order_damage(spark):
     # unigram model cannot distinguish them (same bag, same length)
     ug = {r.id: r.avg_nll for r in unigram_logppl(docs).collect()}
     assert ug[9] == ug[0]
+
+
+def test_join_cardinality_estimate_accuracy(spark, sf01):
+    """The sketch-only join-size estimate lands within a small factor
+    of the TRUE equi-join cardinality on the orders⋈customer key pair
+    (uniform multiplicities — the estimator's model assumption holds,
+    so the error is sketch noise, not model error)."""
+    from tabsketchfm_spark.operators.minhash import join_cardinality_estimate
+    from tabsketchfm_spark.sources.tables import load_table
+
+    est = join_cardinality_estimate(
+        spark, sf01, ("orders", "o_custkey"), ("customer", "c_custkey")
+    ).first()
+    orders = load_table(spark, sf01, "orders")
+    cust = load_table(spark, sf01, "customer")
+    true = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    assert true > 0
+    ratio = est.est_join_rows / true
+    assert 0.5 <= ratio <= 2.0, (est.est_join_rows, true)
+
+
+def test_kl_drift_near_zero_for_parity_split(spark, sf01):
+    """Parity halves of one table draw from the same distribution:
+    both KL directions land near zero (and exactly zero only if the
+    histograms coincide), and an injected shift is clearly visible."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.profile import histogram_kl_drift
+    from tabsketchfm_spark.sources.tables import load_table
+
+    li = load_table(spark, sf01, "lineitem")
+    base = histogram_kl_drift(li, "lineitem", "l_extendedprice", "l_orderkey").first()
+    assert base.kl_pq < 0.05 and base.kl_qp < 0.05
+
+    shifted = li.withColumn(
+        "l_extendedprice",
+        F.when(
+            F.col("l_orderkey") % 2 == 0, F.col("l_extendedprice") * 3
+        ).otherwise(F.col("l_extendedprice")),
+    )
+    drift = histogram_kl_drift(
+        shifted, "lineitem", "l_extendedprice", "l_orderkey"
+    ).first()
+    assert drift.kl_pq > 10 * max(base.kl_pq, 1e-6)
