@@ -1248,7 +1248,7 @@ _DRIVER_WINDOW = [
     "text_gopher_rules",
     "text_pack_sequences",
     "text_decontaminate_documents",
-    "w1_running_user_totals",
+    "k3c_join_cardinality_estimate",
     "w2_sessionize_events_batch",
     "asof_event_hourly_snapshot",
     "range_join_error_followers",
@@ -1260,8 +1260,8 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "store_incremental_update",
     "pivot_event_counts",
-    "cube_order_stats",
-    "user_set_ops",
+    "text_bm25_topk_documents",
+    "w6_funnel_counts_events",
     "stream_windowed_counts_append",
     "stream_sessionize_events",
 ]
