@@ -225,3 +225,55 @@ SELECT 'orders.o_custkey' AS query, {k} AS k,
        count(CASE WHEN relevant = 1 THEN 1 END) / CAST({n_rel} AS DOUBLE) AS recall_at_k
 FROM topk
 """
+
+
+def zorder_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_cols: list[str],
+    bits: int = 16,
+) -> DataFrame:
+    """Z-order (Morton) interleave key for two integer dimensions —
+    the data-LAYOUT operator of a 100 TB lake: writing files sorted by
+    zkey co-locates rows that are near in BOTH dimensions, so range
+    predicates on either column prune file-level min/max zones
+    (the technique behind Delta/Iceberg OPTIMIZE ZORDER). Each
+    dimension is offset to its min (broadcast 1-row scalar), clamped
+    to ``bits`` bits, and the bits interleave via an unrolled integer
+    expression — exact in any engine, no UDF. Output: (*id_cols,
+    zkey); sort by zkey at write time.
+    """
+    mins = df.agg(
+        F.min(F.col(col_a)).alias("_ma"), F.min(F.col(col_b)).alias("_mb")
+    )
+    cap = (1 << bits) - 1
+    ua = F.least(F.col(col_a) - F.col("_ma"), F.lit(cap)).cast("bigint")
+    ub = F.least(F.col(col_b) - F.col("_mb"), F.lit(cap)).cast("bigint")
+    z = None
+    for i in range(bits):
+        ta = F.shiftleft(F.shiftright(ua, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        tb = F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = ta + tb if z is None else z + ta + tb
+    return df.crossJoin(F.broadcast(mins)).select(
+        *id_cols, z.alias("zkey")
+    )
+
+
+def zorder_key_oracle_sql(
+    table: str, col_a: str, col_b: str, id_cols: list[str], bits: int = 16
+) -> str:
+    cap = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((ua >> {i}) & 1) << {2 * i + 1}) + (((ub >> {i}) & 1) << {2 * i}))")
+    zsum = " + ".join(terms)
+    ids = ", ".join(id_cols)
+    return f"""
+WITH mins AS (SELECT min({col_a}) AS ma, min({col_b}) AS mb FROM {table}),
+u AS (SELECT {ids},
+             CAST(least({col_a} - ma, {cap}) AS BIGINT) AS ua,
+             CAST(least({col_b} - mb, {cap}) AS BIGINT) AS ub
+      FROM {table}, mins)
+SELECT {ids}, {zsum} AS zkey FROM u
+"""

@@ -240,6 +240,58 @@ _register(
     ),
     prof.histogram_kl_drift_oracle_sql("lineitem", "l_extendedprice", "l_orderkey"),
 )
+def _zorder_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.structural import zorder_key
+
+    return zorder_key(
+        load_table(spark, sf, "orders").where(F.col("o_orderkey") % 37 == 0),
+        "o_custkey",
+        "o_orderkey",
+        ["o_orderkey"],
+    )
+
+
+def _zorder_oracle() -> str:
+    from tabsketchfm_spark.operators.structural import zorder_key_oracle_sql
+
+    return zorder_key_oracle_sql(
+        "(SELECT * FROM orders WHERE o_orderkey % 37 = 0)",
+        "o_custkey",
+        "o_orderkey",
+        ["o_orderkey"],
+    )
+
+
+_register(
+    # lake-layout operator: Morton interleave of (custkey, orderkey)
+    # for 2D zone-map pruning; bounded output via the key filter
+    "layout_zorder_orders",
+    _zorder_orders,
+    _zorder_oracle(),
+)
+
+
+def _record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.linkage import record_linkage
+
+    return record_linkage(
+        load_table(spark, sf, "customer"), load_table(spark, sf, "supplier")
+    )
+
+
+def _record_linkage_oracle() -> str:
+    from tabsketchfm_spark.operators.linkage import record_linkage_oracle_sql
+
+    return record_linkage_oracle_sql()
+
+
+_register(
+    # entity resolution: nation-blocked candidate pairs + trigram name
+    # Jaccard + numeric closeness, Fellegi-Sunter-shaped linear score
+    "er_record_linkage_cust_supp",
+    _record_linkage,
+    _record_linkage_oracle(),
+)
 _register(
     # privacy gate: quasi-identifier group sizes vs the k threshold
     "p12_k_anonymity_customer",
@@ -1183,6 +1235,14 @@ _register(
     "stream_oph_minhash_events",
     ps.streaming_oph_minhash,
     ps.streaming_oph_minhash_oracle_sql(),
+)
+
+_register(
+    # streaming count-distinct via the linear-counting bitmap: slot
+    # occupancy is monotone state (O(m), no retraction)
+    "stream_distinct_sketch_events",
+    ps.streaming_distinct_sketch,
+    ps.streaming_distinct_sketch_oracle_sql(),
 )
 
 _register(

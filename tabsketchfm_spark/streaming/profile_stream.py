@@ -288,3 +288,49 @@ FROM events p JOIN events e
  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase' AND e.event_type = 'error'
 """
+
+
+def streaming_distinct_sketch(
+    spark: SparkSession, sf_dir: str, m: int = 1024
+) -> DataFrame:
+    """Streaming cardinality: the linear-counting bitmap
+    (operators/profile.distinct_sketch) maintained incrementally —
+    slot occupancy is a monotone grouped state (a slot, once set,
+    stays set), so the estimate is always current with O(m) state and
+    no retraction, the classic streaming count-distinct. Completing
+    the availableNow run must equal the batch sketch of the same
+    data, which is what the oracle checks.
+    Output: (occupied, est_distinct)."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    s = _events_stream(spark, sf_dir)
+    h = F.expr(h32_sql("user_id", "spark"))
+    slots = (
+        s.where(F.col("user_id").isNotNull())
+        .select((h % m).cast("int").alias("slot"))
+        .groupBy("slot")
+        .count()
+    )
+    mem = _run_to_memory(slots, "complete")
+    est = F.when(
+        F.col("occupied") < m,
+        F.round(-m * F.log((m - F.col("occupied")) / float(m)), 6),
+    )
+    return mem.agg(F.count(F.lit(1)).cast("int").alias("occupied")).select(
+        "occupied", est.alias("est_distinct")
+    )
+
+
+def streaming_distinct_sketch_oracle_sql(m: int = 1024) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("user_id", "duckdb")
+    return f"""
+WITH occ AS (SELECT CAST(count(DISTINCT {h} % {m}) AS INTEGER) AS occupied
+             FROM events WHERE user_id IS NOT NULL)
+SELECT occupied,
+       CASE WHEN occupied < {m}
+            THEN round(-{m} * ln(({m} - occupied) / CAST({m} AS DOUBLE)), 6)
+       END AS est_distinct
+FROM occ
+"""

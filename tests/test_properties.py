@@ -560,3 +560,51 @@ def test_kl_drift_near_zero_for_parity_split(spark, sf01):
         shifted, "lineitem", "l_extendedprice", "l_orderkey"
     ).first()
     assert drift.kl_pq > 10 * max(base.kl_pq, 1e-6)
+
+
+def test_zorder_locality_beats_linear_order(spark, sf01):
+    """The point of the Morton key: consecutive rows in z-order are
+    closer in BOTH dimensions than consecutive rows in single-column
+    order — measured as mean Manhattan distance between neighbors,
+    z-order must beat ordering by o_orderkey alone on the o_custkey
+    axis by a wide margin."""
+    from tabsketchfm_spark.operators.structural import zorder_key
+    from tabsketchfm_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf01, "orders").select("o_orderkey", "o_custkey")
+    keyed = zorder_key(orders, "o_custkey", "o_orderkey", ["o_orderkey"]).join(
+        orders, "o_orderkey"
+    )
+    rows = [(r.zkey, r.o_custkey) for r in keyed.collect()]
+
+    def mean_gap(seq):
+        vals = [c for _, c in seq]
+        return sum(abs(b - a) for a, b in zip(vals, vals[1:])) / (len(vals) - 1)
+
+    by_z = sorted(rows)
+    # linear baseline: order by o_orderkey (insertion order proxy)
+    linear = [(r.o_orderkey, r.o_custkey) for r in orders.collect()]
+    by_key = sorted(linear)
+    assert mean_gap(by_z) < 0.5 * mean_gap(by_key)
+
+
+def test_record_linkage_blocking_and_score(spark, sf01):
+    """Linkage sanity: every emitted pair shares the blocking key, the
+    score is the documented weighted combination, and identical names
+    within a block would score name_jac 1.0 (checked on a synthetic
+    frame)."""
+    from tabsketchfm_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame(
+        [(1, 10, "acme corp", 100.0), (2, 20, "zebra ltd", 50.0)],
+        "c_custkey bigint, c_nationkey bigint, c_name string, c_acctbal double",
+    )
+    b = spark.createDataFrame(
+        [(7, 10, "acme corp", 100.0), (8, 30, "acme corp", 100.0)],
+        "s_suppkey bigint, s_nationkey bigint, s_name string, s_acctbal double",
+    )
+    rows = record_linkage(a, b, threshold=0.0).collect()
+    # supplier 8 is in a different block — never compared
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 7)}
+    r = rows[0]
+    assert r.name_jac == 1.0 and r.num_sim == 1.0 and r.score == 1.0
