@@ -700,3 +700,53 @@ act AS (SELECT DISTINCT uid, cohort_week, wk AS activity_week
 SELECT cohort_week, activity_week, CAST(count(*) AS INTEGER) AS n_users
 FROM act GROUP BY 1, 2
 """
+
+
+def cooccurrence_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Frequent item-pair mining (the A-priori L2 pass / market-basket
+    staple) over order baskets: parts co-purchased in one order. The
+    pair space is a SELF-JOIN WITHIN BASKETS — O(Σ basket²) with
+    baskets bounded by construction (a lineitem order holds ≤7 items),
+    the same bounded-block cost argument as LSH buckets and linkage
+    blocks; never O(parts²). Distinct items per basket first (a
+    repeated part in one order is one co-occurrence), one grouped
+    count, support filter, deterministic top-k.
+    Output: (part_a, part_b, n_orders, rank)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select("ok", F.col("pk").alias("part_a"))
+    b = li.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= min_support)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("part_a", "part_b", "n_orders", "rank")
+    )
+
+
+def cooccurrence_pairs_oracle_sql(min_support: int = 2, k: int = 50) -> str:
+    return f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+p AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+      FROM b a JOIN b b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_support}),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS INTEGER) AS rank
+      FROM p)
+SELECT part_a, part_b, n_orders, rank FROM r WHERE rank <= {k}
+"""

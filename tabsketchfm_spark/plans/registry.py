@@ -1120,6 +1120,13 @@ _register(
 )
 
 _register(
+    # A-priori L2 pass: frequent co-purchased part pairs within order
+    # baskets (bounded-basket self-join, never O(parts^2))
+    "fp_cooccurrence_pairs",
+    lambda spark, sf: ana.cooccurrence_pairs(spark, sf),
+    ana.cooccurrence_pairs_oracle_sql(),
+)
+_register(
     "w6_funnel_counts_events",
     lambda spark, sf: ana.funnel_counts(load_table(spark, sf, "events")),
     ana.funnel_counts_oracle_sql(),
@@ -1243,6 +1250,22 @@ _register(
     "stream_distinct_sketch_events",
     ps.streaming_distinct_sketch,
     ps.streaming_distinct_sketch_oracle_sql(),
+)
+
+
+def _stream_cusum(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming.sessionize import streaming_cusum_drift
+
+    return streaming_cusum_drift(spark, sf)
+
+
+_register(
+    # stateful streaming CUSUM (applyInPandasWithState, O(1)/user state;
+    # reflected-walk algebra continues exactly across batches) — the
+    # completed availableNow run equals the batch W5 operator
+    "stream_cusum_drift_events",
+    _stream_cusum,
+    win.cusum_drift_oracle_sql("events"),
 )
 
 _register(

@@ -97,3 +97,69 @@ SELECT a.user_id, CAST(a.sid AS INTEGER) AS session_idx,
        a.start_epoch, a.end_epoch, a.n_events
 FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
 """
+
+
+CUSUM_K = 50.0
+CUSUM_H = 200.0
+
+CUSUM_OUT_SCHEMA = "user_id bigint, n_alarms bigint, max_s double"
+# (S_last, runmin_last, s_last, n_alarms, max_s): the reflected-walk
+# identity s = S - least(runmin, 0) is MERGEABLE across batches — the
+# stored cumulative sum and running minimum continue the walk exactly
+CUSUM_STATE_SCHEMA = "S double, runmin double, s_last double, n_alarms bigint, max_s double"
+
+
+def _cusum(key, pdfs, state):
+    """Per-user CUSUM kept as streaming state. Inside the batch the
+    SAME reflected-walk algebra as the batch operator runs over the
+    (ts, event_id)-sorted rows — numpy cumsum adds left-to-right in
+    the identical order as the SQL running-sum window, so a completed
+    availableNow run is bit-equal to batch cusum_drift (the oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    rows = rows[rows["value"].notna()]
+    if state.exists:
+        S0, rm0, s_prev, n_alarms, max_s = state.get
+    else:
+        S0, rm0, s_prev, n_alarms, max_s = 0.0, np.inf, 0.0, 0, -np.inf
+    d = rows["value"].astype("float64").to_numpy() - CUSUM_K
+    S = S0 + np.cumsum(d)
+    runmin = np.minimum.accumulate(np.minimum(S, rm0))
+    s = S - np.minimum(runmin, 0.0)
+    prev = np.concatenate(([s_prev], s[:-1]))
+    n_alarms = int(n_alarms + int(np.sum((s > CUSUM_H) & (prev <= CUSUM_H))))
+    if len(s):
+        max_s = max(max_s, float(s.max()))
+        state.update((float(S[-1]), float(runmin[-1]), float(s[-1]), n_alarms, max_s))
+    if not np.isfinite(max_s):
+        # user contributed no non-null values yet — nothing to report
+        # (the batch oracle has no row for them either)
+        yield pd.DataFrame(columns=["user_id", "n_alarms", "max_s"])
+        return
+    yield pd.DataFrame(
+        [(user_id, n_alarms, round(max_s, 6))],
+        columns=["user_id", "n_alarms", "max_s"],
+    )
+
+
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming drift detection: the W5 CUSUM as an
+    applyInPandasWithState operator with O(1) per-user state — the
+    always-on monitor version of the batch window query."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    s = _events_stream(spark, sf_dir)
+    out = s.groupBy("user_id").applyInPandasWithState(
+        _cusum,
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append")
