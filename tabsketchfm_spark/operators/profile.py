@@ -994,3 +994,96 @@ SELECT CAST(count(*) AS INTEGER) AS n_bins,
        round(list_reduce(list(t_qp ORDER BY bin), (a, v) -> a + v), 9) AS kl_qp
 FROM terms GROUP BY np, nq
 """
+
+
+def countmin_sketch(
+    df: DataFrame,
+    table_name: str,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a column's
+    value frequencies: ``depth`` hash rows × ``width`` counters, each
+    value adding 1 at (row d, h_d(v) % width). Deterministic md5-row
+    hashes — no RNG — so the grid is bit-reproducible cross-engine,
+    and MERGEABLE BY ADDITION: partition grids sum cellwise, the
+    streaming/incremental frequency primitive. The grid is the whole
+    shuffle: depth×width cells regardless of row count.
+    Output: (d, w, cnt) — one row per non-zero cell.
+    """
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.melt import melt_values
+
+    m = melt_values(df, [col], spread=False)
+    rows = []
+    for d in range(depth):
+        h = h32_sql(f"concat('cm{d}|', v)", "spark")
+        rows.append(
+            F.struct(
+                F.lit(d).alias("d"),
+                (F.expr(h) % width).cast("int").alias("w"),
+            )
+        )
+    return (
+        m.select(F.explode(F.array(*rows)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_sketch_oracle_sql(
+    table: str, col: str, width: int = 256, depth: int = 4
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    parts = []
+    vals = (
+        f"SELECT nullif(CAST({col} AS VARCHAR), '') AS v FROM {table} "
+        f"WHERE nullif(CAST({col} AS VARCHAR), '') IS NOT NULL"
+    )
+    for d in range(depth):
+        h = h32_sql(f"concat('cm{d}|', v)", "duckdb")
+        parts.append(
+            f"SELECT {d} AS d, CAST({h} % {width} AS INTEGER) AS w FROM ({vals}) vals"
+        )
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT d, w, count(*) AS cnt FROM ({u}) cells GROUP BY 1, 2
+"""
+
+
+def countmin_estimate(
+    sketch: DataFrame, df: DataFrame, col: str, keys_max: int = 10
+) -> DataFrame:
+    """Point-query the grid: est(v) = min over rows of the cell count —
+    an overestimate bounded by ||f||·e/width w.h.p. Queried for the
+    first ``keys_max`` distinct values (sorted) so the result is
+    deterministic. Output: (v, est, exact, overestimate >= 0)."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    depth = sketch.agg(F.max("d")).first()[0] + 1
+    width = 256
+    exact = (
+        df.select(F.nullif(F.col(col).cast("string"), F.lit("")).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy("v")
+        .limit(keys_max)
+    )
+    cells = []
+    for d in range(depth):
+        h = h32_sql(f"concat('cm{d}|', v)", "spark")
+        cells.append(
+            F.struct(F.lit(d).alias("d"), (F.expr(h) % width).cast("int").alias("w"))
+        )
+    q = exact.select(
+        "v", "exact", F.explode(F.array(*cells)).alias("c")
+    ).select("v", "exact", F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    return (
+        q.join(sketch, ["d", "w"])
+        .groupBy("v", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select("v", "est", "exact", (F.col("est") >= F.col("exact")).alias("overest"))
+    )

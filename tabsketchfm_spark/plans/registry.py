@@ -306,6 +306,15 @@ _register(
     ),
 )
 _register(
+    # count-min frequency grid: deterministic md5 rows, mergeable by
+    # cellwise addition; the grid IS the shuffle (depth x width cells)
+    "a2c_countmin_orders_custkey",
+    lambda spark, sf: prof.countmin_sketch(
+        load_table(spark, sf, "orders"), "orders", "o_custkey"
+    ),
+    prof.countmin_sketch_oracle_sql("orders", "o_custkey"),
+)
+_register(
     # mergeable approx-distinct via linear counting: deterministic
     # bitmap, so the estimate itself is oracle-EXACT (the HLL-based
     # a2s twins can only be rows-checked)

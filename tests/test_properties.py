@@ -608,3 +608,25 @@ def test_record_linkage_blocking_and_score(spark, sf01):
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 7)}
     r = rows[0]
     assert r.name_jac == 1.0 and r.num_sim == 1.0 and r.score == 1.0
+
+
+def test_countmin_point_queries_never_underestimate(spark, sf01):
+    """Count-min guarantee: every point query is >= the true
+    frequency, and with depth 4 × width 256 over ~1k distinct keys the
+    overestimate stays small relative to the total count."""
+    from tabsketchfm_spark.operators.profile import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf01, "orders")
+    sk = countmin_sketch(orders, "orders", "o_custkey").persist()
+    rows = countmin_estimate(sk, orders, "o_custkey", keys_max=20).collect()
+    assert len(rows) == 20
+    assert all(r.overest for r in rows)
+    total = orders.count()
+    import math
+
+    bound = math.e / 256 * total
+    assert all(r.est - r.exact <= 3 * bound for r in rows)
