@@ -504,3 +504,69 @@ SELECT user_id,
        round(max(s), 6) AS max_s
 FROM a GROUP BY user_id
 """
+
+
+def user_value_trend(events: DataFrame) -> DataFrame:
+    """Per-user OLS trend of the event value over time — the
+    engagement-drift analytic (is this user's metric rising or
+    decaying?): slope/intercept from the closed-form normal equations,
+    with every Σ an EXACT decimal sum (float aggregate merges are
+    partition-order dependent; exact sums are not), so the derived
+    doubles are bit-identical cross-engine. One grouped aggregate, no
+    window, no second pass. x is the epoch-seconds axis offset to the
+    user's first event (keeps x² within decimal range and the
+    intercept meaningful as 'level at first event').
+
+    Output: (user_id, n, slope_per_day, intercept) rounded; users
+    with a single event report NULL slope.
+    """
+    e = (
+        events.where(F.col("value").isNotNull())
+        .select("user_id", _epoch("ts").alias("x0"), F.col("value").cast("double").alias("y"))
+    )
+    base = e.groupBy("user_id").agg(F.min("x0").alias("xmin"))
+    ex = e.join(base, "user_id").select(
+        "user_id", (F.col("x0") - F.col("xmin")).alias("x"), "y"
+    )
+    d = lambda c: c.cast("decimal(38,6)")
+    agg = ex.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(d(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    den = agg["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (agg["n"] * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / agg["n"]
+    return agg.select(
+        "user_id",
+        F.col("n").cast("int").alias("n"),
+        F.round(
+            F.when(den != 0, slope * 86400.0), 9
+        ).alias("slope_per_day"),
+        F.round(F.when(den != 0, intercept), 6).alias("intercept"),
+    )
+
+
+def user_value_trend_oracle_sql(table: str = "events") -> str:
+    return """
+WITH e AS (SELECT user_id, epoch(ts) AS x0, CAST(value AS DOUBLE) AS y
+           FROM events WHERE value IS NOT NULL),
+b AS (SELECT user_id, min(x0) AS xmin FROM e GROUP BY 1),
+ex AS (SELECT e.user_id, x0 - xmin AS x, y FROM e JOIN b USING (user_id)),
+agg AS (SELECT user_id, count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM ex GROUP BY 1)
+SELECT user_id, CAST(n AS INTEGER) AS n,
+       round(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0 END, 9)
+         AS slope_per_day,
+       round(CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END, 6)
+         AS intercept
+FROM agg
+"""

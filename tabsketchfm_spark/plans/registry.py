@@ -1164,6 +1164,12 @@ _register(
     ana.cooccurrence_pairs_oracle_sql(),
 )
 _register(
+    # per-user OLS value trend from exact decimal normal-equation sums
+    "w8_user_value_trend",
+    lambda spark, sf: win.user_value_trend(load_table(spark, sf, "events")),
+    win.user_value_trend_oracle_sql(),
+)
+_register(
     "w6_funnel_counts_events",
     lambda spark, sf: ana.funnel_counts(load_table(spark, sf, "events")),
     ana.funnel_counts_oracle_sql(),

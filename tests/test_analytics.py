@@ -63,3 +63,29 @@ def test_cohort_retention_shape(spark, sf01):
     assert all(r.activity_week >= r.cohort_week for r in rows)
     diag = {r.cohort_week: r.n_users for r in rows if r.activity_week == r.cohort_week}
     assert diag, "no diagonal cohort rows"
+
+
+def test_user_value_trend_recovers_known_slope(spark):
+    """OLS sanity: a perfectly linear value series recovers its exact
+    slope (per day) and intercept; a single-event user reports NULL."""
+    from datetime import datetime, timedelta
+
+    from tabsketchfm_spark.operators.windows import user_value_trend
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: value = 10 + 2.5 * day
+    for day in range(10):
+        eid += 1
+        rows.append((eid, t0 + timedelta(days=day), 1, "view", 10.0 + 2.5 * day, ""))
+    rows.append((999, t0, 2, "view", 7.0, ""))  # single event
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {r.user_id: r for r in user_value_trend(events).collect()}
+    assert abs(got[1].slope_per_day - 2.5) < 1e-6
+    assert abs(got[1].intercept - 10.0) < 1e-6
+    assert got[2].slope_per_day is None and got[2].n == 1
