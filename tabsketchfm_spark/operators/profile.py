@@ -1322,3 +1322,115 @@ SELECT 'lineitem_value_ranges',
        (SELECT count(*) FROM lineitem
         WHERE l_discount < 0 OR l_discount > 1 OR l_quantity <= 0) = 0
 """
+
+
+def correlation_matrix(
+    df: DataFrame, table_name: str, columns: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations between numeric columns — the
+    profiling face of feature redundancy (corr ≈ ±1 columns are
+    derivable duplicates a curation pass can drop). ONE wide aggregate
+    computes every Σx, Σx², Σxy as exact decimals (map-side combined;
+    the O(p²) pair terms are expressions, not joins), then the
+    correlations derive per pair — identical arithmetic in the DuckDB
+    twin, so values are bit-exact. Rows restricted to all-columns-
+    non-null so every pair sees the same sample (the listwise-deletion
+    convention). Output: (col_a, col_b, corr) for a < b.
+    """
+    pred = None
+    for c in columns:
+        p = F.col(c).isNotNull()
+        pred = p if pred is None else (pred & p)
+    base = df.where(pred).select(
+        *[F.col(c).cast("double").alias(c) for c in columns]
+    )
+    d = lambda col: col.cast("decimal(38,6)")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(columns):
+        aggs.append(F.sum(d(F.col(c))).cast("double").alias(f"s{i}"))
+        aggs.append(F.sum(d(F.col(c) * F.col(c))).cast("double").alias(f"q{i}"))
+        for j in range(i + 1, len(columns)):
+            aggs.append(
+                F.sum(d(F.col(c) * F.col(columns[j]))).cast("double").alias(f"p{i}_{j}")
+            )
+    wide = base.agg(*aggs)
+    cells = []
+    for i, a in enumerate(columns):
+        for j in range(i + 1, len(columns)):
+            b = columns[j]
+            n = F.col("n")
+            cov = n * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+            va = n * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+            vb = n * F.col(f"q{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+            cells.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(cov / F.sqrt(va * vb), 9).alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.col_a", "c.col_b", "c.corr"
+    )
+
+
+def correlation_matrix_oracle_sql(table: str, columns: list[str]) -> str:
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in columns)
+    parts = []
+    for i, a in enumerate(columns):
+        for j in range(i + 1, len(columns)):
+            b = columns[j]
+            da = f"CAST({a} AS DOUBLE)"
+            db = f"CAST({b} AS DOUBLE)"
+            sa = f"CAST(sum(CAST({da} AS DECIMAL(38,6))) AS DOUBLE)"
+            sb = f"CAST(sum(CAST({db} AS DECIMAL(38,6))) AS DOUBLE)"
+            qa = f"CAST(sum(CAST({da} * {da} AS DECIMAL(38,6))) AS DOUBLE)"
+            qb = f"CAST(sum(CAST({db} * {db} AS DECIMAL(38,6))) AS DOUBLE)"
+            pab = f"CAST(sum(CAST({da} * {db} AS DECIMAL(38,6))) AS DOUBLE)"
+            parts.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+  round((count(*) * {pab} - {sa} * {sb})
+        / sqrt((count(*) * {qa} - {sa} * {sa}) * (count(*) * {qb} - {sb} * {sb})), 9)
+    AS corr
+FROM {table} WHERE {notnull}"""
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+def seasonality_profile(events: DataFrame) -> DataFrame:
+    """Load seasonality: event counts and mean value by (day-of-week,
+    hour-of-day), derived ARITHMETICALLY from the epoch axis —
+    dow = (floor(epoch/86400) + 4) mod 7 (1970-01-01 was a Thursday),
+    hour = floor(epoch mod 86400 / 3600) — so no engine/locale
+    calendar functions are involved and the result is identical in
+    any timezone configuration. One grouped aggregate.
+    Output: (dow, hour, n_events, mean_value)."""
+    ep = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)
+    return (
+        events.select(
+            F.pmod(F.floor(ep / 86400) + 4, F.lit(7)).cast("int").alias("dow"),
+            F.floor(F.pmod(ep, F.lit(86400.0)) / 3600).cast("int").alias("hour"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count("v"),
+                6,
+            ).alias("mean_value"),
+        )
+    )
+
+
+def seasonality_profile_oracle_sql(table: str = "events") -> str:
+    return """
+SELECT CAST((floor(epoch(ts) / 86400) + 4) % 7 AS INTEGER) AS dow,
+       CAST(floor((epoch(ts) % 86400) / 3600) AS INTEGER) AS hour,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(value), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""

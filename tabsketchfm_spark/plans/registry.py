@@ -306,6 +306,25 @@ _register(
     ),
 )
 _register(
+    # feature-redundancy scan: all pairwise Pearson correlations from
+    # ONE wide exact-decimal aggregate (pairs are expressions, not joins)
+    "a14_correlation_matrix_lineitem",
+    lambda spark, sf: prof.correlation_matrix(
+        load_table(spark, sf, "lineitem"),
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    ),
+    prof.correlation_matrix_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ),
+)
+_register(
+    # load seasonality on the arithmetic epoch axis (locale-free)
+    "w9_seasonality_profile_events",
+    lambda spark, sf: prof.seasonality_profile(load_table(spark, sf, "events")),
+    prof.seasonality_profile_oracle_sql(),
+)
+_register(
     # the publish gate: PK uniqueness, null rates, referential
     # integrity (anti-joins), domain + range checks — one auditable
     # row per contract

@@ -678,3 +678,19 @@ def test_validate_contracts_detects_injected_violations(spark, sf001):
         .count()
     )
     assert orphans == 1
+
+
+def test_correlation_matrix_recovers_known_correlations(spark):
+    """Pearson sanity: y = 2x scores corr 1.0; y = -x scores -1.0;
+    independent alternation scores near 0."""
+    from tabsketchfm_spark.operators.profile import correlation_matrix
+
+    rows = [(float(i), 2.0 * i, -float(i), float(i % 2)) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, y double, z double, w double")
+    got = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, "t", ["x", "y", "z", "w"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert abs(got[("x", "w")]) < 0.05
