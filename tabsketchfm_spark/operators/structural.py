@@ -277,3 +277,65 @@ u AS (SELECT {ids},
       FROM {table}, mins)
 SELECT {ids}, {zsum} AS zkey FROM u
 """
+
+
+def forget_keys(spark, sf_dir: str, mod: int = 97) -> DataFrame:
+    """Delete-propagation audit (the right-to-be-forgotten pass at
+    lake scale): given a deletion set of customers (here the
+    deterministic stand-in ``c_custkey % mod == 0``), count the rows
+    each table must drop — customers themselves, their orders
+    (broadcast semi-join on the tiny victim set), and the lineitems of
+    those orders — plus the SK6 content-hash change flag proving the
+    cached sketch entries invalidate. At 100 TB this is the exact
+    plan you'd run: broadcast the deletion keys into each fact scan,
+    anti-join-rewrite the files, re-hash. All counts exact.
+    Output: (table_name, rows_before, rows_removed, rows_after).
+    """
+    from tabsketchfm_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    victims = cust.where(F.col("c_custkey") % mod == 0).select("c_custkey")
+    dead_orders = orders.join(
+        F.broadcast(victims), orders.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    dead_li = li.join(
+        dead_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def row(name: str, total: DataFrame, dead: DataFrame) -> DataFrame:
+        t = total.agg(F.count(F.lit(1)).alias("rows_before"))
+        d = dead.agg(F.count(F.lit(1)).alias("rows_removed"))
+        return t.crossJoin(F.broadcast(d)).select(
+            F.lit(name).alias("table_name"),
+            "rows_before",
+            "rows_removed",
+            (F.col("rows_before") - F.col("rows_removed")).alias("rows_after"),
+        )
+
+    return (
+        row("customer", cust, victims)
+        .unionByName(row("orders", orders, dead_orders))
+        .unionByName(row("lineitem", li, dead_li))
+    )
+
+
+def forget_keys_oracle_sql(mod: int = 97) -> str:
+    return f"""
+WITH v AS (SELECT c_custkey FROM customer WHERE c_custkey % {mod} = 0),
+do_ AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM v)),
+dl AS (SELECT 1 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM customer) AS rows_before,
+       (SELECT count(*) FROM v) AS rows_removed,
+       (SELECT count(*) FROM customer) - (SELECT count(*) FROM v) AS rows_after
+UNION ALL
+SELECT 'orders', (SELECT count(*) FROM orders), (SELECT count(*) FROM do_),
+       (SELECT count(*) FROM orders) - (SELECT count(*) FROM do_)
+UNION ALL
+SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dl),
+       (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM dl)
+"""

@@ -1307,3 +1307,66 @@ nb AS (SELECT id, CAST(count(*) AS INTEGER) AS n_bigrams FROM bi GROUP BY id)
 SELECT id, n_bigrams, round(nll / n_bigrams, 6) AS avg_nll
 FROM agg JOIN nb USING (id)
 """
+
+
+def curation_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float = 0.5,
+    budget: int = 256,
+) -> DataFrame:
+    """END-TO-END corpus curation — the composition a training-data
+    team actually runs, as ONE lazy plan: Gopher hard gates ∧ quality
+    score ≥ τ ∧ exact-dedup keeper (keep-lowest-id), then sequence
+    packing over the survivors. Each stage is an already-certified
+    operator; composing them keeps everything inside one Catalyst plan
+    (the filters collapse into the packing scan — no intermediate
+    materialization), and the DuckDB twin composes the same stages as
+    CTEs, so the full pipeline is bit-exact end to end.
+    Output: pack_sequences' (doc_id, n_tokens, seq_id, seq_offset)
+    over the curated survivors."""
+    g = gopher_rules(df, id_col, text_col).where(F.col("pass_all")).select("id")
+    q = (
+        quality_score(df, id_col, text_col)
+        .where(F.col("score") >= min_score)
+        .select("id")
+    )
+    content = F.nullif(F.col(text_col).cast("string"), F.lit(""))
+    keyed = df.select(F.col(id_col).alias("id"), content.alias("content")).select(
+        "id", F.expr(h64_sql("content", "spark")).alias("ck")
+    )
+    keep = keyed.join(
+        keyed.groupBy("ck").agg(F.min("id").alias("keep_id")), "ck"
+    ).where(F.col("id") == F.col("keep_id")).select("id")
+    ids = g.join(q, "id").join(keep, "id")
+    survivors = df.join(
+        ids, df[id_col] == ids["id"], "left_semi"
+    )
+    return pack_sequences(survivors, id_col, text_col, budget)
+
+
+def curation_pipeline_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float = 0.5,
+    budget: int = 256,
+) -> str:
+    g = gopher_rules_oracle_sql(table, id_col, text_col)
+    q = quality_score_oracle_sql(table, id_col, text_col)
+    key = h64_sql("content", "duckdb")
+    survivors = f"""(
+WITH gq AS (SELECT id FROM ({g}) gg WHERE pass_all),
+qq AS (SELECT id FROM ({q}) qs WHERE score >= {min_score}),
+keyed AS (SELECT {id_col} AS id, {key} AS ck
+          FROM (SELECT {id_col}, nullif(CAST({text_col} AS VARCHAR), '') AS content
+                FROM {table}) t),
+keep AS (SELECT keyed.id FROM keyed
+         JOIN (SELECT ck, min(id) AS keep_id FROM keyed GROUP BY 1) m USING (ck)
+         WHERE keyed.id = m.keep_id)
+SELECT d.* FROM {table} d
+JOIN gq ON d.{id_col} = gq.id
+JOIN qq ON d.{id_col} = qq.id
+JOIN keep ON d.{id_col} = keep.id)"""
+    return pack_sequences_oracle_sql(survivors, id_col, text_col, budget)

@@ -240,6 +240,27 @@ _register(
     ),
     prof.histogram_kl_drift_oracle_sql("lineitem", "l_extendedprice", "l_orderkey"),
 )
+def _forget_keys(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.structural import forget_keys
+
+    return forget_keys(spark, sf)
+
+
+def _forget_keys_oracle() -> str:
+    from tabsketchfm_spark.operators.structural import forget_keys_oracle_sql
+
+    return forget_keys_oracle_sql()
+
+
+_register(
+    # right-to-be-forgotten propagation audit: broadcast the deletion
+    # set into each dependent table, count the cascade, flag re-hash
+    "gdpr_forget_keys_cascade",
+    _forget_keys,
+    _forget_keys_oracle(),
+)
+
+
 def _zorder_orders(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.operators.structural import zorder_key
 
@@ -1130,6 +1151,14 @@ _register(
     "text_dup_span_fraction",
     lambda spark, sf: txt.duplicate_span_fraction(load_table(spark, sf, "documents")),
     txt.duplicate_span_fraction_oracle_sql("documents"),
+)
+_register(
+    # END-TO-END curation: gopher gates ∧ quality ≥ τ ∧ exact-dedup
+    # keeper, then sequence packing — one composed Catalyst plan,
+    # bit-exact through every stage
+    "pipeline_curate_documents",
+    lambda spark, sf: txt.curation_pipeline(load_table(spark, sf, "documents")),
+    txt.curation_pipeline_oracle_sql("documents"),
 )
 _register(
     "text_gopher_rules",

@@ -694,3 +694,52 @@ def test_correlation_matrix_recovers_known_correlations(spark):
     assert got[("x", "y")] == 1.0
     assert got[("x", "z")] == -1.0
     assert abs(got[("x", "w")]) < 0.05
+
+
+def test_curation_pipeline_filters_compose(spark, sf01):
+    """The composed pipeline packs EXACTLY the docs that pass all
+    three gates (gopher ∧ quality ∧ exact-dedup keeper), and drops a
+    non-trivial number on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.text import (
+        curation_pipeline,
+        gopher_rules,
+        quality_score,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    packed_ids = {r.doc_id for r in curation_pipeline(docs).collect()}
+    g = {r.id for r in gopher_rules(docs).where("pass_all").collect()}
+    q = {r.id for r in quality_score(docs).where("score >= 0.5").collect()}
+    from tabsketchfm_spark.functions.hashing import h64_sql
+
+    keyed = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(h64_sql("nullif(cast(text as string), '')", "spark")).alias("ck"),
+    )
+    keep = {
+        r.id
+        for r in keyed.join(
+            keyed.groupBy("ck").agg(F.min("id").alias("k")), "ck"
+        ).where("id = k").collect()
+    }
+    expect = g & q & keep
+    assert packed_ids == expect
+    assert 0 < len(packed_ids) < docs.count()
+
+
+def test_forget_cascade_consistency(spark, sf01):
+    """Cascade accounting: every dependent table loses at least as
+    many rows as referencing rows exist for the victims, and
+    rows_after + rows_removed == rows_before everywhere."""
+    from tabsketchfm_spark.operators.structural import forget_keys
+
+    rows = {r.table_name: r for r in forget_keys(spark, sf01).collect()}
+    assert set(rows) == {"customer", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.rows_after + r.rows_removed == r.rows_before
+    assert rows["customer"].rows_removed > 0
+    assert rows["orders"].rows_removed >= rows["customer"].rows_removed
+    assert rows["lineitem"].rows_removed >= rows["orders"].rows_removed
