@@ -1420,7 +1420,7 @@ _DRIVER_WINDOW = [
     "text_token_stats",
     "text_quality_score",
     "text_gopher_rules",
-    "text_pack_sequences",
+    "pipeline_curate_documents",
     "text_decontaminate_documents",
     "k3c_join_cardinality_estimate",
     "w2_sessionize_events_batch",
