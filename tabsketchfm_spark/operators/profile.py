@@ -1054,7 +1054,11 @@ SELECT d, w, count(*) AS cnt FROM ({u}) cells GROUP BY 1, 2
 
 
 def countmin_estimate(
-    sketch: DataFrame, df: DataFrame, col: str, keys_max: int = 10
+    sketch: DataFrame,
+    df: DataFrame,
+    col: str,
+    keys_max: int = 10,
+    width: int = 256,
 ) -> DataFrame:
     """Point-query the grid: est(v) = min over rows of the cell count —
     an overestimate bounded by ||f||·e/width w.h.p. Queried for the
@@ -1063,7 +1067,6 @@ def countmin_estimate(
     from tabsketchfm_spark.functions.hashing import h32_sql
 
     depth = sketch.agg(F.max("d")).first()[0] + 1
-    width = 256
     exact = (
         df.select(F.nullif(F.col(col).cast("string"), F.lit("")).alias("v"))
         .where(F.col("v").isNotNull())
