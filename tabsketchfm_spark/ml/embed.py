@@ -8,14 +8,15 @@ runs inside ``mapInPandas`` (Arrow batches, one model instance per
 executor task via broadcast config), and pooling stays in the UDF's
 numpy (cheap) while all orchestration is DataFrame-native.
 
-The torch model itself (reference transformer_bert.py M1-M3) is NOT
-reimplemented — torch is absent in this environment. ``_encoder``
-loads it behind an import-try; otherwise a deterministic numpy stub
-encoder (md5-seeded random projection of the sketch stats) stands in,
-so the full pipeline — sketch store → inference batches → embedding
-table → search operators — runs and is testable end-to-end. The
-embedding table schema matches SURVEY §1.1's design:
-(table_name, column_name nullable, kind, vector).
+The model math itself lives in ``ml/reference_forward.py``: the REAL
+M1 embedding-layer forward (six-stream sum + LayerNorm, reference
+transformer_bert.py:24-85) plus one M2 encoder block, with seeded
+deterministic weights standing in for a trained checkpoint
+(``ml/checkpoint.py`` provides the npz state-dict swap). ``_encoder``
+remains the torch probe seam; ``_stub_encode`` survives only for the
+K2 sentence-transformer stand-in. The embedding table schema matches
+SURVEY §1.1's design: (table_name, column_name nullable, kind,
+vector).
 """
 
 from __future__ import annotations
@@ -88,9 +89,17 @@ def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> 
 
     src = profile
     if minhash is not None:
+        # key on (table, column): lake-wide profiles repeat column
+        # names across tables, and a column-only join would attach
+        # wrong or duplicated signatures
+        mh_cols = ["column_name"]
+        if "table_name" in minhash.columns:
+            mh_cols = ["table_name", "column_name"]
         src = src.join(
-            F.broadcast(minhash.select("column_name", F.col("minhash_exact").alias("_mh"))),
-            "column_name",
+            F.broadcast(
+                minhash.select(*mh_cols, F.col("minhash_exact").alias("_mh"))
+            ),
+            mh_cols,
             "left",
         )
     else:

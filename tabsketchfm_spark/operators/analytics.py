@@ -623,6 +623,10 @@ def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFram
                 .groupBy("uid")
                 .agg(F.min("es").alias("t"))
             )
+        # each stage frame feeds TWO subtrees (its count + the next
+        # stage); unpersisted, stage 1 would re-execute k times and the
+        # union would do O(k²) stage work
+        cur = cur.persist()
         stage_counts.append(
             cur.agg(F.count(F.lit(1)).cast("int").alias("n_users")).select(
                 F.lit(i + 1).alias("step"), F.lit(s).alias("step_name"), "n_users"

@@ -818,17 +818,47 @@ def join_cardinality_estimate(
     Output: (est_jaccard, est_distinct_a, est_distinct_b,
     est_overlap, est_join_rows).
     """
-    from tabsketchfm_spark.operators.profile import distinct_sketch
+    from tabsketchfm_spark.operators.melt import melt_values
     from tabsketchfm_spark.sources.tables import load_table
 
     (ta, ca), (tb, cb) = left, right
     dfa, dfb = load_table(spark, sf_dir, ta), load_table(spark, sf_dir, tb)
-    sa = oph_signatures(dfa, ta, [ca], num_buckets).select(
-        "bucket", F.col("sig").alias("sig_a")
-    )
-    sb = oph_signatures(dfb, tb, [cb], num_buckets).select(
-        "bucket", F.col("sig").alias("sig_b")
-    )
+
+    def side(df, col, sig_name, d_name, n_name):
+        """ONE melt+hash scan feeds all three sketch readings (OPH
+        bucket-MINs, linear-counting occupancy, non-null count) —
+        the estimate's whole point is not touching the data thrice."""
+        hs = (
+            melt_values(df.select(col), [col], spread=False)
+            .select(F.expr(h32_sql("v", "spark")).alias("h"))
+            .persist()
+        )
+        sig = (
+            hs.groupBy((F.col("h") % num_buckets).cast("int").alias("bucket"))
+            .agg(F.min("h").alias(sig_name))
+        )
+        occ = (
+            hs.select((F.col("h") % lc_slots).cast("int").alias("slot"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("occ"))
+            # identical to profile.distinct_sketch: the linear-counting
+            # formula below saturation, NULL at occ == m (grow m)
+            .select(
+                F.when(
+                    F.col("occ") < lc_slots,
+                    F.round(
+                        -lc_slots
+                        * F.log((lc_slots - F.col("occ")) / float(lc_slots)),
+                        6,
+                    ),
+                ).alias(d_name)
+            )
+        )
+        n = hs.agg(F.count(F.lit(1)).alias(n_name))
+        return sig, occ, n
+
+    sa, da, na = side(dfa, ca, "sig_a", "da", "na")
+    sb, db, nb = side(dfb, cb, "sig_b", "db", "nb")
     jac = (
         sa.join(sb, "bucket", "full_outer")
         .agg(
@@ -838,14 +868,6 @@ def join_cardinality_estimate(
             ).alias("j")
         )
     )
-    da = distinct_sketch(dfa, ta, [ca], m=lc_slots).select(
-        F.col("est_distinct").alias("da")
-    )
-    db = distinct_sketch(dfb, tb, [cb], m=lc_slots).select(
-        F.col("est_distinct").alias("db")
-    )
-    na = dfa.where(F.col(ca).isNotNull()).agg(F.count(F.lit(1)).alias("na"))
-    nb = dfb.where(F.col(cb).isNotNull()).agg(F.count(F.lit(1)).alias("nb"))
     est = (
         jac.crossJoin(F.broadcast(da))
         .crossJoin(F.broadcast(db))

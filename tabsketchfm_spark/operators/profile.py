@@ -750,9 +750,11 @@ def quantile_sketch_merge_check(
     the quantiles — bit-identical to the direct whole-table sketch,
     because the sampled multiset is value-determined. Output adds
     matches_direct (always TRUE)."""
-    merged_src = df.where(F.col(split_col) % 2 == 0).unionByName(
-        df.where(F.col(split_col) % 2 == 1)
-    )
+    # NULL split keys must land in exactly one half (a NULL predicate
+    # would silently drop them from BOTH, diverging from the direct
+    # sketch on any nullable split column)
+    even = (F.col(split_col) % 2 == 0) | F.col(split_col).isNull()
+    merged_src = df.where(even).unionByName(df.where(~even.eqNullSafe(True)))
     merged = quantile_sketch(merged_src, table_name, columns, sample_mod)
     direct = quantile_sketch(df, table_name, columns, sample_mod).select(
         "column_name",
@@ -908,7 +910,7 @@ def histogram_kl_drift(
         F.col("x").isNotNull()
     )
     rng = base.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    binned = (
+    occupied = (
         base.crossJoin(F.broadcast(rng))
         .select(
             "is_p",
@@ -924,6 +926,16 @@ def histogram_kl_drift(
             F.sum(F.col("is_p").cast("int")).alias("pc"),
             F.sum((~F.col("is_p")).cast("int")).alias("qc"),
         )
+    )
+    # EVERY bin contributes a smoothed term — a bin empty in both
+    # slices still carries mass 1/(n+bins) per side, and dropping it
+    # biases the divergence whenever the slice sizes differ
+    spark = df.sparkSession
+    all_bins = spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+    binned = all_bins.join(occupied, "bin", "left").select(
+        "bin",
+        F.coalesce("pc", F.lit(0)).alias("pc"),
+        F.coalesce("qc", F.lit(0)).alias("qc"),
     )
     tot = binned.agg(
         F.sum("pc").alias("np"), F.sum("qc").alias("nq")
@@ -979,10 +991,14 @@ def histogram_kl_drift_oracle_sql(
 WITH base AS (SELECT CAST({col} AS DOUBLE) AS x, {split_col} % 2 = 0 AS is_p
               FROM {table} WHERE {col} IS NOT NULL),
 rng AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
-binned AS (SELECT CAST(least(floor((x - mn) / ((mx - mn) / {bins})), {bins} - 1) AS INTEGER) AS bin,
-                  sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS pc,
-                  sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS qc
-           FROM base, rng GROUP BY 1),
+occ AS (SELECT CAST(least(floor((x - mn) / ((mx - mn) / {bins})), {bins} - 1) AS INTEGER) AS bin,
+               sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS pc,
+               sum(CASE WHEN is_p THEN 0 ELSE 1 END) AS qc
+        FROM base, rng GROUP BY 1),
+binned AS (SELECT CAST(b AS INTEGER) AS bin,
+                  coalesce(pc, 0) AS pc, coalesce(qc, 0) AS qc
+           FROM (SELECT unnest(generate_series(0, {bins} - 1)) AS b) ab
+           LEFT JOIN occ ON occ.bin = ab.b),
 tot AS (SELECT sum(pc) AS np, sum(qc) AS nq FROM binned),
 terms AS (SELECT bin, np, nq,
                  ((pc + 1.0) / (np + {bins})) * ln(((pc + 1.0) / (np + {bins})) / ((qc + 1.0) / (nq + {bins}))) AS t_pq,
@@ -1059,6 +1075,7 @@ def countmin_estimate(
     col: str,
     keys_max: int = 10,
     width: int = 256,
+    depth: int = 4,
 ) -> DataFrame:
     """Point-query the grid: est(v) = min over rows of the cell count —
     an overestimate bounded by ||f||·e/width w.h.p. Queried for the
@@ -1066,7 +1083,6 @@ def countmin_estimate(
     deterministic. Output: (v, est, exact, overestimate >= 0)."""
     from tabsketchfm_spark.functions.hashing import h32_sql
 
-    depth = sketch.agg(F.max("d")).first()[0] + 1
     exact = (
         df.select(F.nullif(F.col(col).cast("string"), F.lit("")).alias("v"))
         .where(F.col("v").isNotNull())
@@ -1112,11 +1128,13 @@ def kmv_sketch(
 
     m = melt_values(df, [col], spread=False)
     hs = m.select(F.expr(h32_sql("v", "spark")).alias("h")).distinct()
-    w = Window.orderBy("h")
-    return (
-        hs.withColumn("pos", F.row_number().over(w))
-        .where(F.col("pos") <= k)
-        .select(F.col("pos").cast("int").alias("pos"), "h")
+    # distributed top-k: orderBy+limit compiles to TakeOrdered (per-
+    # partition k then merge) — a bare Window.orderBy row_number would
+    # funnel the WHOLE distinct set through one task before keeping k
+    topk = hs.orderBy("h").limit(k)
+    w = Window.orderBy("h")  # over ≤ k survivors only
+    return topk.withColumn("pos", F.row_number().over(w)).select(
+        F.col("pos").cast("int").alias("pos"), "h"
     )
 
 

@@ -240,6 +240,9 @@ PII_PATTERNS = {
     "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
 }
 
+# most-specific first: ssn is a sub-language of the phone pattern
+PII_ORDER = ["ssn_like", "email", "phone"]
+
 
 def pii_scan(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """PII pre-filter: per-document hit counts for email / phone /
@@ -1037,11 +1040,15 @@ def pii_redact(
     the pre-redaction hits for audit. Pure regexp_replace — JVM-side,
     one projection, no shuffle. Output: (id, text_redacted,
     n_redacted)."""
+    # specificity order: the SSN shape is a sub-language of the phone
+    # pattern, so it must rewrite FIRST or every SSN reads [PHONE];
+    # hit counts run against the PROGRESSIVELY redacted text so one
+    # span is never counted by two families
     red = F.col(text_col)
     total = None
-    for k in sorted(PII_PATTERNS):
+    for k in PII_ORDER:
         p = PII_PATTERNS[k]
-        hits = F.regexp_count(F.col(text_col), F.lit(p)).cast("int")
+        hits = F.regexp_count(red, F.lit(p)).cast("int")
         total = hits if total is None else total + hits
         red = F.regexp_replace(red, p, f"[{k.upper()}]")
     return df.select(
@@ -1056,9 +1063,10 @@ def pii_redact_oracle_sql(
 ) -> str:
     red = text_col
     hit_terms = []
-    for k in sorted(PII_PATTERNS):
+    for k in PII_ORDER:
         p = PII_PATTERNS[k]
-        hit_terms.append(f"CAST(len(regexp_extract_all({text_col}, '{p}')) AS INTEGER)")
+        # hits measured on the text as redacted SO FAR (mirrors Spark)
+        hit_terms.append(f"CAST(len(regexp_extract_all({red}, '{p}')) AS INTEGER)")
         # 'g': DuckDB replaces only the first match by default; Spark
         # regexp_replace is always global
         red = f"regexp_replace({red}, '{p}', '[{k.upper()}]', 'g')"
@@ -1335,7 +1343,7 @@ def curation_pipeline(
     content = F.nullif(F.col(text_col).cast("string"), F.lit(""))
     keyed = df.select(F.col(id_col).alias("id"), content.alias("content")).select(
         "id", F.expr(h64_sql("content", "spark")).alias("ck")
-    )
+    ).persist()  # two consumers: the group-min and the keeper filter
     keep = keyed.join(
         keyed.groupBy("ck").agg(F.min("id").alias("keep_id")), "ck"
     ).where(F.col("id") == F.col("keep_id")).select("id")

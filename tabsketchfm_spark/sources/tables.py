@@ -107,7 +107,7 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
 # on one populated split. Reading the footer via pyarrow avoids the
 # plan→RDD conversion that getNumPartitions() forces (one Spark-side
 # plan analysis per call — 9× in the all-pairs query).
-_ROWGROUP_CACHE: dict[str, int] = {}
+_ROWGROUP_CACHE: dict[tuple[str, float, int], int] = {}
 
 
 def _split_count(df: DataFrame) -> int:
@@ -134,12 +134,19 @@ def _split_count(df: DataFrame) -> int:
         return df.rdd.getNumPartitions()
     total = 0
     for p in paths:
-        if p not in _ROWGROUP_CACHE:
+        # key on (path, mtime, size): a rewritten file at the same
+        # path must re-probe — the footer is immutable, the path isn't
+        try:
+            st = os.stat(p)
+            key = (p, st.st_mtime, st.st_size)
+        except OSError:
+            return df.rdd.getNumPartitions()
+        if key not in _ROWGROUP_CACHE:
             import pyarrow.parquet as pq
 
             try:
-                _ROWGROUP_CACHE[p] = pq.ParquetFile(p).metadata.num_row_groups
+                _ROWGROUP_CACHE[key] = pq.ParquetFile(p).metadata.num_row_groups
             except Exception:
-                _ROWGROUP_CACHE[p] = 1
-        total += _ROWGROUP_CACHE[p]
+                _ROWGROUP_CACHE[key] = 1
+        total += _ROWGROUP_CACHE[key]
     return total

@@ -162,4 +162,10 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "append")
+    # each microbatch emits the user's CUMULATIVE counters; under a
+    # multi-batch source (maxFilesPerTrigger, split files) earlier
+    # batches' rows remain in the sink, so reduce to the final state —
+    # both counters are monotone nondecreasing, making MAX exact
+    return _run_to_memory(out, "append").groupBy("user_id").agg(
+        F.max("n_alarms").alias("n_alarms"), F.max("max_s").alias("max_s")
+    )

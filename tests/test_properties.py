@@ -743,3 +743,36 @@ def test_forget_cascade_consistency(spark, sf01):
     assert rows["customer"].rows_removed > 0
     assert rows["orders"].rows_removed >= rows["customer"].rows_removed
     assert rows["lineitem"].rows_removed >= rows["orders"].rows_removed
+
+
+def test_pii_redact_typed_placeholders_and_counts(spark):
+    """Regression (round-4 review): the SSN shape is a sub-language of
+    the phone pattern — redaction must apply most-specific-first so
+    '123-45-6789' reads [SSN_LIKE] (not [PHONE]), and n_redacted
+    counts each span once (no double counting across families)."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.text import pii_redact, pii_redact_oracle_sql
+
+    rows = [
+        (1, "my ssn is 123-45-6789 ok"),
+        (2, "call +1 (555) 123-4567 or mail a.b@example.com"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in pii_redact(df).collect()}
+    assert got[1].text_redacted == "my ssn is [SSN_LIKE] ok"
+    assert got[1].n_redacted == 1
+    assert "[PHONE]" in got[2].text_redacted and "[EMAIL]" in got[2].text_redacted
+    assert got[2].n_redacted == 2
+    assert got[3].n_redacted == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    cur = con.execute(pii_redact_oracle_sql("docs"))
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    for i, r in got.items():
+        assert want[i]["text_redacted"] == r.text_redacted
+        assert want[i]["n_redacted"] == r.n_redacted
