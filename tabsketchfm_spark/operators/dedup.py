@@ -747,3 +747,48 @@ SELECT a.cell, a.id AS id_a, b.id AS id_b,
 FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
 WHERE list_dot_product(a.u, b.u) >= {threshold}
 """
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Duplication-structure summary: the size distribution of near-dup
+    clusters — the one-line health metric of a corpus ("how much mass
+    sits in duplicate clusters of size k"). Composes dedup_clusters
+    with one grouped count; the deduplicated-corpus size is
+    Σ n_clusters, and Σ (size−1)·n_clusters rows would be dropped.
+    Output: (cluster_size, n_clusters, n_docs)."""
+    cc = dedup_clusters(df, id_col, text_col, n, threshold)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("int").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+def cluster_size_histogram_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    base = dedup_clusters_oracle_sql(table, id_col, text_col, n, threshold)
+    return f"""
+WITH cc AS ({base}),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+SELECT CAST(cluster_size AS INTEGER) AS cluster_size,
+       count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""

@@ -1378,3 +1378,93 @@ JOIN gq ON d.{id_col} = gq.id
 JOIN qq ON d.{id_col} = qq.id
 JOIN keep ON d.{id_col} = keep.id)"""
     return pack_sequences_oracle_sql(survivors, id_col, text_col, budget)
+
+
+def pmi_topk(
+    df: DataFrame,
+    k: int = 25,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word associations by pointwise mutual
+    information: pmi(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over corpus
+    bigrams with c(a,b) ≥ min_count — the collocation detector
+    (multi-word entities, templated phrases) that informs tokenizer
+    merges and boilerplate lists. Reuses the bigram/unigram count
+    shape of the LM gates; PMI derives from exact integer counts so
+    the doubles are engine-identical. Deterministic top-k with
+    (pmi desc, a, b) ordering. Output: (a, b, n_ab, pmi, rank)."""
+    from pyspark.sql import Window
+
+    toks = _toks_spark(text_col)
+    base = df.select(F.expr(toks).alias("tk")).where(F.expr("size(tk) >= 2"))
+    bi = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] as a, tk[i + 1] as b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    uni = base.select(F.explode("tk").alias("t"))
+    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("nn"))
+    c2 = (
+        bi.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    scored = (
+        c2.join(c1.select(F.col("t").alias("a"), F.col("c").alias("ca")), "a")
+        .join(c1.select(F.col("t").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("nn")
+                    * F.col("n_ab")
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("a", "b", "n_ab", "pmi", "rank")
+    )
+
+
+def pmi_topk_oracle_sql(
+    table: str,
+    k: int = 25,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = _toks_duckdb(text_col)
+    return f"""
+WITH base AS (SELECT {toks} AS tk FROM {table}),
+big AS (SELECT tk FROM base WHERE len(tk) >= 2),
+bi AS (SELECT tk[i] AS a, tk[i + 1] AS b
+       FROM big, unnest(generate_series(1, len(tk) - 1)) u(i)),
+uni AS (SELECT unnest(tk) AS t FROM big),
+c1 AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+tot AS (SELECT count(*) AS nn FROM uni),
+c2 AS (SELECT a, b, count(*) AS n_ab FROM bi GROUP BY 1, 2
+       HAVING count(*) >= {min_count}),
+scored AS (SELECT a, b, n_ab,
+                  round(ln(nn * n_ab / (CAST(ca.c AS DOUBLE) * cb.c)), 9) AS pmi
+           FROM c2
+           JOIN c1 ca ON ca.t = c2.a
+           JOIN c1 cb ON cb.t = c2.b, tot),
+ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INTEGER) AS rank
+           FROM scored)
+SELECT a, b, n_ab, pmi, rank FROM ranked WHERE rank <= {k}
+"""

@@ -1161,6 +1161,17 @@ _register(
     txt.curation_pipeline_oracle_sql("documents"),
 )
 _register(
+    "text_pmi_topk",
+    lambda spark, sf: txt.pmi_topk(load_table(spark, sf, "documents")),
+    txt.pmi_topk_oracle_sql("documents"),
+)
+_register(
+    # duplication-structure summary: near-dup cluster size histogram
+    "dedup_cluster_size_histogram",
+    lambda spark, sf: dedup.cluster_size_histogram(load_table(spark, sf, "documents")),
+    dedup.cluster_size_histogram_oracle_sql("documents"),
+)
+_register(
     "text_gopher_rules",
     lambda spark, sf: txt.gopher_rules(load_table(spark, sf, "documents")),
     txt.gopher_rules_oracle_sql("documents"),

@@ -776,3 +776,20 @@ def test_pii_redact_typed_placeholders_and_counts(spark):
     for i, r in got.items():
         assert want[i]["text_redacted"] == r.text_redacted
         assert want[i]["n_redacted"] == r.n_redacted
+
+
+def test_pmi_detects_collocations(spark):
+    """PMI sanity: a pair that ALWAYS co-occurs ('new york') outranks
+    pairs of independently-frequent words; independent pairs score
+    near 0."""
+    from tabsketchfm_spark.operators.text import pmi_topk
+
+    docs = spark.createDataFrame(
+        [(i, "new york is big and the cat is here and dog runs") for i in range(5)]
+        + [(9 + i, "the cat and the dog and the cat") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    rows = pmi_topk(docs, k=50, min_count=3).collect()
+    pmi = {(r.a, r.b): r.pmi for r in rows}
+    assert pmi[("new", "york")] == max(pmi.values())
+    assert pmi[("new", "york")] > pmi.get(("the", "cat"), -99)
