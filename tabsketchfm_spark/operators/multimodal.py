@@ -196,3 +196,38 @@ SELECT doc_id, CAST({target_bytes} AS INTEGER) AS n_bytes,
                   '' ORDER BY i) AS resized_hex
 FROM px GROUP BY doc_id
 """
+
+
+def media_dedup(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup over BINARY media content — SK6 for blobs: group on
+    the lowercase hex digest of the bytes (hex() case differs between
+    engines, so lowercase is the canonical key), keep the smallest id.
+    At 100 TB this is the first pass of any media pipeline: byte-equal
+    assets collapse before a single decode runs. One shuffle on the
+    digest. Output: (media_key, keep_id, n_dups, bytes_each)."""
+    key = F.lower(F.hex(F.col("media")))
+    return (
+        media_df.select(
+            F.col(id_col).alias("id"),
+            key.alias("media_key"),
+            F.length(F.col("media")).alias("nbytes"),
+        )
+        .groupBy("media_key")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("nbytes").cast("int").alias("bytes_each"),
+        )
+    )
+
+
+def media_dedup_oracle_sql(doc_table: str) -> str:
+    """The synth media bytes ARE unhex(md5(text)) (synth_media_table),
+    so the oracle regenerates the digest from the text column — DuckDB
+    1.x has no md5(BLOB), and it is not needed."""
+    return f"""
+SELECT md5(text) AS media_key, min(doc_id) AS keep_id,
+       count(*) AS n_dups, CAST(16 AS INTEGER) AS bytes_each
+FROM {doc_table}
+GROUP BY 1
+"""

@@ -339,3 +339,65 @@ UNION ALL
 SELECT 'lineitem', (SELECT count(*) FROM lineitem), (SELECT count(*) FROM dl),
        (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM dl)
 """
+
+
+def reshard_analysis(
+    df: DataFrame, key_col: str, n_from: int = 8, n_to: int = 9
+) -> DataFrame:
+    """Resharding-cost comparison for growing a bucketed lake from
+    ``n_from`` to ``n_to`` shards (one added shard): under mod-hash
+    placement nearly EVERY row moves (h mod n changes for ~n/(n+1) of
+    keys), while rendezvous/HRW hashing (highest-random-weight: owner
+    = argmax over shards of h(key|shard)) moves only the rows the NEW
+    shard wins — the minimal-movement guarantee (~1/(n+1)). With one
+    added shard the HRW test needs no argmax bookkeeping at all:
+    moved ⇔ the new shard's weight beats every old shard's. Pure
+    scalar md5 expressions, bit-exact oracle.
+    Output: (scheme, n_rows, n_moved, moved_frac)."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    assert n_to == n_from + 1, "analysis covers the add-one-shard step"
+    h = F.expr(h32_sql(key_col, "spark"))
+    mod_moved = (F.pmod(h, F.lit(n_from)) != F.pmod(h, F.lit(n_to))).cast("int")
+    weights = [
+        F.expr(h32_sql(f"concat('sh|{i}|', cast({key_col} as string))", "spark"))
+        for i in range(n_to)
+    ]
+    hrw_moved = (weights[n_from] > F.greatest(*weights[:n_from])).cast("int")
+    base = df.select(mod_moved.alias("m"), hrw_moved.alias("r"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("m").alias("mod_moved"),
+        F.sum("r").alias("hrw_moved"),
+    )
+    mk = lambda scheme, col: agg.select(
+        F.lit(scheme).alias("scheme"),
+        "n_rows",
+        F.col(col).alias("n_moved"),
+        F.round(F.col(col) / F.col("n_rows"), 6).alias("moved_frac"),
+    )
+    return mk("mod_hash", "mod_moved").unionByName(mk("rendezvous", "hrw_moved"))
+
+
+def reshard_analysis_oracle_sql(
+    table: str, key_col: str, n_from: int = 8, n_to: int = 9
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql(key_col, "duckdb")
+    ws = [
+        h32_sql(f"concat('sh|{i}|', CAST({key_col} AS VARCHAR))", "duckdb")
+        for i in range(n_to)
+    ]
+    old_max = "greatest(" + ", ".join(ws[:n_from]) + ")"
+    return f"""
+WITH agg AS (SELECT count(*) AS n_rows,
+                    sum(CASE WHEN ({h}) % {n_from} <> ({h}) % {n_to} THEN 1 ELSE 0 END) AS mod_moved,
+                    sum(CASE WHEN ({ws[n_from]}) > {old_max} THEN 1 ELSE 0 END) AS hrw_moved
+             FROM {table})
+SELECT 'mod_hash' AS scheme, n_rows, CAST(mod_moved AS BIGINT) AS n_moved,
+       round(mod_moved / CAST(n_rows AS DOUBLE), 6) AS moved_frac FROM agg
+UNION ALL
+SELECT 'rendezvous', n_rows, CAST(hrw_moved AS BIGINT),
+       round(hrw_moved / CAST(n_rows AS DOUBLE), 6) FROM agg
+"""

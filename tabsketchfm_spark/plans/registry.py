@@ -240,6 +240,27 @@ _register(
     ),
     prof.histogram_kl_drift_oracle_sql("lineitem", "l_extendedprice", "l_orderkey"),
 )
+def _reshard(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.structural import reshard_analysis
+
+    return reshard_analysis(load_table(spark, sf, "orders"), "o_orderkey")
+
+
+def _reshard_oracle() -> str:
+    from tabsketchfm_spark.operators.structural import reshard_analysis_oracle_sql
+
+    return reshard_analysis_oracle_sql("orders", "o_orderkey")
+
+
+_register(
+    # add-one-shard movement: mod-hash reshuffles ~n/(n+1) of the lake,
+    # rendezvous hashing ~1/(n+1) — the minimal-movement placement
+    "layout_reshard_analysis",
+    _reshard,
+    _reshard_oracle(),
+)
+
+
 def _forget_keys(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.operators.structural import forget_keys
 
@@ -870,6 +891,14 @@ _register(
     "mm_media_features",
     lambda spark, sf: mm.media_features(load_table(spark, sf, "documents")),
     None,  # mapInPandas — non-SQL-expressible; driver rows-only check
+)
+_register(
+    # SK6 for blobs: byte-equal media collapse before any decode
+    "mm_media_dedup",
+    lambda spark, sf: mm.media_dedup(
+        mm.synth_media_table(load_table(spark, sf, "documents"))
+    ),
+    mm.media_dedup_oracle_sql("documents"),
 )
 _register(
     "mm_frame_sample",

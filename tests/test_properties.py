@@ -793,3 +793,19 @@ def test_pmi_detects_collocations(spark):
     pmi = {(r.a, r.b): r.pmi for r in rows}
     assert pmi[("new", "york")] == max(pmi.values())
     assert pmi[("new", "york")] > pmi.get(("the", "cat"), -99)
+
+
+def test_reshard_minimal_movement_property(spark, sf01):
+    """Growing 8→9 shards: mod-hash moves ≈ 8/9 of rows while
+    rendezvous hashing moves ≈ 1/9 — the minimal-movement guarantee
+    that makes consistent placement viable for a bucketed lake."""
+    from tabsketchfm_spark.operators.structural import reshard_analysis
+    from tabsketchfm_spark.sources.tables import load_table
+
+    rows = {
+        r.scheme: r.moved_frac
+        for r in reshard_analysis(load_table(spark, sf01, "orders"), "o_orderkey").collect()
+    }
+    assert abs(rows["mod_hash"] - 8 / 9) < 0.03
+    assert abs(rows["rendezvous"] - 1 / 9) < 0.03
+    assert rows["rendezvous"] < rows["mod_hash"] / 4
