@@ -763,15 +763,16 @@ def cluster_size_histogram(
     Σ n_clusters, and Σ (size−1)·n_clusters rows would be dropped.
     Output: (cluster_size, n_clusters, n_docs)."""
     cc = dedup_clusters(df, id_col, text_col, n, threshold)
+    # dedup_clusters already carries cluster_size per row — one
+    # aggregation derives both counts (a size-s cluster contributes
+    # exactly s rows, so n_clusters = n_docs / s, exact)
     return (
-        cc.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        cc.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(
-            F.col("cluster_size").cast("int").alias("cluster_size"),
-            "n_clusters",
-            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            "cluster_size",
+            (F.col("n_docs") / F.col("cluster_size")).cast("bigint").alias("n_clusters"),
+            "n_docs",
         )
     )
 

@@ -207,7 +207,8 @@ def media_dedup(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     digest. Output: (media_key, keep_id, n_dups, bytes_each)."""
     key = F.lower(F.hex(F.col("media")))
     return (
-        media_df.select(
+        media_df.where(F.col("media").isNotNull())
+        .select(
             F.col(id_col).alias("id"),
             key.alias("media_key"),
             F.length(F.col("media")).alias("nbytes"),
@@ -222,12 +223,18 @@ def media_dedup(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def media_dedup_oracle_sql(doc_table: str) -> str:
-    """The synth media bytes ARE unhex(md5(text)) (synth_media_table),
-    so the oracle regenerates the digest from the text column — DuckDB
-    1.x has no md5(BLOB), and it is not needed."""
+    """DELIBERATE SYNTHETIC COUPLING: the synth media bytes ARE
+    unhex(md5(text)) (synth_media_table), so the oracle regenerates
+    the digest from the source text — DuckDB 1.x has no md5(BLOB).
+    bytes_each ties to the digest length (strlen/2), not a literal,
+    and NULL text mirrors the Spark side's NULL-media filter. A real
+    media lake swaps this oracle for a rows-only check; the Spark
+    operator itself only ever reads the bytes."""
     return f"""
 SELECT md5(text) AS media_key, min(doc_id) AS keep_id,
-       count(*) AS n_dups, CAST(16 AS INTEGER) AS bytes_each
+       count(*) AS n_dups,
+       CAST(strlen(md5(text)) / 2 AS INTEGER) AS bytes_each
 FROM {doc_table}
+WHERE text IS NOT NULL
 GROUP BY 1
 """

@@ -370,13 +370,24 @@ def reshard_analysis(
         F.sum("m").alias("mod_moved"),
         F.sum("r").alias("hrw_moved"),
     )
-    mk = lambda scheme, col: agg.select(
-        F.lit(scheme).alias("scheme"),
-        "n_rows",
-        F.col(col).alias("n_moved"),
-        F.round(F.col(col) / F.col("n_rows"), 6).alias("moved_frac"),
+    # ONE pass: exploding the single agg row into the two scheme rows
+    # avoids the union-of-two-consumers shape that re-runs the whole
+    # scan (and its 10 md5s per row) per branch
+    schemes = F.array(
+        F.struct(
+            F.lit("mod_hash").alias("scheme"),
+            F.col("n_rows").alias("n_rows"),
+            F.col("mod_moved").alias("n_moved"),
+            F.round(F.col("mod_moved") / F.col("n_rows"), 6).alias("moved_frac"),
+        ),
+        F.struct(
+            F.lit("rendezvous").alias("scheme"),
+            F.col("n_rows").alias("n_rows"),
+            F.col("hrw_moved").alias("n_moved"),
+            F.round(F.col("hrw_moved") / F.col("n_rows"), 6).alias("moved_frac"),
+        ),
     )
-    return mk("mod_hash", "mod_moved").unionByName(mk("rendezvous", "hrw_moved"))
+    return agg.select(F.explode(schemes).alias("s")).select("s.*")
 
 
 def reshard_analysis_oracle_sql(

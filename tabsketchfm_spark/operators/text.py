@@ -1395,8 +1395,6 @@ def pmi_topk(
     shape of the LM gates; PMI derives from exact integer counts so
     the doubles are engine-identical. Deterministic top-k with
     (pmi desc, a, b) ordering. Output: (a, b, n_ab, pmi, rank)."""
-    from pyspark.sql import Window
-
     toks = _toks_spark(text_col)
     base = df.select(F.expr(toks).alias("tk")).where(F.expr("size(tk) >= 2"))
     bi = base.select(
@@ -1433,12 +1431,12 @@ def pmi_topk(
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("a", "b", "n_ab", "pmi", "rank")
-    )
+    from tabsketchfm_spark.functions.ranking import ranked_topk
+
+    # scored is corpus-scale (every bigram over min_count) — the
+    # two-phase ranked_topk keeps the global sort off a single task
+    top = ranked_topk(scored, [F.desc("pmi"), F.asc("a"), F.asc("b")], k)
+    return top.select("a", "b", "n_ab", "pmi", "rank")
 
 
 def pmi_topk_oracle_sql(
