@@ -308,3 +308,29 @@ def test_adaptive_salt_only_on_hot_keys(spark, sf01):
     )
     assert n_hot > 0  # threshold actually splits the testdata key set
     assert build.count() == n_orders + (n_salts - 1) * n_hot
+
+
+def test_registry_invariants():
+    """Contract-surface guards for future rounds: every oracle key has
+    a query, the driver window is exactly the first 50 registered
+    names with no duplicates, and every window entry is oracle-checked
+    (the window exists to produce bit-exact CORRECTNESS rows)."""
+    from tabsketchfm_spark.plans import registry
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    window = registry._DRIVER_WINDOW
+    assert len(window) == 50 and len(set(window)) == 50
+    assert list(qs)[:50] == window
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
+
+
+def test_pmi_topk_uses_distributed_topk(spark, sf01):
+    """Regression (round-4 review): the PMI ranking must compile to a
+    TakeOrdered, not a single-partition global-sort window."""
+    from tabsketchfm_spark.operators.text import pmi_topk
+
+    p = _plan(pmi_topk(load_table(spark, sf01, "documents")))
+    assert "TakeOrdered" in p
