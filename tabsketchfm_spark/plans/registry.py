@@ -1376,6 +1376,13 @@ _register(
 )
 
 _register(
+    # streaming leaderboard: complete-mode exact-decimal sums, rank
+    # derived over the bounded user-cardinality sink
+    "stream_topk_users",
+    ps.streaming_topk_users,
+    ps.streaming_topk_users_oracle_sql(),
+)
+_register(
     # streaming count-distinct via the linear-counting bitmap: slot
     # occupancy is monotone state (O(m), no retraction)
     "stream_distinct_sketch_events",

@@ -334,3 +334,48 @@ SELECT occupied,
        END AS est_distinct
 FROM occ
 """
+
+
+def streaming_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Streaming leaderboard: top-k users by exact decimal value sum,
+    maintained incrementally (complete-mode grouped aggregate — the
+    per-user sums are the O(|users|) state; the rank is derived from
+    the sink, bounded by the user cardinality, not the event count).
+    Completed availableNow run == the batch ranking, which the oracle
+    checks. Output: (rank, user_id, total_value, n_events)."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_tv"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    mem = _run_to_memory(agg, "complete")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_tv"), F.asc("user_id"))
+    return (
+        mem.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "user_id",
+            F.col("_tv").cast("double").alias("total_value"),
+            "n_events",
+        )
+    )
+
+
+def streaming_topk_users_oracle_sql(k: int = 10) -> str:
+    return f"""
+WITH agg AS (SELECT user_id,
+                    sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS tv,
+                    count(*) AS n_events
+             FROM events WHERE value IS NOT NULL GROUP BY 1),
+r AS (SELECT *, CAST(row_number() OVER (ORDER BY tv DESC, user_id) AS INTEGER) AS rank
+      FROM agg)
+SELECT rank, user_id, CAST(tv AS DOUBLE) AS total_value, n_events
+FROM r WHERE rank <= {k}
+"""
