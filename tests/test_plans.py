@@ -334,3 +334,41 @@ def test_pmi_topk_uses_distributed_topk(spark, sf01):
 
     p = _plan(pmi_topk(load_table(spark, sf01, "documents")))
     assert "TakeOrdered" in p
+
+
+def test_rows_only_set_is_pinned():
+    """Every query without an oracle is one of the seven DOCUMENTED
+    rows-only cases (RNG-seeded MLlib twins, the mapInPandas model and
+    media stages, the HLL approx twin). A new unoracled registration
+    must be a conscious decision, not an accidental drop."""
+    from tabsketchfm_spark.plans import registry
+
+    rows_only = set(registry.queries()) - set(registry.oracle_sql())
+    assert rows_only == {
+        "a2s_approx_distinct_lineitem",
+        "j4_mllib_minhash_dedup",
+        "k1_embeddings_customer",
+        "k2_merged_embeddings_customer",
+        "k6_ivf_kmeans_ann",
+        "k6_mllib_brp_ann",
+        "mm_media_features",
+    }
+
+
+def test_registered_queries_are_run_deterministic(spark, sf01):
+    """The partition-order-free claim, executed: representative
+    registered queries produce IDENTICAL row sets across two runs in
+    one session (float sums via exact decimals / sorted aggregates,
+    hashes seeded — nothing may depend on task scheduling)."""
+    from tabsketchfm_spark.plans import registry
+
+    qs = registry.queries()
+    for name in [
+        "a1a8_profile_customer",
+        "dedup_minhash_lsh_documents",
+        "text_unigram_logppl",
+        "k3c_join_cardinality_estimate",
+    ]:
+        r1 = {tuple(r) for r in qs[name](spark, sf01).collect()}
+        r2 = {tuple(r) for r in qs[name](spark, sf01).collect()}
+        assert r1 == r2, name
