@@ -36,9 +36,12 @@ MAX_POS = 512  # position-table sizes (config.max_position_embeddings)
 N_TYPES = 5
 
 
-def materialize_weights() -> dict[str, np.ndarray]:
+def materialize_weights(n_layers: int = rf.N_LAYERS) -> dict[str, np.ndarray]:
     """Every tensor the forward consults, generated from the seeds —
-    the model's full state dict."""
+    the model's full state dict: embedding streams, ``n_layers``
+    encoder blocks (M2), the pooler, and the MLM head (M3; the decoder
+    weight is the TIED word table, so only its bias is a tensor here —
+    exactly HF's state-dict layout for tied weights)."""
     w: dict[str, np.ndarray] = {}
     w["emb.word"] = np.stack([rf._emb_row("word", i) for i in range(rf.VOCAB)])
     w["emb.type"] = np.stack([rf._emb_row("type", i) for i in range(N_TYPES)])
@@ -50,18 +53,27 @@ def materialize_weights() -> dict[str, np.ndarray]:
             (rf.HIDDEN, rf.HIDDEN)
         ) / np.sqrt(rf.HIDDEN)
         w[f"lin.{stream}.b"] = rng.standard_normal(rf.HIDDEN) / np.sqrt(rf.HIDDEN)
-    layer = 0
-    for h in range(rf.N_HEADS):
-        for kind in ("q", "k", "v"):
-            name = f"l{layer}.{kind}{h}"
-            w[f"mat.{name}"] = rf._mat(name, rf.HEAD_DIM, rf.HIDDEN)
-            w[f"bias.{name}"] = rf._bias(name, rf.HEAD_DIM)
-    w[f"mat.l{layer}.o"] = rf._mat(f"l{layer}.o", rf.HIDDEN, rf.HIDDEN)
-    w[f"bias.l{layer}.o"] = rf._bias(f"l{layer}.o", rf.HIDDEN)
-    w[f"mat.l{layer}.ffn_in"] = rf._mat(f"l{layer}.ffn_in", rf.INTERMEDIATE, rf.HIDDEN)
-    w[f"bias.l{layer}.ffn_in"] = rf._bias(f"l{layer}.ffn_in", rf.INTERMEDIATE)
-    w[f"mat.l{layer}.ffn_out"] = rf._mat(f"l{layer}.ffn_out", rf.HIDDEN, rf.INTERMEDIATE)
-    w[f"bias.l{layer}.ffn_out"] = rf._bias(f"l{layer}.ffn_out", rf.HIDDEN)
+    for layer in range(n_layers):
+        for h in range(rf.N_HEADS):
+            for kind in ("q", "k", "v"):
+                name = f"l{layer}.{kind}{h}"
+                w[f"mat.{name}"] = rf._mat(name, rf.HEAD_DIM, rf.HIDDEN)
+                w[f"bias.{name}"] = rf._bias(name, rf.HEAD_DIM)
+        w[f"mat.l{layer}.o"] = rf._mat(f"l{layer}.o", rf.HIDDEN, rf.HIDDEN)
+        w[f"bias.l{layer}.o"] = rf._bias(f"l{layer}.o", rf.HIDDEN)
+        w[f"mat.l{layer}.ffn_in"] = rf._mat(
+            f"l{layer}.ffn_in", rf.INTERMEDIATE, rf.HIDDEN
+        )
+        w[f"bias.l{layer}.ffn_in"] = rf._bias(f"l{layer}.ffn_in", rf.INTERMEDIATE)
+        w[f"mat.l{layer}.ffn_out"] = rf._mat(
+            f"l{layer}.ffn_out", rf.HIDDEN, rf.INTERMEDIATE
+        )
+        w[f"bias.l{layer}.ffn_out"] = rf._bias(f"l{layer}.ffn_out", rf.HIDDEN)
+    w["mat.pooler"] = rf._mat("pooler", rf.HIDDEN, rf.HIDDEN)
+    w["bias.pooler"] = rf._bias("pooler", rf.HIDDEN)
+    w["mat.mlm.transform"] = rf._mat("mlm.transform", rf.HIDDEN, rf.HIDDEN)
+    w["bias.mlm.transform"] = rf._bias("mlm.transform", rf.HIDDEN)
+    w["bias.mlm.decoder"] = rf._bias("mlm.decoder", rf.VOCAB)
     return w
 
 
@@ -82,6 +94,7 @@ def save_checkpoint(path: str, weights: dict[str, np.ndarray] | None = None) -> 
         "hidden": rf.HIDDEN,
         "vocab": rf.VOCAB,
         "n_heads": rf.N_HEADS,
+        "n_layers": sum(1 for k in w if k.startswith("mat.l") and k.endswith(".o")),
         "intermediate": rf.INTERMEDIATE,
         "tensors": {k: list(v.shape) for k, v in sorted(w.items())},
         "content_hash": _content_hash(w),

@@ -161,7 +161,9 @@ def m1_forward(seq: list[dict]) -> np.ndarray:
     out = np.empty((len(seq), HIDDEN))
     for i, t in enumerate(seq):
         e = (
-            _emb_row("word", word_id(t["token"]))
+            # "wid" overrides the token's vocab id — how MLM masking
+            # swaps [MASK]/random ids in without rewriting the token
+            _emb_row("word", t.get("wid", word_id(t["token"])))
             + _emb_row("type", t["type_id"])
             + _emb_row("colpos", t["col_encoding"])
             + _emb_row("tokpos", t["token_position"])
@@ -239,7 +241,7 @@ def _layer_norm_rows(x: np.ndarray) -> np.ndarray:
     return (x - m) / np.sqrt(v + LAYER_NORM_EPS)
 
 
-_erf = np.vectorize(math.erf)
+_erf = np.vectorize(math.erf, otypes=[np.float64])
 
 
 def _gelu(x: np.ndarray) -> np.ndarray:
@@ -297,3 +299,119 @@ def hidden_layer_1(seq: list[dict]) -> np.ndarray:
     """The states the reference actually pools: embedding layer (M1)
     fed through the first encoder block (M2)."""
     return encoder_layer(m1_forward(seq), layer=0)
+
+
+# ---------------------------------------------------------------------------
+# M2 (complete): the full TabularBertModel — N stacked encoder blocks +
+# the BERT pooler (reference transformer_bert.py:88-224 delegates to
+# BertModel's encoder/pooler; the tabular part is the embedding swap).
+# N_LAYERS is the config.num_hidden_layers analogue, sized for this
+# environment the way HIDDEN stands in for hidden_size.
+
+N_LAYERS = 4
+
+
+def encoder_forward(
+    states: np.ndarray, n_layers: int = N_LAYERS, output_hidden_states: bool = False
+):
+    """Run the embedding output through ``n_layers`` stacked blocks.
+
+    Returns the last hidden state, or — with ``output_hidden_states``
+    — the full ``hidden_states`` tuple analogue [embedding_output,
+    layer1_out, ..., layerN_out] exactly as HF BertEncoder exposes it
+    (the reference indexes ``hidden_states[1:]`` and pools layer 0 of
+    that slice, extract_embeddings.py:100,105)."""
+    hidden = [states]
+    for layer in range(n_layers):
+        hidden.append(encoder_layer(hidden[-1], layer=layer))
+    if output_hidden_states:
+        return hidden
+    return hidden[-1]
+
+
+def pooler(sequence_output: np.ndarray) -> np.ndarray:
+    """BertPooler: tanh(W @ first_token + b) over the [CLS] state —
+    the pooled_output the M6 classification head consumes
+    (reference tabsketchfm_finetune.py:84 ``outputs[1]``)."""
+    cls_state = sequence_output[0]
+    w = _mat("pooler", HIDDEN, HIDDEN)
+    b = _bias("pooler", HIDDEN)
+    return np.tanh(w @ cls_state + b)
+
+
+def model_forward(seq: list[dict], n_layers: int = N_LAYERS):
+    """TabularBertModel.forward with add_pooling_layer=True: returns
+    (sequence_output, pooled_output)."""
+    sequence_output = encoder_forward(m1_forward(seq), n_layers)
+    return sequence_output, pooler(sequence_output)
+
+
+# ---------------------------------------------------------------------------
+# M3: TabularBertForMaskedLM (reference transformer_bert.py:227-297) =
+# TabularBertModel(add_pooling_layer=False) + BertOnlyMLMHead. The head
+# is the public BERT LM head: transform (dense H->H, gelu, LayerNorm)
+# then a decoder whose weight is TIED to the word-embedding table plus
+# a free output bias. CrossEntropyLoss with ignore_index=-100.
+
+_WORD_TABLE: np.ndarray | None = None
+
+
+def word_table() -> np.ndarray:
+    """The full (VOCAB, HIDDEN) word-embedding matrix — materialized
+    lazily ONCE per process (the decoder tie makes every-logit
+    computation need it; ~VOCAB*H*8 bytes, driver/executor-local)."""
+    global _WORD_TABLE
+    ovr = _OVERRIDE.get("emb.word")
+    if ovr is not None:
+        return ovr
+    if _WORD_TABLE is None:
+        _WORD_TABLE = np.stack([_emb_row("word", i) for i in range(VOCAB)])
+    return _WORD_TABLE
+
+
+def mlm_transform(states: np.ndarray) -> np.ndarray:
+    """BertPredictionHeadTransform: dense + gelu + LayerNorm."""
+    x = states @ _mat("mlm.transform", HIDDEN, HIDDEN).T + _bias(
+        "mlm.transform", HIDDEN
+    )
+    return _layer_norm_rows(_gelu(x))
+
+
+def mlm_logits(states: np.ndarray, positions: list[int] | None = None) -> np.ndarray:
+    """Prediction scores for the given positions (default: all). The
+    decoder weight is the tied word table; bias is the head's own."""
+    x = states if positions is None else states[positions]
+    t = mlm_transform(x)
+    return t @ word_table().T + _bias("mlm.decoder", VOCAB)
+
+
+def cross_entropy(logits: np.ndarray, labels: np.ndarray) -> tuple[float, int]:
+    """torch.nn.CrossEntropyLoss semantics: mean over labels != -100
+    (ignore_index); returns (loss, n_counted). Log-sum-exp stabilized."""
+    keep = labels != -100
+    n = int(keep.sum())
+    if n == 0:
+        return float("nan"), 0
+    lg = logits[keep]
+    lb = labels[keep]
+    m = lg.max(axis=1, keepdims=True)
+    lse = m[:, 0] + np.log(np.exp(lg - m).sum(axis=1))
+    picked = lg[np.arange(n), lb]
+    return float(np.mean(lse - picked)), n
+
+
+def masked_lm_forward(
+    seq: list[dict], labels: np.ndarray, n_layers: int = N_LAYERS
+) -> dict:
+    """TabularBertForMaskedLM.forward: full-sequence logits would be
+    (seq, VOCAB); only label positions contribute to the loss, so the
+    decoder is evaluated just there (same loss, reference
+    transformer_bert.py:290-292). Returns loss / correct / total in
+    the shape M5's log_output derives (tabsketchfm.py:40-55)."""
+    states = encoder_forward(m1_forward(seq), n_layers)
+    pos = [i for i in range(len(labels)) if labels[i] != -100]
+    logits = mlm_logits(states, pos)
+    lb = labels[pos]
+    loss, n = cross_entropy(logits, lb)
+    correct = int((logits.argmax(axis=1) == lb).sum()) if n else 0
+    return {"loss": loss, "correct": correct, "total": n}

@@ -1,0 +1,225 @@
+"""M5/M6/M7 as registered queries: Spark assembles the tensors,
+the numpy Lightning-analogue (ml/training.py) fits on the driver —
+the same driver/cluster split the reference uses (pytorch-lightning
+on the driver, offline data prep; SURVEY §2 M11).
+
+Everything is deterministic: masking is md5-rolled (M8), encoder
+states come from the seeded forward, head init is seeded, batches are
+full-batch (no shuffle order), so the training curves and metrics are
+run-stable — the driver's rows-only determinism check holds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from tabsketchfm_spark.ml import mlm as ml_mlm
+from tabsketchfm_spark.ml import reference_forward as rf
+from tabsketchfm_spark.ml import training as tr
+from tabsketchfm_spark.operators import profile as prof
+from tabsketchfm_spark.sources.tables import load_table
+
+PRETRAIN_TRAIN_TABLES = ["customer", "supplier", "part"]
+PRETRAIN_VALID_TABLES = ["orders"]
+
+CURVE_SCHEMA = (
+    "epoch int, train_loss double, valid_loss double, "
+    "grad_norm double, stopped boolean"
+)
+
+
+def _profiles(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
+    parts = [
+        prof.profile_table(load_table(spark, sf_dir, t), t, round_digits=4)
+        for t in tables
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _collect_batch(batches: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Masked-position states/labels → numpy, in a deterministic order
+    (table_name, pos) — collect() order is partition-dependent."""
+    rows = sorted(
+        batches.collect(), key=lambda r: (r["table_name"], r["pos"])
+    )
+    x = np.array([r["state"] for r in rows])
+    y = np.array([r["label"] for r in rows], dtype=np.int64)
+    return x, y
+
+
+def pretrain_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    lr: float = 5e-3,
+    max_epochs: int = 40,
+) -> DataFrame:
+    """M5: the MLM pre-training loop over lake tables — frozen-encoder
+    batches assembled on executors (ml/mlm.mlm_batches), the MLM head
+    fit with AdamW + grad-clip 0.5 + early stopping patience 5 (M11,
+    reference pretrain.py:76-83,135-158). lr is raised from the
+    reference's 2e-5 default so the few-epoch demo curve moves; the
+    default lives in training.AdamW. Returns the per-epoch curve."""
+    xt, yt = _collect_batch(
+        ml_mlm.mlm_batches(_profiles(spark, sf_dir, PRETRAIN_TRAIN_TABLES))
+    )
+    xv, yv = _collect_batch(
+        ml_mlm.mlm_batches(_profiles(spark, sf_dir, PRETRAIN_VALID_TABLES))
+    )
+    head = tr.MLMHead()
+    curve = tr.fit(head, (xt, yt), (xv, yv), lr=lr, max_epochs=max_epochs)
+    return spark.createDataFrame(
+        [
+            (
+                c["epoch"],
+                round(c["train_loss"], 8),
+                round(c["valid_loss"], 8),
+                round(c["grad_norm"], 8),
+                c["stopped"],
+            )
+            for c in curve
+        ],
+        CURVE_SCHEMA,
+    )
+
+
+# --- M6/M7: fine-tune table-similarity --------------------------------------
+
+FINETUNE_TABLES = ["customer", "supplier", "orders", "part", "nation", "region"]
+
+EVAL_SCHEMA = (
+    "split string, n_pairs int, epochs_run int, final_train_loss double, "
+    "final_valid_loss double, accuracy double, f1_weighted double"
+)
+
+PAIR_POOL_SCHEMA = "pair_id string, pooled array<double>, label long"
+
+
+def _pair_pooled(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
+    """Per-pair cross-encoder forward: the pair's combined token
+    sequence ([CLS] t1-cols... t2-cols..., the M10 concat layout)
+    through the full M2 model; emits the tanh-POOLED output the M6
+    head consumes (reference tabsketchfm_finetune.py:84). Input
+    profile rows carry (pair_id, side, label); executors do the
+    forward, one row out per pair."""
+    import pandas as pd
+
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(profile.sparkSession)
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tabsketchfm_spark.ml.reference_forward import (
+            build_token_sequence,
+            model_forward,
+        )
+
+        rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
+        pair_id = rows[0]["pair_id"]
+        label = int(rows[0]["pair_label"])
+        # M10 layout: side-2 columns follow side-1 columns in one
+        # sequence; col_idx offset keeps ordering and SEP groups intact
+        for r in rows:
+            if r["side"] == 2:
+                r["col_idx"] = r["col_idx"] + 1000
+        seq = build_token_sequence(rows)
+        _, pooled = model_forward(seq, n_layers=n_layers)
+        return pd.DataFrame(
+            [(pair_id, pooled.tolist(), label)],
+            columns=["pair_id", "pooled", "label"],
+        )
+
+    return profile.groupBy("pair_id").applyInPandas(pool, schema=PAIR_POOL_SCHEMA)
+
+
+def _pair_profiles(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> DataFrame:
+    """Deterministic similarity pairs over the lake: positives are
+    self-pairs (a table against itself — the degenerate 'augmented
+    copy' positive), negatives pair each table with the next one."""
+    from pyspark.sql import functions as F
+
+    profs = {
+        t: prof.profile_table(load_table(spark, sf_dir, t), t, round_digits=4)
+        for t in tables
+    }
+    parts = []
+    for i, t in enumerate(tables):
+        u = tables[(i + 1) % len(tables)]
+        for pid, (t1, t2, lbl) in {
+            f"pos_{t}": (t, t, 1),
+            f"neg_{t}_{u}": (t, u, 0),
+        }.items():
+            for side, tt in ((1, t1), (2, t2)):
+                parts.append(
+                    profs[tt].select(
+                        F.lit(pid).alias("pair_id"),
+                        F.lit(side).alias("side"),
+                        F.lit(lbl).alias("pair_label"),
+                        "*",
+                    )
+                )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def finetune_eval(
+    spark: SparkSession,
+    sf_dir: str,
+    lr: float = 0.2,
+    max_epochs: int = 500,
+    patience: int = 25,
+    no_pretrain: bool = False,
+) -> DataFrame:
+    """M6/M7: fine-tune-table-similarity with the frozen-encoder
+    classification head (2 labels, single-label CE routing) and report
+    the reference's metrics — accuracy + weighted F1 (compute_accuracy,
+    tabsketchfm_finetune.py:176-184). Train pairs come from the first
+    four tables, valid pairs from the last two. ``no_pretrain`` routes
+    through the M12 re-init ablation (head re-seeded)."""
+    train_t, valid_t = FINETUNE_TABLES[:4], FINETUNE_TABLES[4:]
+    xt, yt, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, train_t)))
+    xv, yv, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, valid_t)))
+    head = tr.ClassificationHead(
+        num_labels=2,
+        problem_type="single_label_classification",
+        seed=1 if no_pretrain else 0,
+    )
+    # weight_decay 0 + raised lr/patience: the 8-pair demo task is
+    # ill-conditioned (separator norm ~76 on unit-ish tanh features),
+    # so the reference's 2e-5/patience-5 would stop at chance level
+    curve = tr.fit(
+        head, (xt, yt), (xv, yv),
+        lr=lr, max_epochs=max_epochs, patience=patience, weight_decay=0.0,
+    )
+    rows = []
+    for split, (x, y) in (("train", (xt, yt)), ("valid", (xv, yv))):
+        logits = head.logits(x)
+        preds = logits.argmax(axis=1)
+        acc = float(np.mean(preds == y))
+        f1 = tr.weighted_f1(y, preds)
+        rows.append(
+            (
+                split,
+                int(len(y)),
+                len(curve),
+                round(curve[-1]["train_loss"], 8),
+                round(curve[-1]["valid_loss"], 8),
+                round(acc, 8),
+                round(f1, 8),
+            )
+        )
+    return spark.createDataFrame(rows, EVAL_SCHEMA)
+
+
+def _collect_pairs(pooled: DataFrame):
+    rows = sorted(pooled.collect(), key=lambda r: r["pair_id"])
+    x = np.array([r["pooled"] for r in rows])
+    y = np.array([r["label"] for r in rows], dtype=np.int64)
+    return x, y, [r["pair_id"] for r in rows]

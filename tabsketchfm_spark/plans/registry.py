@@ -936,6 +936,62 @@ def _k2_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("k2_merged_embeddings_customer", _k2_merged, None)
 
 
+# --- M3-M7/M11: the numpy model stack as queries ----------------------------
+
+from tabsketchfm_spark.ml import simple_model as ml_simple
+from tabsketchfm_spark.ml import train_queries as ml_train
+
+_MLM_EVAL_TABLES = ["customer", "supplier", "nation"]
+
+
+def _m3_mlm_eval(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.ml.mlm import masked_lm_eval
+
+    profs = [
+        prof.profile_table(load_table(spark, sf, t), t, round_digits=4)
+        for t in _MLM_EVAL_TABLES
+    ]
+    p = profs[0]
+    for q in profs[1:]:
+        p = p.unionByName(q)
+    return masked_lm_eval(p)
+
+
+_register(
+    # M3: masked-LM loss/accuracy per table — model inference
+    # (numpy forward in applyInPandas); rows-only like K1
+    "m3_mlm_eval_tables",
+    _m3_mlm_eval,
+    None,
+)
+_register(
+    # M4: SimpleModel 2-layer MLP over the SK4 hashing vector — the
+    # forward is closed-form column arithmetic, so it is ORACLE-EXACT
+    "m4_simple_model_scores",
+    lambda spark, sf: ml_simple.simple_model_scores(
+        spark,
+        {t: load_table(spark, sf, t) for t in ml_simple.SIMPLE_MODEL_COLUMNS},
+        ml_simple.SIMPLE_MODEL_COLUMNS,
+    ),
+    ml_simple.simple_model_oracle_sql(ml_simple.SIMPLE_MODEL_COLUMNS),
+)
+_register(
+    # M5+M11: MLM pre-training curve (AdamW, grad-clip 0.5, early
+    # stopping patience 5) over executor-assembled frozen-encoder
+    # batches; driver-side numpy loop — rows-only
+    "m5_pretrain_curve",
+    lambda spark, sf: ml_train.pretrain_curve(spark, sf),
+    None,
+)
+_register(
+    # M6+M7: fine-tune-table-similarity (pooled CLS -> linear head,
+    # CE routing) with accuracy + weighted-F1 eval — rows-only
+    "m6_finetune_eval",
+    lambda spark, sf: ml_train.finetune_eval(spark, sf),
+    None,
+)
+
+
 # --- structural ops: J1/J2/J5, T1, K2, K5, M10 ------------------------------
 
 from tabsketchfm_spark.operators import structural as struc

@@ -1,0 +1,331 @@
+"""M2-M7/M11/M12: the numpy model stack.
+
+Gradient correctness is checked against finite differences — the
+strongest available oracle for training math (no torch in env to
+cross-check against).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from tabsketchfm_spark.ml import mlm, reference_forward as rf, training as tr
+
+pytestmark = pytest.mark.usefixtures()
+
+
+def _demo_profile_rows(n_cols: int = 3) -> list[dict]:
+    names = [
+        "cust_key_id",
+        "account_balance_amount_usd_total_rolling_avg_v2_x",
+        "segment",
+    ]
+    return [
+        {
+            "column_name": names[i % len(names)] + ("" if i < len(names) else str(i)),
+            "col_idx": i,
+            "col_type": ["integer", "float", "string"][i % 3],
+            **{c: float((i + 1) * (j + 1)) for j, c in enumerate(rf._STAT_COLS)},
+        }
+        for i in range(n_cols)
+    ]
+
+
+def _demo_seq():
+    return rf.build_token_sequence(_demo_profile_rows())
+
+
+# --- M2: full encoder + pooler ---------------------------------------------
+
+
+def test_encoder_forward_stacks_layers():
+    seq = _demo_seq()
+    emb = rf.m1_forward(seq)
+    hidden = rf.encoder_forward(emb, n_layers=3, output_hidden_states=True)
+    # hidden_states tuple analogue: [embeddings, l1, l2, l3]
+    assert len(hidden) == 4
+    assert np.array_equal(hidden[0], emb)
+    assert np.array_equal(hidden[1], rf.encoder_layer(emb, layer=0))
+    # layer composition, not repetition: each step transforms the last
+    assert not np.array_equal(hidden[2], hidden[1])
+    # last == non-tuple call
+    assert np.array_equal(hidden[3], rf.encoder_forward(emb, n_layers=3))
+    # hidden_layer_1 compatibility: the K1 pooling input is hidden[1]
+    assert np.allclose(hidden[1], rf.hidden_layer_1(seq))
+
+
+def test_pooler_is_bounded_tanh_of_cls():
+    seq = _demo_seq()
+    states, pooled = rf.model_forward(seq)
+    assert pooled.shape == (rf.HIDDEN,)
+    assert np.all(np.abs(pooled) < 1.0)
+    # pooler consumes ONLY the first token's state
+    other = states.copy()
+    other[1:] += 1.0
+    w = rf._mat("pooler", rf.HIDDEN, rf.HIDDEN)
+    b = rf._bias("pooler", rf.HIDDEN)
+    assert np.allclose(pooled, np.tanh(w @ states[0] + b))
+
+
+# --- M8 application + M3 ----------------------------------------------------
+
+
+def test_mask_actions_match_registered_mask_plan(spark, sf01):
+    """The Python mask roll (ml/mlm.mask_actions) and the registered M8
+    DataFrame plan are the same policy — bit-identical decisions on a
+    real table."""
+    from tabsketchfm_spark.operators import profile as prof
+    from tabsketchfm_spark.operators.features import mask_plan
+    from tabsketchfm_spark.sources.tables import load_table
+
+    p = prof.profile_table(
+        load_table(spark, sf01, "customer"), "customer", round_digits=4
+    )
+    plan = {
+        r["position_id"]: r["action"]
+        for r in mask_plan(p).collect()
+    }
+    rows = [r.asDict() for r in p.collect()]
+    seq = rf.build_token_sequence(rows)
+    actions = mlm.mask_actions(seq)
+    assert len(actions) == len(plan)
+    for pos, act in enumerate(actions):
+        assert act == plan[pos], f"position {pos}: {act} != {plan[pos]}"
+
+
+def test_mlm_loss_near_log_vocab_at_init():
+    """Untrained (seeded) weights know nothing: CE at masked positions
+    must sit near log|V| (uniform-ish logits), and ignore -100."""
+    seq = _demo_seq()
+    masked, labels = mlm.apply_mask(seq)
+    out = rf.masked_lm_forward(masked, labels)
+    assert out["total"] == int((labels != -100).sum()) > 0
+    assert abs(out["loss"] - math.log(rf.VOCAB)) < 1.5
+    # all-ignored labels → no loss
+    none = rf.masked_lm_forward(masked, np.full(len(labels), -100))
+    assert none["total"] == 0 and math.isnan(none["loss"])
+
+
+def test_cross_entropy_exact_on_known_logits():
+    logits = np.log(np.array([[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]]))
+    labels = np.array([0, 1])
+    loss, n = rf.cross_entropy(logits, labels)
+    assert n == 2
+    assert abs(loss - (-(math.log(0.7) + math.log(0.8)) / 2)) < 1e-12
+    # ignore_index drops the second row
+    loss1, n1 = rf.cross_entropy(logits, np.array([0, -100]))
+    assert n1 == 1 and abs(loss1 + math.log(0.7)) < 1e-12
+
+
+# --- M5: MLM head gradients (finite differences) ----------------------------
+
+
+def test_mlm_head_gradients_match_finite_differences():
+    seq = _demo_seq()
+    x, y = mlm.mlm_training_batch(seq)
+    head = tr.MLMHead()
+    loss, grads = head.loss_and_grads(x, y)
+    base, _ = head.loss_and_grads(x, y)
+    assert abs(loss - base) < 1e-12  # deterministic
+    eps = 1e-6
+    rng = np.random.RandomState(7)
+    for name in ("w", "b", "gamma", "beta", "dec_b"):
+        p = head.params[name]
+        flat = p.reshape(-1)
+        for idx in rng.choice(flat.size, size=min(4, flat.size), replace=False):
+            old = flat[idx]
+            flat[idx] = old + eps
+            lp, _ = head.loss_and_grads(x, y)
+            flat[idx] = old - eps
+            lm, _ = head.loss_and_grads(x, y)
+            flat[idx] = old
+            num = (lp - lm) / (2 * eps)
+            ana = grads[name].reshape(-1)[idx]
+            assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (
+                f"{name}[{idx}]: analytic {ana} vs numeric {num}"
+            )
+
+
+def test_classification_head_gradients_all_three_routings():
+    rng = np.random.RandomState(0)
+    pooled = rng.standard_normal((6, rf.HIDDEN))
+    cases = [
+        (1, "regression", rng.standard_normal(6)),
+        (3, "single_label_classification", np.array([0, 1, 2, 1, 0, 2])),
+        (3, "multi_label_classification", (rng.rand(6, 3) > 0.5).astype(float)),
+    ]
+    eps = 1e-6
+    for num_labels, ptype, labels in cases:
+        head = tr.ClassificationHead(num_labels, problem_type=ptype)
+        loss, grads = head.loss_and_grads(pooled, labels)
+        assert np.isfinite(loss)
+        for name in ("w", "b"):
+            p = head.params[name]
+            flat = p.reshape(-1)
+            for idx in [0, flat.size // 2, flat.size - 1]:
+                old = flat[idx]
+                flat[idx] = old + eps
+                lp, _ = head.loss_and_grads(pooled, labels)
+                flat[idx] = old - eps
+                lm, _ = head.loss_and_grads(pooled, labels)
+                flat[idx] = old
+                num = (lp - lm) / (2 * eps)
+                ana = grads[name].reshape(-1)[idx]
+                assert abs(num - ana) < 1e-5 * max(1.0, abs(num)), (
+                    f"{ptype} {name}[{idx}]: {ana} vs {num}"
+                )
+
+
+def test_problem_type_auto_routing():
+    """The reference routes by num_labels + label dtype
+    (tabsketchfm_finetune.py:86-96)."""
+    assert tr.ClassificationHead(1)._route(np.zeros(3)) == "regression"
+    assert (
+        tr.ClassificationHead(3)._route(np.zeros(3, dtype=np.int64))
+        == "single_label_classification"
+    )
+    assert (
+        tr.ClassificationHead(3)._route(np.zeros((3, 3)))
+        == "multi_label_classification"
+    )
+
+
+# --- M11: optimizer + loop mechanics ----------------------------------------
+
+
+def test_adamw_single_step_matches_hand_formula():
+    p0 = np.array([1.0, -2.0])
+    params = {"p": p0.copy()}
+    opt = tr.AdamW(params, lr=0.1, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01)
+    g = np.array([0.5, -0.25])
+    opt.step({"p": g.copy()})
+    # t=1: mhat = g, vhat = g^2  → update = lr*(g/(|g|+eps) + wd*p)
+    expect = p0 - 0.1 * (g / (np.abs(g) + 1e-8) + 0.01 * p0)
+    assert np.allclose(params["p"], expect, atol=1e-9)
+
+
+def test_clip_grad_norm_global_scaling():
+    grads = {"a": np.array([3.0]), "b": np.array([4.0])}
+    pre = tr.clip_grad_norm(grads, max_norm=0.5)
+    assert abs(pre - 5.0) < 1e-12
+    total = math.sqrt(sum(float((g * g).sum()) for g in grads.values()))
+    assert abs(total - 0.5) < 1e-12
+    # direction preserved
+    assert abs(grads["a"][0] / grads["b"][0] - 3.0 / 4.0) < 1e-12
+    # under the cap: untouched
+    g2 = {"a": np.array([0.1])}
+    tr.clip_grad_norm(g2, 0.5)
+    assert g2["a"][0] == 0.1
+
+
+def test_fit_loss_decreases_and_early_stops():
+    seq = _demo_seq()
+    x, y = mlm.mlm_training_batch(seq)
+    head = tr.MLMHead()
+    curve = tr.fit(head, (x, y), (x, y), lr=5e-3, max_epochs=10)
+    losses = [c["train_loss"] for c in curve]
+    assert losses[-1] < losses[0]
+    # early stopping: a head that cannot improve the valid loss stops
+    # after exactly `patience` bad epochs
+    frozen = tr.ClassificationHead(2, problem_type="single_label_classification")
+    xv = np.zeros((4, rf.HIDDEN))
+    yv = np.array([0, 1, 0, 1])
+    # lr=0 → valid loss constant → first epoch sets best, then patience
+    curve2 = tr.fit(frozen, (xv, yv), (xv, yv), lr=0.0, max_epochs=50, patience=3)
+    assert curve2[-1]["stopped"] is True
+    assert len(curve2) == 1 + 3
+
+
+def test_m12_no_pretrain_reinit_changes_weights_not_shapes():
+    a = tr.MLMHead(no_pretrain=False)
+    b = tr.MLMHead(no_pretrain=True)
+    assert set(a.params) == set(b.params)
+    assert all(a.params[k].shape == b.params[k].shape for k in a.params)
+    assert not np.allclose(a.params["w"], b.params["w"])
+    from tabsketchfm_spark.ml import simple_model as sm
+
+    wa, wb = sm.weights(), sm.weights(no_pretrain=True)
+    assert wa["w1"].shape == wb["w1"].shape
+    assert not np.allclose(wa["w1"], wb["w1"])
+
+
+def test_weighted_f1_matches_known_values():
+    y = np.array([0, 0, 1, 1, 1])
+    p = np.array([0, 1, 1, 1, 0])
+    # class 0: prec 1/2 rec 1/2 f1 1/2 (w 2/5); class 1: prec 2/3 rec
+    # 2/3 f1 2/3 (w 3/5) → 0.6
+    assert abs(tr.weighted_f1(y, p) - 0.6) < 1e-12
+    assert tr.weighted_f1(np.array([1, 1]), np.array([1, 1])) == 1.0
+
+
+# --- M4: SimpleModel --------------------------------------------------------
+
+
+def test_simple_model_spark_matches_numpy(spark, sf01):
+    """The closed-form SQL forward == the verbatim torch math in numpy,
+    fed by the same hash vector."""
+    from tabsketchfm_spark.ml import simple_model as sm
+    from tabsketchfm_spark.sources.tables import load_table
+
+    tables = {t: load_table(spark, sf01, t) for t in sm.SIMPLE_MODEL_COLUMNS}
+    out = {
+        r["table_name"]: [r[f"out_{k}"] for k in range(sm.HIDDEN)]
+        for r in sm.simple_model_scores(spark, tables, sm.SIMPLE_MODEL_COLUMNS).collect()
+    }
+    assert set(out) == set(sm.SIMPLE_MODEL_COLUMNS)
+    # rebuild x in pure python/numpy from the same tokens
+    w = sm.weights()
+    for t, cols in sm.SIMPLE_MODEL_COLUMNS.items():
+        pdf = tables[t].select(*cols).toPandas()
+        counts = np.zeros(sm.N_FEATURES)
+        for c in cols:
+            for v in pdf[c].dropna():
+                s = str(v)
+                if s == "":
+                    continue
+                for tok in s.split():
+                    h = mlm.py_h32(tok)
+                    sign = -1 if (h >> 31) & 1 else 1
+                    counts[h % sm.N_FEATURES] += sign
+        l2 = math.sqrt(float((counts**2).sum()))
+        x = np.round(counts / l2, 10)
+        expect = sm.forward_numpy(x, w)
+        got = np.array(out[t])
+        assert np.allclose(got, expect, atol=1e-9), t
+
+
+# --- Spark-side M3/M5/M6 ----------------------------------------------------
+
+
+def test_masked_lm_eval_rows(spark, sf01):
+    from tabsketchfm_spark.plans import registry
+
+    df = registry.queries()["m3_mlm_eval_tables"](spark, sf01)
+    rows = {r["table_name"]: r for r in df.collect()}
+    assert set(rows) == {"customer", "supplier", "nation"}
+    for r in rows.values():
+        assert r["n_masked"] > 0
+        assert r["mlm_loss"] > 0
+        assert 0 <= r["accuracy"] <= 1
+
+
+def test_pretrain_curve_decreases(spark, sf01):
+    from tabsketchfm_spark.plans import registry
+
+    rows = registry.queries()["m5_pretrain_curve"](spark, sf01).collect()
+    assert len(rows) >= 2
+    assert rows[-1]["train_loss"] < rows[0]["train_loss"]
+    assert all(r["grad_norm"] > 0 for r in rows)
+
+
+def test_finetune_eval_learns_similarity(spark, sf01):
+    from tabsketchfm_spark.plans import registry
+
+    rows = {r["split"]: r for r in registry.queries()["m6_finetune_eval"](spark, sf01).collect()}
+    assert set(rows) == {"train", "valid"}
+    # the task is learnable from pooled states: train accuracy beats chance
+    assert rows["train"]["accuracy"] >= 0.75
+    assert 0.0 <= rows["valid"]["f1_weighted"] <= 1.0

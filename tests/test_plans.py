@@ -352,6 +352,11 @@ def test_rows_only_set_is_pinned():
         "k6_ivf_kmeans_ann",
         "k6_mllib_brp_ann",
         "mm_media_features",
+        # the numpy model stack: inference/training outputs are not
+        # SQL-expressible (M4's closed-form forward IS, and is oracled)
+        "m3_mlm_eval_tables",
+        "m5_pretrain_curve",
+        "m6_finetune_eval",
     }
 
 
