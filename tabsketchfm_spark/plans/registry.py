@@ -1467,6 +1467,15 @@ _register(
     ps.streaming_purchase_error_join,
     ps.streaming_purchase_error_join_oracle_sql(),
 )
+_register(
+    # streaming ordered funnel: per-(user, step) MIN state (order-
+    # insensitive, mergeable) + |users|-bounded serving assembly;
+    # first-occurrence-ordered semantics — see docstring for the
+    # deliberate contrast with the batch w6 chain
+    "stream_funnel_events",
+    ps.streaming_funnel,
+    ps.streaming_funnel_oracle_sql(),
+)
 
 from tabsketchfm_spark.streaming import sessionize as sess
 
@@ -1536,7 +1545,7 @@ _DRIVER_WINDOW = [
     "w5_cusum_drift_events",
     "q1_pricing_summary",
     "store_incremental_update",
-    "pivot_event_counts",
+    "m4_simple_model_scores",
     "text_bm25_topk_documents",
     "w6_funnel_counts_events",
     "stream_windowed_counts_append",

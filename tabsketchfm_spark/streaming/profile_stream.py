@@ -379,3 +379,108 @@ r AS (SELECT *, CAST(row_number() OVER (ORDER BY tv DESC, user_id) AS INTEGER) A
 SELECT rank, user_id, CAST(tv AS DOUBLE) AS total_value, n_events
 FROM r WHERE rank <= {k}
 """
+
+
+def streaming_funnel(spark: SparkSession, sf_dir: str, steps=None) -> DataFrame:
+    """Streaming ordered funnel over the event stream.
+
+    Streaming semantics NOTE (vs the batch funnel w6): the incremental
+    state here is the per-(user, step) EARLIEST timestamp — a plain
+    MIN aggregate, so it is order-insensitive and mergeable across
+    micro-batches (O(users × steps) state; no per-event retention).
+    From that state the serving-side assembly counts a user at step k
+    iff their first occurrences are ordered: t₁ ≤ t₂ ≤ … ≤ t_k
+    (first-occurrence-ordered funnel). The batch w6 operator instead
+    chains each stage on events at-or-after the previous stage's
+    completion — that needs event-level lookback that streaming MIN
+    state cannot represent, and an earliest-completion chain is NOT
+    monotone under late data (the CUSUM monotone-MAX trick does not
+    apply) — so the two operators document different, individually
+    exact contracts. Output: (step, step_name, n_users)."""
+    from tabsketchfm_spark.operators.analytics import FUNNEL_STEPS
+
+    steps = steps or FUNNEL_STEPS
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.where(F.col("event_type").isin(steps))
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_micros(F.col("ts")) / F.lit(1000000.0)).alias("es"),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.min("es").alias("t"))
+    )
+    mem = _run_to_memory(agg, "complete")
+    # serving-table assembly: one row per user (conditional-min pivot),
+    # then the ordered-chain test per step — all on |users|-bounded data
+    per_user = mem.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == st, F.col("t"))).alias(f"t{i}")
+            for i, st in enumerate(steps)
+        ]
+    )
+    chain = None
+    counts = []
+    for i, st in enumerate(steps):
+        cond = F.col(f"t{i}").isNotNull()
+        if chain is not None:
+            cond = cond & chain & (F.col(f"t{i}") >= F.col(f"t{i - 1}"))
+        per_user = per_user.withColumn(f"ok{i}", cond)
+        chain = F.col(f"ok{i}")
+        counts.append((i + 1, st))
+    agg_counts = per_user.agg(
+        *[
+            F.sum(F.when(F.col(f"ok{i}"), 1).otherwise(0))
+            .cast("int")
+            .alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    out = agg_counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step"),
+                        F.lit(st).alias("step_name"),
+                        F.col(f"n{i}").alias("n_users"),
+                    )
+                    for i, st in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.step", "r.step_name", "r.n_users")
+    return out
+
+
+def streaming_funnel_oracle_sql(steps=None) -> str:
+    from tabsketchfm_spark.operators.analytics import FUNNEL_STEPS
+
+    steps = steps or FUNNEL_STEPS
+    mins = ", ".join(
+        f"min(CASE WHEN event_type = '{st}' THEN epoch(ts) END) AS t{i}"
+        for i, st in enumerate(steps)
+    )
+    # ok_i inlined cumulatively (no same-SELECT alias references — not
+    # every engine supports DuckDB's lateral column aliases)
+    oks = []
+    for i in range(len(steps)):
+        c = f"t{i} IS NOT NULL"
+        if i > 0:
+            c = f"({oks[i - 1]} AND {c} AND t{i} >= t{i - 1})"
+        oks.append(c)
+    okcols = ", ".join(f"{c} AS ok{i}" for i, c in enumerate(oks))
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS step, '{st}' AS step_name, "
+        f"CAST(sum(CASE WHEN ok{i} THEN 1 ELSE 0 END) AS INTEGER) AS n_users FROM oks"
+        for i, st in enumerate(steps)
+    )
+    return f"""
+WITH pu AS (SELECT user_id, {mins}
+            FROM events
+            WHERE event_type IN ({", ".join(f"'{s}'" for s in steps)})
+            GROUP BY user_id),
+oks AS (SELECT *, {okcols} FROM pu)
+{selects}
+"""
