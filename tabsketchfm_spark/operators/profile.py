@@ -203,22 +203,24 @@ def profile_table(
             .withColumn("__pid", F.spark_partition_id())
             .persist()
         )
-        psums = nv.groupBy("__pid", "cid").agg(F.sum("cnt").alias("s")).collect()
-        by_cid: dict[int, list[tuple[int, int]]] = {}
-        for r in psums:
-            by_cid.setdefault(r["cid"], []).append((r["__pid"], r["s"]))
-        off_rows: list[tuple[int, int, int]] = []
-        totals: dict[int, int] = {}
-        for cid, lst in by_cid.items():
-            acc = 0
-            for pid, s in sorted(lst):
-                off_rows.append((pid, cid, acc))
-                acc += s
-            totals[cid] = acc
-        off_df = spark.createDataFrame(off_rows, "__pid int, cid int, off bigint")
-        ntot = spark.createDataFrame(
-            [(cid, n) for cid, n in totals.items()], "cid int, n_val bigint"
+        # partition offsets computed LAZILY from the per-partition sums:
+        # a window over ≤ |partitions| rows per cid (bounded by the
+        # shuffle-partition count, never by data volume) replaces the
+        # former psums.collect() + createDataFrame driver round-trip —
+        # the offsets become broadcast-joined subplans of the one final
+        # job instead of two extra Python-driven jobs.
+        psums = nv.groupBy("__pid", "cid").agg(F.sum("cnt").alias("s"))
+        woff = (
+            Window.partitionBy("cid")
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
+        off_df = psums.select(
+            "__pid",
+            "cid",
+            F.coalesce(F.sum("s").over(woff), F.lit(0)).alias("off"),
+        )
+        ntot = psums.groupBy("cid").agg(F.sum("s").alias("n_val"))
         wc = Window.partitionBy("__pid", "cid").orderBy("vd")
         cum = (
             nv.join(F.broadcast(off_df), ["__pid", "cid"])
