@@ -412,3 +412,226 @@ UNION ALL
 SELECT 'rendezvous', n_rows, CAST(hrw_moved AS BIGINT),
        round(hrw_moved / CAST(n_rows AS DOUBLE), 6) FROM agg
 """
+
+
+# --- CDC / changelog maintenance --------------------------------------------
+# The lake-maintenance counterpart to the snapshot scans: treat the
+# events table as a per-user changelog ('error' rows are delete
+# tombstones, everything else upserts a value) and derive (a) the
+# merge-on-read compacted latest state and (b) the SCD2 validity
+# history. At 100 TB both are the canonical plans: compaction is ONE
+# hash shuffle with a map-side-combinable lexicographic-max aggregate
+# (no window, no per-key row retention), history is a per-key window
+# whose partitions are bounded by per-user event counts.
+
+
+def cdc_latest_state(events: DataFrame) -> DataFrame:
+    """Merge-on-read compaction: the last (ts, event_id)-ordered event
+    per user wins; users whose last event is a tombstone disappear.
+    max(struct(...)) is associative/commutative → partial aggregation
+    on the map side, single shuffle keyed user_id.
+    Output: (user_id, last_event_id, last_es, last_type, last_value)."""
+    e = events.select(
+        "user_id",
+        F.struct(
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)).alias(
+                "es"
+            ),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+            F.col("value").alias("v"),
+        ).alias("s"),
+    )
+    last = e.groupBy("user_id").agg(F.max("s").alias("s"))
+    return (
+        last.where(F.col("s.et") != "error")
+        .select(
+            "user_id",
+            F.col("s.eid").alias("last_event_id"),
+            F.col("s.es").alias("last_es"),
+            F.col("s.et").alias("last_type"),
+            F.col("s.v").alias("last_value"),
+        )
+    )
+
+
+def cdc_latest_state_oracle_sql() -> str:
+    return """
+WITH ranked AS (
+  SELECT user_id, event_id, epoch(ts) AS es, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch(ts) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS last_event_id, es AS last_es,
+       event_type AS last_type, value AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def cdc_scd2_history(events: DataFrame) -> DataFrame:
+    """SCD2 validity intervals from the changelog: each upsert opens an
+    interval at its timestamp and closes at the next change (upsert OR
+    tombstone); tombstones only close — they emit no row. is_current
+    marks open intervals. The per-user window partition is bounded by
+    that user's event count — never by table volume.
+    Output: (user_id, event_id, event_type, value, valid_from,
+    valid_to, is_current)."""
+    from pyspark.sql import Window
+
+    es = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0)).alias("es")
+    e = events.select("user_id", "event_id", "event_type", "value", es)
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    hist = e.withColumn("valid_to", F.lead("es").over(w))
+    return (
+        hist.where(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("es").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def cdc_scd2_history_oracle_sql() -> str:
+    return """
+WITH e AS (SELECT user_id, event_id, event_type, value, epoch(ts) AS es
+           FROM events),
+h AS (SELECT *,
+             lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+               AS valid_to
+      FROM e)
+SELECT user_id, event_id, event_type, value,
+       es AS valid_from, valid_to, valid_to IS NULL AS is_current
+FROM h WHERE event_type <> 'error'
+"""
+
+
+# --- joinability-graph centrality -------------------------------------------
+
+
+def table_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: dict[str, list[str]],
+    threshold: float = 0.3,
+    rounds: int = 6,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Lake-catalog centrality: PageRank over the table-joinability
+    graph ("which tables are the hubs everything joins to?"). Edges
+    come from the one-pass OPH all-pairs sketch join (K3 — cost is
+    O(columns² × buckets) on signatures, never data-sized): tables a,b
+    are adjacent iff ANY column pair estimates Jaccard ≥ threshold;
+    edges are undirected/unweighted, dangling mass is dropped (the
+    common simplification — ranks need not sum to 1).
+
+    Determinism across engines is engineered the same way as the
+    profiler: each round's neighbor sum runs over INTEGER-scaled
+    contributions (floor(r/deg × 1e12 + 0.5) — the HALF_UP-everywhere
+    quantizer), so the float aggregation order can never show. Every
+    per-round frame is |tables|-sized; the expensive part (signatures)
+    runs once.
+
+    Output: (table_name, pagerank, rank).
+    """
+    from tabsketchfm_spark.operators.minhash import all_pairs_joinability
+
+    names = sorted(tables)
+    n = len(names)
+    pairs = all_pairs_joinability(spark, sf_dir, tables, threshold=threshold)
+    edges = (
+        pairs.where(F.col("table_a") != F.col("table_b"))
+        .select("table_a", "table_b")
+        .distinct()
+    )
+    # undirected: both directions, then out-degree per source
+    edges = (
+        edges.select(F.col("table_a").alias("src"), F.col("table_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("table_b").alias("src"), F.col("table_a").alias("dst"))
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(F.broadcast(deg), "src")
+    nodes = spark.createDataFrame([(t,) for t in names], "key string")
+    base = F.lit((1.0 - damping) / n)
+    ranks = nodes.select("key", F.lit(1.0 / n).alias("r"))
+    for _ in range(rounds):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("key", "src"), "src")
+            .select(
+                F.col("dst").alias("key"),
+                F.floor(
+                    F.col("r") / F.col("deg").cast("double") * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("bigint").alias("c"),
+            )
+            .groupBy("key")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(contrib, "key", "left").select(
+            "key",
+            (
+                base
+                + F.lit(damping)
+                * (F.coalesce(F.col("m"), F.lit(0)).cast("double") / F.lit(1e12))
+            ).alias("r"),
+        )
+    from tabsketchfm_spark.functions.ranking import global_rank
+
+    ranked = global_rank(ranks, [F.desc("r"), F.asc("key")])
+    return ranked.select(
+        F.col("key").alias("table_name"),
+        F.col("r").alias("pagerank"),
+        "rank",
+    )
+
+
+def table_pagerank_oracle_sql(
+    tables: dict[str, list[str]],
+    threshold: float = 0.3,
+    rounds: int = 6,
+    damping: float = 0.85,
+) -> str:
+    from tabsketchfm_spark.operators.minhash import all_pairs_joinability_oracle_sql
+
+    names = sorted(tables)
+    n = len(names)
+    pairs_sql = all_pairs_joinability_oracle_sql(tables, threshold=threshold)
+    nodes = " UNION ALL ".join(f"SELECT '{t}' AS key" for t in names)
+    d = f"cast({damping!r}e0 AS DOUBLE)"
+    base = f"cast({(1.0 - damping) / n!r}e0 AS DOUBLE)"
+    ctes = [
+        f"pairs AS ({pairs_sql})",
+        """e0 AS (SELECT DISTINCT table_a, table_b FROM pairs
+           WHERE table_a <> table_b)""",
+        """edges AS (SELECT table_a AS src, table_b AS dst FROM e0
+            UNION ALL SELECT table_b, table_a FROM e0)""",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        f"nodes AS ({nodes})",
+        f"r0 AS (SELECT key, cast({1.0 / n!r}e0 AS DOUBLE) AS r FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT n.key, {base} + {d} * (coalesce(s.m, 0) / cast(1e12 AS DOUBLE)) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS key,
+           sum(CAST(floor(p.r / CAST(d.deg AS DOUBLE) * 1e12 + 0.5) AS BIGINT)) AS m
+    FROM edges e JOIN r{k - 1} p ON e.src = p.key JOIN deg d ON e.src = d.src
+    GROUP BY 1) s ON n.key = s.key)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT key AS table_name, r AS pagerank,
+       CAST(row_number() OVER (ORDER BY r DESC, key) AS INTEGER) AS rank
+FROM r{rounds}
+"""
+    )

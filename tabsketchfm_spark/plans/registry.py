@@ -104,6 +104,27 @@ _register(
 )
 
 
+def _table_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.structural import table_pagerank
+
+    return table_pagerank(spark, sf, ALL_PAIR_TABLES)
+
+
+def _table_pagerank_oracle() -> str:
+    from tabsketchfm_spark.operators.structural import table_pagerank_oracle_sql
+
+    return table_pagerank_oracle_sql(ALL_PAIR_TABLES)
+
+
+_register(
+    # lake-catalog centrality: PageRank over the OPH joinability graph;
+    # integer-scaled per-round sums keep both engines bit-identical
+    "k3g_table_pagerank",
+    _table_pagerank,
+    _table_pagerank_oracle(),
+)
+
+
 _UNION_QUERY_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 _UNION_CANDIDATES: dict[str, list[str]] = {
     "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
@@ -1038,6 +1059,22 @@ _register(
         prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
         prof.profile_oracle_sql("supplier", TABLE_SCHEMAS["supplier"], round_digits=4),
     ),
+)
+
+
+# --- CDC / changelog maintenance --------------------------------------------
+
+_register(
+    # merge-on-read compaction: ONE hash shuffle, map-side-combinable
+    # lexicographic-max — the scale plan for latest-state-per-key
+    "cdc_latest_state_events",
+    lambda spark, sf: struc.cdc_latest_state(load_table(spark, sf, "events")),
+    struc.cdc_latest_state_oracle_sql(),
+)
+_register(
+    "cdc_scd2_history_events",
+    lambda spark, sf: struc.cdc_scd2_history(load_table(spark, sf, "events")),
+    struc.cdc_scd2_history_oracle_sql(),
 )
 
 

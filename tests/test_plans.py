@@ -373,7 +373,59 @@ def test_registered_queries_are_run_deterministic(spark, sf01):
         "dedup_minhash_lsh_documents",
         "text_unigram_logppl",
         "k3c_join_cardinality_estimate",
+        "k3g_table_pagerank",
+        "cdc_latest_state_events",
     ]:
         r1 = {tuple(r) for r in qs[name](spark, sf01).collect()}
         r2 = {tuple(r) for r in qs[name](spark, sf01).collect()}
         assert r1 == r2, name
+
+
+def test_cdc_compaction_semantics(spark):
+    """Tombstone users vanish from the latest state; SCD2 intervals
+    tile each user's timeline and tombstones only CLOSE intervals."""
+    from tabsketchfm_spark.operators.structural import (
+        cdc_latest_state,
+        cdc_scd2_history,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "view", 1.0, None),
+        (2, "2024-01-02 00:00:00", 10, "click", 2.0, None),
+        (3, "2024-01-01 00:00:00", 20, "view", 3.0, None),
+        (4, "2024-01-03 00:00:00", 20, "error", None, None),  # tombstone last
+        (5, "2024-01-02 00:00:00", 30, "error", None, None),
+        (6, "2024-01-04 00:00:00", 30, "purchase", 4.0, None),  # resurrected
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    latest = {r["user_id"]: r for r in cdc_latest_state(ev).collect()}
+    assert set(latest) == {10, 30}  # 20 deleted, 30 resurrected
+    assert latest[10]["last_type"] == "click"
+    assert latest[30]["last_type"] == "purchase"
+    hist = cdc_scd2_history(ev).collect()
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 20: one interval, CLOSED by the tombstone, not current
+    (u20,) = by_user[20]
+    assert u20["valid_to"] is not None and not u20["is_current"]
+    # user 10: click interval open
+    assert sum(1 for r in by_user[10] if r["is_current"]) == 1
+
+
+def test_table_pagerank_ranks_hub_tables(spark, sf01):
+    """The joinability graph's hubs (key-rich fact/dim tables) must
+    outrank leaf tables; ranks are the full table set, all positive."""
+    from tabsketchfm_spark.plans import registry
+
+    rows = registry.queries()["k3g_table_pagerank"](spark, sf01).collect()
+    pr = {r["table_name"]: r["pagerank"] for r in rows}
+    assert len(pr) == 8  # ALL_PAIR_TABLES
+    assert all(v > 0 for v in pr.values())
+    # orders shares keys with customer AND lineitem — it must beat the
+    # region leaf
+    assert pr["orders"] > pr["region"]
