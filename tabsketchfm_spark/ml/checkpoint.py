@@ -48,7 +48,7 @@ def materialize_weights(n_layers: int = rf.N_LAYERS) -> dict[str, np.ndarray]:
     w["emb.colpos"] = np.stack([rf._emb_row("colpos", i) for i in range(MAX_POS)])
     w["emb.tokpos"] = np.stack([rf._emb_row("tokpos", i) for i in range(MAX_POS)])
     for stream in ("value", "minhash"):
-        rng = np.random.RandomState(rf._seed("lin", stream, rf.HIDDEN))
+        rng = rf._rng(rf._seed("lin", stream, rf.HIDDEN))
         w[f"lin.{stream}.w"] = rng.standard_normal(
             (rf.HIDDEN, rf.HIDDEN)
         ) / np.sqrt(rf.HIDDEN)

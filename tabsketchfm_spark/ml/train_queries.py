@@ -172,9 +172,9 @@ def _pair_profiles(
 def finetune_eval(
     spark: SparkSession,
     sf_dir: str,
-    lr: float = 0.2,
-    max_epochs: int = 500,
-    patience: int = 25,
+    lr: float = 0.1,
+    max_epochs: int = 800,
+    patience: int = 50,
     no_pretrain: bool = False,
 ) -> DataFrame:
     """M6/M7: fine-tune-table-similarity with the frozen-encoder

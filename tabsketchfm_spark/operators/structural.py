@@ -548,16 +548,21 @@ def table_pagerank(
         .select("table_a", "table_b")
         .distinct()
     )
-    # undirected: both directions, then out-degree per source
+    # undirected: both directions, then out-degree per source.
+    # localCheckpoint, not persist: the iterative loop below re-plans
+    # the edge subtree every round, and under AQE a merely-persisted
+    # frame defeats cache substitution — each round would re-run the
+    # whole sketch pipeline (measured 23s → ~4s with the flat
+    # LogicalRDD; same lesson as the dedup label-propagation loop).
     edges = (
         edges.select(F.col("table_a").alias("src"), F.col("table_b").alias("dst"))
         .unionByName(
             edges.select(F.col("table_b").alias("src"), F.col("table_a").alias("dst"))
         )
-        .persist()
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(F.broadcast(deg), "src")
+    ed = edges.join(F.broadcast(deg), "src").localCheckpoint()
     nodes = spark.createDataFrame([(t,) for t in names], "key string")
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.select("key", F.lit(1.0 / n).alias("r"))
