@@ -36,10 +36,9 @@ import numpy as np
 from tabsketchfm_spark.ml import reference_forward as rf
 
 
-def seed_everything(seed: int) -> np.random.RandomState:
-    """pl.seed_everything analogue: ONE seeded generator drives every
-    random choice in a run (init jitter, shuffles)."""
-    return np.random.RandomState(seed)
+# (The reference's seed_everything has no analogue function here: every
+# "random" choice — weights, masks, batch order — is already md5-seeded
+# and deterministic by construction, so there is no global RNG to seed.)
 
 
 # --- optimizer -------------------------------------------------------------
@@ -110,7 +109,7 @@ class MLMHead:
                 "b": rng.standard_normal(rf.HIDDEN) / math.sqrt(rf.HIDDEN),
                 "gamma": np.ones(rf.HIDDEN),
                 "beta": np.zeros(rf.HIDDEN),
-                "dec_b": rng.standard_normal(rf.VOCAB) / math.sqrt(rf.HIDDEN),
+                "dec_b": rng.standard_normal(rf.VOCAB) / math.sqrt(rf.VOCAB),
             }
         else:
             self.params = {

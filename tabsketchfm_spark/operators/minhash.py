@@ -309,6 +309,7 @@ def all_pairs_joinability(
     tables: dict[str, list[str]],
     threshold: float = 0.1,
     num_buckets: int = NUM_PERM,
+    ranked: bool = True,
 ) -> DataFrame:
     """Lake-scope discovery: estimated Jaccard for EVERY column pair
     across every table, from one OPH sketch pass.
@@ -361,25 +362,31 @@ def all_pairs_joinability(
         )
         .where(F.col("est_jaccard") >= threshold)
     )
-    from tabsketchfm_spark.functions.ranking import global_rank
-
-    ranked = global_rank(
-        est, [F.desc("est_jaccard"), F.asc("key_a"), F.asc("key_b")]
-    )
-    return ranked.select(
+    split_cols = [
         F.split("key_a", r"\.")[0].alias("table_a"),
         F.split("key_a", r"\.")[1].alias("column_a"),
         F.split("key_b", r"\.")[0].alias("table_b"),
         F.split("key_b", r"\.")[1].alias("column_b"),
-        "est_jaccard",
-        "rank",
+        F.col("est_jaccard"),
+    ]
+    if not ranked:
+        # graph consumers (table_pagerank) only need the edge set —
+        # skip the two-phase global rank (a repartitionByRange sampling
+        # job + per-partition-counts collect) they would discard
+        return est.select(*split_cols)
+    from tabsketchfm_spark.functions.ranking import global_rank
+
+    rk = global_rank(
+        est, [F.desc("est_jaccard"), F.asc("key_a"), F.asc("key_b")]
     )
+    return rk.select(*split_cols, F.col("rank"))
 
 
 def all_pairs_joinability_oracle_sql(
     tables: dict[str, list[str]],
     threshold: float = 0.1,
     num_buckets: int = NUM_PERM,
+    ranked: bool = True,
 ) -> str:
     h = h32_sql("v", "duckdb")
     parts = []
@@ -394,6 +401,12 @@ def all_pairs_joinability_oracle_sql(
                 FROM (SELECT {h} AS h FROM ({vals}) vals) hs GROUP BY 1, 2"""
             )
     body = "\nUNION ALL\n".join(parts)
+    rank_col = (
+        ",\n       CAST(row_number() OVER (ORDER BY est_jaccard DESC, key_a, key_b)"
+        " AS INTEGER) AS rank"
+        if ranked
+        else ""
+    )
     return f"""
 WITH sigs AS ({body}),
 cnt AS (SELECT key, count(*) AS nb FROM sigs GROUP BY 1),
@@ -406,9 +419,7 @@ est AS (SELECT key_a, key_b,
         FROM common JOIN cnt ca ON key_a = ca.key JOIN cnt cb ON key_b = cb.key)
 SELECT string_split(key_a, '.')[1] AS table_a, string_split(key_a, '.')[2] AS column_a,
        string_split(key_b, '.')[1] AS table_b, string_split(key_b, '.')[2] AS column_b,
-       est_jaccard,
-       CAST(row_number() OVER (ORDER BY est_jaccard DESC, key_a, key_b) AS INTEGER)
-         AS rank
+       est_jaccard{rank_col}
 FROM est WHERE est_jaccard >= {threshold}
 """
 

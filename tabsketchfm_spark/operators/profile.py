@@ -189,11 +189,11 @@ def profile_table(
         #
         # The cumsum is TWO-PHASE (like functions/ranking.global_rank):
         # range-partition the counts frame on (cid, vd), cumsum inside
-        # each partition, add driver-computed partition offsets. A
-        # plain `Window.partitionBy(cid)` would move a whole column's
+        # each partition, add per-partition offsets (computed lazily
+        # below from the partition sums). A plain
+        # `Window.partitionBy(cid)` would move a whole column's
         # distinct set to ONE task — fatal for a 100 TB unique key;
-        # here no task ever holds more than its range share. The
-        # offsets job touches |partitions|×|columns| rows — trivial.
+        # here no task ever holds more than its range share.
         spark = df.sparkSession
         nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         nv = (

@@ -542,7 +542,11 @@ def table_pagerank(
 
     names = sorted(tables)
     n = len(names)
-    pairs = all_pairs_joinability(spark, sf_dir, tables, threshold=threshold)
+    # ranked=False: the graph only needs the edge SET — skip the
+    # global-rank pass (sampling job + counts collect) it would discard
+    pairs = all_pairs_joinability(
+        spark, sf_dir, tables, threshold=threshold, ranked=False
+    )
     edges = (
         pairs.where(F.col("table_a") != F.col("table_b"))
         .select("table_a", "table_b")
@@ -607,10 +611,15 @@ def table_pagerank_oracle_sql(
 
     names = sorted(tables)
     n = len(names)
-    pairs_sql = all_pairs_joinability_oracle_sql(tables, threshold=threshold)
+    pairs_sql = all_pairs_joinability_oracle_sql(
+        tables, threshold=threshold, ranked=False
+    )
     nodes = " UNION ALL ".join(f"SELECT '{t}' AS key" for t in names)
-    d = f"cast({damping!r}e0 AS DOUBLE)"
-    base = f"cast({(1.0 - damping) / n!r}e0 AS DOUBLE)"
+    # %.17e round-trips float64 exactly and is always a valid DOUBLE
+    # literal (repr() switches to exponent form below 1e-4, which would
+    # break the naive repr+'e0' concatenation)
+    d = f"cast({damping:.17e} AS DOUBLE)"
+    base = f"cast({(1.0 - damping) / n:.17e} AS DOUBLE)"
     ctes = [
         f"pairs AS ({pairs_sql})",
         """e0 AS (SELECT DISTINCT table_a, table_b FROM pairs
@@ -619,7 +628,7 @@ def table_pagerank_oracle_sql(
             UNION ALL SELECT table_b, table_a FROM e0)""",
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
         f"nodes AS ({nodes})",
-        f"r0 AS (SELECT key, cast({1.0 / n!r}e0 AS DOUBLE) AS r FROM nodes)",
+        f"r0 AS (SELECT key, cast({1.0 / n:.17e} AS DOUBLE) AS r FROM nodes)",
     ]
     for k in range(1, rounds + 1):
         ctes.append(

@@ -1539,7 +1539,6 @@ _register(
 _DRIVER_WINDOW = [
     "a1a8_profile_lineitem",
     "clean_outlier_scan_lineitem",
-    "a2h_heavy_hitters_orders",
     "p6_serial_key_events",
     "p9_name_repair",
     "sk1_minhash_orders_keys",
@@ -1551,6 +1550,7 @@ _DRIVER_WINDOW = [
     "sk6_table_hash_lineitem",
     "sk7_setsim_o_custkey_c_custkey",
     "k3_all_pairs_joinability",
+    "k3g_table_pagerank",
     "k4_unionability_customer",
     "k4_column_vote_embeddings",
     "k5_search_eval",
@@ -1561,11 +1561,9 @@ _DRIVER_WINDOW = [
     "vec_quantize_int8",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
-    "dedup_minhash_lsh_documents",
     "dedup_simhash_pairs_documents",
     "dedup_clusters_documents",
     "dedup_embedding_cosine",
-    "dedup_semantic_clustered",
     "text_token_stats",
     "text_quality_score",
     "text_gopher_rules",
@@ -1585,6 +1583,8 @@ _DRIVER_WINDOW = [
     "m4_simple_model_scores",
     "text_bm25_topk_documents",
     "w6_funnel_counts_events",
+    "stream_funnel_events",
+    "cdc_latest_state_events",
     "stream_windowed_counts_append",
     "stream_sessionize_events",
 ]

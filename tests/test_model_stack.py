@@ -252,6 +252,17 @@ def test_m12_no_pretrain_reinit_changes_weights_not_shapes():
     assert not np.allclose(wa["w1"], wb["w1"])
 
 
+def test_epoch_metrics_known_values():
+    """M5 epochMetrics (tabsketchfm.py:62-74): summed losses divided by
+    the LABEL count (not the batch count), plus argmax accuracy."""
+    losses = [2.0, 4.0]
+    preds = np.array([1, 0, 1, 1])
+    labels = np.array([1, 0, 0, 1])
+    tot, acc = tr.epoch_metrics(losses, preds, labels)
+    assert tot == 6.0 / 4
+    assert acc == 0.75
+
+
 def test_weighted_f1_matches_known_values():
     y = np.array([0, 0, 1, 1, 1])
     p = np.array([0, 1, 1, 1, 0])
