@@ -73,6 +73,8 @@ def materialize_weights(n_layers: int = rf.N_LAYERS) -> dict[str, np.ndarray]:
     w["bias.pooler"] = rf._bias("pooler", rf.HIDDEN)
     w["mat.mlm.transform"] = rf._mat("mlm.transform", rf.HIDDEN, rf.HIDDEN)
     w["bias.mlm.transform"] = rf._bias("mlm.transform", rf.HIDDEN)
+    w["mlm.ln.gamma"] = np.ones(rf.HIDDEN)
+    w["mlm.ln.beta"] = np.zeros(rf.HIDDEN)
     w["bias.mlm.decoder"] = rf._bias("mlm.decoder", rf.VOCAB)
     return w
 

@@ -378,11 +378,22 @@ def word_table() -> np.ndarray:
 
 
 def mlm_transform(states: np.ndarray) -> np.ndarray:
-    """BertPredictionHeadTransform: dense + gelu + LayerNorm."""
+    """BertPredictionHeadTransform: dense + gelu + LayerNorm. The
+    LayerNorm affine (gamma/beta) is identity at the seeded init but
+    checkpoint-addressable — a TRAINED head (ml/training.MLMHead fits
+    exactly these tensors) installs via the same state-dict swap as
+    every other weight."""
     x = states @ _mat("mlm.transform", HIDDEN, HIDDEN).T + _bias(
         "mlm.transform", HIDDEN
     )
-    return _layer_norm_rows(_gelu(x))
+    y = _layer_norm_rows(_gelu(x))
+    gamma = _OVERRIDE.get("mlm.ln.gamma")
+    beta = _OVERRIDE.get("mlm.ln.beta")
+    if gamma is not None:
+        y = y * gamma
+    if beta is not None:
+        y = y + beta
+    return y
 
 
 def mlm_logits(states: np.ndarray, positions: list[int] | None = None) -> np.ndarray:

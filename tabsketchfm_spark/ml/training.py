@@ -179,6 +179,21 @@ class MLMHead:
         return loss, grads
 
 
+def mlm_head_state_dict(head: "MLMHead") -> dict[str, np.ndarray]:
+    """The trained head's tensors under their CHECKPOINT names — write
+    these over materialize_weights() output and the serving forward
+    (ml/reference_forward.mlm_transform / mlm_logits) picks them up via
+    install_checkpoint: the train → checkpoint → serve loop."""
+    p = head.params
+    return {
+        "mat.mlm.transform": p["w"].copy(),
+        "bias.mlm.transform": p["b"].copy(),
+        "mlm.ln.gamma": p["gamma"].copy(),
+        "mlm.ln.beta": p["beta"].copy(),
+        "bias.mlm.decoder": p["dec_b"].copy(),
+    }
+
+
 # --- M6: classification head (frozen encoder, pooled CLS) ------------------
 
 

@@ -340,3 +340,35 @@ def test_finetune_eval_learns_similarity(spark, sf01):
     # the task is learnable from pooled states: train accuracy beats chance
     assert rows["train"]["accuracy"] >= 0.75
     assert 0.0 <= rows["valid"]["f1_weighted"] <= 1.0
+
+
+def test_train_checkpoint_serve_loop(tmp_path):
+    """The full S13↔M5↔M3 loop: fit the MLM head, write its tensors
+    into an npz checkpoint, install it, and the SERVING forward
+    (masked_lm_forward, which reads weights through the override) must
+    reproduce the trained head's loss — strictly below the seeded
+    init's loss."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+
+    seq = _demo_seq()
+    masked, labels = mlm.apply_mask(seq)
+    before = rf.masked_lm_forward(masked, labels)["loss"]
+
+    x, y = mlm.mlm_training_batch(seq)
+    head = tr.MLMHead()
+    tr.fit(head, (x, y), (x, y), lr=5e-3, max_epochs=10)
+    trained_loss, _ = head.loss(x, y)
+
+    w = ck.materialize_weights(n_layers=rf.N_LAYERS)
+    w.update(tr.mlm_head_state_dict(head))
+    path = str(tmp_path / "finetuned")
+    ck.save_checkpoint(path, w)
+    try:
+        ck.install_checkpoint(ck.load_checkpoint(path))
+        served = rf.masked_lm_forward(masked, labels)["loss"]
+    finally:
+        ck.clear_checkpoint()
+    assert abs(served - trained_loss) < 1e-9  # serve == trained head
+    assert served < before  # training moved the served model
+    # and clearing the checkpoint restores the seeded forward
+    assert abs(rf.masked_lm_forward(masked, labels)["loss"] - before) < 1e-12
