@@ -649,3 +649,121 @@ SELECT key AS table_name, r AS pagerank,
 FROM r{rounds}
 """
     )
+
+
+# --- zone-map data-skipping audit -------------------------------------------
+
+
+def zone_map_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    n_zones: int = 64,
+    lo: int = 100,
+    hi: int = 500,
+) -> DataFrame:
+    """How much scan does each LAYOUT let a reader skip? The 100 TB
+    question behind every OPTIMIZE/ZORDER decision: model writing
+    `orders` into ``n_zones`` equal files under three layouts —
+
+    - ``hash``:   zone = h64(o_orderkey) % N (unclustered append scatter),
+    - ``sorted``: zone = rank-range by (o_custkey, o_orderkey),
+    - ``zorder``: zone = rank-range by the Morton key of
+      (o_custkey, o_orderkey) (the zorder_key operator),
+
+    record each zone's (min, max) of the predicate column (exactly the
+    parquet/Iceberg zone-map footer), and count the zones a reader of
+    ``o_custkey BETWEEN lo AND hi`` skips. Ranks use the two-phase
+    global_rank (no single-partition window); a layout rewrite is a
+    sort anyway, so the audit costs what the rewrite costs. Output:
+    (layout, zones_total, zones_pruned, frac_pruned, rows_scanned).
+    """
+    from tabsketchfm_spark.functions.hashing import h64_sql
+    from tabsketchfm_spark.functions.ranking import global_rank
+
+    t = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    tot = t.agg(F.count(F.lit(1)).alias("_n"))
+
+    def rank_zone(df: DataFrame, order_cols) -> DataFrame:
+        r = global_rank(df, order_cols)
+        return r.crossJoin(F.broadcast(tot)).select(
+            "o_custkey",
+            F.expr(f"(CAST(rank - 1 AS BIGINT) * {n_zones}) div _n").alias("zone"),
+        )
+
+    srt = rank_zone(t, [F.asc("o_custkey"), F.asc("o_orderkey")])
+    zk = zorder_key(t, "o_custkey", "o_orderkey", ["o_orderkey", "o_custkey"])
+    zzs = rank_zone(zk, [F.asc("zkey"), F.asc("o_orderkey")]).select(
+        "o_custkey", "zone"
+    )
+    hsh = t.select(
+        "o_custkey",
+        (F.expr(h64_sql("o_orderkey", "spark")) % n_zones).alias("zone"),
+    )
+    tagged = (
+        srt.select(F.lit("sorted").alias("layout"), "o_custkey", "zone")
+        .unionByName(zzs.select(F.lit("zorder").alias("layout"), "o_custkey", "zone"))
+        .unionByName(hsh.select(F.lit("hash").alias("layout"), "o_custkey", "zone"))
+    )
+    zones = tagged.groupBy("layout", "zone").agg(
+        F.min("o_custkey").alias("zmin"),
+        F.max("o_custkey").alias("zmax"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    pruned = (F.col("zmax") < lo) | (F.col("zmin") > hi)
+    return (
+        zones.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("zones_total"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("int").alias("zones_pruned"),
+            F.round(
+                F.sum(F.when(pruned, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_pruned"),
+            F.sum(F.when(~pruned, F.col("cnt")).otherwise(0)).alias("rows_scanned"),
+        )
+    )
+
+
+def zone_map_audit_oracle_sql(
+    n_zones: int = 64, lo: int = 100, hi: int = 500
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h64_sql
+
+    zsql = zorder_key_oracle_sql(
+        "(SELECT o_custkey, o_orderkey FROM orders)",
+        "o_custkey",
+        "o_orderkey",
+        ["o_orderkey", "o_custkey"],
+    )
+    h = h64_sql("o_orderkey", "duckdb")
+    return f"""
+WITH t AS (SELECT o_custkey, o_orderkey FROM orders),
+tot AS (SELECT count(*) AS n FROM t),
+srt AS (SELECT o_custkey,
+               (CAST(row_number() OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT)
+                * {n_zones}) // n AS zone
+        FROM t, tot),
+zk AS ({zsql}),
+zzs AS (SELECT o_custkey,
+               (CAST(row_number() OVER (ORDER BY zkey, o_orderkey) - 1 AS BIGINT)
+                * {n_zones}) // n AS zone
+        FROM zk, tot),
+hsh AS (SELECT o_custkey, {h} % {n_zones} AS zone FROM t),
+tagged AS (
+  SELECT 'sorted' AS layout, o_custkey, zone FROM srt
+  UNION ALL SELECT 'zorder', o_custkey, zone FROM zzs
+  UNION ALL SELECT 'hash', o_custkey, zone FROM hsh),
+zones AS (SELECT layout, zone, min(o_custkey) AS zmin, max(o_custkey) AS zmax,
+                 count(*) AS cnt
+          FROM tagged GROUP BY 1, 2)
+SELECT layout,
+       CAST(count(*) AS INTEGER) AS zones_total,
+       CAST(sum(CASE WHEN zmax < {lo} OR zmin > {hi} THEN 1 ELSE 0 END) AS INTEGER)
+         AS zones_pruned,
+       round(sum(CASE WHEN zmax < {lo} OR zmin > {hi} THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_pruned,
+       CAST(sum(CASE WHEN NOT (zmax < {lo} OR zmin > {hi}) THEN cnt ELSE 0 END)
+            AS BIGINT) AS rows_scanned
+FROM zones GROUP BY 1
+"""

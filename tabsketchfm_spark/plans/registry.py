@@ -334,6 +334,27 @@ _register(
 )
 
 
+def _zone_map_audit(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.structural import zone_map_audit
+
+    return zone_map_audit(spark, sf)
+
+
+def _zone_map_audit_oracle() -> str:
+    from tabsketchfm_spark.operators.structural import zone_map_audit_oracle_sql
+
+    return zone_map_audit_oracle_sql()
+
+
+_register(
+    # the data-skipping payoff quantified: zone-map (file min/max)
+    # pruning fractions under hash vs sorted vs zorder layouts
+    "layout_zone_map_audit",
+    _zone_map_audit,
+    _zone_map_audit_oracle(),
+)
+
+
 def _record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.operators.linkage import record_linkage
 
