@@ -89,3 +89,39 @@ def test_user_value_trend_recovers_known_slope(spark):
     assert abs(got[1].slope_per_day - 2.5) < 1e-6
     assert abs(got[1].intercept - 10.0) < 1e-6
     assert got[2].slope_per_day is None and got[2].n == 1
+
+
+def test_funnel_semantics_batch_vs_streaming_contrast():
+    """The documented divergence, executed: a user who CLICKS before
+    their first VIEW then views and clicks again. The batch w6 chain
+    (events at-or-after the previous stage's earliest completion)
+    counts them at step 2; the streaming first-occurrence-ordered
+    funnel (min(view) <= min(click)) does NOT — its state is only the
+    per-(user, step) minimum, and that minimum click precedes the
+    first view. Both contracts verified via their own oracle SQL on
+    the same synthetic changelog."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.analytics import funnel_counts_oracle_sql
+    from tabsketchfm_spark.streaming.profile_stream import (
+        streaming_funnel_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE VIEW events AS SELECT * FROM (VALUES
+             (1, TIMESTAMP '2024-01-01 00:00:00', 7, 'click', 1.0, NULL),
+             (2, TIMESTAMP '2024-01-02 00:00:00', 7, 'view',  1.0, NULL),
+             (3, TIMESTAMP '2024-01-03 00:00:00', 7, 'click', 1.0, NULL)
+           ) v(event_id, ts, user_id, event_type, value, props)"""
+    )
+    steps = ["view", "click"]
+    batch = {
+        r[0]: r[2] for r in con.execute(funnel_counts_oracle_sql(steps)).fetchall()
+    }
+    stream = {
+        r[0]: r[2]
+        for r in con.execute(streaming_funnel_oracle_sql(steps)).fetchall()
+    }
+    assert batch == {1: 1, 2: 1}  # chain finds the later click
+    assert stream == {1: 1, 2: 0}  # first occurrences are out of order
