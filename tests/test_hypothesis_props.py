@@ -1,0 +1,214 @@
+"""Hypothesis property tests — randomized inputs against independent
+reimplementations (python folds), no Spark session needed, so the
+search is cheap and wide.
+
+Two layers are covered: the pure numpy training math (ml/training,
+ml/mlm), and the DuckDB oracle SEMANTICS for operators whose contract
+is easy to fold in python (CDC compaction, streaming funnel) — the
+oracle is the correctness gate, so the oracle itself deserves an
+independent check the parity harness cannot give it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tabsketchfm_spark.ml import mlm, reference_forward as rf, training as tr
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(-10, 10), min_size=4, max_size=4),
+            st.integers(0, 3),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_cross_entropy_matches_direct_softmax_and_ignores(rows, data):
+    logits = np.array([r[0] for r in rows])
+    labels = np.array([r[1] for r in rows], dtype=np.int64)
+    ignore = data.draw(
+        st.lists(st.booleans(), min_size=len(rows), max_size=len(rows))
+    )
+    lb = labels.copy()
+    lb[np.array(ignore)] = -100
+    loss, n = rf.cross_entropy(logits, lb)
+    keep = [i for i in range(len(rows)) if not ignore[i]]
+    assert n == len(keep)
+    if not keep:
+        assert math.isnan(loss)
+        return
+    direct = -np.mean(
+        [
+            math.log(
+                math.exp(logits[i, labels[i]]) / np.exp(logits[i]).sum()
+            )
+            for i in keep
+        ]
+    )
+    assert abs(loss - direct) < 1e-9
+    assert loss >= -1e-12  # CE of a distribution is non-negative
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.floats(-100, 100), min_size=1, max_size=5),
+        min_size=1,
+    ),
+    st.floats(0.01, 10.0),
+)
+@settings(max_examples=80, deadline=None)
+def test_clip_grad_norm_properties(gdict, max_norm):
+    grads = {k: np.array(v) for k, v in gdict.items()}
+    orig = {k: v.copy() for k, v in grads.items()}
+    pre = tr.clip_grad_norm(grads, max_norm)
+    post = math.sqrt(sum(float((g * g).sum()) for g in grads.values()))
+    direct = math.sqrt(sum(float((g * g).sum()) for g in orig.values()))
+    assert abs(pre - direct) < 1e-9  # returns the PRE-clip norm
+    assert post <= max_norm + 1e-9 or abs(post - direct) < 1e-9
+    if direct > 0:
+        # direction preserved: scaled copies are colinear with originals
+        scale = post / direct
+        for k in grads:
+            assert np.allclose(grads[k], orig[k] * scale, atol=1e-9)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_apply_mask_label_contract(col_name_tokens):
+    """Labels appear exactly where the action is not 'none'; the input
+    id deviates from the token's own id ONLY for [MASK]/random."""
+    rows = [
+        {
+            "column_name": "_".join(col_name_tokens),
+            "col_idx": 0,
+            "col_type": "string",
+            **{c: None for c in rf._STAT_COLS},
+        }
+    ]
+    seq = rf.build_token_sequence(rows)
+    actions = mlm.mask_actions(seq)
+    masked, labels = mlm.apply_mask(seq)
+    for i, (t, act) in enumerate(zip(masked, actions)):
+        own = rf.word_id(seq[i]["token"])
+        if act == "none":
+            assert labels[i] == -100 and "wid" not in t
+        else:
+            assert labels[i] == own
+            if act == "keep":
+                assert t["wid"] == own
+            elif act == "[MASK]":
+                assert t["wid"] == rf.word_id("[MASK]")
+            else:
+                assert 0 <= t["wid"] < rf.VOCAB
+    # specials are never masked
+    for t, act in zip(seq, actions):
+        if t["special"]:
+            assert act == "none"
+
+
+EVENT_TS = st.integers(0, 10**6)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            EVENT_TS,
+            st.integers(1, 5),  # user
+            st.sampled_from(["view", "click", "signup", "error"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_cdc_oracle_semantics_match_python_fold(events):
+    """The cdc_latest_state ORACLE (the gate itself) vs an independent
+    last-writer-wins fold over random changelogs."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.structural import cdc_latest_state_oracle_sql
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i + 1}, to_timestamp({ts}), {u}, '{et}', 1.0, NULL)"
+        for i, (ts, u, et) in enumerate(events)
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+        "v(event_id, ts, user_id, event_type, value, props)"
+    )
+    got = {
+        r[0]: r[3]
+        for r in con.execute(cdc_latest_state_oracle_sql()).fetchall()
+    }
+    fold: dict[int, tuple] = {}
+    for i, (ts, u, et) in enumerate(events):
+        key = (ts, i + 1)
+        if u not in fold or key > fold[u][0]:
+            fold[u] = (key, et)
+    expect = {u: et for u, (_, et) in fold.items() if et != "error"}
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(EVENT_TS, st.integers(1, 4), st.sampled_from(["view", "click"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_streaming_funnel_oracle_monotone_and_matches_fold(events):
+    """Funnel counts are non-increasing per step, and equal the
+    first-occurrence-ordered python fold."""
+    import duckdb
+
+    from tabsketchfm_spark.streaming.profile_stream import (
+        streaming_funnel_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i + 1}, to_timestamp({ts}), {u}, '{et}', 1.0, NULL)"
+        for i, (ts, u, et) in enumerate(events)
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM (VALUES {vals}) "
+        "v(event_id, ts, user_id, event_type, value, props)"
+    )
+    steps = ["view", "click"]
+    rows = sorted(con.execute(streaming_funnel_oracle_sql(steps)).fetchall())
+    counts = [r[2] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # monotone funnel
+    firsts: dict[int, dict[str, int]] = {}
+    for ts, u, et in events:
+        d = firsts.setdefault(u, {})
+        d[et] = min(d.get(et, ts), ts)
+    s1 = sum(1 for d in firsts.values() if "view" in d)
+    s2 = sum(
+        1
+        for d in firsts.values()
+        if "view" in d and "click" in d and d["view"] <= d["click"]
+    )
+    assert counts == [s1, s2]
