@@ -1359,6 +1359,18 @@ _register(
 )
 
 _register(
+    # temperature-0.5 domain mixture: per-(lang, source) quotas ∝
+    # sqrt(n_d), integer-quantized so the sample is bit-reproducible
+    # k=150 keeps inclusion rates < 1 at the sf0.01 gate (~500 docs) —
+    # a saturated rate of 1.0 would make the oracle row vacuous
+    "mix_domain_temperature_documents",
+    lambda spark, sf: spl.domain_mixture_sample(
+        load_table(spark, sf, "documents"), k=150
+    ),
+    spl.domain_mixture_sample_oracle_sql(k=150),
+)
+
+_register(
     # A-priori L2 pass: frequent co-purchased part pairs within order
     # baskets (bounded-basket self-join, never O(parts^2))
     "fp_cooccurrence_pairs",

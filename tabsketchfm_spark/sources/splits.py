@@ -135,3 +135,67 @@ SELECT id, w FROM base, tot
 WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(tw AS HUGEINT)
     < CAST({k * (1 << 24)} AS HUGEINT) * CAST(w AS HUGEINT)
 """
+
+
+def domain_mixture_sample(
+    docs: DataFrame, k: int = 2000, scale: int = 1 << 16
+) -> DataFrame:
+    """Temperature-balanced corpus mixture (the multilingual /
+    multi-source re-weighting step of LLM corpus assembly): sample ~k
+    documents with per-domain quotas ∝ n_d^0.5 — temperature τ=2
+    flattening, which up-samples small (lang, source) domains relative
+    to proportional sampling. α is fixed at 0.5 BECAUSE sqrt is
+    IEEE-correctly-rounded in every engine while pow(x, α) is
+    libm-dependent — the whole quota pipeline stays bit-reproducible.
+
+    Determinism engineering (same family as weighted_sample): the
+    irrational sqrt is quantized ONCE per domain (W_d = floor(sqrt(n_d)
+    · 2^16), exact bigint), the normalizer S = Σ W_d is an exact
+    integer sum (order-free), and each row's inclusion test
+    h24 · (S · n_d) < k·2^24 · W_d runs in int128-backed decimals on
+    the Spark side == HUGEINT in DuckDB. Rates ≥ 1 saturate naturally
+    (h24 < 2^24). Two passes: a grouped count + a broadcast-joined
+    narrow filter — the data itself never shuffles.
+
+    Output: (doc_id, lang, source) for the sampled rows.
+    """
+    d = docs.select("doc_id", "lang", "source")
+    stats = (
+        d.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+        .withColumn(
+            "wd",
+            F.floor(F.sqrt(F.col("n_d").cast("double")) * F.lit(scale)).cast(
+                "bigint"
+            ),
+        )
+    )
+    tot = stats.agg(F.sum("wd").alias("s_tot"))
+    h24 = F.pmod(F.expr(h32_sql("doc_id", "spark")), F.lit(1 << 24))
+    joined = d.join(F.broadcast(stats), ["lang", "source"]).crossJoin(
+        F.broadcast(tot)
+    )
+    lhs = h24.cast("decimal(19,0)") * (
+        (F.col("s_tot") * F.col("n_d")).cast("decimal(19,0)")
+    )
+    rhs = F.lit(k * (1 << 24)).cast("decimal(19,0)") * F.col("wd").cast(
+        "decimal(19,0)"
+    )
+    return joined.where(lhs < rhs).select("doc_id", "lang", "source")
+
+
+def domain_mixture_sample_oracle_sql(
+    table: str = "documents", k: int = 2000, scale: int = 1 << 16
+) -> str:
+    h = h32_sql("doc_id", "duckdb")
+    return f"""
+WITH stats AS (SELECT lang, source, count(*) AS n_d,
+                      CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * {scale}) AS BIGINT)
+                        AS wd
+               FROM {table} GROUP BY 1, 2),
+tot AS (SELECT sum(wd) AS s_tot FROM stats)
+SELECT d.doc_id, d.lang, d.source
+FROM {table} d JOIN stats USING (lang, source), tot
+WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(s_tot * n_d AS HUGEINT)
+    < CAST({k * (1 << 24)} AS HUGEINT) * CAST(wd AS HUGEINT)
+"""

@@ -125,3 +125,32 @@ def test_funnel_semantics_batch_vs_streaming_contrast():
     }
     assert batch == {1: 1, 2: 1}  # chain finds the later click
     assert stream == {1: 1, 2: 0}  # first occurrences are out of order
+
+
+def test_domain_mixture_flattens_toward_small_domains(spark, sf01):
+    """Temperature-0.5 property: the inclusion RATE of the smallest
+    (lang, source) domain must be >= the rate of the largest (quota ∝
+    sqrt(n) means rate ∝ 1/sqrt(n))."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.sources.splits import domain_mixture_sample
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    n = {
+        (r["lang"], r["source"]): r["n"]
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    s = {
+        (r["lang"], r["source"]): r["k"]
+        for r in domain_mixture_sample(docs, k=150)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("k"))
+        .collect()
+    }
+    small = min(n, key=n.get)
+    big = max(n, key=n.get)
+    assert n[big] > 2 * n[small], "testdata should have skewed domains"
+    rate = lambda d: s.get(d, 0) / n[d]  # noqa: E731
+    assert rate(big) < 1.0, "big domain must not saturate or the test is vacuous"
+    assert rate(small) > rate(big)
