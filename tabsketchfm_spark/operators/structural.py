@@ -620,13 +620,16 @@ def table_pagerank_oracle_sql(
     # break the naive repr+'e0' concatenation)
     d = f"cast({damping:.17e} AS DOUBLE)"
     base = f"cast({(1.0 - damping) / n:.17e} AS DOUBLE)"
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at every
+    # reference site, so the 6 rank rounds would re-run the whole OPH
+    # sketch pipeline each time (measured 106.7s -> ~1s at sf0.01)
     ctes = [
-        f"pairs AS ({pairs_sql})",
+        f"pairs AS MATERIALIZED ({pairs_sql})",
         """e0 AS (SELECT DISTINCT table_a, table_b FROM pairs
            WHERE table_a <> table_b)""",
-        """edges AS (SELECT table_a AS src, table_b AS dst FROM e0
+        """edges AS MATERIALIZED (SELECT table_a AS src, table_b AS dst FROM e0
             UNION ALL SELECT table_b, table_a FROM e0)""",
-        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1)",
         f"nodes AS ({nodes})",
         f"r0 AS (SELECT key, cast({1.0 / n:.17e} AS DOUBLE) AS r FROM nodes)",
     ]
