@@ -683,7 +683,15 @@ def zone_map_audit(
     from tabsketchfm_spark.functions.hashing import h64_sql
     from tabsketchfm_spark.functions.ranking import global_rank
 
-    t = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    # t feeds FOUR subtrees (count, sorted rank, zorder input, hash) and
+    # zk's 64-term Morton projection feeds global_rank's sampling pass —
+    # persist both or the range-sampling jobs re-run them (CLAUDE.md
+    # repartitionByRange lesson)
+    t = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .persist()
+    )
     tot = t.agg(F.count(F.lit(1)).alias("_n"))
 
     def rank_zone(df: DataFrame, order_cols) -> DataFrame:
@@ -694,7 +702,9 @@ def zone_map_audit(
         )
 
     srt = rank_zone(t, [F.asc("o_custkey"), F.asc("o_orderkey")])
-    zk = zorder_key(t, "o_custkey", "o_orderkey", ["o_orderkey", "o_custkey"])
+    zk = zorder_key(
+        t, "o_custkey", "o_orderkey", ["o_orderkey", "o_custkey"]
+    ).persist()
     zzs = rank_zone(zk, [F.asc("zkey"), F.asc("o_orderkey")]).select(
         "o_custkey", "zone"
     )

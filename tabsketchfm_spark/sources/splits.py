@@ -175,8 +175,11 @@ def domain_mixture_sample(
     joined = d.join(F.broadcast(stats), ["lang", "source"]).crossJoin(
         F.broadcast(tot)
     )
+    # operand-wise decimal casts BEFORE multiplying (the weighted_sample
+    # pattern): an int64 s_tot*n_d pre-product would wrap at corpus
+    # scale while the HUGEINT oracle would not
     lhs = h24.cast("decimal(19,0)") * (
-        (F.col("s_tot") * F.col("n_d")).cast("decimal(19,0)")
+        F.col("s_tot").cast("decimal(19,0)") * F.col("n_d").cast("decimal(19,0)")
     )
     rhs = F.lit(k * (1 << 24)).cast("decimal(19,0)") * F.col("wd").cast(
         "decimal(19,0)"
@@ -196,6 +199,6 @@ WITH stats AS (SELECT lang, source, count(*) AS n_d,
 tot AS (SELECT sum(wd) AS s_tot FROM stats)
 SELECT d.doc_id, d.lang, d.source
 FROM {table} d JOIN stats USING (lang, source), tot
-WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(s_tot * n_d AS HUGEINT)
+WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * (CAST(s_tot AS HUGEINT) * CAST(n_d AS HUGEINT))
     < CAST({k * (1 << 24)} AS HUGEINT) * CAST(wd AS HUGEINT)
 """

@@ -125,7 +125,7 @@ def test_apply_mask_label_contract(col_name_tokens):
             assert act == "none"
 
 
-EVENT_TS = st.integers(0, 10**6)
+EVENT_TS = st.integers(0, 20)  # narrow: ts ties MUST occur so tie-break paths are searched
 
 
 @given(
@@ -137,7 +137,6 @@ EVENT_TS = st.integers(0, 10**6)
         ),
         min_size=1,
         max_size=40,
-        unique_by=lambda t: t[0],
     )
 )
 @settings(max_examples=40, deadline=None)
@@ -175,7 +174,6 @@ def test_cdc_oracle_semantics_match_python_fold(events):
         st.tuples(EVENT_TS, st.integers(1, 4), st.sampled_from(["view", "click"])),
         min_size=1,
         max_size=30,
-        unique_by=lambda t: t[0],
     )
 )
 @settings(max_examples=40, deadline=None)
