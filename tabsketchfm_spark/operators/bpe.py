@@ -1,0 +1,154 @@
+"""BPE merge learning — tokenizer TRAINING as a lake operator.
+
+Learns the first ``n_merges`` byte-pair-encoding merges from the
+documents corpus (Sennrich et al. 2016: repeatedly merge the most
+frequent adjacent symbol pair, weighted by word frequency). This is
+the training-side counterpart to the existing token-counting ops: a
+corpus pipeline that ships its own subword vocabulary needs exactly
+this loop, and at 100 TB the only data-sized work is ONE word-count
+aggregation — every merge round runs over the (distinct-word, count)
+frame, which is vocabulary-sized, not corpus-sized.
+
+Cross-engine determinism engineering:
+- a word's symbol sequence is a STRING with double spaces between
+  symbols and single-space padding (' a  b  </w> ') — ``replace(seq,
+  ' a  b ', ' ab ')`` then applies a merge left-to-right greedily and
+  keeps the delimiter structure intact, with byte-identical semantics
+  in Spark and DuckDB (both replace all non-overlapping occurrences
+  scanning left, continuing after each replacement);
+- pair counts are integer sums; the winning pair per round is
+  (count DESC, s1, s2) — total order, no float anywhere;
+- the Spark side learns merges with one tiny driver collect per round
+  (a single row — the sequential dependency is inherent to BPE); the
+  DuckDB oracle replays the SAME rounds as a chained-CTE program with
+  scalar subqueries, so the gate checks the whole learning trajectory,
+  not just the last state. MATERIALIZED on every multiply-referenced
+  CTE — DuckDB inlines plain CTEs per reference site.
+
+Output: one row per learned merge,
+(round, left_sym, right_sym, merged, pair_count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WORD_RE = "^[a-z]+$"
+MAX_WORD_LEN = 16
+END = "</w>"
+
+
+def _word_counts(docs: DataFrame, max_word_len: int) -> DataFrame:
+    """(word, cnt) for clean lowercase-alpha words — the only
+    corpus-sized pass; everything downstream is vocabulary-sized."""
+    w = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .where(F.col("w").rlike(WORD_RE))
+        .where(F.length("w").between(2, max_word_len))
+    )
+    return w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def bpe_learn(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 8,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _word_counts(docs, max_word_len).persist()
+    base_seq = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.split("w", "")),
+        F.lit("  " + END + " "),
+    )
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(n_merges):
+        seq = base_seq
+        for s1, s2, _c in merges:
+            seq = F.replace(
+                seq, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} ")
+            )
+        a = F.split(F.trim(seq), "  ")
+        pairs = (
+            counts.select(a.alias("a"), "cnt")
+            .where(F.size("a") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(0), F.size("a") - 2)).alias("j"),
+                "a",
+                "cnt",
+            )
+            .select(
+                F.element_at("a", F.col("j") + 1).alias("s1"),
+                F.element_at("a", F.col("j") + 2).alias("s2"),
+                "cnt",
+            )
+        )
+        top = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append((r["s1"], r["s2"], r["c"]))
+    return spark.createDataFrame(
+        [
+            (i + 1, s1, s2, s1 + s2, int(c))
+            for i, (s1, s2, c) in enumerate(merges)
+        ],
+        "round int, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def bpe_learn_oracle_sql(
+    n_merges: int = 8, max_word_len: int = MAX_WORD_LEN
+) -> str:
+    """The same learning loop as a static chained-CTE program — DuckDB
+    derives each round's winning pair itself, so merge trajectories
+    must agree bit-for-bit."""
+    ctes = [
+        f"""wc AS MATERIALIZED (
+  SELECT w, count(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents) t
+  WHERE regexp_full_match(w, '[a-z]+')
+    AND length(w) BETWEEN 2 AND {max_word_len}
+  GROUP BY 1)""",
+        f"""r0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || '  {END} ' AS seq,
+         cnt
+  FROM wc)""",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(
+            f"""p{k} AS (
+  SELECT a[j] AS s1, a[j + 1] AS s2, cnt FROM (
+    SELECT a, cnt, unnest(generate_series(1, array_length(a) - 1)) AS j
+    FROM (SELECT string_split(trim(seq), '  ') AS a, cnt FROM r{p}) t0
+    WHERE array_length(a) >= 2) t1)"""
+        )
+        ctes.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c FROM p{k}
+  GROUP BY 1, 2 ORDER BY c DESC, s1, s2 LIMIT 1)"""
+        )
+        if k < n_merges:
+            ctes.append(
+                f"""r{k} AS MATERIALIZED (
+  SELECT replace(seq,
+                 ' ' || (SELECT s1 FROM m{k}) || '  ' || (SELECT s2 FROM m{k}) || ' ',
+                 ' ' || (SELECT s1 || s2 FROM m{k}) || ' ') AS seq, cnt
+  FROM r{p})"""
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, s1 AS left_sym, s2 AS right_sym, "
+        f"s1 || s2 AS merged, c AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects

@@ -1358,6 +1358,17 @@ _register(
     ),
 )
 
+from tabsketchfm_spark.operators import bpe as bpe_op
+
+_register(
+    # tokenizer TRAINING: the first 8 BPE merges learned from the
+    # corpus; the oracle replays the whole learning trajectory as a
+    # chained-CTE program, so every round's winning pair is gated
+    "bpe_merges_documents",
+    lambda spark, sf: bpe_op.bpe_learn(spark, sf),
+    bpe_op.bpe_learn_oracle_sql(),
+)
+
 _register(
     # temperature-0.5 domain mixture: per-(lang, source) quotas ∝
     # sqrt(n_d), integer-quantized so the sample is bit-reproducible

@@ -210,3 +210,60 @@ def test_streaming_funnel_oracle_monotone_and_matches_fold(events):
         if "view" in d and "click" in d and d["view"] <= d["click"]
     )
     assert counts == [s1, s2]
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=2, max_size=5),
+        st.integers(1, 20),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=30, deadline=None)
+def test_bpe_oracle_matches_direct_python_bpe(word_counts, n_merges):
+    """The BPE oracle (the gate) vs a direct python implementation of
+    Sennrich-style merge learning over random tiny corpora — symbol
+    lists, no string-replace tricks, so the double-space encoding and
+    the greedy replace() application are independently checked."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.bpe import END, bpe_learn_oracle_sql
+
+    con = duckdb.connect()
+    text = " ".join(w for w, c in sorted(word_counts.items()) for _ in range(c))
+    # alphabet is [abc] — safe to inline as a literal (CREATE VIEW
+    # cannot take prepared parameters)
+    con.execute(
+        f"CREATE VIEW documents AS SELECT 1 AS doc_id, '{text}' AS text, "
+        "'en' AS lang, 's' AS source, 1 AS n_chars"
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(bpe_learn_oracle_sql(n_merges=n_merges)).fetchall()
+    ]
+    # direct fold: words as symbol lists
+    vocab = {w: (list(w) + [END], c) for w, c in word_counts.items()}
+    expect = []
+    for rnd in range(1, n_merges + 1):
+        pc: dict[tuple, int] = {}
+        for sym, c in vocab.values():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        (s1, s2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, s1, s2, s1 + s2, c))
+        for w, (sym, cw) in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == s1 and sym[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = (out, cw)
+    assert got == expect
