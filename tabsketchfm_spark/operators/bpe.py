@@ -106,12 +106,12 @@ def bpe_learn(
     )
 
 
-def bpe_learn_oracle_sql(
-    n_merges: int = 8, max_word_len: int = MAX_WORD_LEN
-) -> str:
-    """The same learning loop as a static chained-CTE program — DuckDB
-    derives each round's winning pair itself, so merge trajectories
-    must agree bit-for-bit."""
+def _oracle_ctes(
+    n_merges: int, max_word_len: int, final_round: bool = False
+) -> list[str]:
+    """The learning program's CTE chain (words carried through so a
+    tokenize tail can join back). ``final_round`` also materializes
+    r{n_merges} — the fully segmented vocabulary after ALL merges."""
     ctes = [
         f"""wc AS MATERIALIZED (
   SELECT w, count(*) AS cnt FROM (
@@ -120,7 +120,8 @@ def bpe_learn_oracle_sql(
     AND length(w) BETWEEN 2 AND {max_word_len}
   GROUP BY 1)""",
         f"""r0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(string_split(w, ''), '  ') || '  {END} ' AS seq,
+  SELECT w,
+         ' ' || array_to_string(string_split(w, ''), '  ') || '  {END} ' AS seq,
          cnt
   FROM wc)""",
     ]
@@ -138,17 +139,107 @@ def bpe_learn_oracle_sql(
   SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS c FROM p{k}
   GROUP BY 1, 2 ORDER BY c DESC, s1, s2 LIMIT 1)"""
         )
-        if k < n_merges:
+        if k < n_merges or final_round:
             ctes.append(
                 f"""r{k} AS MATERIALIZED (
-  SELECT replace(seq,
+  SELECT w, replace(seq,
                  ' ' || (SELECT s1 FROM m{k}) || '  ' || (SELECT s2 FROM m{k}) || ' ',
                  ' ' || (SELECT s1 || s2 FROM m{k}) || ' ') AS seq, cnt
   FROM r{p})"""
             )
+    return ctes
+
+
+def bpe_learn_oracle_sql(
+    n_merges: int = 8, max_word_len: int = MAX_WORD_LEN
+) -> str:
+    """The same learning loop as a static chained-CTE program — DuckDB
+    derives each round's winning pair itself, so merge trajectories
+    must agree bit-for-bit."""
+    ctes = _oracle_ctes(n_merges, max_word_len)
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS round, s1 AS left_sym, s2 AS right_sym, "
         f"s1 || s2 AS merged, c AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def bpe_token_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 8,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """The learned tokenizer APPLIED: per-document subword-token counts
+    under the corpus's own BPE merges — the token-budget accounting a
+    pipeline runs after training its vocabulary.
+
+    Learning happens once (driver-side merge list, as in bpe_learn);
+    application is two vocabulary-sized steps + one corpus-sized join:
+    segment every distinct word under the final merge set (word →
+    n_subwords map, broadcast), then explode documents into clean
+    words and sum the broadcast-joined subword counts per document.
+    Output: (doc_id, n_words, n_subwords)."""
+    from tabsketchfm_spark.sources.tables import load_table
+
+    # re-learn to get the merge list (same seeded trajectory)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(spark, sf_dir, n_merges, max_word_len).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _word_counts(docs, max_word_len)
+    seq = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.split("w", "")),
+        F.lit("  " + END + " "),
+    )
+    for s1, s2 in merges:
+        seq = F.replace(seq, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+    vocab = counts.select(
+        "w", F.size(F.split(F.trim(seq), "  ")).alias("n_sym")
+    )
+    dw = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
+        )
+        .where(F.col("w").rlike(WORD_RE))
+        .where(F.length("w").between(2, max_word_len))
+    )
+    return (
+        dw.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_subwords"),
+        )
+    )
+
+
+def bpe_token_counts_oracle_sql(
+    n_merges: int = 8, max_word_len: int = MAX_WORD_LEN
+) -> str:
+    ctes = _oracle_ctes(n_merges, max_word_len, final_round=True)
+    ctes.append(
+        f"""vocab AS MATERIALIZED (
+  SELECT w, array_length(string_split(trim(seq), '  ')) AS n_sym
+  FROM r{n_merges})"""
+    )
+    ctes.append(
+        f"""dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+    FROM documents) t
+  WHERE regexp_full_match(w, '[a-z]+')
+    AND length(w) BETWEEN 2 AND {max_word_len})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_subwords
+FROM dw JOIN vocab USING (w) GROUP BY 1
+"""
+    )

@@ -1368,6 +1368,13 @@ _register(
     lambda spark, sf: bpe_op.bpe_learn(spark, sf),
     bpe_op.bpe_learn_oracle_sql(),
 )
+_register(
+    # ...and APPLIED: per-document subword counts under the learned
+    # merges (broadcast word->n_subwords map onto the corpus)
+    "bpe_token_counts_documents",
+    lambda spark, sf: bpe_op.bpe_token_counts(spark, sf),
+    bpe_op.bpe_token_counts_oracle_sql(),
+)
 
 _register(
     # temperature-0.5 domain mixture: per-(lang, source) quotas ∝
