@@ -38,15 +38,41 @@ MAX_WORD_LEN = 16
 END = "</w>"
 
 
-def _word_counts(docs: DataFrame, max_word_len: int) -> DataFrame:
-    """(word, cnt) for clean lowercase-alpha words — the only
-    corpus-sized pass; everything downstream is vocabulary-sized."""
-    w = (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+def _clean_words(docs: DataFrame, max_word_len: int, keep_doc_id: bool = False) -> DataFrame:
+    """ONE definition of "clean word" (lowercase-alpha, bounded length)
+    shared by the learn and apply paths — its SQL twin is
+    _words_sql(); keep them in lockstep."""
+    cols = (["doc_id"] if keep_doc_id else []) + [
+        F.explode(F.split("text", r"\s+")).alias("w")
+    ]
+    return (
+        docs.select(*cols)
         .where(F.col("w").rlike(WORD_RE))
         .where(F.length("w").between(2, max_word_len))
     )
-    return w.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _words_sql(max_word_len: int, keep_doc_id: bool = False) -> str:
+    """DuckDB twin of _clean_words."""
+    sel = ("doc_id, " if keep_doc_id else "") + "w"
+    inner = ("doc_id, " if keep_doc_id else "") + (
+        "unnest(string_split_regex(text, '\\s+')) AS w"
+    )
+    return (
+        f"SELECT {sel} FROM (SELECT {inner} FROM documents) t\n"
+        f"  WHERE regexp_full_match(w, '[a-z]+')\n"
+        f"    AND length(w) BETWEEN 2 AND {max_word_len}"
+    )
+
+
+def _word_counts(docs: DataFrame, max_word_len: int) -> DataFrame:
+    """(word, cnt) for clean words — the only corpus-sized pass;
+    everything downstream is vocabulary-sized."""
+    return (
+        _clean_words(docs, max_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def bpe_learn(
@@ -97,6 +123,7 @@ def bpe_learn(
             break
         r = top[0]
         merges.append((r["s1"], r["s2"], r["c"]))
+    counts.unpersist()
     return spark.createDataFrame(
         [
             (i + 1, s1, s2, s1 + s2, int(c))
@@ -114,10 +141,7 @@ def _oracle_ctes(
     r{n_merges} — the fully segmented vocabulary after ALL merges."""
     ctes = [
         f"""wc AS MATERIALIZED (
-  SELECT w, count(*) AS cnt FROM (
-    SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents) t
-  WHERE regexp_full_match(w, '[a-z]+')
-    AND length(w) BETWEEN 2 AND {max_word_len}
+  SELECT w, count(*) AS cnt FROM ({_words_sql(max_word_len)}) cw
   GROUP BY 1)""",
         f"""r0 AS MATERIALIZED (
   SELECT w,
@@ -140,11 +164,17 @@ def _oracle_ctes(
   GROUP BY 1, 2 ORDER BY c DESC, s1, s2 LIMIT 1)"""
         )
         if k < n_merges or final_round:
+            # coalesce to a never-matching sentinel: when the corpus
+            # exhausts its merges before n_merges, m{k} is EMPTY and a
+            # bare scalar subquery would turn replace() into
+            # replace(seq, NULL, NULL) = NULL, poisoning every later
+            # round (the Spark side just stops merging — same no-op)
             ctes.append(
                 f"""r{k} AS MATERIALIZED (
   SELECT w, replace(seq,
-                 ' ' || (SELECT s1 FROM m{k}) || '  ' || (SELECT s2 FROM m{k}) || ' ',
-                 ' ' || (SELECT s1 || s2 FROM m{k}) || ' ') AS seq, cnt
+                 coalesce((SELECT ' ' || s1 || '  ' || s2 || ' ' FROM m{k}), chr(1)),
+                 coalesce((SELECT ' ' || s1 || s2 || ' ' FROM m{k}), chr(1))) AS seq,
+         cnt
   FROM r{p})"""
             )
     return ctes
@@ -183,11 +213,27 @@ def bpe_token_counts(
     Output: (doc_id, n_words, n_subwords)."""
     from tabsketchfm_spark.sources.tables import load_table
 
-    # re-learn to get the merge list (same seeded trajectory)
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_learn(spark, sf_dir, n_merges, max_word_len).collect()
-    ]
+    return bpe_tokenize_with(
+        spark,
+        sf_dir,
+        merges=[
+            (r["left_sym"], r["right_sym"])
+            for r in bpe_learn(spark, sf_dir, n_merges, max_word_len).collect()
+        ],
+        max_word_len=max_word_len,
+    )
+
+
+def bpe_tokenize_with(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: list[tuple[str, str]],
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Apply a PRECOMPUTED merge list (skip re-learning — callers that
+    already ran bpe_learn pass its pairs here)."""
+    from tabsketchfm_spark.sources.tables import load_table
+
     docs = load_table(spark, sf_dir, "documents")
     counts = _word_counts(docs, max_word_len)
     seq = F.concat(
@@ -200,13 +246,7 @@ def bpe_token_counts(
     vocab = counts.select(
         "w", F.size(F.split(F.trim(seq), "  ")).alias("n_sym")
     )
-    dw = (
-        docs.select(
-            "doc_id", F.explode(F.split("text", r"\s+")).alias("w")
-        )
-        .where(F.col("w").rlike(WORD_RE))
-        .where(F.length("w").between(2, max_word_len))
-    )
+    dw = _clean_words(docs, max_word_len, keep_doc_id=True)
     return (
         dw.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")
@@ -226,14 +266,7 @@ def bpe_token_counts_oracle_sql(
   SELECT w, array_length(string_split(trim(seq), '  ')) AS n_sym
   FROM r{n_merges})"""
     )
-    ctes.append(
-        f"""dw AS (
-  SELECT doc_id, w FROM (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
-    FROM documents) t
-  WHERE regexp_full_match(w, '[a-z]+')
-    AND length(w) BETWEEN 2 AND {max_word_len})"""
-    )
+    ctes.append(f"dw AS ({_words_sql(max_word_len, keep_doc_id=True)})")
     return (
         "WITH "
         + ",\n".join(ctes)

@@ -1609,7 +1609,7 @@ _DRIVER_WINDOW = [
     "j2_pair_completeness",
     "k1_pool_sep_groups_customer",
     "t2_cosine_topk_embeddings",
-    "vec_quantize_int8",
+    "bpe_merges_documents",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
     "dedup_simhash_pairs_documents",

@@ -267,3 +267,27 @@ def test_bpe_oracle_matches_direct_python_bpe(word_counts, n_merges):
                     i += 1
             vocab[w] = (out, cw)
     assert got == expect
+
+
+def test_bpe_oracle_survives_merge_exhaustion():
+    """Regression (self-review): a corpus whose words fully merge
+    before n_merges rounds left the apply-oracle's replace() with NULL
+    scalar subqueries, poisoning every n_subwords. The coalesce-to-
+    sentinel guard must keep later rounds as no-ops."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.bpe import (
+        bpe_learn_oracle_sql,
+        bpe_token_counts_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'ab ab ab' AS text, "
+        "'en' AS lang, 's' AS source, 1 AS n_chars"
+    )
+    # only 2 merges exist ((a,b) then (ab,</w>)); n_merges=8 overshoots
+    learn = con.execute(bpe_learn_oracle_sql(n_merges=8)).fetchall()
+    assert [r[3] for r in learn] == ["ab", "ab</w>"]
+    counts = con.execute(bpe_token_counts_oracle_sql(n_merges=8)).fetchall()
+    assert counts == [(1, 3, 3)]  # one fused symbol per word, not NULL
