@@ -780,3 +780,77 @@ SELECT layout,
             AS BIGINT) AS rows_scanned
 FROM zones GROUP BY 1
 """
+
+
+def table_communities(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: dict[str, list[str]],
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Catalog domain partitioning: connected components over the same
+    OPH joinability graph PageRank ranks — "which tables form one
+    joinable subject area?". Table names map to their sorted-order ids
+    (so the numeric min-label cluster id IS the lexicographically
+    smallest member name), then the scale-proven min-label propagation
+    operator (operators/dedup.connected_components) runs unchanged.
+    Output: (table_name, community, community_size)."""
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.operators.dedup import connected_components
+    from tabsketchfm_spark.operators.minhash import all_pairs_joinability
+
+    names = sorted(tables)
+    pairs = all_pairs_joinability(
+        spark, sf_dir, tables, threshold=threshold, ranked=False
+    )
+    e = (
+        pairs.where(F.col("table_a") != F.col("table_b"))
+        .select("table_a", "table_b")
+        .distinct()
+    )
+    m = F.create_map(
+        *[x for i, t in enumerate(names) for x in (F.lit(t), F.lit(i))]
+    )
+    eid = e.select(
+        m[F.col("table_a")].cast("bigint").alias("id_a"),
+        m[F.col("table_b")].cast("bigint").alias("id_b"),
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(len(names))], "doc_id bigint")
+    cc = connected_components(eid, nodes)
+    arr = F.array(*[F.lit(t) for t in names])
+    out = cc.select(
+        F.element_at(arr, F.col("doc_id").cast("int") + 1).alias("table_name"),
+        F.element_at(arr, F.col("cluster_id").cast("int") + 1).alias("community"),
+    )
+    w = Window.partitionBy("community")
+    return out.withColumn("community_size", F.count(F.lit(1)).over(w))
+
+
+def table_communities_oracle_sql(
+    tables: dict[str, list[str]], threshold: float = 0.3
+) -> str:
+    from tabsketchfm_spark.operators.minhash import all_pairs_joinability_oracle_sql
+
+    names = sorted(tables)
+    pairs_sql = all_pairs_joinability_oracle_sql(
+        tables, threshold=threshold, ranked=False
+    )
+    nodes = " UNION ALL ".join(f"SELECT '{t}' AS t" for t in names)
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+e0 AS (SELECT DISTINCT table_a, table_b FROM pairs WHERE table_a <> table_b),
+nodes AS ({nodes}),
+edges AS (
+  SELECT table_a AS a, table_b AS b FROM e0
+  UNION SELECT table_b, table_a FROM e0
+  UNION SELECT t, t FROM nodes),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+cl AS (SELECT a AS table_name, min(b) AS community FROM reach GROUP BY a)
+SELECT table_name, community,
+       CAST(count(*) OVER (PARTITION BY community) AS BIGINT) AS community_size
+FROM cl
+"""

@@ -125,6 +125,29 @@ _register(
 )
 
 
+def _table_communities(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.structural import table_communities
+
+    # 0.7: strong-joinability edges only — splits the events telemetry
+    # domain from the relational business-table domain (0.3 merges all)
+    return table_communities(spark, sf, ALL_PAIR_TABLES, threshold=0.7)
+
+
+def _table_communities_oracle() -> str:
+    from tabsketchfm_spark.operators.structural import table_communities_oracle_sql
+
+    return table_communities_oracle_sql(ALL_PAIR_TABLES, threshold=0.7)
+
+
+_register(
+    # catalog domain partitioning: connected components over the same
+    # joinability graph (min-label propagation; oracle = WITH RECURSIVE)
+    "k3h_table_communities",
+    _table_communities,
+    _table_communities_oracle(),
+)
+
+
 _UNION_QUERY_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
 _UNION_CANDIDATES: dict[str, list[str]] = {
     "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
