@@ -375,6 +375,9 @@ def test_registered_queries_are_run_deterministic(spark, sf01):
         "k3c_join_cardinality_estimate",
         "k3g_table_pagerank",
         "cdc_latest_state_events",
+        # rows-only queries get only a weak driver check — determinism
+        # across runs is their main reproducibility claim
+        "m3_mlm_eval_tables",
     ]:
         r1 = {tuple(r) for r in qs[name](spark, sf01).collect()}
         r2 = {tuple(r) for r in qs[name](spark, sf01).collect()}
