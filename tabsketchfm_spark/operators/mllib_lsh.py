@@ -106,3 +106,74 @@ def mllib_brp_ann(
 
     w = Window.partitionBy("q_id").orderBy(F.asc("eucl_dist"), F.asc("cand_id"))
     return out.select("*", F.row_number().over(w).alias("rank"))
+
+
+def mllib_mlp_baseline(
+    spark, sf_dir: str, n_features: int = 16, threshold: int = 300
+) -> DataFrame:
+    """M4's MLlib face (SURVEY §2.10: SimpleModel is "also reproducible
+    as MLlib MultilayerPerceptronClassifier"): train the built-in MLP
+    on per-document hash-count vectors and report train/test accuracy.
+
+    The task — long-vs-short document (n_chars >= threshold; ~balanced
+    at every SF) — is genuinely learnable from UNnormalized token
+    counts, unlike the synthetic `lang` label (random over a shared
+    vocabulary, verified unlearnable). Split is a deterministic doc_id
+    hash; MLlib's internal init is seeded, so the query is rows-only
+    (weights are not closed-form) but run-stable.
+    Output: (split, n, accuracy)."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.split("text", r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    fi = (F.expr(h32_sql("t", "spark")) % n_features).cast("int")
+    feats = (
+        tok.withColumn("fi", fi)
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            *[
+                F.sum(F.when(F.col("fi") == i, 1).otherwise(0))
+                .cast("double")
+                .alias(f"c{i}")
+                for i in range(n_features)
+            ]
+        )
+    )
+
+    @F.udf(VectorUDT())
+    def to_vec(*cs):
+        return Vectors.dense([float(x) for x in cs])
+
+    data = feats.select(
+        "doc_id",
+        to_vec(*[f"c{i}" for i in range(n_features)]).alias("features"),
+        (F.col("n_chars") >= threshold).cast("double").alias("label"),
+        (F.expr(h32_sql("doc_id", "spark")) % 5 == 0).alias("is_test"),
+    ).persist()
+    mlp = MultilayerPerceptronClassifier(
+        layers=[n_features, 8, 2], seed=0, maxIter=100, blockSize=64
+    )
+    model = mlp.fit(data.where(~F.col("is_test")))
+    pred = model.transform(data).select("is_test", "label", "prediction")
+    out = (
+        pred.groupBy("is_test")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n"),
+            F.round(
+                F.avg((F.col("label") == F.col("prediction")).cast("double")), 6
+            ).alias("accuracy"),
+        )
+        .select(
+            F.when(F.col("is_test"), "test").otherwise("train").alias("split"),
+            "n",
+            "accuracy",
+        )
+    )
+    return out

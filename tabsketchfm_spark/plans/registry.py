@@ -1399,6 +1399,22 @@ _register(
     bpe_op.bpe_token_counts_oracle_sql(),
 )
 
+
+def _mllib_mlp(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators.mllib_lsh import mllib_mlp_baseline
+
+    return mllib_mlp_baseline(spark, sf)
+
+
+_register(
+    # M4's MLlib face: built-in MultilayerPerceptronClassifier on
+    # hash-count vectors (seeded RNG init -> rows-only, like the
+    # other MLlib twins)
+    "m4m_mllib_mlp_length",
+    _mllib_mlp,
+    None,
+)
+
 _register(
     # temperature-0.5 domain mixture: per-(lang, source) quotas ∝
     # sqrt(n_d), integer-quantized so the sample is bit-reproducible

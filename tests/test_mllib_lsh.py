@@ -39,3 +39,18 @@ def test_mllib_brp_ann_overlaps_exact_topk(spark, sf01):
     # substantial overlap to prove the index finds real neighbors
     overlap = len(exact & approx) / len(exact)
     assert overlap >= 0.4, (overlap, len(exact), len(approx))
+
+
+def test_mllib_mlp_learns_length_class(spark, sf01):
+    """The M4 MLlib twin must actually learn: test accuracy well above
+    the ~0.5 balanced-class baseline (train acc near 1 on a separable
+    count-vector task)."""
+    from tabsketchfm_spark.plans import registry
+
+    rows = {
+        r["split"]: r
+        for r in registry.queries()["m4m_mllib_mlp_length"](spark, sf01).collect()
+    }
+    assert set(rows) == {"train", "test"}
+    assert rows["train"]["accuracy"] >= 0.9
+    assert rows["test"]["accuracy"] >= 0.8

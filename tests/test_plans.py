@@ -357,6 +357,7 @@ def test_rows_only_set_is_pinned():
         "m3_mlm_eval_tables",
         "m5_pretrain_curve",
         "m6_finetune_eval",
+        "m4m_mllib_mlp_length",  # MLlib MLP: seeded RNG init
     }
 
 
