@@ -127,7 +127,13 @@ def mllib_mlp_baseline(
     from tabsketchfm_spark.functions.hashing import h32_sql
     from tabsketchfm_spark.sources.tables import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    from tabsketchfm_spark.sources.tables import spread
+
+    # the featurizer (explode + per-token md5 + 16 conditional sums) is
+    # exactly the expression-heavy pre-shuffle class spread() exists
+    # for — the one-row-group testdata parquet would otherwise run it
+    # on a single task
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
         "n_chars",
@@ -162,7 +168,7 @@ def mllib_mlp_baseline(
     )
     model = mlp.fit(data.where(~F.col("is_test")))
     pred = model.transform(data).select("is_test", "label", "prediction")
-    out = (
+    rows = (
         pred.groupBy("is_test")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n"),
@@ -175,5 +181,7 @@ def mllib_mlp_baseline(
             "n",
             "accuracy",
         )
+        .collect()  # tiny (2 rows); materializing here lets the cache go
     )
-    return out
+    data.unpersist()
+    return spark.createDataFrame(rows, "split string, n int, accuracy double")

@@ -1489,6 +1489,14 @@ _register(
     lambda spark, sf: mllib_lsh.mllib_brp_ann(load_table(spark, sf, "embeddings")),
     None,
 )
+_register(
+    # M4's MLlib face: built-in MultilayerPerceptronClassifier on
+    # hash-count vectors (seeded RNG init -> rows-only, like the
+    # other MLlib twins)
+    "m4m_mllib_mlp_length",
+    lambda spark, sf: mllib_lsh.mllib_mlp_baseline(spark, sf),
+    None,
+)
 
 
 # --- A12 metric aggregates + P9 name repair ---------------------------------
