@@ -85,7 +85,18 @@ def apply_mask(seq: list[dict]) -> tuple[list[dict], np.ndarray]:
             if act == "[MASK]":
                 t["wid"] = rf.word_id("[MASK]")
             elif act == "random":
-                t["wid"] = py_h32(f"rnd|{pos}|{t['token']}") % rf.VOCAB
+                # the reference's create_desc_mask filters random
+                # replacement words to non-special tokens — re-roll
+                # (deterministically) past any special-token id
+                specials = {
+                    rf.word_id(s) for s in ("[CLS]", "[SEP]", "[MASK]", "[PAD]")
+                }
+                rid = py_h32(f"rnd|{pos}|{t['token']}") % rf.VOCAB
+                k = 0
+                while rid in specials:
+                    k += 1
+                    rid = py_h32(f"rnd{k}|{pos}|{t['token']}") % rf.VOCAB
+                t["wid"] = rid
             else:  # keep
                 t["wid"] = wid
         out.append(t)

@@ -78,7 +78,14 @@ def _stage_exprs(
     out exprs over h) — dialect-neutral SQL fragments."""
     sq = " + ".join(f"(c{i} * c{i})" for i in range(n_features))
     l2 = f"sqrt(cast({sq} as double))"
-    xs = [f"round(cast(c{i} as double) / l2, 10)" for i in range(n_features)]
+    # tie-safe quantizer: round() ties differ (Spark HALF_UP vs DuckDB
+    # HALF_EVEN); floor(x*1e10 + 0.5) is the same IEEE ops — hence the
+    # same value — in both engines for any sign (floor is toward -inf
+    # in both, so negative signed-hash counts stay bit-identical too)
+    xs = [
+        f"(floor(cast(c{i} as double) / l2 * 1e10 + 0.5) / 1e10)"
+        for i in range(n_features)
+    ]
     hs = [
         f"greatest({_affine(w['w1'][j], w['b1'][j], [f'x{i}' for i in range(n_features)])}, cast(0.0 as double))"
         for j in range(hidden)

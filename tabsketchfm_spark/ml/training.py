@@ -319,9 +319,11 @@ def fit(
 
 def weighted_f1(labels: np.ndarray, preds: np.ndarray) -> float:
     """sklearn f1_score(average='weighted', zero_division=1) as the
-    reference calls it (tabsketchfm_finetune.py:184): per-class F1
-    weighted by true-class support; classes with no predicted and no
-    true positives score 1.0 (the zero_division fill)."""
+    reference calls it (tabsketchfm_finetune.py:184): per-class
+    F1 = 2tp / (2tp + fp + fn) weighted by true-class support. The
+    zero_division fill (1.0) applies only when that denominator is 0
+    (tp = fp = fn = 0 for the class); a class with tp = 0 but fp > 0
+    or fn > 0 scores 0.0 — sklearn's exact behavior."""
     classes = np.unique(labels)
     total = labels.size
     out = 0.0
@@ -329,9 +331,8 @@ def weighted_f1(labels: np.ndarray, preds: np.ndarray) -> float:
         tp = float(np.sum((preds == c) & (labels == c)))
         fp = float(np.sum((preds == c) & (labels != c)))
         fn = float(np.sum((preds != c) & (labels == c)))
-        prec = tp / (tp + fp) if (tp + fp) > 0 else 1.0
-        rec = tp / (tp + fn) if (tp + fn) > 0 else 1.0
-        f1 = 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 1.0
+        denom = 2 * tp + fp + fn
+        f1 = 2 * tp / denom if denom > 0 else 1.0
         out += (np.sum(labels == c) / total) * f1
     return float(out)
 

@@ -723,7 +723,7 @@ def zone_map_audit(
         F.count(F.lit(1)).alias("cnt"),
     )
     pruned = (F.col("zmax") < lo) | (F.col("zmin") > hi)
-    return (
+    rows = (
         zones.groupBy("layout")
         .agg(
             F.count(F.lit(1)).cast("int").alias("zones_total"),
@@ -735,6 +735,14 @@ def zone_map_audit(
             ).alias("frac_pruned"),
             F.sum(F.when(~pruned, F.col("cnt")).otherwise(0)).alias("rows_scanned"),
         )
+        .collect()  # tiny (one row per layout); materializing lets the caches go
+    )
+    t.unpersist()
+    zk.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "layout string, zones_total int, zones_pruned int, "
+        "frac_pruned double, rows_scanned bigint",
     )
 
 

@@ -25,6 +25,9 @@ _ORACLES: dict[str, str] = {}
 
 
 def _register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    # dict insertion order feeds the driver-window fallback — a silent
+    # overwrite would keep the FIRST position while swapping the fn
+    assert name not in _QUERIES, f"duplicate query registration: {name}"
     _QUERIES[name] = fn
     if oracle is not None:
         _ORACLES[name] = oracle
@@ -1399,21 +1402,6 @@ _register(
     bpe_op.bpe_token_counts_oracle_sql(),
 )
 
-
-def _mllib_mlp(spark: SparkSession, sf: str) -> DataFrame:
-    from tabsketchfm_spark.operators.mllib_lsh import mllib_mlp_baseline
-
-    return mllib_mlp_baseline(spark, sf)
-
-
-_register(
-    # M4's MLlib face: built-in MultilayerPerceptronClassifier on
-    # hash-count vectors (seeded RNG init -> rows-only, like the
-    # other MLlib twins)
-    "m4m_mllib_mlp_length",
-    _mllib_mlp,
-    None,
-)
 
 _register(
     # temperature-0.5 domain mixture: per-(lang, source) quotas ∝

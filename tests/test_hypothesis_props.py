@@ -119,6 +119,11 @@ def test_apply_mask_label_contract(col_name_tokens):
                 assert t["wid"] == rf.word_id("[MASK]")
             else:
                 assert 0 <= t["wid"] < rf.VOCAB
+                # reference create_desc_mask filters random draws to
+                # non-special tokens
+                assert t["wid"] not in {
+                    rf.word_id(s) for s in ("[CLS]", "[SEP]", "[MASK]", "[PAD]")
+                }
     # specials are never masked
     for t, act in zip(seq, actions):
         if t["special"]:

@@ -270,6 +270,10 @@ def test_weighted_f1_matches_known_values():
     # 2/3 f1 2/3 (w 3/5) → 0.6
     assert abs(tr.weighted_f1(y, p) - 0.6) < 1e-12
     assert tr.weighted_f1(np.array([1, 1]), np.array([1, 1])) == 1.0
+    # fully-inverted predictions: every class has tp=0 with fp,fn>0 →
+    # per-class f1 = 2tp/(2tp+fp+fn) = 0, NOT the zero_division fill
+    # (sklearn f1_score(average='weighted', zero_division=1) == 0.0 here)
+    assert tr.weighted_f1(np.array([0, 1]), np.array([1, 0])) == 0.0
 
 
 # --- M4: SimpleModel --------------------------------------------------------
@@ -302,7 +306,7 @@ def test_simple_model_spark_matches_numpy(spark, sf01):
                     sign = -1 if (h >> 31) & 1 else 1
                     counts[h % sm.N_FEATURES] += sign
         l2 = math.sqrt(float((counts**2).sum()))
-        x = np.round(counts / l2, 10)
+        x = np.floor(counts / l2 * 1e10 + 0.5) / 1e10  # the SQL's tie-safe quantizer
         expect = sm.forward_numpy(x, w)
         got = np.array(out[t])
         assert np.allclose(got, expect, atol=1e-9), t
