@@ -10,18 +10,19 @@ numpy (cheap) while all orchestration is DataFrame-native.
 
 The model math itself lives in ``ml/reference_forward.py``: the REAL
 M1 embedding-layer forward (six-stream sum + LayerNorm, reference
-transformer_bert.py:24-85) plus one M2 encoder block, with seeded
+transformer_bert.py:24-85) plus the M2 encoder stack, with seeded
 deterministic weights standing in for a trained checkpoint
 (``ml/checkpoint.py`` provides the npz state-dict swap). ``_encoder``
-remains the torch probe seam; ``_stub_encode`` survives only for the
-K2 sentence-transformer stand-in. The embedding table schema matches
-SURVEY §1.1's design: (table_name, column_name nullable, kind,
-vector).
+remains the torch probe seam. K2's value encoder runs the SAME numpy
+stack over the value-document tokens (``encode_text``) — no hash
+stubs remain anywhere in the engine. The embedding table schema
+matches SURVEY §1.1's design: (table_name, column_name nullable,
+kind, vector).
 """
 
 from __future__ import annotations
 
-import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -34,17 +35,16 @@ EMBED_SCHEMA = (
     "table_name string, column_name string, kind string, vector array<float>"
 )
 
+# token cap per value doc: attention is O(n²) and a doc is ≤100 unique
+# values — 64 word tokens bound the per-column encode at a constant
+VALUE_DOC_TOKEN_CAP = 64
 
-def _stub_encode(stats: np.ndarray, name: str) -> np.ndarray:
-    """Deterministic stand-in encoder: md5-seeded projection matrix
-    applied to the column's stat vector. Replaced by the torch
-    cross-encoder when available (see module docstring)."""
-    seed = int.from_bytes(hashlib.md5(name.encode()).digest()[:4], "big")
-    rng = np.random.RandomState(seed)
-    w = rng.standard_normal((EMBED_DIM, stats.shape[0]))
-    v = w @ np.nan_to_num(stats, nan=0.0)
-    n = np.linalg.norm(v)
-    return (v / n if n > 0 else v).astype(np.float32)
+
+def tokenize_value_doc(doc: str, cap: int = VALUE_DOC_TOKEN_CAP) -> list[str]:
+    """Word tokens of a comma-joined value document (the
+    sentence-transformer tokenizer stand-in): lowercase, split on
+    commas/whitespace, first ``cap`` kept."""
+    return [t for t in re.split(r"[,\s]+", str(doc).lower()) if t][:cap]
 
 
 def _encoder():
@@ -143,26 +143,117 @@ def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> 
 def value_embeddings(value_docs: DataFrame) -> DataFrame:
     """K2 (reference embedding_search.py:25-42): encode each column's
     value document (first-100-unique comma-joined values — see
-    operators/structural.value_doc) into a vector. The sentence
-    transformer is absent here; the deterministic stub encoder hashes
-    the doc (same seam as K1 — see module docstring)."""
+    operators/structural.value_doc) into a vector with the numpy
+    reference forward (``reference_forward.encode_text``: word+position
+    streams through the full encoder stack, mean-pooled), then z-score
+    normalize exactly like the reference's ``normalize`` (lines 20-23:
+    (t - mean) / population std). The sentence transformer itself is
+    absent from the environment; the encoder is the engine's own model
+    stack — a checkpoint drop-in upgrades it the same way it upgrades
+    K1."""
     from tabsketchfm_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(value_docs.sparkSession)
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tabsketchfm_spark.ml.reference_forward import encode_text
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                digest = hashlib.md5(str(r.value_doc).encode()).digest()
-                stats = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
-                vec = _stub_encode(stats, f"val|{r.table_name}|{r.column_name}")
-                rows.append((r.table_name, r.column_name, "value", vec.tolist()))
+                vec = encode_text(tokenize_value_doc(r.value_doc))
+                s = vec.std()
+                if np.isfinite(s) and s > 0:  # reference normalize()
+                    vec = (vec - vec.mean()) / s
+                rows.append(
+                    (
+                        r.table_name,
+                        r.column_name,
+                        "value",
+                        vec.astype(np.float32).tolist(),
+                    )
+                )
             yield pd.DataFrame(
                 rows, columns=["table_name", "column_name", "kind", "vector"]
             )
 
     return value_docs.mapInPandas(infer, schema=EMBED_SCHEMA)
+
+
+def value_znorm(value_docs: DataFrame, dim: int = 8) -> DataFrame:
+    """The K2 normalization algebra as a SQL-expressible, bit-exact
+    stage (reference embedding_search.py:20-23 ``normalize``: t →
+    (t − mean) / population-std): tokenize each value document exactly
+    like the encoder front-end (lowercase, comma/whitespace split,
+    64-token cap), bag the tokens into a ``dim``-wide hash-count
+    vector, and z-score it with explicit left-to-right arithmetic so
+    Spark and DuckDB land on identical doubles. This is the gate for
+    the normalize step the real (non-SQL) encoder output also passes
+    through. Output: (table_name, column_name, z0..z{dim-1})."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("t", "spark")
+    toks = (
+        "slice(filter(split(lower(value_doc), '[,\\\\s]+'), t -> t != ''), "
+        f"1, {VALUE_DOC_TOKEN_CAP})"
+    )
+    cs = [
+        F.expr(f"size(filter({toks}, t -> {h} % {dim} = {i}))").alias(f"c{i}")
+        for i in range(dim)
+    ]
+    base = value_docs.select("table_name", "column_name", *cs)
+    mean = "(" + " + ".join(f"c{i}" for i in range(dim)) + f") / cast({dim} as double)"
+    withm = base.withColumn("_m", F.expr(mean))
+    var = (
+        "("
+        + " + ".join(f"(c{i} - _m) * (c{i} - _m)" for i in range(dim))
+        + f") / cast({dim} as double)"
+    )
+    withv = withm.withColumn("_v", F.expr(var))
+    zs = [
+        F.expr(
+            f"CASE WHEN _v = 0 THEN 0.0 ELSE (c{i} - _m) / sqrt(_v) END"
+        ).alias(f"z{i}")
+        for i in range(dim)
+    ]
+    return withv.select("table_name", "column_name", *zs)
+
+
+def value_znorm_oracle_sql(value_doc_sql: str, dim: int = 8) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("t", "duckdb")
+    ccols = ",\n       ".join(
+        f"len(list_filter(toks, t -> {h} % {dim} = {i})) AS c{i}"
+        for i in range(dim)
+    )
+    mean = "(" + " + ".join(f"c{i}" for i in range(dim)) + f") / CAST({dim} AS DOUBLE)"
+    var = (
+        "("
+        + " + ".join(f"(c{i} - m) * (c{i} - m)" for i in range(dim))
+        + f") / CAST({dim} AS DOUBLE)"
+    )
+    zcols = ",\n       ".join(
+        f"CASE WHEN v = 0 THEN 0.0 ELSE (c{i} - m) / sqrt(v) END AS z{i}"
+        for i in range(dim)
+    )
+    return f"""
+WITH vd AS ({value_doc_sql}),
+tok AS (SELECT table_name, column_name,
+               (list_filter(string_split_regex(lower(value_doc), '[,\\s]+'),
+                            t -> t != ''))[1:{VALUE_DOC_TOKEN_CAP}] AS toks
+        FROM vd),
+c AS (SELECT table_name, column_name,
+       {ccols}
+      FROM tok),
+m AS (SELECT *, {mean} AS m FROM c),
+v AS (SELECT *, {var} AS v FROM m)
+SELECT table_name, column_name,
+       {zcols}
+FROM v
+"""
 
 
 def merge_value_embeddings(

@@ -354,6 +354,44 @@ def model_forward(seq: list[dict], n_layers: int = N_LAYERS):
     return sequence_output, pooler(sequence_output)
 
 
+def encode_text(tokens: list[str], n_layers: int = N_LAYERS) -> np.ndarray:
+    """Sentence-encoder stand-in for K2 (reference embedding_search.py:
+    25-42 encodes each column's value document with a
+    sentence-transformer): build [CLS] t1..tn [SEP] with only the
+    word-id and token-position streams live (value/minhash streams
+    zero — free text has no column stats), run the SAME numpy encoder
+    stack, and mean-pool the non-special final states — the standard
+    sentence-transformer pooling. Returns (HIDDEN,) float64; the zero
+    vector for an empty token list."""
+    if not tokens:
+        return np.zeros(HIDDEN)
+    seq: list[dict] = [
+        {
+            "token": "[CLS]", "col_encoding": 0, "token_position": 0,
+            "type_id": 0, "value_vec": np.zeros(HIDDEN),
+            "minhash_vec": np.zeros(HIDDEN), "special": True,
+        }
+    ]
+    for tp, tok in enumerate(tokens):
+        seq.append(
+            {
+                "token": tok, "col_encoding": 1, "token_position": tp + 1,
+                "type_id": TYPE_IDS["string"], "value_vec": np.zeros(HIDDEN),
+                "minhash_vec": np.zeros(HIDDEN), "special": False,
+            }
+        )
+    seq.append(
+        {
+            "token": "[SEP]", "col_encoding": 0, "token_position": 0,
+            "type_id": 0, "value_vec": np.zeros(HIDDEN),
+            "minhash_vec": np.zeros(HIDDEN), "special": True,
+        }
+    )
+    states = encoder_forward(m1_forward(seq), n_layers)
+    kept = np.stack([states[i] for i, t in enumerate(seq) if not t["special"]])
+    return kept.mean(axis=0)
+
+
 # ---------------------------------------------------------------------------
 # M3: TabularBertForMaskedLM (reference transformer_bert.py:227-297) =
 # TabularBertModel(add_pooling_layer=False) + BertOnlyMLMHead. The head

@@ -424,11 +424,11 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     """TPC-H Q10 shape: top-k customers by revenue on returned items.
     Ranking happens on the EXACT decimal revenue with a c_custkey
     tie-break (double cast only in the final projection) so the top-k
-    cut is partition-order-free. The single-partition window over the
-    per-customer aggregate is fine — its input is one row per customer;
-    at extreme customer counts swap in functions/ranking's two-phase
-    distributed rank (same contract)."""
-    from pyspark.sql import Window
+    cut is partition-order-free. ranked_topk keeps the cut distributed
+    (TakeOrderedAndProject heaps) — the per-customer aggregate is one
+    row per customer, which at lake scale is far too many for a bare
+    global window."""
+    from tabsketchfm_spark.functions.ranking import ranked_topk
 
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -440,8 +440,7 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
         .groupBy("o_custkey")
         .agg(F.sum(p * (F.lit(1).cast("decimal(18,2)") - d)).alias("_r"))
     )
-    w = Window.orderBy(F.desc("_r"), F.asc("o_custkey"))
-    top = rev.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    top = ranked_topk(rev, [F.desc("_r"), F.asc("o_custkey")], k)
     return top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey).select(
         "c_custkey", "c_name", "rank", F.col("_r").cast("double").alias("revenue")
     )
@@ -733,14 +732,11 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= min_support)
     )
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import ranked_topk
 
-    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("part_a", "part_b", "n_orders", "rank")
-    )
+    return ranked_topk(
+        pairs, [F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")], k
+    ).select("part_a", "part_b", "n_orders", "rank")
 
 
 def cooccurrence_pairs_oracle_sql(min_support: int = 2, k: int = 50) -> str:

@@ -1174,15 +1174,11 @@ def kmv_set_estimates(
     sb = kmv_sketch(dfb, "b", col_b, k).select("h").persist()
 
     def est(sig: DataFrame, name: str) -> DataFrame:
-        from pyspark.sql import Window
-
-        w = Window.orderBy("h")
-        kth = (
-            sig.withColumn("pos", F.row_number().over(w))
-            .agg(
-                F.max("pos").alias("n"),
-                F.max(F.when(F.col("pos") <= k, F.col("h"))).alias("hk"),
-            )
+        # keep the k smallest via sort-limit (TakeOrdered — no global
+        # window); on the ≤k survivors n = count and h_(k) = max(h)
+        kk = sig.orderBy("h").limit(k)
+        kth = kk.agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
         )
         # fewer than k values → the signature is exhaustive (exact)
         return kth.select(
@@ -1194,12 +1190,7 @@ def kmv_set_estimates(
         )
 
     union_sig = sa.unionByName(sb).distinct()
-    from pyspark.sql import Window
-
-    wu = Window.orderBy("h")
-    union_k = union_sig.withColumn("pos", F.row_number().over(wu)).where(
-        F.col("pos") <= k
-    )
+    union_k = union_sig.orderBy("h").limit(k)
     # Jaccard: fraction of the union signature present in BOTH sketches
     both = union_k.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
     jac = union_k.agg(F.count(F.lit(1)).alias("nu")).crossJoin(

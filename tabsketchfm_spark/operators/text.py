@@ -888,7 +888,7 @@ def bm25_topk(
             ).alias("s"),
         )
     )
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import ranked_topk
 
     total = scored.groupBy("id").agg(
         F.round(
@@ -899,11 +899,10 @@ def bm25_topk(
             6,
         ).alias("score")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("id"))
-    return (
-        total.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("id", "score", "rank")
+    # ranked_topk plans TakeOrderedAndProject (per-partition heaps), not
+    # a single-partition window over every doc matching any query term
+    return ranked_topk(total, [F.desc("score"), F.asc("id")], k).select(
+        "id", "score", "rank"
     )
 
 
@@ -1097,8 +1096,7 @@ def hybrid_rrf_topk(
     rationals in fixed order — bit-stable, so the DuckDB twin composes
     the two ranker oracles and lands identically.
     Output: (id, r_lex, r_sem, rrf, rank)."""
-    from pyspark.sql import Window
-
+    from tabsketchfm_spark.functions.ranking import ranked_topk
     from tabsketchfm_spark.operators.vector import cosine_topk
 
     lex = bm25_topk(docs, query_terms, k=pool).select(
@@ -1122,11 +1120,8 @@ def hybrid_rrf_topk(
             ).alias("rrf"),
         )
     )
-    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("id", "r_lex", "r_sem", "rrf", "rank")
+    return ranked_topk(fused, [F.desc("rrf"), F.asc("id")], k).select(
+        "id", "r_lex", "r_sem", "rrf", "rank"
     )
 
 

@@ -1092,6 +1092,22 @@ _register(
     struc.value_doc_oracle_sql("customer", ["c_mktsegment", "c_nationkey"]),
 )
 _register(
+    # K2's normalize() stage (embedding_search.py:20-23) over the
+    # encoder-front-end tokenization — the SQL-expressible, bit-exact
+    # face of the value-embedding path (the encoder itself is the
+    # rows-only k2_merged query)
+    "k2_value_znorm_customer",
+    lambda spark, sf: ml_embed.value_znorm(
+        struc.value_doc(
+            load_table(spark, sf, "customer"), "customer",
+            ["c_mktsegment", "c_name"],
+        )
+    ),
+    ml_embed.value_znorm_oracle_sql(
+        struc.value_doc_oracle_sql("customer", ["c_mktsegment", "c_name"])
+    ),
+)
+_register(
     "k5_search_eval",
     lambda spark, sf: struc.search_eval(spark, sf, k=3),
     struc.search_eval_oracle_sql(k=3),

@@ -352,20 +352,35 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    mem = _run_to_memory(agg, "complete")
-    from pyspark.sql import Window
+    from tabsketchfm_spark.functions.ranking import ranked_topk
 
-    w = Window.orderBy(F.desc("_tv"), F.asc("user_id"))
-    return (
-        mem.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
+    # foreachBatch instead of a memory sink: the driver never holds the
+    # O(|users|) aggregate table — each complete-mode batch is cut to k
+    # rows EXECUTOR-side (TakeOrderedAndProject) before the collect;
+    # complete mode re-emits full state each batch, so the last batch
+    # (availableNow guarantees one final flush) is the finished answer.
+    holder: dict[str, object] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        top = ranked_topk(batch_df, [F.desc("_tv"), F.asc("user_id")], k).select(
             F.col("rank").cast("int").alias("rank"),
             "user_id",
             F.col("_tv").cast("double").alias("total_value"),
             "n_events",
         )
+        holder["schema"] = top.schema
+        holder["rows"] = top.collect()
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
     )
+    q.awaitTermination()
+    if "rows" not in holder:  # zero-batch run (empty source)
+        sink(spark.createDataFrame([], agg.schema), -1)
+    return spark.createDataFrame(holder["rows"], holder["schema"])
 
 
 def streaming_topk_users_oracle_sql(k: int = 10) -> str:

@@ -276,6 +276,43 @@ def test_weighted_f1_matches_known_values():
     assert tr.weighted_f1(np.array([0, 1]), np.array([1, 0])) == 0.0
 
 
+# --- K2: value encoder via the numpy stack ----------------------------------
+
+
+def test_encode_text_deterministic_and_content_sensitive():
+    """The K2 sentence-encoder stand-in runs the real numpy stack:
+    deterministic across calls, sensitive to token content AND order
+    (position stream is live), zero vector on empty input."""
+    a = rf.encode_text(["acme", "global", "retail"])
+    assert a.shape == (rf.HIDDEN,)
+    assert np.array_equal(a, rf.encode_text(["acme", "global", "retail"]))
+    assert not np.array_equal(a, rf.encode_text(["acme", "global", "wholesale"]))
+    assert not np.array_equal(a, rf.encode_text(["retail", "global", "acme"]))
+    assert np.array_equal(rf.encode_text([]), np.zeros(rf.HIDDEN))
+
+
+def test_value_embeddings_run_encoder_and_znorm(spark, sf001):
+    """value_embeddings == encode_text(tokenized doc) z-scored per the
+    reference normalize() (embedding_search.py:20-23): mean 0, std 1,
+    and the Spark output reproduces the local numpy computation."""
+    from tabsketchfm_spark.ml import embed as ml_embed
+    from tabsketchfm_spark.operators import structural as struc
+    from tabsketchfm_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf001, "customer")
+    vdocs = struc.value_doc(cust, "customer", ["c_mktsegment"])
+    doc = vdocs.collect()[0]["value_doc"]
+    got = {
+        r["column_name"]: np.array(r["vector"])
+        for r in ml_embed.value_embeddings(vdocs).collect()
+    }
+    v = got["c_mktsegment"]
+    assert abs(v.mean()) < 1e-5 and abs(v.std() - 1.0) < 1e-5
+    expect = rf.encode_text(ml_embed.tokenize_value_doc(doc))
+    expect = (expect - expect.mean()) / expect.std()
+    assert np.allclose(v, expect.astype(np.float32), atol=1e-6)
+
+
 # --- M4: SimpleModel --------------------------------------------------------
 
 

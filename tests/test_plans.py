@@ -327,6 +327,83 @@ def test_registry_invariants():
     assert not missing, f"window entries without oracles: {missing}"
 
 
+def _walk_jplan(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_jplan(node.children().apply(i))
+
+
+def _subtree_has_limit(node) -> bool:
+    return any(
+        ("TakeOrderedAndProject" in n.getClass().getSimpleName())
+        or ("Limit" in n.getClass().getSimpleName())
+        for n in _walk_jplan(node)
+    )
+
+
+def _partitionless_window_violations(df) -> list[str]:
+    """Partition-less WindowExec nodes whose input is NOT capped by a
+    limit — the single-partition anti-pattern. Uses sparkPlan (pre-AQE
+    wrapping) so the whole tree is traversable."""
+    bad = []
+    for n in _walk_jplan(df._jdf.queryExecution().sparkPlan()):
+        cls = n.getClass().getSimpleName()
+        if cls == "WindowExec" and n.partitionSpec().isEmpty():
+            if not _subtree_has_limit(n):
+                bad.append(n.toString().splitlines()[0])
+    return bad
+
+
+# Building these triggers full execution (stream runs, MLlib fits,
+# driver-side training loops) — each returns a local/driver-assembled
+# result whose plan is a LocalTableScan, so there is nothing to guard
+# and no reason to pay their runtime twice per test session.
+_PLAN_GUARD_SKIP_PREFIXES = ("stream_",)
+_PLAN_GUARD_SKIP = {
+    "j4_mllib_minhash_dedup",
+    "k6_ivf_kmeans_ann",
+    "k6_mllib_brp_ann",
+    "m4m_mllib_mlp_length",
+    "m5_pretrain_curve",
+    "m6_finetune_eval",
+}
+
+# SCHEMA-BOUNDED exemptions: these queries number ONE table's token
+# sequence (input rows = Σ column-name tokens over the profiled
+# schema — a function of column COUNT, not row count, so the window
+# input does not grow with data volume; the reference's tokenizer is
+# likewise per-table). Lake-wide token assembly goes through the
+# per-table applyInPandas path (ml/mlm.mlm_batches), never these
+# global windows.
+_PLAN_GUARD_SCHEMA_BOUNDED = {
+    "m8_mask_plan_customer",
+    "m8a_mlm_batch_customer",
+    "m9_token_features_customer",
+    "m10_pair_tokens_customer_supplier",
+}
+
+
+def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
+    """Registry-wide scale guard (round-4 verdict): NO registered query
+    may plan a partition-less row_number window over an input that is
+    not already capped by a limit/TakeOrderedAndProject. ranked_topk's
+    post-limit window passes; a bare global sort window fails."""
+    from tabsketchfm_spark.plans import registry
+
+    failures = {}
+    for name, fn in registry.queries().items():
+        if (
+            name in _PLAN_GUARD_SKIP
+            or name in _PLAN_GUARD_SCHEMA_BOUNDED
+            or name.startswith(_PLAN_GUARD_SKIP_PREFIXES)
+        ):
+            continue
+        bad = _partitionless_window_violations(fn(spark, sf01))
+        if bad:
+            failures[name] = bad
+    assert not failures, f"unbounded global windows: {failures}"
+
+
 def test_pmi_topk_uses_distributed_topk(spark, sf01):
     """Regression (round-4 review): the PMI ranking must compile to a
     TakeOrdered, not a single-partition global-sort window."""
