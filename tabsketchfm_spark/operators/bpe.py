@@ -80,26 +80,51 @@ def bpe_learn(
     sf_dir: str,
     n_merges: int = 8,
     max_word_len: int = MAX_WORD_LEN,
+    recount_every: int = 8,
 ) -> DataFrame:
+    """Exact greedy BPE with BOUNDED per-round cost: the segmentation
+    is materialized (localCheckpoint — flat, vocabulary-sized) and
+    re-materialized every ``recount_every`` merges, so each round's
+    pair count chains at most ``recount_every`` replace() expressions
+    over the checkpointed frame instead of the full merge history
+    (O(n²) expression growth at vocabulary-sized n_merges). The
+    trajectory is IDENTICAL for any recount_every — every round's
+    counts are computed on the fully-current segmentation — which the
+    batch-invariance property test pins."""
     from tabsketchfm_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = _word_counts(docs, max_word_len).persist()
     base_seq = F.concat(
         F.lit(" "),
         F.concat_ws("  ", F.split("w", "")),
         F.lit("  " + END + " "),
     )
+    # the ONLY corpus-sized job; everything after runs over this
+    # vocabulary-sized frame
+    seg = (
+        _word_counts(docs, max_word_len)
+        .select(base_seq.alias("seq"), "cnt")
+        .localCheckpoint()
+    )
+
+    def fold(col, batch):
+        for s1, s2 in batch:
+            col = F.replace(col, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+        return col
+
     merges: list[tuple[str, str, int]] = []
+    batch: list[tuple[str, str]] = []
     for rnd in range(n_merges):
-        seq = base_seq
-        for s1, s2, _c in merges:
-            seq = F.replace(
-                seq, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} ")
-            )
-        a = F.split(F.trim(seq), "  ")
+        if len(batch) >= recount_every:
+            old = seg
+            seg = seg.select(
+                fold(F.col("seq"), batch).alias("seq"), "cnt"
+            ).localCheckpoint()
+            old.unpersist()
+            batch = []
+        a = F.split(F.trim(fold(F.col("seq"), batch)), "  ")
         pairs = (
-            counts.select(a.alias("a"), "cnt")
+            seg.select(a.alias("a"), "cnt")
             .where(F.size("a") >= 2)
             .select(
                 F.explode(F.sequence(F.lit(0), F.size("a") - 2)).alias("j"),
@@ -123,7 +148,8 @@ def bpe_learn(
             break
         r = top[0]
         merges.append((r["s1"], r["s2"], r["c"]))
-    counts.unpersist()
+        batch.append((r["s1"], r["s2"]))
+    seg.unpersist()
     return spark.createDataFrame(
         [
             (i + 1, s1, s2, s1 + s2, int(c))

@@ -1654,7 +1654,7 @@ _DRIVER_WINDOW = [
     "k3_all_pairs_joinability",
     "k3g_table_pagerank",
     "k4_unionability_customer",
-    "k4_column_vote_embeddings",
+    "k3h_table_communities",
     "k5_search_eval",
     "j1_lake_index",
     "j2_pair_completeness",
@@ -1663,9 +1663,9 @@ _DRIVER_WINDOW = [
     "bpe_merges_documents",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
-    "dedup_simhash_pairs_documents",
+    "bpe_token_counts_documents",
     "dedup_clusters_documents",
-    "dedup_embedding_cosine",
+    "k2_value_znorm_customer",
     "text_token_stats",
     "text_quality_score",
     "text_gopher_rules",

@@ -274,6 +274,21 @@ def test_bpe_oracle_matches_direct_python_bpe(word_counts, n_merges):
     assert got == expect
 
 
+def test_bpe_batch_recount_invariance(spark, sf001):
+    """bpe_learn's segmentation-checkpoint batching (recount_every) is
+    a pure cost knob: the merge trajectory — rounds, pairs, counts —
+    is identical whether the segmentation re-materializes every merge,
+    every 3, or never within the horizon. Run past one re-checkpoint
+    boundary (12 merges, recount_every 3 → three re-materializations)
+    so the fold-into-checkpoint path is actually exercised."""
+    from tabsketchfm_spark.operators.bpe import bpe_learn
+
+    base = [tuple(r) for r in bpe_learn(spark, sf001, n_merges=12, recount_every=12).collect()]
+    batched = [tuple(r) for r in bpe_learn(spark, sf001, n_merges=12, recount_every=3).collect()]
+    assert len(base) == 12
+    assert batched == base
+
+
 def test_bpe_oracle_survives_merge_exhaustion():
     """Regression (self-review): a corpus whose words fully merge
     before n_merges rounds left the apply-oracle's replace() with NULL
