@@ -86,6 +86,62 @@ def pretrain_curve(
     )
 
 
+def _masked_sequences(
+    spark: SparkSession, sf_dir: str, tables: list[str]
+) -> list[tuple[list[dict], np.ndarray]]:
+    """Profiles → per-table (masked token sequence, labels) pairs, the
+    full-backprop batch unit. Profile rows are tiny (one per column);
+    the driver builds sequences the same deterministic way the
+    executor-side mlm_batches does, so the mask rolls — and therefore
+    the masked positions and epoch-0 loss — are IDENTICAL to the
+    frozen-encoder path."""
+    out = []
+    for t in tables:
+        pdf = prof.profile_table(
+            load_table(spark, sf_dir, t), t, round_digits=4
+        ).collect()
+        col_rows = [r.asDict() for r in pdf]
+        seq = rf.build_token_sequence(col_rows)
+        out.append(ml_mlm.apply_mask(seq))
+    return out
+
+
+def pretrain_curve_full(
+    spark: SparkSession,
+    sf_dir: str,
+    lr: float = 5e-3,
+    max_epochs: int = 12,
+) -> DataFrame:
+    """M5 COMPLETE: MLM pre-training with full-encoder backprop
+    (ml/backprop.MLMPretrainModel) — every parameter trains, embedding
+    tables through encoder blocks to the tied-decoder head, matching
+    the reference's actual pretraining (models/tabsketchfm.py:58-65)
+    rather than its freeze path. Same optimizer discipline as the
+    frozen twin (AdamW + clip 0.5 + patience 5); same deterministic
+    mask rolls, so epoch 0 reproduces the frozen curve's starting loss
+    and every later epoch must sit strictly below it (the extra
+    capacity test pins this). Returns the per-epoch curve."""
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
+    bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
+    model = MLMPretrainModel()
+    curve = tr.fit(model, (bt, None), (bv, None), lr=lr, max_epochs=max_epochs)
+    return spark.createDataFrame(
+        [
+            (
+                c["epoch"],
+                round(c["train_loss"], 8),
+                round(c["valid_loss"], 8),
+                round(c["grad_norm"], 8),
+                c["stopped"],
+            )
+            for c in curve
+        ],
+        CURVE_SCHEMA,
+    )
+
+
 # --- M6/M7: fine-tune table-similarity --------------------------------------
 
 FINETUNE_TABLES = ["customer", "supplier", "orders", "part", "nation", "region"]

@@ -7,14 +7,15 @@ preprocessed tensors"); this engine keeps the same split — Spark
 assembles batches (M8 mask plans + M9 features + frozen M1/M2 encoder
 states), the optimizer loop runs here in numpy.
 
-Scope is the reference's own ``freeze`` path
+Scope HERE is the reference's ``freeze`` path
 (tabsketchfm_finetune.py:26-28): the encoder is frozen and only the
 head trains — the MLM head (transform dense+gelu+LayerNorm + tied
 decoder bias, M3/M5) or the classification head (pooled → linear,
 M6). Gradients for those heads are closed-form below and verified
-against finite differences in tests; full-encoder backprop is torch
-autograd's job in the reference and is out of scope here (documented
-capability boundary, README).
+against finite differences in tests. FULL-encoder backprop (the
+reference's actual pretraining, where torch autograd does the work)
+lives in ml/backprop.py — hand-derived backward through every layer,
+same finite-difference oracle, same AdamW/clip/fit loop below.
 
 Pieces mirrored 1:1:
 - AdamW with the reference defaults (models/tabsketchfm.py:96-102:

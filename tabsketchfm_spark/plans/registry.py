@@ -1052,6 +1052,14 @@ _register(
     None,
 )
 _register(
+    # M5 COMPLETE: the same pretrain loop with FULL-ENCODER backprop
+    # (ml/backprop) — embeddings + attention + FFN + tied decoder all
+    # train; finite-difference-verified gradients — rows-only
+    "m5f_pretrain_curve_full",
+    lambda spark, sf: ml_train.pretrain_curve_full(spark, sf),
+    None,
+)
+_register(
     # M6+M7: fine-tune-table-similarity (pooled CLS -> linear head,
     # CE routing) with accuracy + weighted-F1 eval — rows-only
     "m6_finetune_eval",

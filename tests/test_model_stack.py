@@ -276,6 +276,81 @@ def test_weighted_f1_matches_known_values():
     assert tr.weighted_f1(np.array([0, 1]), np.array([1, 0])) == 0.0
 
 
+# --- M5 complete: full-encoder backprop -------------------------------------
+
+
+def _masked_demo_batch():
+    seq = _demo_seq()
+    return [mlm.apply_mask(seq)]
+
+
+def test_full_backprop_epoch0_matches_serving_forward():
+    """MLMPretrainModel at init IS the serving forward: its loss on a
+    masked batch equals rf.masked_lm_forward's bit-for-bit (weights
+    reproduce the seeded scheme exactly)."""
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    batch = _masked_demo_batch()
+    masked, labels = batch[0]
+    serve = rf.masked_lm_forward(masked, labels)["loss"]
+    got, _ = MLMPretrainModel().loss(batch)
+    assert got == serve
+
+
+def test_full_backprop_gradients_match_finite_differences():
+    """Central finite differences on coordinates spanning EVERY
+    parameter family: attention q/k/v/o (two layers), both FFN mats,
+    the value/minhash linears, all four embedding tables (incl. the
+    tied word table — gradient from both tie points), and the head."""
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    batch = _masked_demo_batch()
+    masked, labels = batch[0]
+    m = MLMPretrainModel()
+    _, grads = m.loss_and_grads(batch)
+    wid_used = masked[1].get("wid", rf.word_id(masked[1]["token"]))
+    checks = [
+        ("l0.q0.w", (1, 2)), ("l0.k1.w", (0, 5)), ("l0.v2.b", (3,)),
+        ("l0.o.w", (4, 7)), ("l1.ffn_in.w", (10, 3)), ("l3.ffn_out.w", (2, 50)),
+        ("lin.value.w", (6, 1)), ("lin.minhash.b", (9,)),
+        ("emb.type", (1, 4)), ("emb.colpos", (2, 3)), ("emb.tokpos", (1, 0)),
+        ("emb.word", (wid_used, 3)),
+        ("mlm.w", (0, 0)), ("mlm.gamma", (5,)),
+        ("mlm.dec_b", (int(labels[labels >= 0][0]),)),
+    ]
+    eps = 1e-6
+    for name, idx in checks:
+        p = m.params[name]
+        orig = p[idx]
+        p[idx] = orig + eps
+        lp, _ = m.loss(batch)
+        p[idx] = orig - eps
+        lm_, _ = m.loss(batch)
+        p[idx] = orig
+        fd = (lp - lm_) / (2 * eps)
+        an = grads[name][idx]
+        assert abs(fd - an) < 1e-5 * max(1.0, abs(fd)), (name, idx, fd, an)
+
+
+def test_full_backprop_beats_frozen_encoder_curve():
+    """Same seed, same mask rolls, same optimizer discipline: the
+    full-backprop trainer starts at the frozen path's epoch-0 loss
+    (identical init) and ends strictly below it — the extra capacity
+    is real, not a different problem."""
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    seq = _demo_seq()
+    batch = [mlm.apply_mask(seq)]
+    x, y = mlm.mlm_training_batch(seq)
+
+    frozen = tr.MLMHead()
+    frozen_curve = tr.fit(frozen, (x, y), (x, y), lr=5e-3, max_epochs=8, patience=8)
+    full = MLMPretrainModel()
+    full_curve = tr.fit(full, (batch, None), (batch, None), lr=5e-3, max_epochs=8, patience=8)
+    assert full_curve[0]["train_loss"] == frozen_curve[0]["train_loss"]
+    assert full_curve[-1]["valid_loss"] < frozen_curve[-1]["valid_loss"]
+
+
 # --- K2: value encoder via the numpy stack ----------------------------------
 
 

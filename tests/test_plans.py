@@ -365,6 +365,7 @@ _PLAN_GUARD_SKIP = {
     "k6_mllib_brp_ann",
     "m4m_mllib_mlp_length",
     "m5_pretrain_curve",
+    "m5f_pretrain_curve_full",
     "m6_finetune_eval",
 }
 
@@ -433,6 +434,7 @@ def test_rows_only_set_is_pinned():
         # SQL-expressible (M4's closed-form forward IS, and is oracled)
         "m3_mlm_eval_tables",
         "m5_pretrain_curve",
+        "m5f_pretrain_curve_full",
         "m6_finetune_eval",
         "m4m_mllib_mlp_length",  # MLlib MLP: seeded RNG init
     }
