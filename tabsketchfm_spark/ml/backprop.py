@@ -108,6 +108,38 @@ class MLMPretrainModel:
         p["mlm.dec_b"] = rf._bias("mlm.decoder", rf.VOCAB).copy()
         self.params = p
 
+    def state_dict(self) -> dict[str, np.ndarray]:
+        """Every trained tensor under its CHECKPOINT name (the keys
+        rf._OVERRIDE resolves): save via ml/checkpoint, install, and
+        the serving forward (rf.masked_lm_forward) reproduces this
+        model's loss bit-for-bit — the FULL train → checkpoint → serve
+        loop, not just the head's."""
+        p = self.params
+        out = {
+            "emb.word": p["emb.word"].copy(),
+            "emb.type": p["emb.type"].copy(),
+            "emb.colpos": p["emb.colpos"].copy(),
+            "emb.tokpos": p["emb.tokpos"].copy(),
+            "lin.value.w": p["lin.value.w"].copy(),
+            "lin.value.b": p["lin.value.b"].copy(),
+            "lin.minhash.w": p["lin.minhash.w"].copy(),
+            "lin.minhash.b": p["lin.minhash.b"].copy(),
+            "mat.mlm.transform": p["mlm.w"].copy(),
+            "bias.mlm.transform": p["mlm.b"].copy(),
+            "mlm.ln.gamma": p["mlm.gamma"].copy(),
+            "mlm.ln.beta": p["mlm.beta"].copy(),
+            "bias.mlm.decoder": p["mlm.dec_b"].copy(),
+        }
+        for l in range(self.n_layers):
+            for h in range(rf.N_HEADS):
+                for s in ("q", "k", "v"):
+                    out[f"mat.l{l}.{s}{h}"] = p[f"l{l}.{s}{h}.w"].copy()
+                    out[f"bias.l{l}.{s}{h}"] = p[f"l{l}.{s}{h}.b"].copy()
+            for s in ("o", "ffn_in", "ffn_out"):
+                out[f"mat.l{l}.{s}"] = p[f"l{l}.{s}.w"].copy()
+                out[f"bias.l{l}.{s}"] = p[f"l{l}.{s}.b"].copy()
+        return out
+
     # -- per-sequence forward with caches ---------------------------------
 
     def _seq_inputs(self, seq: list[dict]):

@@ -351,6 +351,36 @@ def test_full_backprop_beats_frozen_encoder_curve():
     assert full_curve[-1]["valid_loss"] < frozen_curve[-1]["valid_loss"]
 
 
+def test_full_model_train_checkpoint_serve_loop(tmp_path):
+    """The COMPLETE S13↔M5 loop: train the full model (encoder +
+    embeddings + head), write every tensor to an npz checkpoint,
+    install it, and the untouched serving forward reproduces the
+    trained model's loss bit-for-bit — strictly below the seeded
+    init's loss."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    seq = _demo_seq()
+    masked, labels = mlm.apply_mask(seq)
+    batch = [(masked, labels)]
+    before = rf.masked_lm_forward(masked, labels)["loss"]
+
+    m = MLMPretrainModel()
+    tr.fit(m, (batch, None), (batch, None), lr=5e-3, max_epochs=6, patience=6)
+    trained, _ = m.loss(batch)
+    assert trained < before
+
+    path = str(tmp_path / "full_pretrained")
+    ck.save_checkpoint(path, m.state_dict())
+    ck.install_checkpoint(ck.load_checkpoint(path))
+    try:
+        served = rf.masked_lm_forward(masked, labels)["loss"]
+    finally:
+        ck.clear_checkpoint()
+    assert served == trained
+    assert rf.masked_lm_forward(masked, labels)["loss"] == before  # override cleared
+
+
 # --- K2: value encoder via the numpy stack ----------------------------------
 
 
