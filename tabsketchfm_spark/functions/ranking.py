@@ -42,11 +42,15 @@ def global_rank(
     order: list[Column],
     rank_name: str = "rank",
     num_partitions: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Rank EVERY row of ``df`` by ``order`` without a single-partition
     window. Triggers one small job (per-partition counts) at plan-build
     time; the input is persisted because the count pass and the final
-    pass share it."""
+    pass share it. Pass ``caches`` (a list) to receive the persisted
+    frame — callers that materialize the result eagerly should
+    unpersist it afterwards (lazy callers must leave it cached: the
+    returned plan reads it)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -55,6 +59,8 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    if caches is not None:
+        caches.append(part)
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     offsets: dict[int, int] = {}
     acc = 0

@@ -61,6 +61,19 @@ def _gelu_grad(a: np.ndarray) -> np.ndarray:
     return Phi + a * phi
 
 
+def sequence_position_dims(batches) -> tuple[int, int]:
+    """(max_col, max_tokpos) table sizes covering every sequence in
+    ``batches`` (list of (seq, labels) pairs) — pass to
+    MLMPretrainModel so wide tables (many columns / long column names)
+    fit the trainable position tables."""
+    mc = mt = 0
+    for seq, _ in batches:
+        for t in seq:
+            mc = max(mc, t["col_encoding"])
+            mt = max(mt, t["token_position"])
+    return max(mc + 1, 2), max(mt + 1, 2)
+
+
 class MLMPretrainModel:
     """The full trainable stack as a flat named-param dict (the shape
     AdamW/clip/fit already consume). Initialization reproduces the
@@ -113,7 +126,10 @@ class MLMPretrainModel:
         rf._OVERRIDE resolves): save via ml/checkpoint, install, and
         the serving forward (rf.masked_lm_forward) reproduces this
         model's loss bit-for-bit — the FULL train → checkpoint → serve
-        loop, not just the head's."""
+        loop, not just the head's. Position indices beyond the trained
+        table sizes fall back to SEEDED rows at serving time
+        (rf._emb_row's bounds check) — size the tables with
+        sequence_position_dims over everything you intend to serve."""
         p = self.params
         out = {
             "emb.word": p["emb.word"].copy(),
@@ -149,6 +165,20 @@ class MLMPretrainModel:
         tids = np.array([t["type_id"] for t in seq], dtype=np.int64)
         ces = np.array([t["col_encoding"] for t in seq], dtype=np.int64)
         tps = np.array([t["token_position"] for t in seq], dtype=np.int64)
+        n_ce = self.params["emb.colpos"].shape[0]
+        n_tp = self.params["emb.tokpos"].shape[0]
+        if ces.max(initial=0) >= n_ce or tps.max(initial=0) >= n_tp:
+            # the serving forward generates such rows on demand; the
+            # trainable tables are fixed at init — size them from the
+            # batch (sequence_position_dims) instead of crashing deep
+            # in an index expression
+            raise ValueError(
+                f"sequence position exceeds trainable table size "
+                f"(col_encoding max {int(ces.max())} vs {n_ce}, "
+                f"token_position max {int(tps.max())} vs {n_tp}); "
+                "construct MLMPretrainModel(max_col=..., max_tokpos=...) "
+                "from sequence_position_dims(batches)"
+            )
         vals = np.stack([np.asarray(t["value_vec"], dtype=np.float64) for t in seq])
         mhs = np.stack([np.asarray(t["minhash_vec"], dtype=np.float64) for t in seq])
         return wids, tids, ces, tps, vals, mhs

@@ -40,6 +40,13 @@ def py_h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+# vocab ids the random-replacement draw must avoid (reference
+# create_desc_mask filters specials) — loop-invariant, built once
+_SPECIAL_WIDS = frozenset(
+    rf.word_id(s) for s in ("[CLS]", "[SEP]", "[MASK]", "[PAD]")
+)
+
+
 def mask_actions(seq: list[dict]) -> list[str]:
     """The M8 policy over a built token sequence: per-position action in
     {'none', '[MASK]', 'random', 'keep'}. Probabilities follow the
@@ -88,12 +95,9 @@ def apply_mask(seq: list[dict]) -> tuple[list[dict], np.ndarray]:
                 # the reference's create_desc_mask filters random
                 # replacement words to non-special tokens — re-roll
                 # (deterministically) past any special-token id
-                specials = {
-                    rf.word_id(s) for s in ("[CLS]", "[SEP]", "[MASK]", "[PAD]")
-                }
                 rid = py_h32(f"rnd|{pos}|{t['token']}") % rf.VOCAB
                 k = 0
-                while rid in specials:
+                while rid in _SPECIAL_WIDS:
                     k += 1
                     rid = py_h32(f"rnd{k}|{pos}|{t['token']}") % rf.VOCAB
                 t["wid"] = rid

@@ -97,9 +97,12 @@ def _masked_sequences(
     frozen-encoder path."""
     out = []
     for t in tables:
+        caches: list = []
         pdf = prof.profile_table(
-            load_table(spark, sf_dir, t), t, round_digits=4
+            load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
         ).collect()
+        for c in caches:  # eager consumer — release the profiler's frames
+            c.unpersist()
         col_rows = [r.asDict() for r in pdf]
         seq = rf.build_token_sequence(col_rows)
         out.append(ml_mlm.apply_mask(seq))
@@ -121,11 +124,15 @@ def pretrain_curve_full(
     mask rolls, so epoch 0 reproduces the frozen curve's starting loss
     and every later epoch must sit strictly below it (the extra
     capacity test pins this). Returns the per-epoch curve."""
-    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+    from tabsketchfm_spark.ml.backprop import (
+        MLMPretrainModel,
+        sequence_position_dims,
+    )
 
     bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
     bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
-    model = MLMPretrainModel()
+    mc, mt = sequence_position_dims(bt + bv)
+    model = MLMPretrainModel(max_col=max(mc, 64), max_tokpos=max(mt, 64))
     curve = tr.fit(model, (bt, None), (bv, None), lr=lr, max_epochs=max_epochs)
     return spark.createDataFrame(
         [

@@ -33,6 +33,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's blocks NOW. Dataset.unpersist
+    is a silent no-op for checkpointed frames (their blocks hang off the
+    internal RDD, not the CacheManager), so reach through the LogicalRDD
+    to the RDD itself; best-effort — the ContextCleaner frees the blocks
+    on GC if this private surface ever moves."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
 WORD_RE = "^[a-z]+$"
 MAX_WORD_LEN = 16
 END = "</w>"
@@ -120,7 +132,7 @@ def bpe_learn(
             seg = seg.select(
                 fold(F.col("seq"), batch).alias("seq"), "cnt"
             ).localCheckpoint()
-            old.unpersist()
+            _release_checkpoint(old)
             batch = []
         a = F.split(F.trim(fold(F.col("seq"), batch)), "  ")
         pairs = (
@@ -149,7 +161,7 @@ def bpe_learn(
         r = top[0]
         merges.append((r["s1"], r["s2"], r["c"]))
         batch.append((r["s1"], r["s2"]))
-    seg.unpersist()
+    _release_checkpoint(seg)
     return spark.createDataFrame(
         [
             (i + 1, s1, s2, s1 + s2, int(c))

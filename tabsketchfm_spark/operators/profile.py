@@ -67,6 +67,7 @@ def profile_table(
     columns: list[str] | None = None,
     approx: bool = False,
     round_digits: int | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """One row per column: the full A1-A9 stat set.
 
@@ -74,7 +75,11 @@ def profile_table(
     num_nan, distinct_cnt, cell_width_bytes, q10..q90, mean_v, std_v,
     min_v, max_v (numeric/date stats NULL for strings and vice versa;
     date columns are measured on the epoch-seconds axis).
-    """
+
+    The profiler persists up to three internal frames the returned
+    plan reads — pass ``caches`` (a list) to receive them; callers
+    that materialize the result EAGERLY should unpersist them after
+    (lazy callers must not)."""
     from pyspark.sql import Window
 
     from tabsketchfm_spark.sources.tables import spread
@@ -89,6 +94,8 @@ def profile_table(
     sdf = spread(df)
     if sdf is not df:
         df = sdf.persist()
+        if caches is not None:
+            caches.append(df)
 
     dtypes = dict(df.dtypes)
     columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
@@ -168,6 +175,8 @@ def profile_table(
     if numeric_idx and not approx:
         # consumed by both the distinct-count row and the decile frame
         counts = counts.persist()
+        if caches is not None:
+            caches.append(counts)
 
     dist_row = counts.groupBy().agg(
         *[
@@ -203,6 +212,8 @@ def profile_table(
             .withColumn("__pid", F.spark_partition_id())
             .persist()
         )
+        if caches is not None:
+            caches.append(nv)
         # partition offsets computed LAZILY from the per-partition sums:
         # a window over ≤ |partitions| rows per cid (bounded by the
         # shuffle-partition count, never by data volume) replaces the

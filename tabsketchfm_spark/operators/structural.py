@@ -694,8 +694,10 @@ def zone_map_audit(
     )
     tot = t.agg(F.count(F.lit(1)).alias("_n"))
 
+    caches: list = [t]
+
     def rank_zone(df: DataFrame, order_cols) -> DataFrame:
-        r = global_rank(df, order_cols)
+        r = global_rank(df, order_cols, caches=caches)
         return r.crossJoin(F.broadcast(tot)).select(
             "o_custkey",
             F.expr(f"(CAST(rank - 1 AS BIGINT) * {n_zones}) div _n").alias("zone"),
@@ -737,8 +739,8 @@ def zone_map_audit(
         )
         .collect()  # tiny (one row per layout); materializing lets the caches go
     )
-    t.unpersist()
-    zk.unpersist()
+    for c in caches + [zk]:  # incl. both global_rank range-partition caches
+        c.unpersist()
     return spark.createDataFrame(
         rows,
         "layout string, zones_total int, zones_pruned int, "

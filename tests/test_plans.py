@@ -367,6 +367,17 @@ _PLAN_GUARD_SKIP = {
     "m5_pretrain_curve",
     "m5f_pretrain_curve_full",
     "m6_finetune_eval",
+    # eager at plan-BUILD time (driver loops / per-round collects /
+    # localCheckpoint jobs) — building them IS running them, and the
+    # result is a LocalTableScan or a checkpoint-rooted plan with
+    # nothing left to guard; their window hygiene is covered by their
+    # own operator tests
+    "bpe_merges_documents",
+    "bpe_token_counts_documents",
+    "layout_zone_map_audit",
+    "k3g_table_pagerank",
+    "k3h_table_communities",
+    "dedup_clusters_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
