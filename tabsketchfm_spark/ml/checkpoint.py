@@ -135,5 +135,31 @@ def clear_checkpoint() -> None:
     rf._OVERRIDE.clear()
 
 
+# one install per worker process per checkpoint identity — re-installs
+# only when a DIFFERENT checkpoint (or None) arrives. Reused python
+# workers share module state across tasks, so every executor-side
+# forward must declare the state it needs — including "no checkpoint",
+# or a prior task's install would leak into seeded-weight queries.
+_WORKER_INSTALLED: str | None = None
+
+
+def ensure_checkpoint_state(path: str | None) -> None:
+    """Executor-side install/clear: route the forward's lookups
+    through <path>.npz (hash-verified, once per worker process), or —
+    path None — make sure NO checkpoint is installed. This is how a
+    TRAINED checkpoint reaches lake-wide inference; install_checkpoint
+    alone only affects the driver. ``path`` must be visible to workers
+    (shared FS in this harness; ship via SparkFiles.get on a real
+    cluster)."""
+    global _WORKER_INSTALLED
+    if _WORKER_INSTALLED == path:
+        return
+    if path is None:
+        clear_checkpoint()
+    else:
+        install_checkpoint(load_checkpoint(path))
+    _WORKER_INSTALLED = path
+
+
 def checkpoint_exists(path: str) -> bool:
     return os.path.exists(path + ".npz") and os.path.exists(path + ".json")

@@ -60,7 +60,11 @@ def _encoder():
         return None
 
 
-def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> DataFrame:
+def extract_embeddings(
+    profile: DataFrame,
+    minhash: DataFrame | None = None,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
     """profile rows (one per column) → embedding table via the numpy
     reference forward (ml/reference_forward.py): the M1 six-stream
     embedding sum + LayerNorm (reference transformer_bert.py:24-85)
@@ -78,7 +82,11 @@ def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> 
     the group is bounded; lake-wide extraction distributes across
     tables. ``minhash`` optionally supplies (column_name, minhash_exact
     array) rows (sketch_store.column_minhash_wide) for the sixth
-    stream; absent signatures fall back to zeros exactly like the
+    stream (``checkpoint_path`` routes every executor's forward
+    through a TRAINED npz checkpoint — ml/checkpoint
+    ensure_checkpoint_installed, once per worker, hash-verified; the
+    serve-a-finetuned-model-lake-wide path); absent signatures fall
+    back to zeros exactly like the
     reference tokenizer's missing-key path (tabular_tokenizer.py:206).
     """
     from pyspark.sql import functions as F
@@ -111,6 +119,13 @@ def extract_embeddings(profile: DataFrame, minhash: DataFrame | None = None) -> 
             find_table_col_pool,
             hidden_layer_1,
         )
+
+        # TRAINED weights reach the executors here: install once per
+        # worker process (hash-verified) — or, with no checkpoint,
+        # clear any install a previous task left in this reused worker
+        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
+
+        ensure_checkpoint_state(checkpoint_path)
 
         col_rows = []
         names = {}
@@ -156,8 +171,10 @@ def value_embeddings(value_docs: DataFrame) -> DataFrame:
     ensure_package_on_workers(value_docs.sparkSession)
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
         from tabsketchfm_spark.ml.reference_forward import encode_text
 
+        ensure_checkpoint_state(None)  # reused-worker hygiene
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():

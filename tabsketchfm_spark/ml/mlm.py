@@ -120,12 +120,14 @@ def masked_lm_eval(
     ensure_package_on_workers(profile.sparkSession)
 
     def infer(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
         from tabsketchfm_spark.ml.mlm import apply_mask
         from tabsketchfm_spark.ml.reference_forward import (
             build_token_sequence,
             masked_lm_forward,
         )
 
+        ensure_checkpoint_state(None)  # reused-worker hygiene
         col_rows = [
             {c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()
         ]
@@ -179,9 +181,11 @@ def mlm_batches(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
     ensure_package_on_workers(profile.sparkSession)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
         from tabsketchfm_spark.ml.mlm import mlm_training_batch
         from tabsketchfm_spark.ml.reference_forward import build_token_sequence
 
+        ensure_checkpoint_state(None)  # reused-worker hygiene
         col_rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
         table_name = col_rows[0]["table_name"]
         seq = build_token_sequence(col_rows)

@@ -175,11 +175,13 @@ def _pair_pooled(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
     ensure_package_on_workers(profile.sparkSession)
 
     def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
         from tabsketchfm_spark.ml.reference_forward import (
             build_token_sequence,
             model_forward,
         )
 
+        ensure_checkpoint_state(None)  # reused-worker hygiene
         rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
         pair_id = rows[0]["pair_id"]
         label = int(rows[0]["pair_label"])

@@ -381,6 +381,68 @@ def test_full_model_train_checkpoint_serve_loop(tmp_path):
     assert rf.masked_lm_forward(masked, labels)["loss"] == before  # override cleared
 
 
+def test_checkpoint_serves_lake_wide_extraction(spark, sf001, tmp_path):
+    """The serve-a-trained-model-at-lake-scale path: a trained full
+    checkpoint passed to extract_embeddings reaches the EXECUTORS
+    (ensure_checkpoint_state — install_checkpoint alone is
+    driver-local), changes the emitted vectors, and reproduces the
+    driver-side forward under the same install. A following extraction
+    WITHOUT a checkpoint must see seeded weights again (reused-worker
+    hygiene)."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml import embed as ml_embed
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+    from tabsketchfm_spark.operators import profile as prof
+    from tabsketchfm_spark.sources.tables import load_table
+
+    seq = _demo_seq()
+    m = MLMPretrainModel()
+    tr.fit(m, ([mlm.apply_mask(seq)], None), ([mlm.apply_mask(seq)], None),
+           lr=5e-3, max_epochs=3, patience=3)
+    path = str(tmp_path / "served")
+    ck.save_checkpoint(path, m.state_dict())
+
+    profile = prof.profile_table(
+        load_table(spark, sf001, "nation"), "nation", round_digits=4
+    )
+    seeded = {
+        (r["column_name"], r["kind"]): tuple(r["vector"])
+        for r in ml_embed.extract_embeddings(profile).collect()
+    }
+    served = {
+        (r["column_name"], r["kind"]): tuple(r["vector"])
+        for r in ml_embed.extract_embeddings(
+            profile, checkpoint_path=path
+        ).collect()
+    }
+    assert set(served) == set(seeded)
+    assert served != seeded  # trained weights actually reached executors
+
+    # driver twin under the same install
+    rows = sorted(
+        (r.asDict() for r in profile.collect()), key=lambda d: d["col_idx"]
+    )
+    for d in rows:
+        d["minhash"] = None
+    ck.install_checkpoint(ck.load_checkpoint(path))
+    try:
+        s = rf.build_token_sequence(rows)
+        _, _, cls = rf.find_table_col_pool(s, rf.hidden_layer_1(s))
+    finally:
+        ck.clear_checkpoint()
+    assert np.allclose(
+        np.array(served[(None, "cls")]), cls.astype(np.float32), atol=0
+    )
+
+    # hygiene: a checkpoint-less extraction in the SAME session goes
+    # back to seeded weights despite python-worker reuse
+    again = {
+        (r["column_name"], r["kind"]): tuple(r["vector"])
+        for r in ml_embed.extract_embeddings(profile).collect()
+    }
+    assert again == seeded
+
+
 # --- K2: value encoder via the numpy stack ----------------------------------
 
 
