@@ -88,6 +88,19 @@ class MLMPretrainModel:
     ):
         self.n_layers = n_layers
         H, D, I = rf.HIDDEN, rf.HEAD_DIM, rf.INTERMEDIATE
+        # init is ALWAYS the seeded state: an installed checkpoint
+        # must not bleed into a fresh model (the word table/_emb_row/
+        # _mat lookups consult rf._OVERRIDE, but the lin draws below do
+        # not — mixing would silently break the epoch-0 == serving
+        # invariant). Warm-start explicitly via load_state_dict().
+        snap = dict(rf._OVERRIDE)
+        rf._OVERRIDE.clear()
+        try:
+            self._init_seeded(n_layers, max_col, max_tokpos, H, D, I)
+        finally:
+            rf._OVERRIDE.update(snap)
+
+    def _init_seeded(self, n_layers, max_col, max_tokpos, H, D, I):
         p: dict[str, np.ndarray] = {}
         p["emb.word"] = rf.word_table().copy()
         p["emb.type"] = np.stack(
@@ -130,31 +143,48 @@ class MLMPretrainModel:
         table sizes fall back to SEEDED rows at serving time
         (rf._emb_row's bounds check) — size the tables with
         sequence_position_dims over everything you intend to serve."""
-        p = self.params
-        out = {
-            "emb.word": p["emb.word"].copy(),
-            "emb.type": p["emb.type"].copy(),
-            "emb.colpos": p["emb.colpos"].copy(),
-            "emb.tokpos": p["emb.tokpos"].copy(),
-            "lin.value.w": p["lin.value.w"].copy(),
-            "lin.value.b": p["lin.value.b"].copy(),
-            "lin.minhash.w": p["lin.minhash.w"].copy(),
-            "lin.minhash.b": p["lin.minhash.b"].copy(),
-            "mat.mlm.transform": p["mlm.w"].copy(),
-            "bias.mlm.transform": p["mlm.b"].copy(),
-            "mlm.ln.gamma": p["mlm.gamma"].copy(),
-            "mlm.ln.beta": p["mlm.beta"].copy(),
-            "bias.mlm.decoder": p["mlm.dec_b"].copy(),
+        return {
+            ck_key: self.params[p_key].copy()
+            for ck_key, p_key in self._checkpoint_key_pairs()
         }
+
+    def load_state_dict(self, weights: dict[str, np.ndarray]) -> None:
+        """Warm-start: copy checkpoint-named tensors into the trainable
+        params (the inverse of state_dict; the supported way to resume
+        training from an installed/saved checkpoint — __init__ is
+        always the seeded state). Missing keys keep their current
+        values; shape mismatches raise."""
+        for ck_key, p_key in self._checkpoint_key_pairs():
+            if ck_key in weights:
+                w = np.asarray(weights[ck_key], dtype=np.float64)
+                if w.shape != self.params[p_key].shape:
+                    raise ValueError(
+                        f"{ck_key}: shape {w.shape} != {self.params[p_key].shape}"
+                    )
+                self.params[p_key] = w.copy()
+
+    def _checkpoint_key_pairs(self):
+        """(checkpoint key, param key) for every trainable tensor —
+        ONE map serves both state_dict and load_state_dict, and the
+        name-parity test pins it against checkpoint.materialize_weights
+        so the layouts cannot silently drift."""
+        for k in ("emb.word", "emb.type", "emb.colpos", "emb.tokpos",
+                  "lin.value.w", "lin.value.b",
+                  "lin.minhash.w", "lin.minhash.b"):
+            yield k, k
         for l in range(self.n_layers):
             for h in range(rf.N_HEADS):
                 for s in ("q", "k", "v"):
-                    out[f"mat.l{l}.{s}{h}"] = p[f"l{l}.{s}{h}.w"].copy()
-                    out[f"bias.l{l}.{s}{h}"] = p[f"l{l}.{s}{h}.b"].copy()
+                    yield f"mat.l{l}.{s}{h}", f"l{l}.{s}{h}.w"
+                    yield f"bias.l{l}.{s}{h}", f"l{l}.{s}{h}.b"
             for s in ("o", "ffn_in", "ffn_out"):
-                out[f"mat.l{l}.{s}"] = p[f"l{l}.{s}.w"].copy()
-                out[f"bias.l{l}.{s}"] = p[f"l{l}.{s}.b"].copy()
-        return out
+                yield f"mat.l{l}.{s}", f"l{l}.{s}.w"
+                yield f"bias.l{l}.{s}", f"l{l}.{s}.b"
+        yield "mat.mlm.transform", "mlm.w"
+        yield "bias.mlm.transform", "mlm.b"
+        yield "mlm.ln.gamma", "mlm.gamma"
+        yield "mlm.ln.beta", "mlm.beta"
+        yield "bias.mlm.decoder", "mlm.dec_b"
 
     # -- per-sequence forward with caches ---------------------------------
 

@@ -127,38 +127,51 @@ def install_checkpoint(weights: dict[str, np.ndarray]) -> None:
     """Route the forward's weight lookups through these tensors (the
     state_dict swap). Affects the current process only — workers each
     install from the broadcast path in a real deployment."""
+    global _WORKER_INSTALLED
     rf._OVERRIDE.clear()
     rf._OVERRIDE.update(weights)
+    _WORKER_INSTALLED = _MANUAL  # direct mutation invalidates the memo
 
 
 def clear_checkpoint() -> None:
+    global _WORKER_INSTALLED
     rf._OVERRIDE.clear()
+    _WORKER_INSTALLED = _MANUAL
 
 
-# one install per worker process per checkpoint identity — re-installs
-# only when a DIFFERENT checkpoint (or None) arrives. Reused python
-# workers share module state across tasks, so every executor-side
-# forward must declare the state it needs — including "no checkpoint",
-# or a prior task's install would leak into seeded-weight queries.
+# one install per worker process per checkpoint CONTENT HASH — a
+# retrained checkpoint saved to the same path re-installs (the hash
+# differs), and a direct install/clear_checkpoint resets the memo to
+# the _MANUAL sentinel so ensure_checkpoint_state never early-returns
+# against stale state. Reused python workers share module state across
+# tasks, so every executor-side forward must declare the state it
+# needs — including "no checkpoint" (None), or a prior task's install
+# would leak into seeded-weight queries.
+_MANUAL = "<manual>"
 _WORKER_INSTALLED: str | None = None
 
 
 def ensure_checkpoint_state(path: str | None) -> None:
     """Executor-side install/clear: route the forward's lookups
-    through <path>.npz (hash-verified, once per worker process), or —
-    path None — make sure NO checkpoint is installed. This is how a
-    TRAINED checkpoint reaches lake-wide inference; install_checkpoint
-    alone only affects the driver. ``path`` must be visible to workers
-    (shared FS in this harness; ship via SparkFiles.get on a real
-    cluster)."""
+    through <path>.npz (hash-verified, once per worker process per
+    checkpoint content hash), or — path None — make sure NO checkpoint
+    is installed. This is how a TRAINED checkpoint reaches lake-wide
+    inference; install_checkpoint alone only affects the driver.
+    ``path`` must be visible to workers (shared FS in this harness;
+    ship via SparkFiles.get on a real cluster)."""
     global _WORKER_INSTALLED
-    if _WORKER_INSTALLED == path:
-        return
     if path is None:
+        if _WORKER_INSTALLED is None:
+            return
         clear_checkpoint()
-    else:
-        install_checkpoint(load_checkpoint(path))
-    _WORKER_INSTALLED = path
+        _WORKER_INSTALLED = None
+        return
+    with open(path + ".json") as f:
+        key = json.load(f)["content_hash"]
+    if _WORKER_INSTALLED == key:
+        return
+    install_checkpoint(load_checkpoint(path))
+    _WORKER_INSTALLED = key
 
 
 def checkpoint_exists(path: str) -> bool:

@@ -84,7 +84,7 @@ def extract_embeddings(
     array) rows (sketch_store.column_minhash_wide) for the sixth
     stream (``checkpoint_path`` routes every executor's forward
     through a TRAINED npz checkpoint — ml/checkpoint
-    ensure_checkpoint_installed, once per worker, hash-verified; the
+    ensure_checkpoint_state, once per worker, hash-verified; the
     serve-a-finetuned-model-lake-wide path); absent signatures fall
     back to zeros exactly like the
     reference tokenizer's missing-key path (tabular_tokenizer.py:206).
@@ -155,7 +155,9 @@ def extract_embeddings(
     return src.groupBy("table_name").applyInPandas(infer, schema=EMBED_SCHEMA)
 
 
-def value_embeddings(value_docs: DataFrame) -> DataFrame:
+def value_embeddings(
+    value_docs: DataFrame, checkpoint_path: str | None = None
+) -> DataFrame:
     """K2 (reference embedding_search.py:25-42): encode each column's
     value document (first-100-unique comma-joined values — see
     operators/structural.value_doc) into a vector with the numpy
@@ -174,7 +176,7 @@ def value_embeddings(value_docs: DataFrame) -> DataFrame:
         from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
         from tabsketchfm_spark.ml.reference_forward import encode_text
 
-        ensure_checkpoint_state(None)  # reused-worker hygiene
+        ensure_checkpoint_state(checkpoint_path)
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():

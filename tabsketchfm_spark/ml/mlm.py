@@ -108,7 +108,9 @@ def apply_mask(seq: list[dict]) -> tuple[list[dict], np.ndarray]:
 
 
 def masked_lm_eval(
-    profile: DataFrame, n_layers: int = rf.N_LAYERS
+    profile: DataFrame,
+    n_layers: int = rf.N_LAYERS,
+    checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Lake-wide MLM evaluation: profile rows (one per column, with a
     table_name column) → one row per table with the masked-LM loss and
@@ -127,7 +129,9 @@ def masked_lm_eval(
             masked_lm_forward,
         )
 
-        ensure_checkpoint_state(None)  # reused-worker hygiene
+        # serve a TRAINED checkpoint when given one; otherwise make
+        # sure a reused worker is back on seeded weights
+        ensure_checkpoint_state(checkpoint_path)
         col_rows = [
             {c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()
         ]
@@ -170,7 +174,11 @@ def mlm_training_batch(seq: list[dict], n_layers: int = rf.N_LAYERS):
 BATCH_SCHEMA = "table_name string, pos int, state array<double>, label long"
 
 
-def mlm_batches(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
+def mlm_batches(
+    profile: DataFrame,
+    n_layers: int = rf.N_LAYERS,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
     """Distributed batch assembly: profile rows → one row per MASKED
     position with its frozen encoder state and label. The expensive
     part (per-table encoder forward) runs on executors; the driver
@@ -185,7 +193,7 @@ def mlm_batches(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
         from tabsketchfm_spark.ml.mlm import mlm_training_batch
         from tabsketchfm_spark.ml.reference_forward import build_token_sequence
 
-        ensure_checkpoint_state(None)  # reused-worker hygiene
+        ensure_checkpoint_state(checkpoint_path)
         col_rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
         table_name = col_rows[0]["table_name"]
         seq = build_token_sequence(col_rows)

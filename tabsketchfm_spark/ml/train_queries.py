@@ -161,7 +161,11 @@ EVAL_SCHEMA = (
 PAIR_POOL_SCHEMA = "pair_id string, pooled array<double>, label long"
 
 
-def _pair_pooled(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
+def _pair_pooled(
+    profile: DataFrame,
+    n_layers: int = rf.N_LAYERS,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
     """Per-pair cross-encoder forward: the pair's combined token
     sequence ([CLS] t1-cols... t2-cols..., the M10 concat layout)
     through the full M2 model; emits the tanh-POOLED output the M6
@@ -181,7 +185,7 @@ def _pair_pooled(profile: DataFrame, n_layers: int = rf.N_LAYERS) -> DataFrame:
             model_forward,
         )
 
-        ensure_checkpoint_state(None)  # reused-worker hygiene
+        ensure_checkpoint_state(checkpoint_path)
         rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
         pair_id = rows[0]["pair_id"]
         label = int(rows[0]["pair_label"])

@@ -381,6 +381,80 @@ def test_full_model_train_checkpoint_serve_loop(tmp_path):
     assert rf.masked_lm_forward(masked, labels)["loss"] == before  # override cleared
 
 
+def test_state_dict_names_match_materialize_weights():
+    """The backprop trainer's checkpoint-key map cannot drift from
+    ml/checkpoint.materialize_weights: every state_dict key exists
+    there with the SAME seeded tensor at init (position tables compare
+    on the trainer's row count — materialize uses MAX_POS)."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    m = MLMPretrainModel()
+    sd = m.state_dict()
+    w = ck.materialize_weights()
+    missing = [k for k in sd if k not in w]
+    assert not missing, missing
+    for k, v in sd.items():
+        ref = w[k][: v.shape[0]] if w[k].ndim == v.ndim and w[k].shape != v.shape else w[k]
+        assert np.array_equal(v, ref), k
+
+
+def test_init_is_seeded_even_under_installed_checkpoint(tmp_path):
+    """Constructing MLMPretrainModel while a (trained) checkpoint is
+    installed must NOT mix override weights into the init — epoch-0
+    loss stays the seeded serving loss; warm-start goes through
+    load_state_dict explicitly."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    batch = _masked_demo_batch()
+    masked, labels = batch[0]
+    seeded_loss = rf.masked_lm_forward(masked, labels)["loss"]
+
+    trained = MLMPretrainModel()
+    tr.fit(trained, (batch, None), (batch, None), lr=5e-3, max_epochs=3, patience=3)
+    ck.install_checkpoint(trained.state_dict())
+    try:
+        fresh = MLMPretrainModel()
+    finally:
+        ck.clear_checkpoint()
+    got, _ = fresh.loss(batch)
+    assert got == seeded_loss
+    # explicit warm-start reproduces the trained model
+    fresh.load_state_dict(trained.state_dict())
+    assert fresh.loss(batch)[0] == trained.loss(batch)[0]
+
+
+def test_ensure_checkpoint_state_rekeys_on_content_and_manual_ops(tmp_path):
+    """Memoization is by CONTENT hash, not path: retraining into the
+    same path re-installs; a direct install/clear resets the memo so
+    ensure_checkpoint_state never early-returns against stale state."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    batch = _masked_demo_batch()
+    masked, labels = batch[0]
+    path = str(tmp_path / "ck")
+
+    a = MLMPretrainModel()
+    ck.save_checkpoint(path, a.state_dict())
+    ck.ensure_checkpoint_state(path)
+    loss_a = rf.masked_lm_forward(masked, labels)["loss"]
+
+    tr.fit(a, (batch, None), (batch, None), lr=5e-3, max_epochs=3, patience=3)
+    ck.save_checkpoint(path, a.state_dict())  # SAME path, new content
+    ck.ensure_checkpoint_state(path)
+    loss_b = rf.masked_lm_forward(masked, labels)["loss"]
+    assert loss_b != loss_a  # re-installed despite identical path
+
+    # manual clear desync: ensure() must re-install afterwards
+    ck.clear_checkpoint()
+    ck.ensure_checkpoint_state(path)
+    assert rf.masked_lm_forward(masked, labels)["loss"] == loss_b
+    ck.ensure_checkpoint_state(None)
+    assert rf.masked_lm_forward(masked, labels)["loss"] == loss_a  # seeded again
+
+
 def test_checkpoint_serves_lake_wide_extraction(spark, sf001, tmp_path):
     """The serve-a-trained-model-at-lake-scale path: a trained full
     checkpoint passed to extract_embeddings reaches the EXECUTORS
