@@ -149,6 +149,49 @@ def pretrain_curve_full(
     )
 
 
+def serve_trained_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "customer",
+    max_epochs: int = 6,
+) -> DataFrame:
+    """The WHOLE loop as one query — train (full-encoder backprop) →
+    checkpoint (npz + hash manifest) → serve (lake-wide extraction with
+    the trained weights installed per executor worker): the
+    pretrain-then-extract workflow of the reference
+    (pretrain.py → extract_embeddings.py) end to end. Deterministic:
+    seeded init, md5 mask rolls, full-batch epochs → identical vectors
+    every run (the driver's rows-only determinism check).
+    Output: the K1 embedding table for ``table`` under the trained
+    checkpoint."""
+    import tempfile
+
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml import embed as ml_embed
+    from tabsketchfm_spark.ml.backprop import (
+        MLMPretrainModel,
+        sequence_position_dims,
+    )
+
+    bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
+    bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
+    mc, mt = sequence_position_dims(bt + bv)
+    model = MLMPretrainModel(max_col=max(mc, 64), max_tokpos=max(mt, 64))
+    tr.fit(model, (bt, None), (bv, None), lr=5e-3, max_epochs=max_epochs)
+    path = tempfile.mkdtemp(prefix="tsfm_ck_") + "/served"
+    ck.save_checkpoint(path, model.state_dict())
+    caches: list = []
+    profile = prof.profile_table(
+        load_table(spark, sf_dir, table), table, round_digits=4, caches=caches
+    )
+    rows = ml_embed.extract_embeddings(
+        profile, checkpoint_path=path
+    ).collect()  # tiny (cols + 2 rows); materializing releases the caches
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, ml_embed.EMBED_SCHEMA)
+
+
 # --- M6/M7: fine-tune table-similarity --------------------------------------
 
 FINETUNE_TABLES = ["customer", "supplier", "orders", "part", "nation", "region"]

@@ -1060,6 +1060,15 @@ _register(
     None,
 )
 _register(
+    # the reference's pretrain→extract WORKFLOW end to end: train
+    # (full backprop) → npz checkpoint → lake-wide extraction with the
+    # trained weights installed per executor worker — rows-only
+    # (deterministic: seeded init + md5 rolls + full-batch epochs)
+    "k1t_embeddings_trained_customer",
+    lambda spark, sf: ml_train.serve_trained_embeddings(spark, sf),
+    None,
+)
+_register(
     # M6+M7: fine-tune-table-similarity (pooled CLS -> linear head,
     # CE routing) with accuracy + weighted-F1 eval — rows-only
     "m6_finetune_eval",

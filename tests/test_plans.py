@@ -446,6 +446,7 @@ def test_rows_only_set_is_pinned():
         "m3_mlm_eval_tables",
         "m5_pretrain_curve",
         "m5f_pretrain_curve_full",
+        "k1t_embeddings_trained_customer",
         "m6_finetune_eval",
         "m4m_mllib_mlp_length",  # MLlib MLP: seeded RNG init
     }
