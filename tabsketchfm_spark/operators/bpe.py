@@ -295,6 +295,97 @@ def bpe_tokenize_with(
     )
 
 
+def bpe_vocab_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    sizes: tuple[int, ...] = (0, 2, 4, 8),
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Vocabulary-size sweep: corpus segmentation statistics at several
+    merge counts — the curve a tokenizer-training pipeline reads to
+    pick its vocab budget (subwords/word falls as merges grow; symbol
+    types rise). Greedy BPE trajectories are PREFIX-STABLE (merge k
+    depends only on merges 1..k-1), so the Spark side learns once at
+    max(sizes) and slices prefixes; the oracle re-derives every chain
+    independently and must land on the same numbers.
+    Output: (n_merges, total_words, total_subwords, n_symbol_types,
+    subwords_per_word)."""
+    from tabsketchfm_spark.sources.tables import load_table
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learn(spark, sf_dir, max(sizes), max_word_len).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    counts = _word_counts(docs, max_word_len).persist()
+    base_seq = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.split("w", "")),
+        F.lit("  " + END + " "),
+    )
+    rows = []
+    for n in sorted(sizes):
+        seq = base_seq
+        for s1, s2 in merges[:n]:
+            seq = F.replace(seq, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+        frame = counts.select(
+            F.split(F.trim(seq), "  ").alias("a"), "cnt"
+        )
+        tot = frame.agg(
+            F.sum("cnt").alias("tw"),
+            F.sum(F.size("a") * F.col("cnt")).alias("ts"),
+        )
+        types = frame.select(F.explode("a").alias("s")).agg(
+            F.countDistinct("s").alias("nt")
+        )
+        # tie-safe quantizer (floor(x*1e6+0.5)/1e6): round() ties split
+        # across engines
+        rows.append(
+            tot.crossJoin(F.broadcast(types))
+            .select(
+                F.lit(n).alias("n_merges"),
+                F.col("tw").cast("bigint").alias("total_words"),
+                F.col("ts").cast("bigint").alias("total_subwords"),
+                F.col("nt").cast("bigint").alias("n_symbol_types"),
+                (
+                    F.floor(
+                        (F.col("ts").cast("double") / F.col("tw")) * 1e6 + 0.5
+                    )
+                    / 1e6
+                ).alias("subwords_per_word"),
+            )
+            .collect()[0]
+        )
+    counts.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "n_merges int, total_words bigint, total_subwords bigint, "
+        "n_symbol_types bigint, subwords_per_word double",
+    )
+
+
+def bpe_vocab_curve_oracle_sql(
+    sizes: tuple[int, ...] = (0, 2, 4, 8), max_word_len: int = MAX_WORD_LEN
+) -> str:
+    parts = []
+    for n in sorted(sizes):
+        joined = ",\n".join(_oracle_ctes(n, max_word_len, final_round=True))
+        parts.append(
+            f"""(WITH {joined},
+sym AS (SELECT string_split(trim(seq), '  ') AS a, cnt FROM r{n}),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tw,
+               CAST(sum(array_length(a) * cnt) AS BIGINT) AS ts FROM sym),
+typ AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS nt
+        FROM (SELECT unnest(a) AS s FROM sym) u)
+SELECT {n} AS n_merges, tw AS total_words, ts AS total_subwords,
+       nt AS n_symbol_types,
+       floor((CAST(ts AS DOUBLE) / tw) * 1e6 + 0.5) / 1e6
+         AS subwords_per_word
+FROM tot, typ)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def bpe_token_counts_oracle_sql(
     n_merges: int = 8, max_word_len: int = MAX_WORD_LEN
 ) -> str:

@@ -1434,6 +1434,14 @@ _register(
     lambda spark, sf: bpe_op.bpe_token_counts(spark, sf),
     bpe_op.bpe_token_counts_oracle_sql(),
 )
+_register(
+    # vocabulary-size SWEEP: segmentation stats at several merge
+    # counts (prefix-stable trajectory — learn once, slice prefixes;
+    # the oracle re-derives every chain independently)
+    "bpe_vocab_curve_documents",
+    lambda spark, sf: bpe_op.bpe_vocab_curve(spark, sf),
+    bpe_op.bpe_vocab_curve_oracle_sql(),
+)
 
 
 _register(
