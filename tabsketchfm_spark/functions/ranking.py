@@ -30,10 +30,12 @@ def ranked_topk(
     TakeOrderedAndProject does the heavy cut; the global window only
     ever sees k rows."""
     top = df.orderBy(*order).limit(k)
-    # the global window here sees at most k rows (the limit runs as
-    # TakeOrderedAndProject before it) — Spark's single-partition
-    # warning on this node is expected and harmless
-    w = Window.orderBy(*order)
+    # the window sees at most k rows (the limit runs as
+    # TakeOrderedAndProject before it). The constant partition key
+    # makes that bound explicit to Spark: same single-partition
+    # execution and identical ranks, but no spurious "No Partition
+    # Defined" warning on a provably bounded input.
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
     return top.withColumn(rank_name, F.row_number().over(w).cast("int"))
 
 
