@@ -1640,6 +1640,14 @@ _register(
     ps.streaming_funnel,
     ps.streaming_funnel_oracle_sql(),
 )
+_register(
+    # streaming entity resolution: per-user FIRST-SEEN min-struct
+    # state (mergeable) served through the batch blocked linkage
+    # scorer against the static customer reference
+    "stream_record_linkage_users",
+    lambda spark, sf: ps.streaming_record_linkage(spark, sf),
+    ps.streaming_record_linkage_oracle_sql(),
+)
 
 from tabsketchfm_spark.streaming import sessionize as sess
 

@@ -396,6 +396,110 @@ FROM r WHERE rank <= {k}
 """
 
 
+def streaming_record_linkage(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.25,
+    w_name: float = 0.5,
+) -> DataFrame:
+    """Streaming entity resolution: resolve STREAMING user records
+    against a static customer reference. The incremental state is each
+    user's FIRST-SEEN record — min(struct(es, event_id, …)), a
+    mergeable, order-insensitive aggregate across micro-batches
+    (the CDC compaction trick, flipped to MIN) — so state is
+    O(|users|), never O(|events|). Serving blocks the state table
+    against the reference and reuses the batch Fellegi-Sunter scorer
+    (operators/linkage.record_linkage) verbatim: same blocking-bounded
+    O(Σ block²) cost argument, executor-side cut via foreachBatch.
+    A completed availableNow run == batch linkage over each user's
+    earliest record, which the oracle checks bit-exactly.
+    Output: (id_a, id_b, name_jac, num_sim, score)."""
+    from tabsketchfm_spark.operators.linkage import record_linkage
+    from tabsketchfm_spark.sources.tables import load_table
+
+    s = _events_stream(spark, sf_dir)
+    es = (F.unix_micros(F.col("ts")) / F.lit(1000000.0)).alias("es")
+    first = (
+        s.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.struct(
+                es,
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+                F.col("props").alias("p"),
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("st").alias("st"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 25).alias("cblk"),
+        "c_name",
+        (F.col("c_acctbal") / 1000).alias("cbal"),
+    )
+    holder: dict[str, object] = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        a = batch_df.select(
+            F.col("user_id").alias("uid"),
+            (F.col("user_id") % 25).alias("ublk"),
+            F.col("st.p").alias("uname"),
+            F.col("st.v").alias("uval"),
+        )
+        out = record_linkage(
+            a,
+            cust,
+            id_cols=("uid", "c_custkey"),
+            block_cols=("ublk", "cblk"),
+            name_cols=("uname", "c_name"),
+            num_cols=("uval", "cbal"),
+            threshold=threshold,
+            w_name=w_name,
+        )
+        holder["schema"] = out.schema
+        holder["rows"] = out.collect()
+
+    q = (
+        first.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if "rows" not in holder:  # zero-batch run (empty source)
+        sink(spark.createDataFrame([], first.schema), -1)
+    return spark.createDataFrame(holder["rows"], holder["schema"])
+
+
+def streaming_record_linkage_oracle_sql(
+    threshold: float = 0.25, w_name: float = 0.5
+) -> str:
+    from tabsketchfm_spark.operators.linkage import record_linkage_oracle_sql
+
+    first = (
+        "(SELECT user_id, value, props FROM ("
+        "SELECT user_id, value, props, row_number() OVER ("
+        "PARTITION BY user_id ORDER BY epoch(ts), event_id) AS rn "
+        "FROM events WHERE user_id IS NOT NULL) t WHERE rn = 1) fs"
+    )
+    cust = (
+        "(SELECT c_custkey, c_name, c_acctbal / 1000 AS cbal "
+        "FROM customer) cr"
+    )
+    return record_linkage_oracle_sql(
+        table_a=first,
+        table_b=cust,
+        id_cols=("user_id", "c_custkey"),
+        block_cols=("user_id % 25", "c_custkey % 25"),
+        name_cols=("props", "c_name"),
+        num_cols=("value", "cbal"),
+        threshold=threshold,
+        w_name=w_name,
+    )
+
+
 def streaming_funnel(spark: SparkSession, sf_dir: str, steps=None) -> DataFrame:
     """Streaming ordered funnel over the event stream.
 
