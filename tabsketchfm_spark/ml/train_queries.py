@@ -109,6 +109,26 @@ def _masked_sequences(
     return out
 
 
+def _fit_full_model(
+    spark: SparkSession, sf_dir: str, lr: float = 5e-3, max_epochs: int = 12
+):
+    """Shared assembly + full-backprop fit for the M5-complete paths:
+    (model, curve). ONE definition so the registered pretrain curve
+    and the served checkpoint cannot drift (same batches, dims floor,
+    optimizer discipline)."""
+    from tabsketchfm_spark.ml.backprop import (
+        MLMPretrainModel,
+        sequence_position_dims,
+    )
+
+    bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
+    bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
+    mc, mt = sequence_position_dims(bt + bv)
+    model = MLMPretrainModel(max_col=max(mc, 64), max_tokpos=max(mt, 64))
+    curve = tr.fit(model, (bt, None), (bv, None), lr=lr, max_epochs=max_epochs)
+    return model, curve
+
+
 def pretrain_curve_full(
     spark: SparkSession,
     sf_dir: str,
@@ -124,16 +144,7 @@ def pretrain_curve_full(
     mask rolls, so epoch 0 reproduces the frozen curve's starting loss
     and every later epoch must sit strictly below it (the extra
     capacity test pins this). Returns the per-epoch curve."""
-    from tabsketchfm_spark.ml.backprop import (
-        MLMPretrainModel,
-        sequence_position_dims,
-    )
-
-    bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
-    bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
-    mc, mt = sequence_position_dims(bt + bv)
-    model = MLMPretrainModel(max_col=max(mc, 64), max_tokpos=max(mt, 64))
-    curve = tr.fit(model, (bt, None), (bv, None), lr=lr, max_epochs=max_epochs)
+    _, curve = _fit_full_model(spark, sf_dir, lr=lr, max_epochs=max_epochs)
     return spark.createDataFrame(
         [
             (
@@ -164,31 +175,28 @@ def serve_trained_embeddings(
     every run (the driver's rows-only determinism check).
     Output: the K1 embedding table for ``table`` under the trained
     checkpoint."""
+    import shutil
     import tempfile
 
     from tabsketchfm_spark.ml import checkpoint as ck
     from tabsketchfm_spark.ml import embed as ml_embed
-    from tabsketchfm_spark.ml.backprop import (
-        MLMPretrainModel,
-        sequence_position_dims,
-    )
 
-    bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
-    bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
-    mc, mt = sequence_position_dims(bt + bv)
-    model = MLMPretrainModel(max_col=max(mc, 64), max_tokpos=max(mt, 64))
-    tr.fit(model, (bt, None), (bv, None), lr=5e-3, max_epochs=max_epochs)
-    path = tempfile.mkdtemp(prefix="tsfm_ck_") + "/served"
-    ck.save_checkpoint(path, model.state_dict())
-    caches: list = []
-    profile = prof.profile_table(
-        load_table(spark, sf_dir, table), table, round_digits=4, caches=caches
-    )
-    rows = ml_embed.extract_embeddings(
-        profile, checkpoint_path=path
-    ).collect()  # tiny (cols + 2 rows); materializing releases the caches
-    for c in caches:
-        c.unpersist()
+    model, _ = _fit_full_model(spark, sf_dir, max_epochs=max_epochs)
+    tmpdir = tempfile.mkdtemp(prefix="tsfm_ck_")
+    try:
+        path = tmpdir + "/served"
+        ck.save_checkpoint(path, model.state_dict())
+        caches: list = []
+        profile = prof.profile_table(
+            load_table(spark, sf_dir, table), table, round_digits=4, caches=caches
+        )
+        rows = ml_embed.extract_embeddings(
+            profile, checkpoint_path=path
+        ).collect()  # tiny (cols + 2 rows); materializing releases the caches
+        for c in caches:
+            c.unpersist()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     return spark.createDataFrame(rows, ml_embed.EMBED_SCHEMA)
 
 

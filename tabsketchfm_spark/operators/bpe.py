@@ -50,6 +50,26 @@ MAX_WORD_LEN = 16
 END = "</w>"
 
 
+def _base_seq():
+    """The double-space symbol encoding (' a  b  </w> ') — the
+    load-bearing cross-engine contract every oracle replays; ONE
+    definition for learn / apply / sweep."""
+    return F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.split("w", "")),
+        F.lit("  " + END + " "),
+    )
+
+
+def _apply_merges(col, merges):
+    """Greedy left-to-right merge application: chained replace() over
+    the double-space encoding (byte-identical semantics in Spark and
+    DuckDB)."""
+    for s1, s2 in merges:
+        col = F.replace(col, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+    return col
+
+
 def _clean_words(docs: DataFrame, max_word_len: int, keep_doc_id: bool = False) -> DataFrame:
     """ONE definition of "clean word" (lowercase-alpha, bounded length)
     shared by the learn and apply paths — its SQL twin is
@@ -106,23 +126,13 @@ def bpe_learn(
     from tabsketchfm_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    base_seq = F.concat(
-        F.lit(" "),
-        F.concat_ws("  ", F.split("w", "")),
-        F.lit("  " + END + " "),
-    )
     # the ONLY corpus-sized job; everything after runs over this
     # vocabulary-sized frame
     seg = (
         _word_counts(docs, max_word_len)
-        .select(base_seq.alias("seq"), "cnt")
+        .select(_base_seq().alias("seq"), "cnt")
         .localCheckpoint()
     )
-
-    def fold(col, batch):
-        for s1, s2 in batch:
-            col = F.replace(col, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
-        return col
 
     merges: list[tuple[str, str, int]] = []
     batch: list[tuple[str, str]] = []
@@ -130,11 +140,11 @@ def bpe_learn(
         if len(batch) >= recount_every:
             old = seg
             seg = seg.select(
-                fold(F.col("seq"), batch).alias("seq"), "cnt"
+                _apply_merges(F.col("seq"), batch).alias("seq"), "cnt"
             ).localCheckpoint()
             _release_checkpoint(old)
             batch = []
-        a = F.split(F.trim(fold(F.col("seq"), batch)), "  ")
+        a = F.split(F.trim(_apply_merges(F.col("seq"), batch)), "  ")
         pairs = (
             seg.select(a.alias("a"), "cnt")
             .where(F.size("a") >= 2)
@@ -274,13 +284,7 @@ def bpe_tokenize_with(
 
     docs = load_table(spark, sf_dir, "documents")
     counts = _word_counts(docs, max_word_len)
-    seq = F.concat(
-        F.lit(" "),
-        F.concat_ws("  ", F.split("w", "")),
-        F.lit("  " + END + " "),
-    )
-    for s1, s2 in merges:
-        seq = F.replace(seq, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+    seq = _apply_merges(_base_seq(), merges)
     vocab = counts.select(
         "w", F.size(F.split(F.trim(seq), "  ")).alias("n_sym")
     )
@@ -318,16 +322,9 @@ def bpe_vocab_curve(
     ]
     docs = load_table(spark, sf_dir, "documents")
     counts = _word_counts(docs, max_word_len).persist()
-    base_seq = F.concat(
-        F.lit(" "),
-        F.concat_ws("  ", F.split("w", "")),
-        F.lit("  " + END + " "),
-    )
     rows = []
     for n in sorted(sizes):
-        seq = base_seq
-        for s1, s2 in merges[:n]:
-            seq = F.replace(seq, F.lit(f" {s1}  {s2} "), F.lit(f" {s1}{s2} "))
+        seq = _apply_merges(_base_seq(), merges[:n])
         frame = counts.select(
             F.split(F.trim(seq), "  ").alias("a"), "cnt"
         )

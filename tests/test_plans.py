@@ -348,9 +348,18 @@ def _partitionless_window_violations(df) -> list[str]:
     bad = []
     for n in _walk_jplan(df._jdf.queryExecution().sparkPlan()):
         cls = n.getClass().getSimpleName()
-        if cls == "WindowExec" and n.partitionSpec().isEmpty():
-            if not _subtree_has_limit(n):
-                bad.append(n.toString().splitlines()[0])
+        if cls != "WindowExec":
+            continue
+        spec = n.partitionSpec()
+        # an all-FOLDABLE partition spec (e.g. lit(0)) is semantically
+        # partition-less — every row hashes to one partition; treat it
+        # exactly like an empty spec so the ranked_topk idiom can't be
+        # copied over an unlimited input unnoticed
+        foldable_only = all(
+            spec.apply(i).foldable() for i in range(spec.size())
+        )
+        if foldable_only and not _subtree_has_limit(n):
+            bad.append(n.toString().splitlines()[0])
     return bad
 
 
@@ -374,6 +383,8 @@ _PLAN_GUARD_SKIP = {
     # own operator tests
     "bpe_merges_documents",
     "bpe_token_counts_documents",
+    "bpe_vocab_curve_documents",
+    "k1t_embeddings_trained_customer",
     "layout_zone_map_audit",
     "k3g_table_pagerank",
     "k3h_table_communities",
@@ -426,7 +437,7 @@ def test_pmi_topk_uses_distributed_topk(spark, sf01):
 
 
 def test_rows_only_set_is_pinned():
-    """Every query without an oracle is one of the seven DOCUMENTED
+    """Every query without an oracle is one of the DOCUMENTED
     rows-only cases (RNG-seeded MLlib twins, the mapInPandas model and
     media stages, the HLL approx twin). A new unoracled registration
     must be a conscious decision, not an accidental drop."""
