@@ -1152,6 +1152,119 @@ SELECT id, r_lex, r_sem, rrf, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring deduplication with span REMOVAL (the
+    "Deduplicating Training Data Makes Language Models Better"
+    primitive, token granularity): any ``k``-token gram occurring 2+
+    times anywhere in the corpus is a duplicate; every token position
+    covered by a duplicated gram is dropped, and the surviving tokens
+    are re-joined into the cleaned document. duplicate_span_fraction
+    MEASURES copying; this op performs the edit.
+
+    Shape (all linear in corpus tokens, no pair enumeration):
+    one gram projection (unrolled element_at terms — slice() copies,
+    per the shingle lesson), ONE grouped gram-frequency count (a gram
+    shared by 10^6 boilerplate docs costs one count row), the covered
+    positions exploded from duplicated starts only, one anti-join, one
+    per-doc ordered reassembly. Output: (id, n_tokens, n_removed,
+    cleaned_text); docs shorter than k tokens pass through untouched.
+    """
+    from tabsketchfm_spark.functions.hashing import h64_sql
+
+    toks = _toks_spark(text_col)
+    t = df.select(
+        F.col(id_col).alias("id"), F.expr(toks).alias("tk")
+    ).persist()
+    gram = "concat_ws(' ', " + ", ".join(
+        f"element_at(tk, s + {i + 1})" for i in range(k)
+    ) + ")"
+    fps = (
+        t.where(F.size("tk") >= k)
+        .select(
+            "id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), F.size("tk") - k)).alias("s"),
+        )
+        .select("id", "s", F.expr(h64_sql(gram, "spark")).alias("fp"))
+        .persist()
+    )
+    dup_fp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("fp")
+    )
+    covered = (
+        fps.join(dup_fp, "fp")
+        .select(
+            "id", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("pos")
+        )
+        .distinct()
+    )
+    tokens = t.select("id", F.posexplode("tk").alias("pos", "token"))
+    kept = tokens.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        t.select("id", F.size("tk").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+def exact_substring_dedup_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h64_sql
+
+    toks = _toks_duckdb(text_col)
+    h = h64_sql(f"array_to_string(tk[s+1:s+{k}], ' ')", "duckdb")
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+fps AS (SELECT id, s, {h} AS fp
+        FROM (SELECT id, tk, unnest(generate_series(0, len(tk) - {k})) AS s
+              FROM t WHERE len(tk) >= {k}) q),
+dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+covered AS (SELECT DISTINCT id, s + j AS pos
+            FROM (SELECT id, s FROM fps JOIN dup USING (fp)) d,
+                 (SELECT unnest(generate_series(0, {k - 1})) AS j) js),
+tokens AS (SELECT id, s AS pos, tk[s+1] AS token
+           FROM (SELECT id, tk, unnest(generate_series(0, len(tk) - 1)) AS s
+                 FROM t WHERE len(tk) >= 1) q),
+kept AS (SELECT * FROM tokens ANTI JOIN covered USING (id, pos)),
+rebuilt AS (SELECT id, count(*) AS n_kept,
+                   array_to_string(list(token ORDER BY pos), ' ') AS cleaned_text
+            FROM kept GROUP BY id)
+SELECT t.id, CAST(len(tk) AS INTEGER) AS n_tokens,
+       CAST(len(tk) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN rebuilt ON t.id = rebuilt.id
+"""
+
+
 def duplicate_span_fraction(
     df: DataFrame,
     id_col: str = "doc_id",

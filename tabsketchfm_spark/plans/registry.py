@@ -1355,6 +1355,14 @@ _register(
     txt.duplicate_span_fraction_oracle_sql("documents"),
 )
 _register(
+    # ...and the EDIT: exact-substring dedup with span removal (the
+    # ExactSubstr primitive — duplicated k-token grams dropped, docs
+    # reassembled); one gram-frequency count, no pair enumeration
+    "dedup_exact_substrings_documents",
+    lambda spark, sf: txt.exact_substring_dedup(load_table(spark, sf, "documents")),
+    txt.exact_substring_dedup_oracle_sql("documents"),
+)
+_register(
     # END-TO-END curation: gopher gates ∧ quality ≥ τ ∧ exact-dedup
     # keeper, then sequence packing — one composed Catalyst plan,
     # bit-exact through every stage

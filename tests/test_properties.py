@@ -809,3 +809,28 @@ def test_reshard_minimal_movement_property(spark, sf01):
     assert abs(rows["mod_hash"] - 8 / 9) < 0.03
     assert abs(rows["rendezvous"] - 1 / 9) < 0.03
     assert rows["rendezvous"] < rows["mod_hash"] / 4
+
+
+def test_exact_substring_dedup_removes_injected_spans(spark):
+    """ExactSubstr semantics on a constructed corpus: a k-gram pasted
+    into two docs is removed from BOTH (all covered positions); fully
+    unique docs and docs shorter than k pass through untouched."""
+    from tabsketchfm_spark.operators.text import exact_substring_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens > k=8
+    rows = [
+        (1, f"alpha beta {boiler} gamma"),
+        (2, f"delta {boiler} epsilon zeta"),
+        (3, "completely unique text with no repeats at all here ok"),
+        (4, "short doc"),  # < k tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in exact_substring_dedup(docs).collect()}
+    # the shared 9-token span yields 2 duplicated 8-grams covering all
+    # 9 positions in each doc; unique surroundings survive
+    assert got[1]["cleaned_text"] == "alpha beta gamma"
+    assert got[2]["cleaned_text"] == "delta epsilon zeta"
+    assert got[1]["n_removed"] == 9 and got[2]["n_removed"] == 9
+    assert got[3]["n_removed"] == 0
+    assert got[3]["cleaned_text"] == rows[2][1]
+    assert got[4]["n_removed"] == 0 and got[4]["cleaned_text"] == "short doc"
