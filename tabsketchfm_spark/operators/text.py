@@ -1175,9 +1175,12 @@ def exact_substring_dedup(
     cleaned_text); docs shorter than k tokens pass through untouched.
     """
     from tabsketchfm_spark.functions.hashing import h64_sql
+    from tabsketchfm_spark.sources.tables import spread
 
     toks = _toks_spark(text_col)
-    t = df.select(
+    # spread() before the expression-heavy gram explode (single-row-
+    # group lake lesson); gated, so it is a no-op on well-split inputs
+    t = spread(df).select(
         F.col(id_col).alias("id"), F.expr(toks).alias("tk")
     ).persist()
     gram = "concat_ws(' ', " + ", ".join(
@@ -1206,9 +1209,22 @@ def exact_substring_dedup(
         )
         .distinct()
     )
-    tokens = t.select("id", F.posexplode("tk").alias("pos", "token"))
+    # only TOUCHED docs pay the explode + ordered-reassembly shuffle;
+    # the typical mostly-unique corpus passes through as a cheap
+    # per-row projection (kept == all tokens in order == array_join)
+    touched = covered.select("id").distinct()
+    untouched = t.join(touched, "id", "left_anti").select(
+        "id",
+        F.size("tk").alias("n_tokens"),
+        F.lit(0).alias("n_removed"),
+        F.array_join("tk", " ").alias("cleaned_text"),
+    )
+    tokens = t.join(touched, "id", "left_semi").select(
+        "id", F.size("tk").alias("n_tokens"), F.posexplode("tk").alias("pos", "token")
+    )
     kept = tokens.join(covered, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
+        F.first("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
             F.transform(
@@ -1217,18 +1233,29 @@ def exact_substring_dedup(
             ),
             " ",
         ).alias("cleaned_text"),
+    ).select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
+        "cleaned_text",
     )
-    return (
-        t.select("id", F.size("tk").alias("n_tokens"))
-        .join(rebuilt, "id", "left")
+    # a fully-covered doc drops out of kept entirely: restore it with
+    # an empty cleaned text
+    emptied = (
+        t.join(touched, "id", "left_semi")
+        .join(rebuilt.select("id"), "id", "left_anti")
         .select(
             "id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            F.size("tk").alias("n_tokens"),
+            F.size("tk").alias("n_removed"),
+            F.lit("").alias("cleaned_text"),
         )
+    )
+    return untouched.unionByName(rebuilt).unionByName(emptied).select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "cleaned_text",
     )
 
 
@@ -1243,8 +1270,8 @@ def exact_substring_dedup_oracle_sql(
     toks = _toks_duckdb(text_col)
     h = h64_sql(f"array_to_string(tk[s+1:s+{k}], ' ')", "duckdb")
     return f"""
-WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
-fps AS (SELECT id, s, {h} AS fp
+WITH t AS MATERIALIZED (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+fps AS MATERIALIZED (SELECT id, s, {h} AS fp
         FROM (SELECT id, tk, unnest(generate_series(0, len(tk) - {k})) AS s
               FROM t WHERE len(tk) >= {k}) q),
 dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),

@@ -818,11 +818,14 @@ def test_exact_substring_dedup_removes_injected_spans(spark):
     from tabsketchfm_spark.operators.text import exact_substring_dedup
 
     boiler = "the quick brown fox jumps over the lazy dog"  # 9 tokens > k=8
+    exact = "one two three four five six seven eight"  # exactly k=8 tokens
     rows = [
         (1, f"alpha beta {boiler} gamma"),
         (2, f"delta {boiler} epsilon zeta"),
         (3, "completely unique text with no repeats at all here ok"),
         (4, "short doc"),  # < k tokens
+        (5, exact),  # fully-covered pair: cleaned to empty
+        (6, exact),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["id"]: r for r in exact_substring_dedup(docs).collect()}
@@ -834,3 +837,6 @@ def test_exact_substring_dedup_removes_injected_spans(spark):
     assert got[3]["n_removed"] == 0
     assert got[3]["cleaned_text"] == rows[2][1]
     assert got[4]["n_removed"] == 0 and got[4]["cleaned_text"] == "short doc"
+    # fully-duplicated docs survive as rows with empty cleaned text
+    for d in (5, 6):
+        assert got[d]["n_removed"] == 8 and got[d]["cleaned_text"] == ""
