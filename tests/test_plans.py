@@ -194,6 +194,18 @@ def test_pivot_pinned_values_no_distinct_scan(spark, sf01):
     assert p.count("Scan parquet") == 1
 
 
+def test_exact_substring_dedup_plan_shape(spark, sf01):
+    """ExactSubstr stays linear: every join is an equi-join (no
+    Cartesian/NestedLoop) and column pruning reaches the scan — the
+    gram stage reads exactly (doc_id, text)."""
+    from tabsketchfm_spark.operators.text import exact_substring_dedup
+
+    docs = load_table(spark, sf01, "documents")
+    p = _plan(exact_substring_dedup(docs))
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
 def test_winnow_pairs_has_no_cartesian(spark, sf01):
     """Winnowing near-dup candidates come from the fingerprint
     equi-join — no CartesianProduct."""
