@@ -311,3 +311,52 @@ def test_bpe_oracle_survives_merge_exhaustion():
     assert [r[3] for r in learn] == ["ab", "ab</w>"]
     counts = con.execute(bpe_token_counts_oracle_sql(n_merges=8)).fetchall()
     assert counts == [(1, 3, 3)]  # one fused symbol per word, not NULL
+
+
+@given(
+    st.lists(  # docs as token lists over a tiny alphabet → collisions guaranteed
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_exact_substring_oracle_matches_direct_python(doc_tokens, k):
+    """The ExactSubstr ORACLE vs an independent python fold over random
+    tiny corpora: duplicated k-gram detection (>=2 occurrences anywhere,
+    within-doc repeats included), covered-position union, and the
+    ordered rebuild must all agree."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.text import exact_substring_dedup_oracle_sql
+
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, '{' '.join(toks)}')" for i, toks in enumerate(doc_tokens)
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows}) v(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            exact_substring_dedup_oracle_sql("documents", k=k)
+        ).fetchall()
+    }
+    # direct fold
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for toks in doc_tokens:
+        for s in range(len(toks) - k + 1):
+            grams[tuple(toks[s : s + k])] += 1
+    expect = {}
+    for i, toks in enumerate(doc_tokens):
+        covered = set()
+        for s in range(len(toks) - k + 1):
+            if grams[tuple(toks[s : s + k])] >= 2:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        expect[i] = (len(toks), len(covered), " ".join(kept))
+    assert got == expect
