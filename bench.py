@@ -68,19 +68,20 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
-    # best of 2: one JVM/GC warm-up pass, then the measured capability;
-    # local-mode timings vary ±20% run-to-run otherwise
+    # median of 3: one run can be poisoned by a container hiccup and
+    # best-of-N hides sustained slowdowns; the median is robust to a
+    # single outlier in either direction (local timings swing ±20%)
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
         # drop cached blocks the query persisted: leaked caches from
         # earlier queries add eviction pressure and timing variance
         spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
