@@ -182,14 +182,19 @@ def bpe_learn(
 
 
 def _oracle_ctes(
-    n_merges: int, max_word_len: int, final_round: bool = False
+    n_merges: int,
+    max_word_len: int,
+    final_round: bool = False,
+    words_sql: str | None = None,
 ) -> list[str]:
     """The learning program's CTE chain (words carried through so a
     tokenize tail can join back). ``final_round`` also materializes
-    r{n_merges} — the fully segmented vocabulary after ALL merges."""
+    r{n_merges} — the fully segmented vocabulary after ALL merges.
+    ``words_sql`` swaps the corpus: any SELECT producing a ``w``
+    column (default: clean words of ``documents``)."""
     ctes = [
         f"""wc AS MATERIALIZED (
-  SELECT w, count(*) AS cnt FROM ({_words_sql(max_word_len)}) cw
+  SELECT w, count(*) AS cnt FROM ({words_sql or _words_sql(max_word_len)}) cw
   GROUP BY 1)""",
         f"""r0 AS MATERIALIZED (
   SELECT w,
@@ -401,4 +406,87 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(n_sym) AS BIGINT) AS n_subwords
 FROM dw JOIN vocab USING (w) GROUP BY 1
 """
+    )
+
+
+# --- schema-sized corpora: driver-side learning + DESCRIBE-based oracle ----
+
+
+def learn_merges_py(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Greedy BPE over a driver-side (word, cnt) corpus — the same
+    algorithm, double-space encoding, and (count DESC, s1, s2)
+    tie-break as ``bpe_learn``, for corpora that are SCHEMA-sized
+    rather than data-sized (the lake's column names: ≤ a few dozen
+    words). A per-round Spark job there is pure overhead; driver-side
+    is the right locality, exactly like schema inspection itself.
+    Python ``str.replace`` shares the left-to-right non-overlapping
+    continuation semantics of Spark/DuckDB ``replace()``, so the
+    trajectory is bit-identical to the engine replay the DuckDB
+    oracle derives independently (parity pinned in
+    tests/test_bpe.py)."""
+    seqs = [
+        [" " + "  ".join(w) + "  " + END + " ", int(c)] for w, c in word_counts
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s, c in seqs:
+            syms = s.strip().split("  ")
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + c
+        if not counts:
+            break
+        (s1, s2), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((s1, s2, c))
+        pat, rep = f" {s1}  {s2} ", f" {s1}{s2} "
+        for rec in seqs:
+            rec[0] = rec[0].replace(pat, rep)
+    return merges
+
+
+def lake_column_word_counts(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """The lake's column-name word corpus: every '_'-separated token of
+    every column name across all lake tables, with multiplicity (the
+    reference tokenizes column names with its pretrained wordpiece
+    vocabulary, tabular_tokenizer.py:155-160; this engine learns the
+    subword vocabulary from the lake's own schema). Schema-only — no
+    data job."""
+    from tabsketchfm_spark.sources.tables import TABLE_NAMES, load_table
+
+    counts: dict[str, int] = {}
+    for t in TABLE_NAMES:
+        for name in load_table(spark, sf_dir, t).columns:
+            for w in name.split("_"):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+    return sorted(counts.items())
+
+
+def name_corpus_words_sql() -> str:
+    """DuckDB twin of lake_column_word_counts' word stream: DESCRIBE
+    each registered lake view, split names on '_'. Dynamic — no
+    hardcoded schema on either side."""
+    from tabsketchfm_spark.sources.tables import TABLE_NAMES
+
+    names = "\nUNION ALL\n".join(
+        f"    SELECT column_name FROM (DESCRIBE {t})" for t in TABLE_NAMES
+    )
+    return (
+        "SELECT unnest(list_filter(string_split(column_name, '_'), "
+        "t -> t <> '')) AS w\n  FROM (\n" + names + "\n  ) lake_names"
+    )
+
+
+def name_corpus_learning_ctes(n_merges: int) -> list[str]:
+    """The full learning replay over the column-name corpus, ending in
+    r{n_merges}: (w, seq) — every lake name-word fully segmented under
+    the learned merges. Prepend to any oracle that consumes subword
+    column-name tokens."""
+    return _oracle_ctes(
+        n_merges, MAX_WORD_LEN, final_round=True, words_sql=name_corpus_words_sql()
     )

@@ -22,7 +22,40 @@ from pyspark.sql import DataFrame, Window, functions as F
 from tabsketchfm_spark.functions.vector import zscore_sql
 
 
-def token_features(profile: DataFrame) -> DataFrame:
+DEFAULT_TK_EXPR = (
+    "concat(filter(split(column_name, '_'), t -> t <> ''), array('[SEP]'))"
+)
+
+
+def subword_tk_expr(
+    merges: list[tuple[str, ...]], max_col_tokens: int = 5
+) -> str:
+    """Wordpiece-parity column-name tokenization (reference
+    tabular_tokenizer.py:155-160 runs the pretrained AutoTokenizer over
+    column names, capped at MAX_COL_TOKENS=5 at :49-62): a SQL
+    expression segmenting each '_'-word of ``column_name`` under a
+    learned BPE merge list (bpe.learn_merges_py over the lake's own
+    column-name corpus), flattening in word order, capping at
+    ``max_col_tokens``, then appending [SEP]. Pure expression — the
+    chained replace() is the same oracle-exact double-space replay the
+    BPE family uses, so the DuckDB twin can re-derive the merges
+    itself and still match bit-for-bit."""
+    enc = "concat(' ', concat_ws('  ', split(w, '')), '  </w> ')"
+    chain = enc
+    for s1, s2, *_ in merges:
+        chain = f"replace({chain}, ' {s1}  {s2} ', ' {s1}{s2} ')"
+    seg = (
+        f"transform(filter(split(trim({chain}), '  '), s -> s <> '</w>'), "
+        "s -> replace(s, '</w>', ''))"
+    )
+    words = "filter(split(column_name, '_'), t -> t <> '')"
+    return (
+        f"concat(slice(flatten(transform({words}, w -> {seg})), "
+        f"1, {max_col_tokens}), array('[SEP]'))"
+    )
+
+
+def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
     """profile (one row per column: column_name, col_idx, col_type,
     q10..q90, mean_v, std_v, min_v, max_v) → token rows:
 
@@ -32,6 +65,11 @@ def token_features(profile: DataFrame) -> DataFrame:
     zq_* are the first/last slots of the z-scored, 1e-8-scaled 13-slot
     quantile vector (NULL for non-numeric columns) — the scalar
     projection of the value_ids tensor the driver can hash-check.
+
+    ``tk_expr`` overrides the column-name tokenizer (a SQL expression
+    over ``column_name`` yielding the token array INCLUDING the
+    trailing [SEP]); default splits on '_', subword_tk_expr() gives
+    the BPE-segmented wordpiece-parity variant.
     """
     qvec = (
         "array(q10, q20, q30, q40, q50, q60, q70, q80, q90, "
@@ -48,9 +86,7 @@ def token_features(profile: DataFrame) -> DataFrame:
                 "CASE WHEN std_v IS NULL OR std_v <= 0 THEN NULL "
                 f"ELSE {zscaled} END"
             ).alias("zq"),
-            F.expr(
-                "concat(filter(split(column_name, '_'), t -> t <> ''), array('[SEP]'))"
-            ).alias("tk"),
+            F.expr(tk_expr or DEFAULT_TK_EXPR).alias("tk"),
         )
         .select(
             "column_name",
@@ -124,10 +160,27 @@ def token_features(profile: DataFrame) -> DataFrame:
     )
 
 
-def token_features_oracle_sql(profile_sql: str) -> str:
-    """DuckDB mirror over the same profile relation (passed as SQL)."""
+def token_features_oracle_sql(
+    profile_sql: str,
+    prefix_ctes: str = "",
+    ntk_sql: str | None = None,
+) -> str:
+    """DuckDB mirror over the same profile relation (passed as SQL).
+
+    ``ntk_sql`` overrides the column-name tokenizer: a SELECT producing
+    (column_name, tk) for every profile row — used by the subword
+    variant, whose tk needs a join against the BPE-segmented vocabulary
+    rather than a scalar expression. ``prefix_ctes`` prepends extra
+    CTEs (e.g. the merge-learning replay) to the WITH chain."""
+    tk_join = f"JOIN ({ntk_sql}) ntk USING (column_name)" if ntk_sql else ""
+    tk_expr = (
+        "tk"
+        if ntk_sql
+        else "list_concat(list_filter(string_split(column_name, '_'), "
+        "t -> t <> ''),\n                            ['[SEP]'])"
+    )
     return f"""
-WITH prof AS ({profile_sql}),
+WITH {prefix_ctes}prof AS ({profile_sql}),
 qv AS (SELECT column_name, col_idx, col_type,
               [q10,q20,q30,q40,q50,q60,q70,q80,q90,mean_v,std_v,min_v,max_v] AS q,
               std_v
@@ -139,9 +192,8 @@ zs AS (SELECT *,
 ztok AS (SELECT column_name, col_idx, col_type,
                 CASE WHEN std_v IS NULL OR std_v <= 0 THEN NULL
                      ELSE list_transform(q, x -> ((x - m) / s) / 100000000.0) END AS zq,
-                list_concat(list_filter(string_split(column_name, '_'), t -> t <> ''),
-                            ['[SEP]']) AS tk
-         FROM zs),
+                {tk_expr} AS tk
+         FROM zs {tk_join}),
 toks AS (SELECT col_idx, col_type, zq,
                 unnest(tk) AS token,
                 generate_subscripts(tk, 1) - 1 AS tok_pos
@@ -516,3 +568,35 @@ SELECT position_id,
        col_encoding, token_position, type_id
 FROM j LEFT JOIN vocab v ON j.ridx = v.vidx
 """
+
+
+def subword_token_features_oracle_sql(
+    profile_sql: str, n_merges: int, max_col_tokens: int = 5
+) -> str:
+    """Oracle for the BPE-subword M9 variant: DuckDB re-derives the
+    merge list itself (the full learning replay over the lake's
+    column-name corpus, via DESCRIBE — no schema hardcoded on either
+    side), segments every name-word under the final vocabulary r{n},
+    and rebuilds the token sequence; the gate therefore pins the whole
+    learn→segment→assemble trajectory, not just the token algebra."""
+    from tabsketchfm_spark.operators.bpe import name_corpus_learning_ctes
+
+    prefix = ",\n".join(name_corpus_learning_ctes(n_merges)) + ",\n"
+    ntk = f"""
+  SELECT column_name,
+         list_concat(flatten(list(subs ORDER BY wi))[1:{max_col_tokens}],
+                     ['[SEP]']) AS tk
+  FROM (
+    SELECT nw.column_name, nw.wi,
+           list_transform(
+             list_filter(string_split(trim(r.seq), '  '), s -> s <> '</w>'),
+             s -> replace(s, '</w>', '')) AS subs
+    FROM (
+      SELECT column_name, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+      FROM (SELECT column_name,
+                   list_filter(string_split(column_name, '_'), t -> t <> '') AS ws
+            FROM prof) t0) nw
+    JOIN r{n_merges} r ON r.w = nw.w) sw
+  GROUP BY column_name
+"""
+    return token_features_oracle_sql(profile_sql, prefix_ctes=prefix, ntk_sql=ntk)

@@ -840,6 +840,35 @@ _register(
     ),
 )
 
+def _m9_subword_query(spark, sf, n_merges=40, max_col_tokens=5):
+    """M9 with wordpiece-parity subword column-name tokenization
+    (reference tabular_tokenizer.py:155-160, MAX_COL_TOKENS=5 cap at
+    :49-62): BPE merges learned from the lake's own column-name corpus
+    (schema-sized — driver-side greedy, bpe.learn_merges_py), applied
+    as a pure chained-replace expression inside token_features."""
+    from tabsketchfm_spark.operators import bpe
+
+    merges = bpe.learn_merges_py(
+        bpe.lake_column_word_counts(spark, sf), n_merges=n_merges
+    )
+    return feat.token_features(
+        prof.profile_table(
+            load_table(spark, sf, "customer"), "customer", round_digits=4
+        ),
+        tk_expr=feat.subword_tk_expr(merges, max_col_tokens),
+    )
+
+
+_register(
+    "m9_token_features_subword_customer",
+    _m9_subword_query,
+    feat.subword_token_features_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+        n_merges=40,
+        max_col_tokens=5,
+    ),
+)
+
 _register(
     # the K1 pooling stage with SQL-expressible fixed vectors — the
     # bit-exact twin of the find_table_col pooling the real M1 forward

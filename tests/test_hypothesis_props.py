@@ -274,6 +274,55 @@ def test_bpe_oracle_matches_direct_python_bpe(word_counts, n_merges):
     assert got == expect
 
 
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        st.integers(1, 20),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 6),
+)
+@settings(max_examples=50, deadline=None)
+def test_learn_merges_py_matches_direct_fold(word_counts, n_merges):
+    """learn_merges_py (the driver-side schema-corpus learner behind
+    the M9 subword tokenizer) vs the same direct symbol-list fold the
+    oracle is pinned against — the string-replace encoding must agree
+    with list-level merge semantics on arbitrary corpora, including
+    1-char words and repeated-symbol runs."""
+    from tabsketchfm_spark.operators.bpe import END, learn_merges_py
+
+    got = [
+        (i + 1, s1, s2, s1 + s2, c)
+        for i, (s1, s2, c) in enumerate(
+            learn_merges_py(sorted(word_counts.items()), n_merges)
+        )
+    ]
+    vocab = {w: (list(w) + [END], c) for w, c in word_counts.items()}
+    expect = []
+    for rnd in range(1, n_merges + 1):
+        pc: dict[tuple, int] = {}
+        for sym, c in vocab.values():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        (s1, s2), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rnd, s1, s2, s1 + s2, c))
+        for w, (sym, cw) in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == s1 and sym[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = (out, cw)
+    assert got == expect
+
+
 def test_bpe_batch_recount_invariance(spark, sf001):
     """bpe_learn's segmentation-checkpoint batching (recount_every) is
     a pure cost knob: the merge trajectory — rounds, pairs, counts —

@@ -414,6 +414,7 @@ _PLAN_GUARD_SCHEMA_BOUNDED = {
     "m8_mask_plan_customer",
     "m8a_mlm_batch_customer",
     "m9_token_features_customer",
+    "m9_token_features_subword_customer",
     "m10_pair_tokens_customer_supplier",
 }
 
