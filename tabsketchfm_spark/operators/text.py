@@ -1157,6 +1157,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact-substring deduplication with span REMOVAL (the
     "Deduplicating Training Data Makes Language Models Better"
@@ -1164,7 +1165,9 @@ def exact_substring_dedup(
     times anywhere in the corpus is a duplicate; every token position
     covered by a duplicated gram is dropped, and the surviving tokens
     are re-joined into the cleaned document. duplicate_span_fraction
-    MEASURES copying; this op performs the edit.
+    MEASURES copying; this op performs the edit. ``caches`` (the
+    profile_table/global_rank convention) collects the persisted
+    intermediates so EAGER callers can unpersist after materializing.
 
     Shape (all linear in corpus tokens, no pair enumeration):
     one gram projection (unrolled element_at terms — slice() copies,
@@ -1196,6 +1199,8 @@ def exact_substring_dedup(
         .select("id", "s", F.expr(h64_sql(gram, "spark")).alias("fp"))
         .persist()
     )
+    if caches is not None:
+        caches += [t, fps]
     dup_fp = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1287,6 +1292,144 @@ rebuilt AS (SELECT id, count(*) AS n_kept,
             FROM kept GROUP BY id)
 SELECT t.id, CAST(len(tk) AS INTEGER) AS n_tokens,
        CAST(len(tk) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
+       coalesce(cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN rebuilt ON t.id = rebuilt.id
+"""
+
+
+def exact_substring_dedup_chars(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    caches: list | None = None,
+) -> DataFrame:
+    """CHARACTER-granularity ExactSubstr (the suffix-array formulation
+    in "Deduplicating Training Data Makes Language Models Better" works
+    on byte sequences; exact_substring_dedup is the token-level edit):
+    any ``k``-char substring occurring 2+ times anywhere in the corpus
+    marks all characters it covers, which are removed at character
+    offsets. Same linear count→cover→anti-join→rebuild shape as the
+    token edit, with one structural improvement the char domain
+    allows: the gram pass hashes ``substring(txt, s+1, k)`` directly —
+    no materialized char array at all until the (touched-docs-only)
+    rebuild. Output: (id, n_chars, n_removed, cleaned_text); docs
+    shorter than k chars pass through untouched."""
+    from tabsketchfm_spark.functions.hashing import h64_sql
+    from tabsketchfm_spark.sources.tables import spread
+
+    t = spread(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    ).persist()
+    fps = (
+        t.where(F.length("txt") >= k)
+        .select(
+            "id",
+            "txt",
+            F.explode(F.sequence(F.lit(0), F.length("txt") - k)).alias("s"),
+        )
+        .select(
+            "id",
+            "s",
+            F.expr(h64_sql(f"substring(txt, s + 1, {k})", "spark")).alias("fp"),
+        )
+        .persist()
+    )
+    if caches is not None:
+        caches += [t, fps]
+    dup_fp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("fp")
+    )
+    covered = (
+        fps.join(dup_fp, "fp")
+        .select(
+            "id", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("pos")
+        )
+        .distinct()
+    )
+    touched = covered.select("id").distinct()
+    untouched = t.join(touched, "id", "left_anti").select(
+        "id",
+        F.length("txt").alias("n_chars"),
+        F.lit(0).alias("n_removed"),
+        F.col("txt").alias("cleaned_text"),
+    )
+    # only touched docs pay the per-char explode + ordered reassembly
+    chars = t.join(touched, "id", "left_semi").select(
+        "id",
+        F.length("txt").alias("n_chars"),
+        F.posexplode(F.split("txt", "")).alias("pos", "ch"),
+    )
+    kept = chars.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ch"))),
+                    lambda x: x["ch"],
+                ),
+                "",
+            ).alias("cleaned_text"),
+        )
+        .select(
+            "id",
+            "n_chars",
+            (F.col("n_chars") - F.col("n_kept")).alias("n_removed"),
+            "cleaned_text",
+        )
+    )
+    # fully-covered docs drop out of kept: restore with empty text
+    emptied = (
+        t.join(touched, "id", "left_semi")
+        .join(rebuilt.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.length("txt").alias("n_chars"),
+            F.length("txt").alias("n_removed"),
+            F.lit("").alias("cleaned_text"),
+        )
+    )
+    return untouched.unionByName(rebuilt).unionByName(emptied).select(
+        "id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "cleaned_text",
+    )
+
+
+def exact_substring_dedup_chars_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h64_sql
+
+    h = h64_sql(f"substring(txt, CAST(s + 1 AS INTEGER), {k})", "duckdb")
+    return f"""
+WITH t AS MATERIALIZED (SELECT {id_col} AS id, {text_col} AS txt FROM {table}),
+fps AS MATERIALIZED (SELECT id, s, {h} AS fp
+        FROM (SELECT id, txt, unnest(generate_series(0, length(txt) - {k})) AS s
+              FROM t WHERE length(txt) >= {k}) q),
+dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+covered AS (SELECT DISTINCT id, s + j AS pos
+            FROM (SELECT id, s FROM fps JOIN dup USING (fp)) d,
+                 (SELECT unnest(generate_series(0, {k - 1})) AS j) js),
+chars AS (SELECT id, s AS pos, substring(txt, CAST(s + 1 AS INTEGER), 1) AS ch
+          FROM (SELECT id, txt, unnest(generate_series(0, length(txt) - 1)) AS s
+                FROM t WHERE length(txt) >= 1) q),
+kept AS (SELECT * FROM chars ANTI JOIN covered USING (id, pos)),
+rebuilt AS (SELECT id, count(*) AS n_kept,
+                   array_to_string(list(ch ORDER BY pos), '') AS cleaned_text
+            FROM kept GROUP BY id)
+SELECT t.id, CAST(length(txt) AS INTEGER) AS n_chars,
+       CAST(length(txt) - coalesce(n_kept, 0) AS INTEGER) AS n_removed,
        coalesce(cleaned_text, '') AS cleaned_text
 FROM t LEFT JOIN rebuilt ON t.id = rebuilt.id
 """

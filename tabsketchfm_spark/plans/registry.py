@@ -1392,6 +1392,17 @@ _register(
     txt.exact_substring_dedup_oracle_sql("documents"),
 )
 _register(
+    # the same edit at CHARACTER granularity (the suffix-array
+    # formulation's domain): duplicated k-char substrings removed at
+    # character offsets; gram pass hashes substring() directly — no
+    # char array until the touched-docs-only rebuild
+    "dedup_exact_substrings_chars_documents",
+    lambda spark, sf: txt.exact_substring_dedup_chars(
+        load_table(spark, sf, "documents")
+    ),
+    txt.exact_substring_dedup_chars_oracle_sql("documents"),
+)
+_register(
     # END-TO-END curation: gopher gates ∧ quality ≥ τ ∧ exact-dedup
     # keeper, then sequence packing — one composed Catalyst plan,
     # bit-exact through every stage

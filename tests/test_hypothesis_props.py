@@ -409,3 +409,51 @@ def test_exact_substring_oracle_matches_direct_python(doc_tokens, k):
         kept = [t for p, t in enumerate(toks) if p not in covered]
         expect[i] = (len(toks), len(covered), " ".join(kept))
     assert got == expect
+
+
+@given(
+    st.lists(  # docs as char strings over a tiny alphabet
+        st.text(alphabet="abcd", min_size=0, max_size=16),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_exact_substring_chars_oracle_matches_direct_python(doc_texts, k):
+    """The CHAR-granularity ExactSubstr oracle vs an independent python
+    fold: duplicated k-char substring detection (within-doc repeats
+    included), covered-offset union, and the character-level rebuild
+    must all agree."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.text import (
+        exact_substring_dedup_chars_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({i}, '{txt}')" for i, txt in enumerate(doc_texts))
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows}) v(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            exact_substring_dedup_chars_oracle_sql("documents", k=k)
+        ).fetchall()
+    }
+    from collections import Counter
+
+    grams: Counter = Counter()
+    for txt in doc_texts:
+        for s in range(len(txt) - k + 1):
+            grams[txt[s : s + k]] += 1
+    expect = {}
+    for i, txt in enumerate(doc_texts):
+        covered = set()
+        for s in range(len(txt) - k + 1):
+            if grams[txt[s : s + k]] >= 2:
+                covered.update(range(s, s + k))
+        kept = "".join(c for p, c in enumerate(txt) if p not in covered)
+        expect[i] = (len(txt), len(covered), kept)
+    assert got == expect

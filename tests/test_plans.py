@@ -206,6 +206,16 @@ def test_exact_substring_dedup_plan_shape(spark, sf01):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
+def test_exact_substring_dedup_chars_plan_shape(spark, sf01):
+    """The char-granularity variant keeps the same linear shape."""
+    from tabsketchfm_spark.operators.text import exact_substring_dedup_chars
+
+    docs = load_table(spark, sf01, "documents")
+    p = _plan(exact_substring_dedup_chars(docs))
+    assert "Cartesian" not in p and "NestedLoop" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
 def test_winnow_pairs_has_no_cartesian(spark, sf01):
     """Winnowing near-dup candidates come from the fingerprint
     equi-join — no CartesianProduct."""

@@ -840,3 +840,34 @@ def test_exact_substring_dedup_removes_injected_spans(spark):
     # fully-duplicated docs survive as rows with empty cleaned text
     for d in (5, 6):
         assert got[d]["n_removed"] == 8 and got[d]["cleaned_text"] == ""
+
+
+def test_exact_substring_dedup_chars_removes_injected_spans(spark):
+    """Char-granularity ExactSubstr: a k-char substring pasted into two
+    docs is removed at CHARACTER offsets from both; unique docs and
+    docs shorter than k chars pass through; a fully-duplicated doc is
+    cleaned to empty."""
+    from tabsketchfm_spark.operators.text import exact_substring_dedup_chars
+
+    boiler = "QUICKBROWNFOXJUMPSOVER"  # 22 chars > k=20
+    exact = "ABCDEFGHIJKLMNOPQRST"  # exactly k=20 chars
+    rows = [
+        (1, f"xy{boiler}zw"),
+        (2, f"pq{boiler}rs"),
+        (3, "totally unique characters with no repeats whatsoever!"),
+        (4, "tiny"),  # < k chars
+        (5, exact),
+        (6, exact),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: r for r in exact_substring_dedup_chars(docs, k=20).collect()
+    }
+    # the shared 22-char span yields 3 duplicated 20-grams covering all
+    # 22 positions; the 2-char flanks survive at their offsets
+    assert got[1]["cleaned_text"] == "xyzw" and got[1]["n_removed"] == 22
+    assert got[2]["cleaned_text"] == "pqrs" and got[2]["n_removed"] == 22
+    assert got[3]["n_removed"] == 0 and got[3]["cleaned_text"] == rows[2][1]
+    assert got[4]["n_removed"] == 0 and got[4]["cleaned_text"] == "tiny"
+    for d in (5, 6):
+        assert got[d]["n_removed"] == 20 and got[d]["cleaned_text"] == ""
