@@ -160,6 +160,48 @@ def pretrain_curve_full(
     )
 
 
+def _train_checkpoint_extract(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str],
+    max_epochs: int = 6,
+) -> list:
+    """Shared train → checkpoint → serve assembly: fit the
+    full-backprop model, save the npz checkpoint, extract the K1
+    embedding rows for ``tables`` with the trained weights installed
+    per executor worker. Returns the collected embedding rows (tiny:
+    cols + 2 per table)."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml import embed as ml_embed
+
+    model, _ = _fit_full_model(spark, sf_dir, max_epochs=max_epochs)
+    tmpdir = tempfile.mkdtemp(prefix="tsfm_ck_")
+    try:
+        path = tmpdir + "/served"
+        ck.save_checkpoint(path, model.state_dict())
+        caches: list = []
+        parts = [
+            prof.profile_table(
+                load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
+            )
+            for t in tables
+        ]
+        profile = parts[0]
+        for p in parts[1:]:
+            profile = profile.unionByName(p)
+        rows = ml_embed.extract_embeddings(
+            profile, checkpoint_path=path
+        ).collect()  # materializing releases the caches
+        for c in caches:
+            c.unpersist()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return rows
+
+
 def serve_trained_embeddings(
     spark: SparkSession,
     sf_dir: str,
@@ -175,29 +217,49 @@ def serve_trained_embeddings(
     every run (the driver's rows-only determinism check).
     Output: the K1 embedding table for ``table`` under the trained
     checkpoint."""
-    import shutil
-    import tempfile
-
-    from tabsketchfm_spark.ml import checkpoint as ck
     from tabsketchfm_spark.ml import embed as ml_embed
 
-    model, _ = _fit_full_model(spark, sf_dir, max_epochs=max_epochs)
-    tmpdir = tempfile.mkdtemp(prefix="tsfm_ck_")
-    try:
-        path = tmpdir + "/served"
-        ck.save_checkpoint(path, model.state_dict())
-        caches: list = []
-        profile = prof.profile_table(
-            load_table(spark, sf_dir, table), table, round_digits=4, caches=caches
-        )
-        rows = ml_embed.extract_embeddings(
-            profile, checkpoint_path=path
-        ).collect()  # tiny (cols + 2 rows); materializing releases the caches
-        for c in caches:
-            c.unpersist()
-    finally:
-        shutil.rmtree(tmpdir, ignore_errors=True)
+    rows = _train_checkpoint_extract(spark, sf_dir, [table], max_epochs)
     return spark.createDataFrame(rows, ml_embed.EMBED_SCHEMA)
+
+
+def trained_unionability_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_table: str = "customer",
+    cand_tables: tuple[str, ...] = ("supplier", "nation", "region", "orders", "part"),
+    max_epochs: int = 6,
+    over_fetch: int = 30,
+) -> DataFrame:
+    """The reference's FULL lifecycle as one query: pretrain
+    (pretrain.py) → checkpoint → extract column embeddings for the
+    query and candidate tables from the TRAINED weights
+    (extract_embeddings.py:119-199) → K4 union search over them
+    (embedding_search.py:118-164). The candidate ranking runs through
+    the same column-vote algebra whose SQL twin is oracle-exact
+    (k4_column_vote_embeddings, operators/vector.column_vote_search);
+    only the upstream vectors differ — served from the trained
+    checkpoint instead of the fixtures table. Deterministic rows-only
+    (seeded init, md5 mask rolls, full-batch epochs).
+    Output: (cand_table, matched_cols, dist_sum, rank)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.ml import embed as ml_embed
+    from tabsketchfm_spark.operators.vector import column_vote_search
+
+    rows = _train_checkpoint_extract(
+        spark, sf_dir, [query_table, *cand_tables], max_epochs
+    )
+    emb = (
+        spark.createDataFrame(rows, ml_embed.EMBED_SCHEMA)
+        .where(F.col("kind") == "column")
+        .select(
+            F.concat_ws(".", "table_name", "column_name").alias("vec_id"),
+            F.col("vector").alias("embedding"),
+            F.col("table_name").alias("label"),
+        )
+    )
+    return column_vote_search(emb, query_label=query_table, over_fetch=over_fetch)
 
 
 # --- M6/M7: fine-tune table-similarity --------------------------------------

@@ -1098,6 +1098,18 @@ _register(
     None,
 )
 _register(
+    # ...and the lifecycle CLOSED over search: pretrain → checkpoint →
+    # trained-embedding extraction for query + candidate tables → K4
+    # union search (reference extract_embeddings.py:119-199 →
+    # embedding_search.py:118-164). The vote/rank stage is the same
+    # column_vote_search whose algebra is oracle-exact elsewhere
+    # (k4_column_vote_embeddings); rows-only here because the upstream
+    # is the trained model
+    "k4_unionability_trained_customer",
+    lambda spark, sf: ml_train.trained_unionability_search(spark, sf),
+    None,
+)
+_register(
     # M6+M7: fine-tune-table-similarity (pooled CLS -> linear head,
     # CE routing) with accuracy + weighted-F1 eval — rows-only
     "m6_finetune_eval",

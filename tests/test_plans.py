@@ -407,6 +407,7 @@ _PLAN_GUARD_SKIP = {
     "bpe_token_counts_documents",
     "bpe_vocab_curve_documents",
     "k1t_embeddings_trained_customer",
+    "k4_unionability_trained_customer",
     "layout_zone_map_audit",
     "k3g_table_pagerank",
     "k3h_table_communities",
@@ -481,6 +482,7 @@ def test_rows_only_set_is_pinned():
         "m5_pretrain_curve",
         "m5f_pretrain_curve_full",
         "k1t_embeddings_trained_customer",
+        "k4_unionability_trained_customer",
         "m6_finetune_eval",
         "m4m_mllib_mlp_length",  # MLlib MLP: seeded RNG init
     }
