@@ -42,8 +42,11 @@ def py_h32(s: str) -> int:
 
 # vocab ids the random-replacement draw must avoid (reference
 # create_desc_mask filters specials) — loop-invariant, built once
-_SPECIAL_WIDS = frozenset(
-    rf.word_id(s) for s in ("[CLS]", "[SEP]", "[MASK]", "[PAD]")
+# the reference's random-replacement filter set (create_desc_mask):
+# {SEP, CLS, PAD, UNK} — [MASK] is NOT filtered there, and a draw that
+# lands on a special KEEPS the original token rather than re-rolling
+_RANDOM_FILTER_WIDS = frozenset(
+    rf.word_id(s) for s in ("[SEP]", "[CLS]", "[PAD]", "[UNK]")
 )
 
 
@@ -92,15 +95,11 @@ def apply_mask(seq: list[dict]) -> tuple[list[dict], np.ndarray]:
             if act == "[MASK]":
                 t["wid"] = rf.word_id("[MASK]")
             elif act == "random":
-                # the reference's create_desc_mask filters random
-                # replacement words to non-special tokens — re-roll
-                # (deterministically) past any special-token id
+                # reference create_desc_mask semantics: one draw; if it
+                # lands on {SEP, CLS, PAD, UNK} the ORIGINAL token is
+                # kept (no re-roll; [MASK] is drawable there too)
                 rid = py_h32(f"rnd|{pos}|{t['token']}") % rf.VOCAB
-                k = 0
-                while rid in _SPECIAL_WIDS:
-                    k += 1
-                    rid = py_h32(f"rnd{k}|{pos}|{t['token']}") % rf.VOCAB
-                t["wid"] = rid
+                t["wid"] = wid if rid in _RANDOM_FILTER_WIDS else rid
             else:  # keep
                 t["wid"] = wid
         out.append(t)

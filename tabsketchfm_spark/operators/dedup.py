@@ -605,7 +605,8 @@ def connected_components(
     # until the fixpoint — an O(1)-output aggregate replaces a
     # join-based changed-rows check as the convergence test
     prev_sum = None
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         new_labels = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
@@ -617,9 +618,32 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+        # lineage truncation every few rounds (the GraphFrames CC
+        # pattern): the per-round join chains the previous round's
+        # plan, and past ~15 rounds the accumulated tree makes
+        # analysis itself the bottleneck (measured: a 17-node chain at
+        # 20 rounds grew the plan STRING past 2 GB). Typical near-dup
+        # graphs converge in <5 rounds and never hit this; the
+        # checkpoint is a tiny flat frame (paired nodes only).
+        if (i + 1) % 5 == 0:
+            old = labels
+            labels = labels.localCheckpoint()
+            old.unpersist()
     edges.unpersist()
+    if not converged:
+        # a silent exit here would return NON-MINIMAL labels for any
+        # component deeper than max_iter — fail loud instead; callers
+        # with legitimately deep graphs raise max_iter (or switch to
+        # the star-contraction variant noted above)
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds: a component's diameter exceeds the "
+            f"round budget; raise max_iter or use star contraction"
+        )
     # isolated nodes (never in a pair) are their own cluster — no
     # iteration needed; the paired-node set is tiny, so broadcast the
     # anti-join side
@@ -631,23 +655,145 @@ def connected_components(
     ).select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))
 
 
+# superseded localCheckpoints need their RDD blocks freed directly
+# (Dataset.unpersist is a no-op for checkpointed frames) — one shared
+# definition in bpe.py
+from tabsketchfm_spark.operators.bpe import _release_checkpoint
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood."""
+    bidir = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    m = bidir.groupBy("a").agg(F.min("b").alias("mn"))
+    m = m.select("a", F.least("a", "mn").alias("m"))
+    return (
+        bidir.join(m, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large→small; every node connects
+    its (smaller) neighbors and itself to the neighborhood minimum."""
+    d = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    m = d.groupBy("a").agg(F.min("b").alias("m"))
+    nbrs = (
+        d.join(m, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    slf = m.select("a", F.col("m").alias("b"))
+    return (
+        nbrs.unionByName(slf)
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Star-contraction connected components (alternating large-star /
+    small-star, Kiveris et al.) — the O(log n)-ROUND variant of
+    ``connected_components`` for deep graphs: label propagation needs
+    diameter-many rounds (a 10^6-link chain would need 10^6 shuffles),
+    star contraction halves component height every alternation. Same
+    output contract: (node, cluster_id = smallest node id in the
+    component) — the equality test pins the two implementations to
+    identical results.
+
+    Each round is two groupBy-min + two equi-joins over the CURRENT
+    edge set (which only shrinks toward one star per component); the
+    per-round localCheckpoint keeps the plan flat (the label-prop loop
+    lesson: un-truncated iterative lineage makes ANALYSIS the
+    bottleneck). Convergence = edge-set fixpoint, detected by an O(1)
+    (count, sum) fingerprint and then CONFIRMED exactly with a
+    one-time exceptAll check — a fingerprint collision cannot produce
+    a silent wrong answer, and exhausting max_iter fails loud."""
+    e = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    converged = False
+    for _ in range(max_iter):
+        new_e = _small_star(_large_star(e)).localCheckpoint()
+        fp = tuple(
+            new_e.agg(
+                F.count(F.lit(1)), F.sum("a"), F.sum("b")
+            ).first()
+        )
+        if fp == prev_fp and new_e.exceptAll(e).isEmpty():
+            # same cardinality + empty difference == identical multiset
+            _release_checkpoint(e)
+            e = new_e
+            converged = True
+            break
+        _release_checkpoint(e)
+        e = new_e
+        prev_fp = fp
+    if not converged:
+        _release_checkpoint(e)
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} alternations; raise max_iter"
+        )
+    # fixpoint == one star per component, centered at the component
+    # min: edges are exactly (node, min) for every non-min node
+    labels = e.select(F.col("a").alias("node"), F.col("b").alias("lbl"))
+    centers = e.select(
+        F.col("b").alias("node"), F.col("b").alias("lbl")
+    ).distinct()
+    member = labels.unionByName(centers)
+    isolated = nodes.select(F.col(node_col).alias("node")).join(
+        F.broadcast(member.select("node")), "node", "left_anti"
+    )
+    # e stays checkpointed: the returned frame reads it lazily (the
+    # label-prop twin leaves its final labels persisted the same way)
+    return member.unionByName(
+        isolated.select("node", F.col("node").alias("lbl"))
+    ).select(F.col("node").alias(node_col), F.col("lbl").alias("cluster_id"))
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    cc: str = "label",
 ) -> DataFrame:
     """North-star dedup clustering: n-gram-Jaccard near-dup pairs →
     connected components → (doc_id, cluster_id, cluster_size). A
     training pipeline keeps rows where doc_id == cluster_id (the
-    canonical representative) — cluster_size > 1 marks the dups."""
+    canonical representative) — cluster_size > 1 marks the dups.
+
+    ``cc='star'`` swaps in the O(log n)-round star-contraction
+    components (connected_components_star) — identical output, the
+    round count no longer tied to component diameter."""
     from pyspark.sql import Window
 
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    cc = connected_components(pairs, df, node_col=id_col)
+    ccf = connected_components_star if cc == "star" else connected_components
+    labels = ccf(pairs, df, node_col=id_col)
     size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-    return cc.select(id_col, "cluster_id", size_w.alias("cluster_size"))
+    return labels.select(id_col, "cluster_id", size_w.alias("cluster_size"))
 
 
 def dedup_clusters_oracle_sql(

@@ -624,6 +624,16 @@ _register(
     dedup.dedup_clusters_oracle_sql("documents"),
 )
 _register(
+    # the O(log n)-round star-contraction components (Kiveris et al.)
+    # under the SAME oracle — identical clusters, round count no
+    # longer tied to component diameter (the 100 TB deep-graph path)
+    "dedup_clusters_star_documents",
+    lambda spark, sf: dedup.dedup_clusters(
+        load_table(spark, sf, "documents"), cc="star"
+    ),
+    dedup.dedup_clusters_oracle_sql("documents"),
+)
+_register(
     "dedup_minhash_lsh_documents",
     lambda spark, sf: dedup.minhash_lsh_pairs(
         load_table(spark, sf, "documents"), threshold=0.5
@@ -1709,6 +1719,28 @@ _register(
     ps.streaming_record_linkage_oracle_sql(),
 )
 
+
+def _stream_linkage_sink_query(spark, sf):
+    """The PRODUCTION-shape twin: every micro-batch's matches are
+    appended executor-side to a partitioned parquet sink (no driver
+    collect in the hot path); the returned frame reads back the final
+    batch's partition. Same state, same scorer, same oracle."""
+    import os
+    import tempfile
+
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        f"tsfm_linkage_sink_{os.getpid()}_{abs(hash(sf)) % 10**8}",
+    )
+    return ps.streaming_record_linkage(spark, sf, sink_path=sink)
+
+
+_register(
+    "stream_record_linkage_sink_users",
+    _stream_linkage_sink_query,
+    ps.streaming_record_linkage_oracle_sql(),
+)
+
 from tabsketchfm_spark.streaming import sessionize as sess
 
 _register(
@@ -1741,7 +1773,6 @@ _DRIVER_WINDOW = [
     "sk_merge_oph_lineitem",
     "sk3_snapshot_lineitem",
     "sk4_hashing_vector_part",
-    "sk5_aug_column_order",
     "sk6_table_hash_lineitem",
     "sk7_setsim_o_custkey_c_custkey",
     "k3_all_pairs_joinability",
@@ -1759,7 +1790,6 @@ _DRIVER_WINDOW = [
     "bpe_token_counts_documents",
     "dedup_clusters_documents",
     "k2_value_znorm_customer",
-    "text_token_stats",
     "text_quality_score",
     "text_gopher_rules",
     "pipeline_curate_documents",
@@ -1768,8 +1798,10 @@ _DRIVER_WINDOW = [
     "w2_sessionize_events_batch",
     "asof_event_hourly_snapshot",
     "range_join_error_followers",
+    "dedup_exact_substrings_chars_documents",
     "m8_mask_plan_customer",
     "m9_token_features_customer",
+    "m9_token_features_subword_customer",
     "m10_pair_tokens_customer_supplier",
     "a12_classification_metrics",
     "w5_cusum_drift_events",

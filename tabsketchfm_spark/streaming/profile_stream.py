@@ -401,6 +401,7 @@ def streaming_record_linkage(
     sf_dir: str,
     threshold: float = 0.25,
     w_name: float = 0.5,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Streaming entity resolution: resolve STREAMING user records
     against a static customer reference. The incremental state is each
@@ -413,14 +414,28 @@ def streaming_record_linkage(
     O(Σ block²) cost argument, executor-side cut via foreachBatch.
     A completed availableNow run == batch linkage over each user's
     earliest record, which the oracle checks bit-exactly.
-    Output: (id_a, id_b, name_jac, num_sim, score)."""
+    Output: (id_a, id_b, name_jac, num_sim, score).
+
+    ``sink_path``: the PRODUCTION materialization — each micro-batch's
+    matches append to ``sink_path/batch_id=N`` parquet instead of a
+    driver collect, and the returned frame reads back the LAST batch's
+    partition (complete mode re-emits full state, so last batch wins
+    — the streaming-topk convention). A real deployment points this at
+    a Delta/Iceberg table for atomic appends; plain partitioned
+    parquet keeps the same layout here. With sink_path=None the
+    demo-contract driver-side collect is used (bounded:
+    threshold-bounded match set)."""
     from tabsketchfm_spark.operators.linkage import record_linkage
     from tabsketchfm_spark.sources.tables import load_table
 
     s = _events_stream(spark, sf_dir)
     es = (F.unix_micros(F.col("ts")) / F.lit(1000000.0)).alias("es")
+    # ts IS NOT NULL pins the first-seen contract: min(struct) would
+    # order a NULL es SMALLEST while the oracle's ORDER BY epoch(ts)
+    # defaults NULLS LAST — filter on both sides so the winner cannot
+    # flip on a null-timestamp event
     first = (
-        s.where(F.col("user_id").isNotNull())
+        s.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             "user_id",
             F.struct(
@@ -459,7 +474,14 @@ def streaming_record_linkage(
             w_name=w_name,
         )
         holder["schema"] = out.schema
-        holder["rows"] = out.collect()
+        if sink_path is not None:
+            # executor-side append; the driver never holds the rows
+            out.write.mode("overwrite").parquet(
+                f"{sink_path}/batch_id={max(batch_id, 0)}"
+            )
+            holder["last_batch"] = max(batch_id, 0)
+        else:
+            holder["rows"] = out.collect()
 
     q = (
         first.writeStream.foreachBatch(sink)
@@ -468,8 +490,12 @@ def streaming_record_linkage(
         .start()
     )
     q.awaitTermination()
-    if "rows" not in holder:  # zero-batch run (empty source)
+    if "schema" not in holder:  # zero-batch run (empty source)
         sink(spark.createDataFrame([], first.schema), -1)
+    if sink_path is not None:
+        return spark.read.schema(holder["schema"]).parquet(
+            f"{sink_path}/batch_id={holder['last_batch']}"
+        )
     return spark.createDataFrame(holder["rows"], holder["schema"])
 
 
@@ -482,7 +508,8 @@ def streaming_record_linkage_oracle_sql(
         "(SELECT user_id, value, props FROM ("
         "SELECT user_id, value, props, row_number() OVER ("
         "PARTITION BY user_id ORDER BY epoch(ts), event_id) AS rn "
-        "FROM events WHERE user_id IS NOT NULL) t WHERE rn = 1) fs"
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) t "
+        "WHERE rn = 1) fs"
     )
     cust = (
         "(SELECT c_custkey, c_name, c_acctbal / 1000 AS cbal "

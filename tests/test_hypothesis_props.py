@@ -119,11 +119,12 @@ def test_apply_mask_label_contract(col_name_tokens):
                 assert t["wid"] == rf.word_id("[MASK]")
             else:
                 assert 0 <= t["wid"] < rf.VOCAB
-                # reference create_desc_mask filters random draws to
-                # non-special tokens
-                assert t["wid"] not in {
-                    rf.word_id(s) for s in ("[CLS]", "[SEP]", "[MASK]", "[PAD]")
-                }
+                # reference create_desc_mask semantics: one draw; a
+                # draw landing on {SEP, CLS, PAD, UNK} keeps the
+                # ORIGINAL token (no re-roll)
+                rid = mlm.py_h32(f"rnd|{i}|{seq[i]['token']}") % rf.VOCAB
+                expect = own if rid in mlm._RANDOM_FILTER_WIDS else rid
+                assert t["wid"] == expect
     # specials are never masked
     for t, act in zip(seq, actions):
         if t["special"]:

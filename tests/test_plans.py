@@ -70,6 +70,69 @@ def test_connected_components_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_raises_past_max_iter(spark):
+    """A component deeper than the round budget must fail LOUD (the
+    silent-truncation contract fix): a 16-hop chain cannot converge in
+    5 rounds; with enough rounds the same chain labels to min."""
+    import pytest
+
+    from tabsketchfm_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(17)], "doc_id bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, nodes, max_iter=5)
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(chain, nodes, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(17)}
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """Star contraction (O(log n) rounds) and min-label propagation
+    must produce IDENTICAL clusters: random multi-component graphs, a
+    16-hop chain (where star needs ~log rounds, label prop needs 17 —
+    run with max_iter=12 to prove the round-count advantage), and
+    isolated nodes."""
+    import random
+
+    from tabsketchfm_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+    ] + [(100, 101), (101, 102)]
+    edges = [(a, b) for a, b in edges if a != b]
+    node_ids = sorted({n for e in edges for n in e} | {500, 501})
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id bigint")
+    lbl = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, nodes, max_iter=40).collect()
+    }
+    star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(pairs, nodes).collect()
+    }
+    assert star == lbl
+    # the deep chain: star converges well inside 12 alternations
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a bigint, id_b bigint"
+    )
+    cnodes = spark.createDataFrame([(i,) for i in range(17)], "doc_id bigint")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(chain, cnodes, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(17)}
+
+
 def test_range_join_has_no_nested_loop(spark, sf01):
     """Binned range join must stay an equi-join: no
     BroadcastNestedLoopJoin / CartesianProduct from the range
@@ -412,6 +475,7 @@ _PLAN_GUARD_SKIP = {
     "k3g_table_pagerank",
     "k3h_table_communities",
     "dedup_clusters_documents",
+    "dedup_clusters_star_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
