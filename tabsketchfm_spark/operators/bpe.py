@@ -425,7 +425,7 @@ def learn_merges_py(
     continuation semantics of Spark/DuckDB ``replace()``, so the
     trajectory is bit-identical to the engine replay the DuckDB
     oracle derives independently (parity pinned in
-    tests/test_bpe.py)."""
+    tests/test_hypothesis_props.py::test_learn_merges_py_matches_direct_fold)."""
     seqs = [
         [" " + "  ".join(w) + "  " + END + " ", int(c)] for w, c in word_counts
     ]
@@ -483,10 +483,11 @@ def name_corpus_words_sql() -> str:
 
 
 def name_corpus_learning_ctes(n_merges: int) -> list[str]:
-    """The full learning replay over the column-name corpus, ending in
-    r{n_merges}: (w, seq) — every lake name-word fully segmented under
-    the learned merges. Prepend to any oracle that consumes subword
-    column-name tokens."""
+    """The full learning replay over the column-name corpus: the
+    m1..m{n_merges} winning-pair CTEs any consumer can re-apply (e.g.
+    the subword M9 oracle segments the profile's own words through
+    them). Prepend to any oracle that consumes subword column-name
+    tokens."""
     return _oracle_ctes(
-        n_merges, MAX_WORD_LEN, final_round=True, words_sql=name_corpus_words_sql()
+        n_merges, MAX_WORD_LEN, final_round=False, words_sql=name_corpus_words_sql()
     )

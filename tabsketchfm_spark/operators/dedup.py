@@ -615,7 +615,7 @@ def connected_components(
             .persist()
         )
         cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels.unpersist()
+        _release_frame(labels)
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
@@ -638,7 +638,7 @@ def connected_components(
         # component deeper than max_iter — fail loud instead; callers
         # with legitimately deep graphs raise max_iter (or switch to
         # the star-contraction variant noted above)
-        labels.unpersist()
+        _release_frame(labels)
         raise RuntimeError(
             f"connected_components did not converge within max_iter="
             f"{max_iter} rounds: a component's diameter exceeds the "
@@ -659,6 +659,16 @@ def connected_components(
 # (Dataset.unpersist is a no-op for checkpointed frames) — one shared
 # definition in bpe.py
 from tabsketchfm_spark.operators.bpe import _release_checkpoint
+
+
+def _release_frame(df: DataFrame) -> None:
+    """Release a loop-state frame that may be EITHER persisted or
+    localCheckpointed (the label-prop loop truncates lineage every few
+    rounds, so both kinds flow through the same variable): unpersist
+    handles the former, _release_checkpoint the latter — each is a
+    safe no-op on the other kind."""
+    df.unpersist()
+    _release_checkpoint(df)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -789,6 +799,8 @@ def dedup_clusters(
     round count no longer tied to component diameter."""
     from pyspark.sql import Window
 
+    if cc not in ("label", "star"):
+        raise ValueError(f"cc must be 'label' or 'star', got {cc!r}")
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
     ccf = connected_components_star if cc == "star" else connected_components
     labels = ccf(pairs, df, node_col=id_col)

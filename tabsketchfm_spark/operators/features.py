@@ -172,9 +172,12 @@ def token_features_oracle_sql(
     variant, whose tk needs a join against the BPE-segmented vocabulary
     rather than a scalar expression. ``prefix_ctes`` prepends extra
     CTEs (e.g. the merge-learning replay) to the WITH chain."""
-    tk_join = f"JOIN ({ntk_sql}) ntk USING (column_name)" if ntk_sql else ""
+    # LEFT join + [SEP] fallback: a column name with zero '_'-words
+    # (e.g. '_') yields no ntk row but must still emit its [SEP] token
+    # (the Spark side's concat over an empty word list does)
+    tk_join = f"LEFT JOIN ({ntk_sql}) ntk USING (column_name)" if ntk_sql else ""
     tk_expr = (
-        "tk"
+        "coalesce(tk, ['[SEP]'])"
         if ntk_sql
         else "list_concat(list_filter(string_split(column_name, '_'), "
         "t -> t <> ''),\n                            ['[SEP]'])"
@@ -576,13 +579,34 @@ def subword_token_features_oracle_sql(
     """Oracle for the BPE-subword M9 variant: DuckDB re-derives the
     merge list itself (the full learning replay over the lake's
     column-name corpus, via DESCRIBE — no schema hardcoded on either
-    side), segments every name-word under the final vocabulary r{n},
+    side), then segments the PROFILE'S OWN name-words through the same
+    m1..m{n} replace chain (so a word absent from the lake corpus
+    still segments exactly like Spark's chained-replace expression),
     and rebuilds the token sequence; the gate therefore pins the whole
     learn→segment→assemble trajectory, not just the token algebra."""
     from tabsketchfm_spark.operators.bpe import name_corpus_learning_ctes
 
     prefix = ",\n".join(name_corpus_learning_ctes(n_merges)) + ",\n"
+    # per-word segmentation replay over the profile's words: same
+    # sentinel-coalesced scalar subqueries as the learning chain's
+    # r{k} CTEs (an exhausted m{k} is a no-op round on both engines)
+    sq = [
+        """sqw AS (SELECT DISTINCT
+           unnest(list_filter(string_split(column_name, '_'), t -> t <> '')) AS w
+         FROM prof)""",
+        "sq0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ')"
+        f" || '  </w> ' AS seq FROM sqw)",
+    ]
+    for k in range(1, n_merges + 1):
+        sq.append(
+            f"""sq{k} AS (SELECT w, replace(seq,
+        coalesce((SELECT ' ' || s1 || '  ' || s2 || ' ' FROM m{k}), chr(1)),
+        coalesce((SELECT ' ' || s1 || s2 || ' ' FROM m{k}), chr(1))) AS seq
+      FROM sq{k - 1})"""
+        )
+    sq_ctes = ",\n  ".join(sq)
     ntk = f"""
+  WITH {sq_ctes}
   SELECT column_name,
          list_concat(flatten(list(subs ORDER BY wi))[1:{max_col_tokens}],
                      ['[SEP]']) AS tk
@@ -596,7 +620,7 @@ def subword_token_features_oracle_sql(
       FROM (SELECT column_name,
                    list_filter(string_split(column_name, '_'), t -> t <> '') AS ws
             FROM prof) t0) nw
-    JOIN r{n_merges} r ON r.w = nw.w) sw
+    JOIN sq{n_merges} r ON r.w = nw.w) sw
   GROUP BY column_name
 """
     return token_features_oracle_sql(profile_sql, prefix_ctes=prefix, ntk_sql=ntk)

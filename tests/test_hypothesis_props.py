@@ -121,9 +121,14 @@ def test_apply_mask_label_contract(col_name_tokens):
                 assert 0 <= t["wid"] < rf.VOCAB
                 # reference create_desc_mask semantics: one draw; a
                 # draw landing on {SEP, CLS, PAD, UNK} keeps the
-                # ORIGINAL token (no re-roll)
+                # ORIGINAL token (no re-roll). The filter set is
+                # HARDCODED here (not read from mlm) so an edit to the
+                # implementation's set fails this test
+                filter_wids = {
+                    rf.word_id(s) for s in ("[SEP]", "[CLS]", "[PAD]", "[UNK]")
+                }
                 rid = mlm.py_h32(f"rnd|{i}|{seq[i]['token']}") % rf.VOCAB
-                expect = own if rid in mlm._RANDOM_FILTER_WIDS else rid
+                expect = own if rid in filter_wids else rid
                 assert t["wid"] == expect
     # specials are never masked
     for t, act in zip(seq, actions):

@@ -871,3 +871,46 @@ def test_exact_substring_dedup_chars_removes_injected_spans(spark):
     assert got[4]["n_removed"] == 0 and got[4]["cleaned_text"] == "tiny"
     for d in (5, 6):
         assert got[d]["n_removed"] == 20 and got[d]["cleaned_text"] == ""
+
+
+def test_subword_token_features_generic_profile(spark, sf01):
+    """The subword M9 oracle must hold for profiles whose column names
+    are NOT lake names: out-of-corpus words segment through the same
+    m1..m{n} replace replay Spark's expression applies, and a
+    zero-word name ('_') still emits its [SEP] row (LEFT-join
+    fallback)."""
+    from tabsketchfm_spark.operators import bpe
+    from tabsketchfm_spark.operators import features as feat
+    from tests.oracle_util import assert_match, run_oracle
+
+    merges = bpe.learn_merges_py(
+        bpe.lake_column_word_counts(spark, sf01), 40
+    )
+    names = ["username_extendedkey", "_", "zzqx", "order_name"]
+    stat_cols = [
+        "q10", "q20", "q30", "q40", "q50", "q60", "q70", "q80", "q90",
+        "mean_v", "std_v", "min_v", "max_v",
+    ]
+    rows = [(nm, i, "string", *([None] * 13)) for i, nm in enumerate(names)]
+    schema = "column_name string, col_idx int, col_type string, " + ", ".join(
+        f"{c} double" for c in stat_cols
+    )
+    profile = spark.createDataFrame(rows, schema)
+    sdf = feat.token_features(
+        profile, tk_expr=feat.subword_tk_expr(merges, 5)
+    )
+    vals = ", ".join(
+        f"('{nm}', {i}, 'string', "
+        + ", ".join(["CAST(NULL AS DOUBLE)"] * 13)
+        + ")"
+        for i, nm in enumerate(names)
+    )
+    profile_sql = (
+        f"SELECT * FROM (VALUES {vals}) v(column_name, col_idx, col_type, "
+        + ", ".join(stat_cols)
+        + ")"
+    )
+    opdf = run_oracle(
+        feat.subword_token_features_oracle_sql(profile_sql, 40), sf01
+    )
+    assert_match(sdf, opdf, "subword_generic_profile")
