@@ -1158,6 +1158,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     k: int = 8,
     caches: list | None = None,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication with span REMOVAL (the
     "Deduplicating Training Data Makes Language Models Better"
@@ -1168,6 +1169,12 @@ def exact_substring_dedup(
     MEASURES copying; this op performs the edit. ``caches`` (the
     profile_table/global_rank convention) collects the persisted
     intermediates so EAGER callers can unpersist after materializing.
+
+    ``keep_first=True`` switches to the paper's KEEP-ONE-COPY edit:
+    each duplicated gram's corpus-first occurrence (smallest (id, s))
+    keeps its span; only the later occurrences are removed. One extra
+    fp-partitioned window over the duplicated occurrences — still no
+    pair enumeration, still linear.
 
     Shape (all linear in corpus tokens, no pair enumeration):
     one gram projection (unrolled element_at terms — slice() copies,
@@ -1207,9 +1214,16 @@ def exact_substring_dedup(
         .where(F.col("n") >= 2)
         .select("fp")
     )
+    occ = fps.join(dup_fp, "fp")
+    if keep_first:
+        from pyspark.sql import Window
+
+        wf = Window.partitionBy("fp").orderBy("id", "s")
+        occ = occ.withColumn("rn", F.row_number().over(wf)).where(
+            F.col("rn") > 1
+        )
     covered = (
-        fps.join(dup_fp, "fp")
-        .select(
+        occ.select(
             "id", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("pos")
         )
         .distinct()
@@ -1269,11 +1283,19 @@ def exact_substring_dedup_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    keep_first: bool = False,
 ) -> str:
     from tabsketchfm_spark.functions.hashing import h64_sql
 
     toks = _toks_duckdb(text_col)
     h = h64_sql(f"array_to_string(tk[s+1:s+{k}], ' ')", "duckdb")
+    occ = "SELECT id, s FROM fps JOIN dup USING (fp)"
+    if keep_first:
+        occ = (
+            "SELECT id, s FROM (SELECT id, s, row_number() OVER ("
+            "PARTITION BY fp ORDER BY id, s) AS rn "
+            "FROM fps JOIN dup USING (fp)) o WHERE rn > 1"
+        )
     return f"""
 WITH t AS MATERIALIZED (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
 fps AS MATERIALIZED (SELECT id, s, {h} AS fp
@@ -1281,7 +1303,7 @@ fps AS MATERIALIZED (SELECT id, s, {h} AS fp
               FROM t WHERE len(tk) >= {k}) q),
 dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
 covered AS (SELECT DISTINCT id, s + j AS pos
-            FROM (SELECT id, s FROM fps JOIN dup USING (fp)) d,
+            FROM ({occ}) d,
                  (SELECT unnest(generate_series(0, {k - 1})) AS j) js),
 tokens AS (SELECT id, s AS pos, tk[s+1] AS token
            FROM (SELECT id, tk, unnest(generate_series(0, len(tk) - 1)) AS s

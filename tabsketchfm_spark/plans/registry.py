@@ -1414,6 +1414,16 @@ _register(
     txt.exact_substring_dedup_oracle_sql("documents"),
 )
 _register(
+    # the paper's KEEP-ONE-COPY edit: each duplicated gram's
+    # corpus-first occurrence keeps its span; later occurrences are
+    # removed (one fp-partitioned window over duplicated starts)
+    "dedup_exact_substrings_keepfirst_documents",
+    lambda spark, sf: txt.exact_substring_dedup(
+        load_table(spark, sf, "documents"), keep_first=True
+    ),
+    txt.exact_substring_dedup_oracle_sql("documents", keep_first=True),
+)
+_register(
     # the same edit at CHARACTER granularity (the suffix-array
     # formulation's domain): duplicated k-char substrings removed at
     # character offsets; gram pass hashes substring() directly — no

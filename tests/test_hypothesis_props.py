@@ -418,6 +418,54 @@ def test_exact_substring_oracle_matches_direct_python(doc_tokens, k):
 
 
 @given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_exact_substring_keepfirst_oracle_matches_direct_python(doc_tokens, k):
+    """The KEEP-ONE-COPY variant's oracle vs an independent fold: the
+    per-gram corpus-first occurrence (smallest (doc, start)) keeps its
+    span; only later occurrences' positions are removed."""
+    import duckdb
+
+    from tabsketchfm_spark.operators.text import exact_substring_dedup_oracle_sql
+
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, '{' '.join(toks)}')" for i, toks in enumerate(doc_tokens)
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {rows}) v(doc_id, text)"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            exact_substring_dedup_oracle_sql("documents", k=k, keep_first=True)
+        ).fetchall()
+    }
+    occs: dict[tuple, list[tuple[int, int]]] = {}
+    for i, toks in enumerate(doc_tokens):
+        for s in range(len(toks) - k + 1):
+            occs.setdefault(tuple(toks[s : s + k]), []).append((i, s))
+    covered_by_doc: dict[int, set] = {}
+    for g, lst in occs.items():
+        if len(lst) < 2:
+            continue
+        for i, s in sorted(lst)[1:]:  # all but the corpus-first
+            covered_by_doc.setdefault(i, set()).update(range(s, s + k))
+    expect = {}
+    for i, toks in enumerate(doc_tokens):
+        covered = covered_by_doc.get(i, set())
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        expect[i] = (len(toks), len(covered), " ".join(kept))
+    assert got == expect
+
+
+@given(
     st.lists(  # docs as char strings over a tiny alphabet
         st.text(alphabet="abcd", min_size=0, max_size=16),
         min_size=1,
