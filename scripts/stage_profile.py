@@ -51,9 +51,30 @@ def _api(base: str, path: str):
 
 def _stages(base: str, app_id: str) -> dict[tuple[int, int], dict]:
     out = {}
-    for s in _api(base, f"/api/v1/applications/{app_id}/stages?status=complete"):
-        out[(s["stageId"], s["attemptId"])] = s
+    # skipped stages too: a reused exchange changes the fingerprint and
+    # must show up as such, not vanish
+    for status in ("complete", "skipped"):
+        for s in _api(
+            base, f"/api/v1/applications/{app_id}/stages?status={status}"
+        ):
+            out[(s["stageId"], s["attemptId"])] = s
     return out
+
+
+def _stages_stable(base: str, app_id: str, timeout_s: float = 10.0):
+    """Poll until two consecutive snapshots agree — completion events
+    can land in the UI store noticeably after the job returns, and a
+    fixed sleep would silently truncate the fingerprint on a loaded
+    host (the exact condition this script diagnoses)."""
+    prev = _stages(base, app_id)
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        time.sleep(0.3)
+        cur = _stages(base, app_id)
+        if set(cur) == set(prev):
+            return cur
+        prev = cur
+    return prev
 
 
 def profile(names: list[str], runs: int = 3) -> None:
@@ -75,9 +96,7 @@ def profile(names: list[str], runs: int = 3) -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             wall = time.perf_counter() - t0
             spark.catalog.clearCache()
-            # completed-stage metrics can lag the job end slightly
-            time.sleep(0.5)
-            after = _stages(base, app_id)
+            after = _stages_stable(base, app_id)
             new = [s for k, s in after.items() if k not in before]
             rec = {"wall_sec": round(wall, 3), "n_stages": len(new)}
             for out_key, api_key in METRIC_KEYS.items():

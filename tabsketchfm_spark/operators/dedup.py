@@ -734,21 +734,25 @@ def connected_components_star(
     (count, sum) fingerprint and then CONFIRMED exactly with a
     one-time exceptAll check — a fingerprint collision cannot produce
     a silent wrong answer, and exhausting max_iter fails loud."""
+    def _fp(df: DataFrame) -> tuple:
+        return tuple(
+            df.agg(F.count(F.lit(1)), F.sum("a"), F.sum("b")).first()
+        )
+
     e = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
-    prev_fp = None
+    # seed with the INPUT's fingerprint so an already-fixpoint edge set
+    # (e.g. a single edge, or a prior contraction's output) converges
+    # on round 1 instead of spuriously exhausting max_iter=1
+    prev_fp = _fp(e)
     converged = False
     for _ in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint()
-        fp = tuple(
-            new_e.agg(
-                F.count(F.lit(1)), F.sum("a"), F.sum("b")
-            ).first()
-        )
+        fp = _fp(new_e)
         if fp == prev_fp and new_e.exceptAll(e).isEmpty():
             # same cardinality + empty difference == identical multiset
             _release_checkpoint(e)

@@ -1227,11 +1227,16 @@ def exact_substring_dedup(
             "id", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("pos")
         )
         .distinct()
+        .persist()
     )
     # only TOUCHED docs pay the explode + ordered-reassembly shuffle;
     # the typical mostly-unique corpus passes through as a cheap
-    # per-row projection (kept == all tokens in order == array_join)
-    touched = covered.select("id").distinct()
+    # per-row projection (kept == all tokens in order == array_join).
+    # covered feeds 2 subtrees and touched 3 — persist both (the
+    # 2+-consumer rule) so the dup-detection shuffle runs once
+    touched = covered.select("id").distinct().persist()
+    if caches is not None:
+        caches += [covered, touched]
     untouched = t.join(touched, "id", "left_anti").select(
         "id",
         F.size("tk").alias("n_tokens"),
@@ -1371,8 +1376,13 @@ def exact_substring_dedup_chars(
             "id", F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("pos")
         )
         .distinct()
+        .persist()
     )
-    touched = covered.select("id").distinct()
+    # covered feeds touched + the kept anti-join; touched feeds three
+    # branches — persist both (the 2+-consumer rule)
+    touched = covered.select("id").distinct().persist()
+    if caches is not None:
+        caches += [covered, touched]
     untouched = t.join(touched, "id", "left_anti").select(
         "id",
         F.length("txt").alias("n_chars"),

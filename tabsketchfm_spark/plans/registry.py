@@ -1735,21 +1735,20 @@ def _stream_linkage_sink_query(spark, sf):
     appended executor-side to a partitioned parquet sink (no driver
     collect in the hot path); the returned frame reads back the final
     batch's partition. Same state, same scorer, same oracle."""
-    import hashlib
-    import os
     import shutil
     import tempfile
 
-    # deterministic per-(process, sf) path — str hash() is salted per
-    # process and would orphan a fresh directory every run; md5 reuses
-    # (and first clears) the same one
-    sink = os.path.join(
-        tempfile.gettempdir(),
-        f"tsfm_linkage_sink_{os.getpid()}_"
-        f"{hashlib.md5(sf.encode()).hexdigest()[:8]}",
-    )
-    shutil.rmtree(sink, ignore_errors=True)
-    return ps.streaming_record_linkage(spark, sf, sink_path=sink)
+    # fresh dir per run, removed after materializing (the
+    # _train_checkpoint_extract lifecycle): no /tmp accumulation, and
+    # no window where a previously returned lazy frame's files vanish
+    sink = tempfile.mkdtemp(prefix="tsfm_linkage_sink_")
+    try:
+        out = ps.streaming_record_linkage(spark, sf, sink_path=sink)
+        rows = out.collect()  # bounded: threshold-bounded match set
+        schema = out.schema
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 _register(
