@@ -301,13 +301,17 @@ FROM rolled
 """
 
 
-def pair_token_features(profile1: DataFrame, profile2: DataFrame) -> DataFrame:
+def pair_token_features(
+    profile1: DataFrame, profile2: DataFrame, tk_expr: str | None = None
+) -> DataFrame:
     """M10 (tabular_dataset.py:168-192): the cross-encoder pair layout —
     table1's token sequence followed by table2's (CLS kept once),
-    positions renumbered globally, table_id marking the side."""
-    s1 = token_features(profile1).withColumn("table_id", F.lit(1))
+    positions renumbered globally, table_id marking the side.
+    ``tk_expr`` swaps the column-name tokenizer on BOTH sides (the
+    subword M9 seam)."""
+    s1 = token_features(profile1, tk_expr).withColumn("table_id", F.lit(1))
     s2 = (
-        token_features(profile2)
+        token_features(profile2, tk_expr)
         .where(F.col("token") != "[CLS]")
         .withColumn("table_id", F.lit(2))
     )
@@ -326,9 +330,25 @@ def pair_token_features(profile1: DataFrame, profile2: DataFrame) -> DataFrame:
     )
 
 
-def pair_token_features_oracle_sql(profile1_sql: str, profile2_sql: str) -> str:
-    t1 = token_features_oracle_sql(profile1_sql)
-    t2 = token_features_oracle_sql(profile2_sql)
+def pair_token_features_oracle_sql(
+    profile1_sql: str,
+    profile2_sql: str,
+    subword_n_merges: int | None = None,
+    max_col_tokens: int = 5,
+) -> str:
+    """``subword_n_merges`` mirrors the subword tokenizer on both
+    sides: each side's CTE carries its own merge-learning replay
+    (duplicated — tiny, schema-sized)."""
+    if subword_n_merges is not None:
+        t1 = subword_token_features_oracle_sql(
+            profile1_sql, subword_n_merges, max_col_tokens
+        )
+        t2 = subword_token_features_oracle_sql(
+            profile2_sql, subword_n_merges, max_col_tokens
+        )
+    else:
+        t1 = token_features_oracle_sql(profile1_sql)
+        t2 = token_features_oracle_sql(profile2_sql)
     return f"""
 WITH s1 AS ({t1}), s2 AS ({t2}),
 u AS (

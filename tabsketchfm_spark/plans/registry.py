@@ -1193,6 +1193,33 @@ _register(
 )
 
 
+def _m10_subword_query(spark, sf, n_merges=40, max_col_tokens=5):
+    """M10 with the subword column-name tokenizer on BOTH sides — the
+    cross-encoder pair layout a wordpiece-parity pipeline feeds."""
+    from tabsketchfm_spark.operators import bpe
+
+    merges = bpe.learn_merges_py(
+        bpe.lake_column_word_counts(spark, sf), n_merges=n_merges
+    )
+    tk = feat.subword_tk_expr(merges, max_col_tokens)
+    return feat.pair_token_features(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4),
+        prof.profile_table(load_table(spark, sf, "supplier"), "supplier", round_digits=4),
+        tk_expr=tk,
+    )
+
+
+_register(
+    "m10_pair_tokens_subword_customer_supplier",
+    _m10_subword_query,
+    feat.pair_token_features_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+        prof.profile_oracle_sql("supplier", TABLE_SCHEMAS["supplier"], round_digits=4),
+        subword_n_merges=40,
+    ),
+)
+
+
 # --- CDC / changelog maintenance --------------------------------------------
 
 _register(

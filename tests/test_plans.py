@@ -491,6 +491,7 @@ _PLAN_GUARD_SCHEMA_BOUNDED = {
     "m9_token_features_customer",
     "m9_token_features_subword_customer",
     "m10_pair_tokens_customer_supplier",
+    "m10_pair_tokens_subword_customer_supplier",
 }
 
 
