@@ -61,19 +61,27 @@ def _stages(base: str, app_id: str) -> dict[tuple[int, int], dict]:
     return out
 
 
-def _stages_stable(base: str, app_id: str, timeout_s: float = 10.0):
-    """Poll until two consecutive snapshots agree — completion events
-    can land in the UI store noticeably after the job returns, and a
-    fixed sleep would silently truncate the fingerprint on a loaded
-    host (the exact condition this script diagnoses)."""
+def _stages_stable(base: str, app_id: str, before: dict, timeout_s: float = 15.0):
+    """Poll until the snapshot is stable AND contains at least one
+    stage beyond ``before`` — completion events can land in the UI
+    store noticeably after the job returns, so agreement alone could
+    be two pre-run snapshots (silently truncating the fingerprint on
+    the loaded host this script exists to diagnose). Warns on
+    timeout instead of returning a quietly short fingerprint."""
     prev = _stages(base, app_id)
     deadline = time.time() + timeout_s
     while time.time() < deadline:
         time.sleep(0.3)
         cur = _stages(base, app_id)
-        if set(cur) == set(prev):
+        if set(cur) == set(prev) and any(k not in before for k in cur):
             return cur
         prev = cur
+    print(
+        json.dumps({"warning": "stage snapshot did not stabilize with "
+                    f"new stages within {timeout_s}s; fingerprint may "
+                    "be truncated"}),
+        file=sys.stderr,
+    )
     return prev
 
 
@@ -96,7 +104,7 @@ def profile(names: list[str], runs: int = 3) -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             wall = time.perf_counter() - t0
             spark.catalog.clearCache()
-            after = _stages_stable(base, app_id)
+            after = _stages_stable(base, app_id, before)
             new = [s for k, s in after.items() if k not in before]
             rec = {"wall_sec": round(wall, 3), "n_stages": len(new)}
             for out_key, api_key in METRIC_KEYS.items():

@@ -1262,7 +1262,11 @@ def exact_substring_dedup(
         "n_tokens",
         (F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
         "cleaned_text",
-    )
+    ).persist()
+    # rebuilt feeds the output union AND emptied's anti-join — persist
+    # (2+-consumer rule) so the touched-docs explode runs once
+    if caches is not None:
+        caches.append(rebuilt)
     # a fully-covered doc drops out of kept entirely: restore it with
     # an empty cleaned text
     emptied = (
@@ -1415,7 +1419,12 @@ def exact_substring_dedup_chars(
             (F.col("n_chars") - F.col("n_kept")).alias("n_removed"),
             "cleaned_text",
         )
+        .persist()
     )
+    # rebuilt feeds the output union AND emptied's anti-join — persist
+    # (2+-consumer rule) so the per-char explode runs once
+    if caches is not None:
+        caches.append(rebuilt)
     # fully-covered docs drop out of kept: restore with empty text
     emptied = (
         t.join(touched, "id", "left_semi")

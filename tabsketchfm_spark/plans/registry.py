@@ -850,22 +850,29 @@ _register(
     ),
 )
 
-def _m9_subword_query(spark, sf, n_merges=40, max_col_tokens=5):
-    """M9 with wordpiece-parity subword column-name tokenization
-    (reference tabular_tokenizer.py:155-160, MAX_COL_TOKENS=5 cap at
-    :49-62): BPE merges learned from the lake's own column-name corpus
-    (schema-sized — driver-side greedy, bpe.learn_merges_py), applied
-    as a pure chained-replace expression inside token_features."""
+def _lake_subword_tk(spark, sf, n_merges=40, max_col_tokens=5):
+    """ONE definition of the lake-learned subword tokenizer expression
+    (BPE merges from the schema-sized column-name corpus, driver-side
+    greedy learn) — shared by the M9 and M10 subword queries so the
+    tokenizer seam cannot drift between them."""
     from tabsketchfm_spark.operators import bpe
 
     merges = bpe.learn_merges_py(
         bpe.lake_column_word_counts(spark, sf), n_merges=n_merges
     )
+    return feat.subword_tk_expr(merges, max_col_tokens)
+
+
+def _m9_subword_query(spark, sf, n_merges=40, max_col_tokens=5):
+    """M9 with wordpiece-parity subword column-name tokenization
+    (reference tabular_tokenizer.py:155-160, MAX_COL_TOKENS=5 cap at
+    :49-62): the lake-learned merges applied as a pure chained-replace
+    expression inside token_features."""
     return feat.token_features(
         prof.profile_table(
             load_table(spark, sf, "customer"), "customer", round_digits=4
         ),
-        tk_expr=feat.subword_tk_expr(merges, max_col_tokens),
+        tk_expr=_lake_subword_tk(spark, sf, n_merges, max_col_tokens),
     )
 
 
@@ -1196,12 +1203,7 @@ _register(
 def _m10_subword_query(spark, sf, n_merges=40, max_col_tokens=5):
     """M10 with the subword column-name tokenizer on BOTH sides — the
     cross-encoder pair layout a wordpiece-parity pipeline feeds."""
-    from tabsketchfm_spark.operators import bpe
-
-    merges = bpe.learn_merges_py(
-        bpe.lake_column_word_counts(spark, sf), n_merges=n_merges
-    )
-    tk = feat.subword_tk_expr(merges, max_col_tokens)
+    tk = _lake_subword_tk(spark, sf, n_merges, max_col_tokens)
     return feat.pair_token_features(
         prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4),
         prof.profile_table(load_table(spark, sf, "supplier"), "supplier", round_digits=4),
@@ -1759,9 +1761,12 @@ _register(
 
 def _stream_linkage_sink_query(spark, sf):
     """The PRODUCTION-shape twin: every micro-batch's matches are
-    appended executor-side to a partitioned parquet sink (no driver
-    collect in the hot path); the returned frame reads back the final
-    batch's partition. Same state, same scorer, same oracle."""
+    written executor-side to a partitioned parquet sink (demonstrating
+    the sink path). The registered wrapper then MATERIALIZES the final
+    batch's bounded match set on the driver so the sink directory can
+    be removed before returning — the returned frame is a local
+    re-creation, not a lazy read of the deleted path. Same state, same
+    scorer, same oracle."""
     import shutil
     import tempfile
 
