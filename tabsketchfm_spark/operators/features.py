@@ -227,7 +227,7 @@ FROM pos
 """
 
 
-def mask_plan(profile: DataFrame) -> DataFrame:
+def mask_plan(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
     """M8 (reference tabular_tokenizer.py:82-144): the MLM masking
     policy as a deterministic plan. Column-name tokens are masked with
     probability 100% when the column run has <5 tokens, 60% when <10,
@@ -237,10 +237,13 @@ def mask_plan(profile: DataFrame) -> DataFrame:
     torch RNG; SURVEY §7.5 risk 6).
 
     Output: (position_id, token, col_encoding, mask_prob, masked, action).
+
+    ``tk_expr`` swaps the column-name tokenizer (the subword M9 seam);
+    the policy algebra is tokenizer-agnostic.
     """
     from tabsketchfm_spark.functions.hashing import h32_sql
 
-    t = token_features(profile)
+    t = token_features(profile, tk_expr)
     wcol = Window.partitionBy("col_encoding")
     t = t.withColumn(
         "col_len",
@@ -274,10 +277,12 @@ def mask_plan(profile: DataFrame) -> DataFrame:
     )
 
 
-def mask_plan_oracle_sql(profile_sql: str) -> str:
+def mask_plan_oracle_sql(profile_sql: str, token_sql: str | None = None) -> str:
+    """``token_sql`` overrides the token-stream CTE (e.g. the subword
+    M9 oracle) — the policy algebra is tokenizer-agnostic."""
     from tabsketchfm_spark.functions.hashing import h32_sql
 
-    base = token_features_oracle_sql(profile_sql)
+    base = token_sql or token_features_oracle_sql(profile_sql)
     r = h32_sql("concat(CAST(position_id AS VARCHAR), '|', token)", "duckdb")
     r2 = h32_sql("concat('sub|', CAST(position_id AS VARCHAR), '|', token)", "duckdb")
     return f"""

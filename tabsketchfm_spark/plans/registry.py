@@ -1212,6 +1212,25 @@ def _m10_subword_query(spark, sf, n_merges=40, max_col_tokens=5):
 
 
 _register(
+    # M8 policy over the SUBWORD token stream — the masking algebra is
+    # tokenizer-agnostic, so only the token CTE changes; the oracle
+    # reuses the full subword learning replay
+    "m8_mask_plan_subword_customer",
+    lambda spark, sf: feat.mask_plan(
+        prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4),
+        tk_expr=_lake_subword_tk(spark, sf),
+    ),
+    feat.mask_plan_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+        token_sql=feat.subword_token_features_oracle_sql(
+            prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+            n_merges=40,
+            max_col_tokens=5,
+        ),
+    ),
+)
+
+_register(
     "m10_pair_tokens_subword_customer_supplier",
     _m10_subword_query,
     feat.pair_token_features_oracle_sql(

@@ -490,6 +490,7 @@ _PLAN_GUARD_SCHEMA_BOUNDED = {
     "m8a_mlm_batch_customer",
     "m9_token_features_customer",
     "m9_token_features_subword_customer",
+    "m8_mask_plan_subword_customer",
     "m10_pair_tokens_customer_supplier",
     "m10_pair_tokens_subword_customer_supplier",
 }
