@@ -277,12 +277,24 @@ def mask_plan(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
     )
 
 
-def mask_plan_oracle_sql(profile_sql: str, token_sql: str | None = None) -> str:
-    """``token_sql`` overrides the token-stream CTE (e.g. the subword
-    M9 oracle) — the policy algebra is tokenizer-agnostic."""
+def mask_plan_oracle_sql(
+    profile_sql: str,
+    subword_n_merges: int | None = None,
+    max_col_tokens: int = 5,
+) -> str:
+    """``subword_n_merges`` swaps the token-stream CTE for the subword
+    M9 oracle built from the SAME profile_sql (the
+    pair_token_features_oracle_sql seam shape — no way to pass a
+    mismatched token stream) — the policy algebra is
+    tokenizer-agnostic."""
     from tabsketchfm_spark.functions.hashing import h32_sql
 
-    base = token_sql or token_features_oracle_sql(profile_sql)
+    if subword_n_merges is not None:
+        base = subword_token_features_oracle_sql(
+            profile_sql, subword_n_merges, max_col_tokens
+        )
+    else:
+        base = token_features_oracle_sql(profile_sql)
     r = h32_sql("concat(CAST(position_id AS VARCHAR), '|', token)", "duckdb")
     r2 = h32_sql("concat('sub|', CAST(position_id AS VARCHAR), '|', token)", "duckdb")
     return f"""

@@ -1222,11 +1222,7 @@ _register(
     ),
     feat.mask_plan_oracle_sql(
         prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
-        token_sql=feat.subword_token_features_oracle_sql(
-            prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
-            n_merges=40,
-            max_col_tokens=5,
-        ),
+        subword_n_merges=40,
     ),
 )
 
