@@ -1459,3 +1459,85 @@ SELECT CAST((floor(epoch(ts) / 86400) + 4) % 7 AS INTEGER) AS dow,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def functional_dependencies(
+    df: DataFrame, columns: list[str] | None = None
+) -> DataFrame:
+    """Functional-dependency discovery (the data-discovery profiling
+    staple; complements P6 serial-key detection): for every ordered
+    column pair (lhs, rhs), lhs → rhs holds exactly iff the number of
+    distinct lhs values equals the number of distinct (lhs, rhs)
+    pairs; ``strength`` = n_lhs / n_pairs (1.0 = exact FD) grades
+    approximate dependencies. NULL is a value on both sides (DISTINCT
+    projection + count(*), never count(DISTINCT col), which drops
+    NULLs — in BOTH engines).
+
+    Shape: one pruned two-column DISTINCT aggregate per pair (map-side
+    combine, no Expand — the N-countDistinct single-agg form re-scans
+    the input N× through Expand, the round-3 profiler lesson). Pair
+    count is SCHEMA-bounded (C² for C candidate columns); at lake
+    scale, restrict ``columns`` to profile-guided candidates (high
+    distinct count lhs) exactly as FD miners do.
+
+    Output: (lhs, rhs, n_lhs, n_pairs, exact_fd, strength)."""
+    cols = columns or df.columns
+    parts = []
+    for x in cols:
+        for y in cols:
+            if x == y:
+                continue
+            a = (
+                df.select(x).distinct().agg(F.count(F.lit(1)).alias("n_lhs"))
+            )
+            b = (
+                df.select(x, y)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("n_pairs"))
+            )
+            parts.append(
+                a.crossJoin(b).select(
+                    F.lit(x).alias("lhs"),
+                    F.lit(y).alias("rhs"),
+                    "n_lhs",
+                    "n_pairs",
+                    (F.col("n_lhs") == F.col("n_pairs")).alias("exact_fd"),
+                    # tie-safe quantizer: round() splits HALF_UP (Spark)
+                    # vs HALF_EVEN (DuckDB)
+                    (
+                        F.floor(
+                            F.col("n_lhs").cast("double")
+                            / F.col("n_pairs")
+                            * 1e9
+                            + 0.5
+                        )
+                        / 1e9
+                    ).alias("strength"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def functional_dependencies_oracle_sql(
+    table: str, columns: list[str]
+) -> str:
+    sels = []
+    for x in columns:
+        for y in columns:
+            if x == y:
+                continue
+            sels.append(
+                f"""SELECT '{x}' AS lhs, '{y}' AS rhs,
+       (SELECT count(*) FROM (SELECT DISTINCT {x} FROM {table}) a) AS n_lhs,
+       (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}) b) AS n_pairs,
+       (SELECT count(*) FROM (SELECT DISTINCT {x} FROM {table}) a)
+         = (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}) b)
+         AS exact_fd,
+       floor(CAST((SELECT count(*) FROM (SELECT DISTINCT {x} FROM {table}) a) AS DOUBLE)
+             / (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}) b)
+             * 1e9 + 0.5) / 1e9 AS strength"""
+            )
+    return "\nUNION ALL\n".join(sels)

@@ -403,6 +403,18 @@ _register(
     _record_linkage_oracle(),
 )
 _register(
+    # FD discovery: exact + approximate functional dependencies over
+    # every ordered column pair (schema-bounded pair count; one pruned
+    # DISTINCT agg per pair — no Expand)
+    "p13_functional_deps_customer",
+    lambda spark, sf: prof.functional_dependencies(
+        load_table(spark, sf, "customer")
+    ),
+    prof.functional_dependencies_oracle_sql(
+        "customer", [c for c, _t in TABLE_SCHEMAS["customer"]]
+    ),
+)
+_register(
     # privacy gate: quasi-identifier group sizes vs the k threshold
     "p12_k_anonymity_customer",
     lambda spark, sf: prof.k_anonymity_scan(

@@ -104,23 +104,26 @@ def test_connected_components_star_matches_label_prop(spark):
         connected_components_star,
     )
 
-    rng = random.Random(7)
-    edges = [
-        (rng.randrange(40), rng.randrange(40)) for _ in range(45)
-    ] + [(100, 101), (101, 102)]
-    edges = [(a, b) for a, b in edges if a != b]
-    node_ids = sorted({n for e in edges for n in e} | {500, 501})
-    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
-    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id bigint")
-    lbl = {
-        r.doc_id: r.cluster_id
-        for r in connected_components(pairs, nodes, max_iter=40).collect()
-    }
-    star = {
-        r.doc_id: r.cluster_id
-        for r in connected_components_star(pairs, nodes).collect()
-    }
-    assert star == lbl
+    for seed in (7, 23, 51):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(40), rng.randrange(40)) for _ in range(45)
+        ] + [(100, 101), (101, 102)]
+        edges = [(a, b) for a, b in edges if a != b]
+        node_ids = sorted({n for e in edges for n in e} | {500, 501})
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        nodes = spark.createDataFrame(
+            [(n,) for n in node_ids], "doc_id bigint"
+        )
+        lbl = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, nodes, max_iter=40).collect()
+        }
+        star = {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(pairs, nodes).collect()
+        }
+        assert star == lbl, f"seed {seed}"
     # the deep chain: star converges well inside 12 alternations
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(16)], "id_a bigint, id_b bigint"

@@ -914,3 +914,21 @@ def test_subword_token_features_generic_profile(spark, sf01):
         feat.subword_token_features_oracle_sql(profile_sql, 40), sf01
     )
     assert_match(sdf, opdf, "subword_generic_profile")
+
+
+def test_functional_dependencies_key_semantics(spark, sf001):
+    """FD semantics on customer: the key column determines every other
+    column (exact_fd, strength 1.0); a low-cardinality column cannot
+    determine the key (strength << 1)."""
+    from tabsketchfm_spark.operators.profile import functional_dependencies
+
+    cust = load_table(spark, sf001, "customer")
+    got = {
+        (r.lhs, r.rhs): r
+        for r in functional_dependencies(cust).collect()
+    }
+    for rhs in ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]:
+        r = got[("c_custkey", rhs)]
+        assert r.exact_fd and r.strength == 1.0
+    r = got[("c_nationkey", "c_custkey")]
+    assert not r.exact_fd and r.strength < 0.5
