@@ -1473,71 +1473,89 @@ def functional_dependencies(
     projection + count(*), never count(DISTINCT col), which drops
     NULLs — in BOTH engines).
 
-    Shape: one pruned two-column DISTINCT aggregate per pair (map-side
+    Shape: C per-column distinct counts computed ONCE (one pruned
+    aggregate each), C·(C−1) two-column distinct aggregates (map-side
     combine, no Expand — the N-countDistinct single-agg form re-scans
-    the input N× through Expand, the round-3 profiler lesson). Pair
-    count is SCHEMA-bounded (C² for C candidate columns); at lake
-    scale, restrict ``columns`` to profile-guided candidates (high
-    distinct count lhs) exactly as FD miners do.
+    the input N× through Expand, the round-3 profiler lesson), one
+    broadcast join to attach n_lhs. Pair count is SCHEMA-bounded; at
+    lake scale, restrict ``columns`` to profile-guided candidates
+    (high-distinct lhs) exactly as FD miners do.
 
     Output: (lhs, rhs, n_lhs, n_pairs, exact_fd, strength)."""
     cols = columns or df.columns
-    parts = []
-    for x in cols:
-        for y in cols:
-            if x == y:
-                continue
-            a = (
-                df.select(x).distinct().agg(F.count(F.lit(1)).alias("n_lhs"))
+    if len(cols) < 2:
+        raise ValueError(
+            f"functional_dependencies needs >= 2 columns, got {cols!r}"
+        )
+    lhs_parts = [
+        df.select(x)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_lhs"))
+        .select(F.lit(x).alias("lhs"), "n_lhs")
+        for x in cols
+    ]
+    lhs_counts = lhs_parts[0]
+    for part in lhs_parts[1:]:
+        lhs_counts = lhs_counts.unionByName(part)
+    pair_parts = [
+        df.select(x, y)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.lit(x).alias("lhs"), F.lit(y).alias("rhs"), "n_pairs")
+        for x in cols
+        for y in cols
+        if x != y
+    ]
+    pairs = pair_parts[0]
+    for part in pair_parts[1:]:
+        pairs = pairs.unionByName(part)
+    return pairs.join(F.broadcast(lhs_counts), "lhs").select(
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_pairs",
+        (F.col("n_lhs") == F.col("n_pairs")).alias("exact_fd"),
+        # tie-safe quantizer: round() splits HALF_UP (Spark) vs
+        # HALF_EVEN (DuckDB)
+        (
+            F.floor(
+                F.col("n_lhs").cast("double") / F.col("n_pairs") * 1e9 + 0.5
             )
-            b = (
-                df.select(x, y)
-                .distinct()
-                .agg(F.count(F.lit(1)).alias("n_pairs"))
-            )
-            parts.append(
-                a.crossJoin(b).select(
-                    F.lit(x).alias("lhs"),
-                    F.lit(y).alias("rhs"),
-                    "n_lhs",
-                    "n_pairs",
-                    (F.col("n_lhs") == F.col("n_pairs")).alias("exact_fd"),
-                    # tie-safe quantizer: round() splits HALF_UP (Spark)
-                    # vs HALF_EVEN (DuckDB)
-                    (
-                        F.floor(
-                            F.col("n_lhs").cast("double")
-                            / F.col("n_pairs")
-                            * 1e9
-                            + 0.5
-                        )
-                        / 1e9
-                    ).alias("strength"),
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            / 1e9
+        ).alias("strength"),
+    )
 
 
 def functional_dependencies_oracle_sql(
     table: str, columns: list[str]
 ) -> str:
+    """MATERIALIZED CTE per count — DuckDB re-evaluates plain
+    subqueries per reference (the pagerank 106s→0.7s lesson), so each
+    distinct count must be computed exactly once."""
+    if len(columns) < 2:
+        raise ValueError(
+            f"functional_dependencies needs >= 2 columns, got {columns!r}"
+        )
+    ctes = [
+        f"l_{x} AS MATERIALIZED (SELECT count(*) AS n "
+        f"FROM (SELECT DISTINCT {x} FROM {table}) a)"
+        for x in columns
+    ]
     sels = []
     for x in columns:
         for y in columns:
             if x == y:
                 continue
+            ctes.append(
+                f"p_{x}_{y} AS MATERIALIZED (SELECT count(*) AS n "
+                f"FROM (SELECT DISTINCT {x}, {y} FROM {table}) b)"
+            )
             sels.append(
                 f"""SELECT '{x}' AS lhs, '{y}' AS rhs,
-       (SELECT count(*) FROM (SELECT DISTINCT {x} FROM {table}) a) AS n_lhs,
-       (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}) b) AS n_pairs,
-       (SELECT count(*) FROM (SELECT DISTINCT {x} FROM {table}) a)
-         = (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}) b)
-         AS exact_fd,
-       floor(CAST((SELECT count(*) FROM (SELECT DISTINCT {x} FROM {table}) a) AS DOUBLE)
-             / (SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM {table}) b)
-             * 1e9 + 0.5) / 1e9 AS strength"""
+       (SELECT n FROM l_{x}) AS n_lhs,
+       (SELECT n FROM p_{x}_{y}) AS n_pairs,
+       (SELECT n FROM l_{x}) = (SELECT n FROM p_{x}_{y}) AS exact_fd,
+       floor(CAST((SELECT n FROM l_{x}) AS DOUBLE)
+             / (SELECT n FROM p_{x}_{y}) * 1e9 + 0.5) / 1e9 AS strength"""
             )
-    return "\nUNION ALL\n".join(sels)
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
