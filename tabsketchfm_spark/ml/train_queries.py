@@ -179,10 +179,10 @@ def _train_checkpoint_extract(
 
     model, _ = _fit_full_model(spark, sf_dir, max_epochs=max_epochs)
     tmpdir = tempfile.mkdtemp(prefix="tsfm_ck_")
+    caches: list = []
     try:
         path = tmpdir + "/served"
         ck.save_checkpoint(path, model.state_dict())
-        caches: list = []
         parts = [
             prof.profile_table(
                 load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
@@ -194,10 +194,12 @@ def _train_checkpoint_extract(
             profile = profile.unionByName(p)
         rows = ml_embed.extract_embeddings(
             profile, checkpoint_path=path
-        ).collect()  # materializing releases the caches
+        ).collect()  # eager, so the caches can be released below
+    finally:
+        # unpersist in finally: a raise inside collect() must not leave
+        # the profiler persists live (ADVICE r6 cache-leak class)
         for c in caches:
             c.unpersist()
-    finally:
         shutil.rmtree(tmpdir, ignore_errors=True)
     return rows
 

@@ -87,8 +87,10 @@ def _shingles(
 
     # spread: tokenize + shingle explode is the heaviest per-row stage
     # in every dedup pipeline — don't let a one-row-group source
-    # serialize it (no-op when the lake yields enough splits)
-    tk = spread(df).select(
+    # serialize it (no-op when the lake yields enough splits).
+    # project-before-spread keeps the subtree Repartition(Project(…)):
+    # pruned by construction, never matched by a full-width table cache
+    tk = spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')").alias("tk"),
     )

@@ -133,7 +133,7 @@ def mllib_mlp_baseline(
     # exactly the expression-heavy pre-shuffle class spread() exists
     # for — the one-row-group testdata parquet would otherwise run it
     # on a single task
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text"))
     tok = docs.select(
         "doc_id",
         "n_chars",

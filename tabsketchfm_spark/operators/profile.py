@@ -84,6 +84,9 @@ def profile_table(
 
     from tabsketchfm_spark.sources.tables import spread
 
+    dtypes = dict(df.dtypes)
+    columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
+
     # BOTH passes are expression-heavy (60+ decimal aggregates; the
     # |columns|-fold melt) — an unsplittable one-row-group source would
     # serialize each on one task (pass 1 measured 2.6s -> 1.6s spread).
@@ -91,14 +94,23 @@ def profile_table(
     # so persisting the widened rows is bounded — and necessary: the
     # profiler runs multiple jobs (offsets collect + final), and an
     # unpersisted repartition re-shuffles in every one.
+    #
+    # CRITICAL (round-7): project to the profiled columns BEFORE the
+    # spread+persist. Persisting the full-width spread(df) caches the
+    # bare `Repartition(table)` subtree, and CacheManager then
+    # substitutes that full-width InMemoryRelation under ANY other
+    # operator's identical `spread(table)` subtree analyzed later in
+    # the session — un-pruning its scan (the ExactSubstr plan pins
+    # failed exactly this way once a documents profile had run). With
+    # the projection inside, the cached plan is Repartition(Project(…))
+    # and can only ever substitute under an identical projected
+    # subtree; it also stops persisting columns the profiler skips.
+    df = df.select(*columns)
     sdf = spread(df)
     if sdf is not df:
         df = sdf.persist()
         if caches is not None:
             caches.append(df)
-
-    dtypes = dict(df.dtypes)
-    columns = columns or [c for c in df.columns if spark_logical_type(dtypes[c]) != "other"]
 
     aggs: list = [F.count(F.lit(1)).alias("row_cnt")]
     metas: list[tuple[str, int, str]] = []
@@ -1462,7 +1474,9 @@ GROUP BY 1, 2
 
 
 def functional_dependencies(
-    df: DataFrame, columns: list[str] | None = None
+    df: DataFrame,
+    columns: list[str] | None = None,
+    caches: list | None = None,
 ) -> DataFrame:
     """Functional-dependency discovery (the data-discovery profiling
     staple; complements P6 serial-key detection): for every ordered
@@ -1487,22 +1501,37 @@ def functional_dependencies(
         raise ValueError(
             f"functional_dependencies needs >= 2 columns, got {cols!r}"
         )
+    # ONE projected persist feeds all C + C·(C−1) distinct aggregates —
+    # without it every pair aggregate re-scans the source (the C scans
+    # ADVICE r6 flagged). Projected, so it can never be substituted
+    # under another operator's full-table subtree.
+    src = df.select(*cols).persist()
+    if caches is not None:
+        caches.append(src)
+    return _fd_assemble(src, cols, cols)
+
+
+def _fd_assemble(
+    src: DataFrame, cols: list[str], lhs_cols: list[str]
+) -> DataFrame:
+    """(lhs, rhs, n_lhs, n_pairs, exact_fd, strength) for every ordered
+    pair with lhs in ``lhs_cols`` and rhs in ``cols``."""
     lhs_parts = [
-        df.select(x)
+        src.select(x)
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_lhs"))
         .select(F.lit(x).alias("lhs"), "n_lhs")
-        for x in cols
+        for x in lhs_cols
     ]
     lhs_counts = lhs_parts[0]
     for part in lhs_parts[1:]:
         lhs_counts = lhs_counts.unionByName(part)
     pair_parts = [
-        df.select(x, y)
+        src.select(x, y)
         .distinct()
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.lit(x).alias("lhs"), F.lit(y).alias("rhs"), "n_pairs")
-        for x in cols
+        for x in lhs_cols
         for y in cols
         if x != y
     ]
@@ -1526,36 +1555,98 @@ def functional_dependencies(
     )
 
 
+def functional_dependencies_guided(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    tau: float = 0.9,
+    caches: list | None = None,
+) -> DataFrame:
+    """Profile-guided FD discovery — the 100-TB shape (VERDICT r6 #5):
+    instead of all C·(C−1) pair aggregates, derive the lhs candidate
+    set FIRST (columns whose NULL-inclusive distinct count is
+    >= tau·row_cnt — near-key columns, the only plausible determinant
+    side, exactly how FD miners restrict their lattice), then run pair
+    aggregates only for those lhs. Candidate selection is C bounded
+    single-column counts over one persisted projection plus a ≤C-row
+    collect — schema-bounded driver traffic, like the BPE merge loop.
+
+    The comparison `n >= tau * rows` is one IEEE double multiply +
+    compare, identical in python and DuckDB, so the oracle mirrors the
+    candidate rule bit-exactly. Output schema == functional_dependencies.
+    """
+    cols = columns or df.columns
+    if len(cols) < 2:
+        raise ValueError(
+            f"functional_dependencies needs >= 2 columns, got {cols!r}"
+        )
+    src = df.select(*cols).persist()
+    if caches is not None:
+        caches.append(src)
+    row_cnt = src.count()
+    cand_parts = [
+        src.select(x)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(x).alias("c"), "n")
+        for x in cols
+    ]
+    cand_counts = cand_parts[0]
+    for part in cand_parts[1:]:
+        cand_counts = cand_counts.unionByName(part)
+    n_by_col = {r.c: r.n for r in cand_counts.collect()}
+    lhs_cols = [x for x in cols if n_by_col[x] >= tau * row_cnt]
+    if not lhs_cols:
+        return df.sparkSession.createDataFrame(
+            [],
+            "lhs string, rhs string, n_lhs bigint, n_pairs bigint, "
+            "exact_fd boolean, strength double",
+        )
+    return _fd_assemble(src, cols, lhs_cols)
+
+
 def functional_dependencies_oracle_sql(
-    table: str, columns: list[str]
+    table: str, columns: list[str], tau: float | None = None
 ) -> str:
     """MATERIALIZED CTE per count — DuckDB re-evaluates plain
     subqueries per reference (the pagerank 106s→0.7s lesson), so each
-    distinct count must be computed exactly once."""
+    distinct count must be computed exactly once. CTEs are named by
+    column INDEX (l_0, p_0_1) — name-interpolated CTEs collide for
+    underscore-containing columns ('a_b','c' vs 'a','b_c', ADVICE r6).
+
+    ``tau`` mirrors functional_dependencies_guided: each pair SELECT
+    is guarded by the candidate rule n_lhs >= tau * row_cnt (same
+    double multiply + compare as the python side)."""
     if len(columns) < 2:
         raise ValueError(
             f"functional_dependencies needs >= 2 columns, got {columns!r}"
         )
-    ctes = [
-        f"l_{x} AS MATERIALIZED (SELECT count(*) AS n "
+    ctes = [f"rc AS MATERIALIZED (SELECT count(*) AS c FROM {table})"]
+    ctes += [
+        f"l_{i} AS MATERIALIZED (SELECT count(*) AS n "
         f"FROM (SELECT DISTINCT {x} FROM {table}) a)"
-        for x in columns
+        for i, x in enumerate(columns)
     ]
+    guard = (
+        f"\nWHERE (SELECT n FROM l_{{i}}) >= {tau!r} * (SELECT c FROM rc)"
+        if tau is not None
+        else ""
+    )
     sels = []
-    for x in columns:
-        for y in columns:
+    for i, x in enumerate(columns):
+        for j, y in enumerate(columns):
             if x == y:
                 continue
             ctes.append(
-                f"p_{x}_{y} AS MATERIALIZED (SELECT count(*) AS n "
+                f"p_{i}_{j} AS MATERIALIZED (SELECT count(*) AS n "
                 f"FROM (SELECT DISTINCT {x}, {y} FROM {table}) b)"
             )
             sels.append(
                 f"""SELECT '{x}' AS lhs, '{y}' AS rhs,
-       (SELECT n FROM l_{x}) AS n_lhs,
-       (SELECT n FROM p_{x}_{y}) AS n_pairs,
-       (SELECT n FROM l_{x}) = (SELECT n FROM p_{x}_{y}) AS exact_fd,
-       floor(CAST((SELECT n FROM l_{x}) AS DOUBLE)
-             / (SELECT n FROM p_{x}_{y}) * 1e9 + 0.5) / 1e9 AS strength"""
+       (SELECT n FROM l_{i}) AS n_lhs,
+       (SELECT n FROM p_{i}_{j}) AS n_pairs,
+       (SELECT n FROM l_{i}) = (SELECT n FROM p_{i}_{j}) AS exact_fd,
+       floor(CAST((SELECT n FROM l_{i}) AS DOUBLE)
+             / (SELECT n FROM p_{i}_{j}) * 1e9 + 0.5) / 1e9 AS strength"""
+                + guard.format(i=i)
             )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)

@@ -1189,8 +1189,12 @@ def exact_substring_dedup(
 
     toks = _toks_spark(text_col)
     # spread() before the expression-heavy gram explode (single-row-
-    # group lake lesson); gated, so it is a no-op on well-split inputs
-    t = spread(df).select(
+    # group lake lesson); gated, so it is a no-op on well-split inputs.
+    # Project to (id, text) BEFORE the spread: the subtree is then
+    # Repartition(Project(…)) — structurally pruned, and never a
+    # substitution target for a full-width cached `Repartition(table)`
+    # left by another operator (the round-6 cache-pollution bug).
+    t = spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.expr(toks).alias("tk")
     ).persist()
     gram = "concat_ws(' ', " + ", ".join(
@@ -1349,7 +1353,9 @@ def exact_substring_dedup_chars(
     from tabsketchfm_spark.functions.hashing import h64_sql
     from tabsketchfm_spark.sources.tables import spread
 
-    t = spread(df).select(
+    # project-before-spread: pruned scan by construction, immune to
+    # full-width cache substitution (see exact_substring_dedup)
+    t = spread(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     ).persist()
     fps = (

@@ -415,6 +415,20 @@ _register(
     ),
 )
 _register(
+    # FD discovery, profile-guided (the 100-TB lattice restriction):
+    # lhs candidates = near-key columns (NULL-inclusive distinct count
+    # >= 0.9·rows, derived first from C bounded counts + a ≤C-row
+    # collect), pair aggregates run only for those. The oracle applies
+    # the identical candidate rule per pair SELECT.
+    "p13_functional_deps_guided_customer",
+    lambda spark, sf: prof.functional_dependencies_guided(
+        load_table(spark, sf, "customer"), tau=0.9
+    ),
+    prof.functional_dependencies_oracle_sql(
+        "customer", [c for c, _t in TABLE_SCHEMAS["customer"]], tau=0.9
+    ),
+)
+_register(
     # privacy gate: quasi-identifier group sizes vs the k threshold
     "p12_k_anonymity_customer",
     lambda spark, sf: prof.k_anonymity_scan(

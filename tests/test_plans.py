@@ -282,6 +282,36 @@ def test_exact_substring_dedup_chars_plan_shape(spark, sf01):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
 
 
+def test_exact_substring_pins_survive_profile_cache(spark, sf01):
+    """Round-6 regression (VERDICT r6 item 1): profiling `documents`
+    used to persist the FULL-WIDTH spread(df), leaving a bare
+    `Repartition(documents)` in the CacheManager; any later query with
+    the identical subtree (ExactSubstr token + char) got the full-width
+    InMemoryRelation substituted before column pruning, un-pruning its
+    scan. Fixed two ways (both must hold): profile_table persists the
+    PROJECTED spread frame, and ExactSubstr projects before spread.
+    This test reproduces the pollution order inside one session."""
+    from tabsketchfm_spark.operators.text import (
+        exact_substring_dedup,
+        exact_substring_dedup_chars,
+    )
+    from tabsketchfm_spark.plans import registry
+
+    try:
+        # build + materialize the registered documents profile — its
+        # lazy persists stay live in the CacheManager, as in the suite
+        registry.queries()["a1a8_profile_documents"](spark, sf01).collect()
+        docs = load_table(spark, sf01, "documents")
+        for op in (exact_substring_dedup, exact_substring_dedup_chars):
+            p = _plan(op(docs))
+            assert "ReadSchema: struct<doc_id:bigint,text:string>" in p, (
+                f"{op.__name__} scan un-pruned under a cached documents "
+                f"profile"
+            )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_winnow_pairs_has_no_cartesian(spark, sf01):
     """Winnowing near-dup candidates come from the fingerprint
     equi-join — no CartesianProduct."""

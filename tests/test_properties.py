@@ -932,3 +932,35 @@ def test_functional_dependencies_key_semantics(spark, sf001):
         assert r.exact_fd and r.strength == 1.0
     r = got[("c_nationkey", "c_custkey")]
     assert not r.exact_fd and r.strength < 0.5
+
+
+def test_functional_dependencies_guided_is_candidate_subset(spark, sf001):
+    """Guided FD == full FD restricted to the near-key lhs candidates:
+    on customer the low-cardinality lhs (c_nationkey, c_mktsegment)
+    must be pruned from the lattice, the key must survive, and every
+    surviving row must carry identical counts/strength."""
+    from tabsketchfm_spark.operators.profile import (
+        functional_dependencies,
+        functional_dependencies_guided,
+    )
+
+    cust = load_table(spark, sf001, "customer")
+    full = {
+        (r.lhs, r.rhs): r for r in functional_dependencies(cust).collect()
+    }
+    guided = {
+        (r.lhs, r.rhs): r
+        for r in functional_dependencies_guided(cust, tau=0.9).collect()
+    }
+    lhs_set = {lhs for lhs, _ in guided}
+    assert "c_custkey" in lhs_set
+    assert "c_nationkey" not in lhs_set and "c_mktsegment" not in lhs_set
+    assert set(guided) == {k for k in full if k[0] in lhs_set}
+    for k, v in guided.items():
+        fv = full[k]
+        assert (v.n_lhs, v.n_pairs, v.exact_fd, v.strength) == (
+            fv.n_lhs,
+            fv.n_pairs,
+            fv.exact_fd,
+            fv.strength,
+        )
