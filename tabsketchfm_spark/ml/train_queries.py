@@ -407,3 +407,228 @@ def _collect_pairs(pooled: DataFrame):
     x = np.array([r["pooled"] for r in rows])
     y = np.array([r["label"] for r in rows], dtype=np.int64)
     return x, y, [r["pair_id"] for r in rows]
+
+
+# --- M6T: trained pair scoring lake-wide (VERDICT r6 #6) --------------------
+
+PAIR_SCORE_SCHEMA = (
+    "table_a string, table_b string, logit_0 double, logit_1 double, "
+    "margin double, pred_similar boolean"
+)
+
+
+def _fit_pair_head(spark: SparkSession, sf_dir: str):
+    """Fit the M6 classification head exactly as finetune_eval does
+    (frozen encoder, train pairs from the first four finetune tables,
+    valid from the last two) and return it — the trained weights the
+    lake-wide scorer serves."""
+    train_t, valid_t = FINETUNE_TABLES[:4], FINETUNE_TABLES[4:]
+    xt, yt, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, train_t)))
+    xv, yv, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, valid_t)))
+    head = tr.ClassificationHead(
+        num_labels=2, problem_type="single_label_classification", seed=0
+    )
+    tr.fit(
+        head, (xt, yt), (xv, yv),
+        lr=0.1, max_epochs=800, patience=50, weight_decay=0.0,
+    )
+    return head
+
+
+def trained_pair_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    query_table: str = "customer",
+    cand_tables: tuple[str, ...] = ("supplier", "nation", "region", "orders", "part"),
+) -> DataFrame:
+    """The reference's operative finetune flow lake-wide
+    (tabular_dataset.py:168-192 → tabsketchfm_finetune.py:86-107):
+    score table PAIRS through the cross-encoder with a TRAINED head.
+
+    Lifecycle, end to end: (1) fine-tune the M6 head on the
+    deterministic similarity pairs (_fit_pair_head — same data and
+    hyperparameters as m6_finetune_eval); (2) round-trip the trained
+    head through the S13 npz checkpoint (save → load, hash-verified) —
+    the scoring below serves the LOADED weights, proving the
+    train→checkpoint→serve loop for the head; (3) build the M10 pair
+    layout for (query_table, cand) across the lake and run the
+    cross-encoder forward per pair on EXECUTORS (_pair_pooled, whose
+    workers go through ensure_checkpoint_state for encoder hygiene);
+    (4) apply the head as pure column algebra over the pooled vectors
+    — a zip_with/aggregate dot per label, the SQL-expressible stage
+    whose bit-exact oracle pin is m6h_head_scores_customer.
+
+    Deterministic rows-only (seeded init, md5 rolls, full-batch
+    epochs). Output: one row per (query_table, cand) pair with both
+    logits, the similarity margin, and the predicted label."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.ml import checkpoint as ck
+
+    head = _fit_pair_head(spark, sf_dir)
+    tmpdir = tempfile.mkdtemp(prefix="tsfm_head_")
+    try:
+        ck.save_checkpoint(tmpdir + "/head", head.params)
+        served = ck.load_checkpoint(tmpdir + "/head")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    w, b = served["w"], served["b"]
+
+    caches: list = []
+    tables = list(dict.fromkeys((query_table, *cand_tables)))
+    profs = {
+        t: prof.profile_table(
+            load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
+        )
+        for t in tables
+    }
+    parts = []
+    for cand in tables:
+        pid = f"{query_table}|{cand}"
+        for side, tt in ((1, query_table), (2, cand)):
+            parts.append(
+                profs[tt].select(
+                    F.lit(pid).alias("pair_id"),
+                    F.lit(side).alias("side"),
+                    F.lit(0).alias("pair_label"),
+                    "*",
+                )
+            )
+    pair_prof = parts[0]
+    for p in parts[1:]:
+        pair_prof = pair_prof.unionByName(p)
+    try:
+        # trained-head scoring as column algebra (the m6h-pinned stage)
+        wk = [F.array(*[F.lit(float(v)) for v in w[k]]) for k in range(2)]
+
+        def dot(vec, wcol):
+            return F.aggregate(
+                F.zip_with(vec, wcol, lambda p, q: p * q),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        logit0 = dot(F.col("pooled"), wk[0]) + F.lit(float(b[0]))
+        logit1 = dot(F.col("pooled"), wk[1]) + F.lit(float(b[1]))
+        rows = (
+            _pair_pooled(pair_prof)
+            .select(
+                F.split("pair_id", r"\|")[0].alias("table_a"),
+                F.split("pair_id", r"\|")[1].alias("table_b"),
+                F.round(logit0, 8).alias("logit_0"),
+                F.round(logit1, 8).alias("logit_1"),
+                F.round(logit1 - logit0, 8).alias("margin"),
+                (logit1 > logit0).alias("pred_similar"),
+            )
+            .collect()  # one row per pair — bounded by |cand_tables|+1
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
+    return spark.createDataFrame(rows, PAIR_SCORE_SCHEMA)
+
+
+def head_scores_algebra(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "customer",
+    id_col: str = "c_custkey",
+) -> DataFrame:
+    """The ORACLE PIN for the m6t scoring stage (the m4 pattern): the
+    head's pooled_feature → Linear(H, 2) logits are pure left-to-right
+    column arithmetic, identical in Spark and DuckDB. The real pooled
+    vectors come from the numpy encoder (not SQL-expressible), so the
+    pin feeds the SAME algebra deterministic md5-derived stand-in
+    features in [-1, 1) and the SEEDED head weights as literals. The
+    dot is UNROLLED left-to-right with explicit left-associated adds
+    on BOTH sides — DuckDB's list_dot_product kernel is NOT ulp-stable
+    against a sequential fold (measured: last-2-ulp drift on ~1% of
+    rows), an explicit add chain is, in both engines.
+    Output: (id, logit_0, logit_1, margin)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    head = tr.ClassificationHead(
+        num_labels=2, problem_type="single_label_classification", seed=0
+    )
+    w, b = head.params["w"], head.params["b"]
+    feats = [
+        F.expr(
+            h32_sql(
+                f"concat('m6h|', cast({id_col} as string), '|', '{i}')",
+                "spark",
+            )
+        ).cast("double")
+        / F.lit(2147483648.0)
+        - F.lit(1.0)
+        for i in range(rf.HIDDEN)
+    ]
+    df = load_table(spark, sf_dir, table).select(
+        F.col(id_col).alias("id"),
+        *[f.alias(f"x{i}") for i, f in enumerate(feats)],
+    )
+
+    def dot(k: int):
+        acc = F.col("x0") * F.lit(float(w[k][0]))
+        for i in range(1, rf.HIDDEN):
+            acc = acc + F.col(f"x{i}") * F.lit(float(w[k][i]))
+        return acc + F.lit(float(b[k]))
+
+    logit0, logit1 = dot(0), dot(1)
+    return df.select(
+        "id",
+        logit0.alias("logit_0"),
+        logit1.alias("logit_1"),
+        (logit1 - logit0).alias("margin"),
+    )
+
+
+def head_scores_algebra_oracle_sql(
+    table: str = "customer", id_col: str = "c_custkey"
+) -> str:
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    head = tr.ClassificationHead(
+        num_labels=2, problem_type="single_label_classification", seed=0
+    )
+    w, b = head.params["w"], head.params["b"]
+
+    def lit(v: float) -> str:
+        # STRING→DOUBLE cast, not a bare decimal literal: DuckDB parses
+        # decimal literals as DECIMAL first and the DECIMAL→DOUBLE cast
+        # double-rounds (measured: 3 of 32 head weights off by 1 ulp);
+        # the string cast is a direct correctly-rounded strtod
+        return f"'{float(v)!r}'::DOUBLE"
+
+    hashes = [
+        h32_sql(f"concat('m6h|', cast({id_col} as varchar), '|', '{i}')", "duckdb")
+        for i in range(rf.HIDDEN)
+    ]
+    fcols = ",\n       ".join(
+        f"({h}::DOUBLE / 2147483648.0 - 1.0) AS x{i}"
+        for i, h in enumerate(hashes)
+    )
+
+    # explicit left-associated add chain — mirrors the Spark side term
+    # for term (see head_scores_algebra: list_dot_product is not
+    # ulp-stable against a sequential fold)
+    def dotk(k: int) -> str:
+        terms = " + ".join(
+            f"x{i} * {lit(w[k][i])}" for i in range(rf.HIDDEN)
+        )
+        return f"({terms} + {lit(b[k])})"
+
+    return f"""
+WITH f AS (SELECT {id_col} AS id,
+       {fcols}
+       FROM {table})
+SELECT id,
+       {dotk(0)} AS logit_0,
+       {dotk(1)} AS logit_1,
+       {dotk(1)} - {dotk(0)} AS margin
+FROM f
+"""

@@ -1159,6 +1159,26 @@ _register(
     lambda spark, sf: ml_train.finetune_eval(spark, sf),
     None,
 )
+_register(
+    # M6T (VERDICT r6 #6): the reference's OPERATIVE finetune flow
+    # lake-wide — train the M6 head, round-trip it through the S13
+    # checkpoint, score (customer × candidate-table) pairs through the
+    # cross-encoder with the SERVED trained weights; head scoring is
+    # the zip_with/aggregate dot whose bit-exact pin is
+    # m6h_head_scores_customer. Deterministic rows-only.
+    "m6t_pair_scores_trained_customer",
+    lambda spark, sf: ml_train.trained_pair_scores(spark, sf),
+    None,
+)
+_register(
+    # the m6t scoring stage's ORACLE PIN (the m4 pattern): the head's
+    # pooled→Linear(H,2) logits as left-to-right column algebra over
+    # deterministic md5-derived features, bit-exact vs DuckDB
+    # list_dot_product with the seeded head weights as literals
+    "m6h_head_scores_customer",
+    lambda spark, sf: ml_train.head_scores_algebra(spark, sf),
+    ml_train.head_scores_algebra_oracle_sql(),
+)
 
 
 # --- structural ops: J1/J2/J5, T1, K2, K5, M10 ------------------------------

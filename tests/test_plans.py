@@ -494,6 +494,7 @@ _PLAN_GUARD_SKIP = {
     "m5_pretrain_curve",
     "m5f_pretrain_curve_full",
     "m6_finetune_eval",
+    "m6t_pair_scores_trained_customer",
     # eager at plan-BUILD time (driver loops / per-round collects /
     # localCheckpoint jobs) — building them IS running them, and the
     # result is a LocalTableScan or a checkpoint-rooted plan with
