@@ -645,17 +645,20 @@ _register(
     dedup.ngram_jaccard_oracle_sql("documents", threshold=0.8),
 )
 _register(
+    # default components are STAR CONTRACTION since round 7 (measured:
+    # wins shallow AND deep standalone, within noise in-pipeline —
+    # BENCH_NOTES round-7); O(log n) rounds, diameter-independent
     "dedup_clusters_documents",
     lambda spark, sf: dedup.dedup_clusters(load_table(spark, sf, "documents")),
     dedup.dedup_clusters_oracle_sql("documents"),
 )
 _register(
-    # the O(log n)-round star-contraction components (Kiveris et al.)
-    # under the SAME oracle — identical clusters, round count no
-    # longer tied to component diameter (the 100 TB deep-graph path)
-    "dedup_clusters_star_documents",
+    # min-label-propagation components under the SAME oracle —
+    # identical clusters (equality-pinned in test_plans); kept
+    # registered so both CC algorithms stay under the parity gate
+    "dedup_clusters_labelprop_documents",
     lambda spark, sf: dedup.dedup_clusters(
-        load_table(spark, sf, "documents"), cc="star"
+        load_table(spark, sf, "documents"), cc="label"
     ),
     dedup.dedup_clusters_oracle_sql("documents"),
 )

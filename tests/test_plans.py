@@ -509,7 +509,7 @@ _PLAN_GUARD_SKIP = {
     "k3g_table_pagerank",
     "k3h_table_communities",
     "dedup_clusters_documents",
-    "dedup_clusters_star_documents",
+    "dedup_clusters_labelprop_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
