@@ -1501,11 +1501,17 @@ def functional_dependencies(
         raise ValueError(
             f"functional_dependencies needs >= 2 columns, got {cols!r}"
         )
-    # ONE projected persist feeds all C + C·(C−1) distinct aggregates —
+    # ONE persisted frame feeds all C + C·(C−1) distinct aggregates —
     # without it every pair aggregate re-scans the source (the C scans
-    # ADVICE r6 flagged). Projected, so it can never be substituted
-    # under another operator's full-table subtree.
-    src = df.select(*cols).persist()
+    # ADVICE r6 flagged). DEDUPLICATED, not just projected: every
+    # consumer reads only distinct counts, so dropDuplicates is a
+    # semantic no-op that (a) shrinks the cached data and (b) puts a
+    # Deduplicate node at the cached-plan root — a bare full-width
+    # select(*all_columns) canonicalizes like the raw table, and
+    # CacheManager then substitutes it under ANY other operator's scan
+    # of the same table, un-pruning those scans (found: p13 built first
+    # broke setsim's single-column ReadSchema pin session-wide).
+    src = df.select(*cols).dropDuplicates().persist()
     if caches is not None:
         caches.append(src)
     return _fd_assemble(src, cols, cols)
@@ -1579,10 +1585,15 @@ def functional_dependencies_guided(
         raise ValueError(
             f"functional_dependencies needs >= 2 columns, got {cols!r}"
         )
-    src = df.select(*cols).persist()
+    # raw row count BEFORE the dedup below (the tau guard compares
+    # distinct counts against TABLE cardinality); pruned-scan count
+    row_cnt = df.select(cols[0]).count()
+    # deduplicated persist: same rationale as functional_dependencies
+    # (all consumers are distinct counts; Deduplicate root defeats
+    # full-width cache substitution under other operators' scans)
+    src = df.select(*cols).dropDuplicates().persist()
     if caches is not None:
         caches.append(src)
-    row_cnt = src.count()
     cand_parts = [
         src.select(x)
         .distinct()

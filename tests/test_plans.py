@@ -312,6 +312,37 @@ def test_exact_substring_pins_survive_profile_cache(spark, sf01):
         spark.catalog.clearCache()
 
 
+def test_setsim_pin_survives_fd_cache(spark, sf01):
+    """Round-7 regression: functional_dependencies used to persist a
+    FULL-WIDTH `select(*all_columns)` — a no-op projection that
+    canonicalizes like the bare table, so once the registered
+    p13_functional_deps_customer was merely BUILT (persist() registers
+    in the CacheManager eagerly, before any materialization), setsim's
+    pruned single-column customer scan got the full-width
+    InMemoryRelation substituted. Fixed by persisting the DEDUPLICATED
+    projection (a semantic no-op for FD's distinct-count consumers,
+    and a cached-plan root nothing else can match)."""
+    from tabsketchfm_spark.operators.setsim import jaccard_containment
+    from tabsketchfm_spark.plans import registry
+
+    try:
+        # building alone pollutes — no collect needed for the repro
+        registry.queries()["p13_functional_deps_customer"](spark, sf01)
+        p = _plan(
+            jaccard_containment(
+                load_table(spark, sf01, "orders"),
+                ("orders", "o_custkey"),
+                load_table(spark, sf01, "customer"),
+                ("customer", "c_custkey"),
+            )
+        )
+        assert "ReadSchema: struct<c_custkey:bigint>" in p, (
+            "setsim customer scan un-pruned under a cached FD frame"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_winnow_pairs_has_no_cartesian(spark, sf01):
     """Winnowing near-dup candidates come from the fingerprint
     equi-join — no CartesianProduct."""
@@ -585,6 +616,11 @@ def test_rows_only_set_is_pinned():
         "k4_unionability_trained_customer",
         "m6_finetune_eval",
         "m4m_mllib_mlp_length",  # MLlib MLP: seeded RNG init
+        # trained-head pair scoring: the head forward runs on trained
+        # (non-closed-form) weights; its SQL-expressible pooled-feature →
+        # linear-head algebra stage is oracle-pinned separately
+        # (m6h_head_scores_customer)
+        "m6t_pair_scores_trained_customer",
     }
 
 
