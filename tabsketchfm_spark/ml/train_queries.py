@@ -319,38 +319,89 @@ def _pair_pooled(
     return profile.groupBy("pair_id").applyInPandas(pool, schema=PAIR_POOL_SCHEMA)
 
 
-def _pair_profiles(
-    spark: SparkSession, sf_dir: str, tables: list[str]
-) -> DataFrame:
+def _lake_profiles(
+    spark: SparkSession, sf_dir: str, tables: list[str], caches: list | None = None
+) -> dict[str, DataFrame]:
+    """One profile frame per table, built ONCE per query — callers
+    thread ``caches`` and unpersist after their eager collect (the
+    ADVICE-r6 cache-leak class: profile_table persists internal frames
+    that otherwise stay live for the whole session)."""
+    return {
+        t: prof.profile_table(
+            load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
+        )
+        for t in tables
+    }
+
+
+def _similarity_pairs(tables: list[str]) -> list[tuple[str, str, str, int]]:
     """Deterministic similarity pairs over the lake: positives are
     self-pairs (a table against itself — the degenerate 'augmented
     copy' positive), negatives pair each table with the next one."""
-    from pyspark.sql import functions as F
-
-    profs = {
-        t: prof.profile_table(load_table(spark, sf_dir, t), t, round_digits=4)
-        for t in tables
-    }
-    parts = []
+    pairs = []
     for i, t in enumerate(tables):
         u = tables[(i + 1) % len(tables)]
-        for pid, (t1, t2, lbl) in {
-            f"pos_{t}": (t, t, 1),
-            f"neg_{t}_{u}": (t, u, 0),
-        }.items():
-            for side, tt in ((1, t1), (2, t2)):
-                parts.append(
-                    profs[tt].select(
-                        F.lit(pid).alias("pair_id"),
-                        F.lit(side).alias("side"),
-                        F.lit(lbl).alias("pair_label"),
-                        "*",
-                    )
+        pairs += [(f"pos_{t}", t, t, 1), (f"neg_{t}_{u}", t, u, 0)]
+    return pairs
+
+
+def _pair_layout(
+    profs: dict[str, DataFrame], pairs: list[tuple[str, str, str, int]]
+) -> DataFrame:
+    """M10 pair-layout rows from prebuilt profiles: one
+    (pair_id, side, pair_label, *profile) block per pair side."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for pid, t1, t2, lbl in pairs:
+        for side, tt in ((1, t1), (2, t2)):
+            parts.append(
+                profs[tt].select(
+                    F.lit(pid).alias("pair_id"),
+                    F.lit(side).alias("side"),
+                    F.lit(lbl).alias("pair_label"),
+                    "*",
                 )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _fit_similarity_head(
+    profs: dict[str, DataFrame],
+    lr: float = 0.1,
+    max_epochs: int = 800,
+    patience: int = 50,
+    no_pretrain: bool = False,
+):
+    """The ONE definition of the M6 demo task — train pairs from the
+    first four finetune tables, valid pairs from the last two, and the
+    SEED-SENSITIVE hyperparameters (weight_decay 0 + raised
+    lr/patience: the 8-pair task is ill-conditioned, separator norm
+    ~76 on unit-ish tanh features, so the reference's 2e-5/patience-5
+    would stop at chance level; re-tune if weight generation changes).
+    Shared by finetune_eval and trained_pair_scores so the trained
+    scorer can never desync from the m6 metrics it reproduces.
+    Returns (head, curve, (xt, yt), (xv, yv))."""
+    train_t, valid_t = FINETUNE_TABLES[:4], FINETUNE_TABLES[4:]
+    xt, yt, _ = _collect_pairs(
+        _pair_pooled(_pair_layout(profs, _similarity_pairs(train_t)))
+    )
+    xv, yv, _ = _collect_pairs(
+        _pair_pooled(_pair_layout(profs, _similarity_pairs(valid_t)))
+    )
+    head = tr.ClassificationHead(
+        num_labels=2,
+        problem_type="single_label_classification",
+        seed=1 if no_pretrain else 0,
+    )
+    curve = tr.fit(
+        head, (xt, yt), (xv, yv),
+        lr=lr, max_epochs=max_epochs, patience=patience, weight_decay=0.0,
+    )
+    return head, curve, (xt, yt), (xv, yv)
 
 
 def finetune_eval(
@@ -367,38 +418,33 @@ def finetune_eval(
     tabsketchfm_finetune.py:176-184). Train pairs come from the first
     four tables, valid pairs from the last two. ``no_pretrain`` routes
     through the M12 re-init ablation (head re-seeded)."""
-    train_t, valid_t = FINETUNE_TABLES[:4], FINETUNE_TABLES[4:]
-    xt, yt, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, train_t)))
-    xv, yv, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, valid_t)))
-    head = tr.ClassificationHead(
-        num_labels=2,
-        problem_type="single_label_classification",
-        seed=1 if no_pretrain else 0,
-    )
-    # weight_decay 0 + raised lr/patience: the 8-pair demo task is
-    # ill-conditioned (separator norm ~76 on unit-ish tanh features),
-    # so the reference's 2e-5/patience-5 would stop at chance level
-    curve = tr.fit(
-        head, (xt, yt), (xv, yv),
-        lr=lr, max_epochs=max_epochs, patience=patience, weight_decay=0.0,
-    )
-    rows = []
-    for split, (x, y) in (("train", (xt, yt)), ("valid", (xv, yv))):
-        logits = head.logits(x)
-        preds = logits.argmax(axis=1)
-        acc = float(np.mean(preds == y))
-        f1 = tr.weighted_f1(y, preds)
-        rows.append(
-            (
-                split,
-                int(len(y)),
-                len(curve),
-                round(curve[-1]["train_loss"], 8),
-                round(curve[-1]["valid_loss"], 8),
-                round(acc, 8),
-                round(f1, 8),
-            )
+    caches: list = []
+    try:
+        profs = _lake_profiles(spark, sf_dir, list(FINETUNE_TABLES), caches)
+        head, curve, (xt, yt), (xv, yv) = _fit_similarity_head(
+            profs, lr=lr, max_epochs=max_epochs, patience=patience,
+            no_pretrain=no_pretrain,
         )
+        rows = []
+        for split, (x, y) in (("train", (xt, yt)), ("valid", (xv, yv))):
+            logits = head.logits(x)
+            preds = logits.argmax(axis=1)
+            acc = float(np.mean(preds == y))
+            f1 = tr.weighted_f1(y, preds)
+            rows.append(
+                (
+                    split,
+                    int(len(y)),
+                    len(curve),
+                    round(curve[-1]["train_loss"], 8),
+                    round(curve[-1]["valid_loss"], 8),
+                    round(acc, 8),
+                    round(f1, 8),
+                )
+            )
+    finally:
+        for c in caches:
+            c.unpersist()
     return spark.createDataFrame(rows, EVAL_SCHEMA)
 
 
@@ -417,24 +463,6 @@ PAIR_SCORE_SCHEMA = (
 )
 
 
-def _fit_pair_head(spark: SparkSession, sf_dir: str):
-    """Fit the M6 classification head exactly as finetune_eval does
-    (frozen encoder, train pairs from the first four finetune tables,
-    valid from the last two) and return it — the trained weights the
-    lake-wide scorer serves."""
-    train_t, valid_t = FINETUNE_TABLES[:4], FINETUNE_TABLES[4:]
-    xt, yt, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, train_t)))
-    xv, yv, _ = _collect_pairs(_pair_pooled(_pair_profiles(spark, sf_dir, valid_t)))
-    head = tr.ClassificationHead(
-        num_labels=2, problem_type="single_label_classification", seed=0
-    )
-    tr.fit(
-        head, (xt, yt), (xv, yv),
-        lr=0.1, max_epochs=800, patience=50, weight_decay=0.0,
-    )
-    return head
-
-
 def trained_pair_scores(
     spark: SparkSession,
     sf_dir: str,
@@ -446,8 +474,9 @@ def trained_pair_scores(
     score table PAIRS through the cross-encoder with a TRAINED head.
 
     Lifecycle, end to end: (1) fine-tune the M6 head on the
-    deterministic similarity pairs (_fit_pair_head — same data and
-    hyperparameters as m6_finetune_eval); (2) round-trip the trained
+    deterministic similarity pairs (_fit_similarity_head — the SAME
+    helper m6_finetune_eval runs, so data and hyperparameters are one
+    definition); (2) round-trip the trained
     head through the S13 npz checkpoint (save → load, hash-verified) —
     the scoring below serves the LOADED weights, proving the
     train→checkpoint→serve loop for the head; (3) build the M10 pair
@@ -468,39 +497,28 @@ def trained_pair_scores(
 
     from tabsketchfm_spark.ml import checkpoint as ck
 
-    head = _fit_pair_head(spark, sf_dir)
-    tmpdir = tempfile.mkdtemp(prefix="tsfm_head_")
-    try:
-        ck.save_checkpoint(tmpdir + "/head", head.params)
-        served = ck.load_checkpoint(tmpdir + "/head")
-    finally:
-        shutil.rmtree(tmpdir, ignore_errors=True)
-    w, b = served["w"], served["b"]
-
-    caches: list = []
     tables = list(dict.fromkeys((query_table, *cand_tables)))
-    profs = {
-        t: prof.profile_table(
-            load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
-        )
-        for t in tables
-    }
-    parts = []
-    for cand in tables:
-        pid = f"{query_table}|{cand}"
-        for side, tt in ((1, query_table), (2, cand)):
-            parts.append(
-                profs[tt].select(
-                    F.lit(pid).alias("pair_id"),
-                    F.lit(side).alias("side"),
-                    F.lit(0).alias("pair_label"),
-                    "*",
-                )
-            )
-    pair_prof = parts[0]
-    for p in parts[1:]:
-        pair_prof = pair_prof.unionByName(p)
+    caches: list = []
     try:
+        # ONE profile build serves both the head fit (its 6 finetune
+        # tables) and the scoring layout — three separate profile
+        # pipelines per run otherwise (review finding, round 7)
+        profs = _lake_profiles(
+            spark, sf_dir, list(dict.fromkeys((*FINETUNE_TABLES, *tables))), caches
+        )
+        head, _, _, _ = _fit_similarity_head(profs)
+        tmpdir = tempfile.mkdtemp(prefix="tsfm_head_")
+        try:
+            ck.save_checkpoint(tmpdir + "/head", head.params)
+            served = ck.load_checkpoint(tmpdir + "/head")
+        finally:
+            shutil.rmtree(tmpdir, ignore_errors=True)
+        w, b = served["w"], served["b"]
+
+        pair_prof = _pair_layout(
+            profs,
+            [(f"{query_table}|{cand}", query_table, cand, 0) for cand in tables],
+        )
         # trained-head scoring as column algebra (the m6h-pinned stage)
         wk = [F.array(*[F.lit(float(v)) for v in w[k]]) for k in range(2)]
 

@@ -1518,20 +1518,27 @@ def functional_dependencies(
 
 
 def _fd_assemble(
-    src: DataFrame, cols: list[str], lhs_cols: list[str]
+    src: DataFrame,
+    cols: list[str],
+    lhs_cols: list[str],
+    lhs_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(lhs, rhs, n_lhs, n_pairs, exact_fd, strength) for every ordered
-    pair with lhs in ``lhs_cols`` and rhs in ``cols``."""
-    lhs_parts = [
-        src.select(x)
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_lhs"))
-        .select(F.lit(x).alias("lhs"), "n_lhs")
-        for x in lhs_cols
-    ]
-    lhs_counts = lhs_parts[0]
-    for part in lhs_parts[1:]:
-        lhs_counts = lhs_counts.unionByName(part)
+    pair with lhs in ``lhs_cols`` and rhs in ``cols``. ``lhs_counts``
+    (lhs string, n_lhs bigint) lets a caller that already computed the
+    single-column distinct counts pass them in instead of re-running
+    the aggregates."""
+    if lhs_counts is None:
+        lhs_parts = [
+            src.select(x)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_lhs"))
+            .select(F.lit(x).alias("lhs"), "n_lhs")
+            for x in lhs_cols
+        ]
+        lhs_counts = lhs_parts[0]
+        for part in lhs_parts[1:]:
+            lhs_counts = lhs_counts.unionByName(part)
     pair_parts = [
         src.select(x, y)
         .distinct()
@@ -1612,7 +1619,14 @@ def functional_dependencies_guided(
             "lhs string, rhs string, n_lhs bigint, n_pairs bigint, "
             "exact_fd boolean, strength double",
         )
-    return _fd_assemble(src, cols, lhs_cols)
+    # the surviving lhs distinct counts are ALREADY on the driver
+    # (n_by_col) — feed them back as a literal frame instead of letting
+    # _fd_assemble re-run the identical aggregates (the BPE-merge-loop
+    # pattern: schema-bounded driver values become a broadcast frame)
+    lhs_counts = df.sparkSession.createDataFrame(
+        [(x, int(n_by_col[x])) for x in lhs_cols], "lhs string, n_lhs bigint"
+    )
+    return _fd_assemble(src, cols, lhs_cols, lhs_counts=lhs_counts)
 
 
 def functional_dependencies_oracle_sql(
@@ -1638,7 +1652,12 @@ def functional_dependencies_oracle_sql(
         for i, x in enumerate(columns)
     ]
     guard = (
-        f"\nWHERE (SELECT n FROM l_{{i}}) >= {tau!r} * (SELECT c FROM rc)"
+        # string-cast double literal: a bare decimal makes DuckDB run
+        # the candidate rule in exact DECIMAL arithmetic, not the IEEE
+        # double multiply the python side uses (same trap as the
+        # repr+'e0' literal in head_scores_algebra_oracle_sql)
+        f"\nWHERE (SELECT n FROM l_{{i}})"
+        f" >= CAST('{tau!r}' AS DOUBLE) * (SELECT c FROM rc)"
         if tau is not None
         else ""
     )

@@ -1176,8 +1176,9 @@ _register(
 _register(
     # the m6t scoring stage's ORACLE PIN (the m4 pattern): the head's
     # pooled→Linear(H,2) logits as left-to-right column algebra over
-    # deterministic md5-derived features, bit-exact vs DuckDB
-    # list_dot_product with the seeded head weights as literals
+    # deterministic md5-derived features; the DuckDB twin is an
+    # explicit left-associated add chain (NOT list_dot_product, whose
+    # kernel drifts in the last 2 ulp — see head_scores_algebra)
     "m6h_head_scores_customer",
     lambda spark, sf: ml_train.head_scores_algebra(spark, sf),
     ml_train.head_scores_algebra_oracle_sql(),
