@@ -29,14 +29,13 @@ CURVE_SCHEMA = (
 )
 
 
-def _profiles(spark: SparkSession, sf_dir: str, tables: list[str]) -> DataFrame:
-    parts = [
-        prof.profile_table(load_table(spark, sf_dir, t), t, round_digits=4)
-        for t in tables
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+def _profiles(
+    spark: SparkSession, sf_dir: str, tables: list[str], caches: list | None = None
+) -> DataFrame:
+    profs = _lake_profiles(spark, sf_dir, tables, caches)
+    out = profs[tables[0]]
+    for t in tables[1:]:
+        out = out.unionByName(profs[t])
     return out
 
 
@@ -63,12 +62,18 @@ def pretrain_curve(
     reference pretrain.py:76-83,135-158). lr is raised from the
     reference's 2e-5 default so the few-epoch demo curve moves; the
     default lives in training.AdamW. Returns the per-epoch curve."""
-    xt, yt = _collect_batch(
-        ml_mlm.mlm_batches(_profiles(spark, sf_dir, PRETRAIN_TRAIN_TABLES))
-    )
-    xv, yv = _collect_batch(
-        ml_mlm.mlm_batches(_profiles(spark, sf_dir, PRETRAIN_VALID_TABLES))
-    )
+    caches: list = []
+    try:
+        xt, yt = _collect_batch(
+            ml_mlm.mlm_batches(_profiles(spark, sf_dir, PRETRAIN_TRAIN_TABLES, caches))
+        )
+        xv, yv = _collect_batch(
+            ml_mlm.mlm_batches(_profiles(spark, sf_dir, PRETRAIN_VALID_TABLES, caches))
+        )
+    finally:
+        # eager consumer — release the profiler persists (ADVICE r6 class)
+        for c in caches:
+            c.unpersist()
     head = tr.MLMHead()
     curve = tr.fit(head, (xt, yt), (xv, yv), lr=lr, max_epochs=max_epochs)
     return spark.createDataFrame(
@@ -325,13 +330,22 @@ def _lake_profiles(
     """One profile frame per table, built ONCE per query — callers
     thread ``caches`` and unpersist after their eager collect (the
     ADVICE-r6 cache-leak class: profile_table persists internal frames
-    that otherwise stay live for the whole session)."""
-    return {
-        t: prof.profile_table(
+    that otherwise stay live for the whole session). With ``caches``
+    the profile OUTPUTS (one row per column — tiny) are persisted too:
+    the training queries run several separate eager actions over the
+    same tables (train collect, valid collect, scoring collect), and
+    without this each action re-runs the whole profile pipeline —
+    exchange reuse never spans actions (2+-consumer persist rule)."""
+    profs: dict[str, DataFrame] = {}
+    for t in tables:
+        p = prof.profile_table(
             load_table(spark, sf_dir, t), t, round_digits=4, caches=caches
         )
-        for t in tables
-    }
+        if caches is not None:
+            p = p.persist()
+            caches.append(p)
+        profs[t] = p
+    return profs
 
 
 def _similarity_pairs(tables: list[str]) -> list[tuple[str, str, str, int]]:

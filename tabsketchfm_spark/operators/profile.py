@@ -1614,6 +1614,11 @@ def functional_dependencies_guided(
     n_by_col = {r.c: r.n for r in cand_counts.collect()}
     lhs_cols = [x for x in cols if n_by_col[x] >= tau * row_cnt]
     if not lhs_cols:
+        # the returned empty frame never reads src — release it here or
+        # the persisted projection strands in the cache for the session
+        src.unpersist()
+        if caches is not None:
+            caches.remove(src)
         return df.sparkSession.createDataFrame(
             [],
             "lhs string, rhs string, n_lhs bigint, n_pairs bigint, "
@@ -1645,7 +1650,13 @@ def functional_dependencies_oracle_sql(
         raise ValueError(
             f"functional_dependencies needs >= 2 columns, got {columns!r}"
         )
-    ctes = [f"rc AS MATERIALIZED (SELECT count(*) AS c FROM {table})"]
+    # rc is only read by the tau guard — emitting it unconditionally
+    # costs the non-guided oracle an extra full-table count
+    ctes = (
+        [f"rc AS MATERIALIZED (SELECT count(*) AS c FROM {table})"]
+        if tau is not None
+        else []
+    )
     ctes += [
         f"l_{i} AS MATERIALIZED (SELECT count(*) AS n "
         f"FROM (SELECT DISTINCT {x} FROM {table}) a)"

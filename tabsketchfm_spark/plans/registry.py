@@ -1900,7 +1900,6 @@ _DRIVER_WINDOW = [
     "bpe_merges_documents",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
-    "bpe_token_counts_documents",
     "dedup_clusters_documents",
     "k2_value_znorm_customer",
     "text_quality_score",
@@ -1913,7 +1912,6 @@ _DRIVER_WINDOW = [
     "range_join_error_followers",
     "dedup_exact_substrings_chars_documents",
     "m8_mask_plan_customer",
-    "m9_token_features_customer",
     "m9_token_features_subword_customer",
     "m10_pair_tokens_customer_supplier",
     "a12_classification_metrics",
@@ -1921,6 +1919,8 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "store_incremental_update",
     "m4_simple_model_scores",
+    "m6h_head_scores_customer",
+    "p13_functional_deps_guided_customer",
     "text_bm25_topk_documents",
     "w6_funnel_counts_events",
     "stream_funnel_events",
