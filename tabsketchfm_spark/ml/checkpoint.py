@@ -151,14 +151,48 @@ _MANUAL = "<manual>"
 _WORKER_INSTALLED: str | None = None
 
 
+SPARKFILES_PREFIX = "sparkfiles:"
+
+
+def ship_checkpoint(spark, path: str) -> str:
+    """Multi-node distribution seam: push <path>.npz/.json to every
+    executor via SparkContext.addFile and return a
+    ``sparkfiles:<basename>`` handle usable anywhere a
+    ``checkpoint_path`` goes — ensure_checkpoint_state resolves the
+    handle per worker from its own SparkFiles root, so the driver's
+    local checkpoint never needs a shared filesystem. One ship per
+    (SparkContext, basename): Spark refuses to re-register a changed
+    file under the same name, so a RETRAINED checkpoint must be saved
+    to a fresh (e.g. timestamped) stem before shipping — the
+    content-hash memo then re-installs it on reused workers."""
+    sc = spark.sparkContext
+    sc.addFile(path + ".npz")
+    sc.addFile(path + ".json")
+    return SPARKFILES_PREFIX + os.path.basename(path)
+
+
+def _resolve_checkpoint_path(path: str) -> str:
+    """A ``sparkfiles:`` handle becomes <SparkFiles root>/<basename>
+    (driver and executors each resolve their own root); plain paths
+    pass through (shared-FS deployments and local mode)."""
+    if path.startswith(SPARKFILES_PREFIX):
+        from pyspark import SparkFiles
+
+        return os.path.join(
+            SparkFiles.getRootDirectory(), path[len(SPARKFILES_PREFIX):]
+        )
+    return path
+
+
 def ensure_checkpoint_state(path: str | None) -> None:
     """Executor-side install/clear: route the forward's lookups
     through <path>.npz (hash-verified, once per worker process per
     checkpoint content hash), or — path None — make sure NO checkpoint
     is installed. This is how a TRAINED checkpoint reaches lake-wide
     inference; install_checkpoint alone only affects the driver.
-    ``path`` must be visible to workers (shared FS in this harness;
-    ship via SparkFiles.get on a real cluster)."""
+    ``path`` is either a filesystem stem visible to workers (shared
+    FS) or a ``sparkfiles:`` handle from ship_checkpoint (no shared
+    FS needed — each worker reads its SparkFiles copy)."""
     global _WORKER_INSTALLED
     if path is None:
         if _WORKER_INSTALLED is None:
@@ -166,6 +200,7 @@ def ensure_checkpoint_state(path: str | None) -> None:
         clear_checkpoint()
         _WORKER_INSTALLED = None
         return
+    path = _resolve_checkpoint_path(path)
     with open(path + ".json") as f:
         key = json.load(f)["content_hash"]
     if _WORKER_INSTALLED == key:

@@ -517,6 +517,44 @@ def test_checkpoint_serves_lake_wide_extraction(spark, sf001, tmp_path):
     assert again == seeded
 
 
+def test_sparkfiles_handle_serves_lake_wide_extraction(spark, sf001, tmp_path):
+    """The no-shared-FS cluster path: ship_checkpoint distributes the
+    npz+manifest via SparkContext.addFile and returns a `sparkfiles:`
+    handle; extraction through the handle is bit-identical to
+    extraction through the direct path, and a following handle-less
+    extraction sees seeded weights again (worker hygiene)."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml import embed as ml_embed
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+    from tabsketchfm_spark.operators import profile as prof
+    from tabsketchfm_spark.sources.tables import load_table
+
+    seq = _demo_seq()
+    m = MLMPretrainModel()
+    tr.fit(m, ([mlm.apply_mask(seq)], None), ([mlm.apply_mask(seq)], None),
+           lr=5e-3, max_epochs=2, patience=3)
+    path = str(tmp_path / "shipped")
+    ck.save_checkpoint(path, m.state_dict())
+    handle = ck.ship_checkpoint(spark, path)
+    assert handle == ck.SPARKFILES_PREFIX + "shipped"
+
+    profile = prof.profile_table(
+        load_table(spark, sf001, "nation"), "nation", round_digits=4
+    )
+    def extract(cp):
+        return {
+            (r["column_name"], r["kind"]): tuple(r["vector"])
+            for r in ml_embed.extract_embeddings(
+                profile, checkpoint_path=cp
+            ).collect()
+        }
+
+    direct = extract(path)
+    shipped = extract(handle)
+    assert shipped == direct
+    assert extract(None) != direct  # hygiene: back to seeded weights
+
+
 # --- K2: value encoder via the numpy stack ----------------------------------
 
 
