@@ -1629,6 +1629,22 @@ _register(
     ),
     spl.domain_mixture_sample_oracle_sql(k=150),
 )
+_register(
+    # leakage-safe splits: near-dup CLUSTERS (dedup_clusters star CC)
+    # are hashed to train/valid/test as units — no near-dup pair can
+    # straddle the split boundary (split-time decontamination)
+    "s9c_split_by_cluster_documents",
+    lambda spark, sf: spl.cluster_split_counts(load_table(spark, sf, "documents")),
+    spl.cluster_split_counts_oracle_sql("documents"),
+)
+_register(
+    # hard per-domain corpus cap (RefinedWeb-style): keep <= cap docs
+    # per source by a deterministic uniform hash priority — one
+    # domain-partitioned window, stable across runs and engines
+    "curate_domain_cap_documents",
+    lambda spark, sf: spl.domain_cap(load_table(spark, sf, "documents"), cap=10),
+    spl.domain_cap_oracle_sql("documents", cap=10),
+)
 
 _register(
     # A-priori L2 pass: frequent co-purchased part pairs within order

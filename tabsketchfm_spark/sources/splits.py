@@ -202,3 +202,137 @@ FROM {table} d JOIN stats USING (lang, source), tot
 WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * (CAST(s_tot AS HUGEINT) * CAST(n_d AS HUGEINT))
     < CAST({k * (1 << 24)} AS HUGEINT) * CAST(wd AS HUGEINT)
 """
+
+
+def assign_split_by_cluster(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Leakage-safe S9: near-duplicate documents must never straddle
+    train/valid/test — a test document whose near-dup sits in train
+    leaks the answer (the split-time decontamination failure mode;
+    same motivation as text.decontaminate, applied to the split
+    boundary itself). Splits therefore hash the CLUSTER, not the row:
+    dedup_clusters' connected components give every doc a cluster_id,
+    and the standard h32 % 10 → 8/1/1 rule applied to cluster_id
+    assigns each WHOLE cluster to one split. Singleton docs (their own
+    cluster) keep exactly the assign_split distribution.
+
+    Scale shape: inherits dedup_clusters' bucketed near-dup pairs +
+    O(log n) star contraction; the split assignment itself is one
+    narrow projection. Output: (doc_id, cluster_id, split)."""
+    from tabsketchfm_spark.operators.dedup import dedup_clusters
+
+    labels = dedup_clusters(docs, id_col, text_col, n, threshold)
+    bucket = F.expr(h32_sql("cluster_id", "spark")) % 10
+    return labels.select(
+        id_col,
+        "cluster_id",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def cluster_split_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Registered summary over assign_split_by_cluster: per split, the
+    doc count, cluster count, and how many docs sit in multi-doc
+    clusters (the rows a row-hash split would have risked leaking)."""
+    from pyspark.sql import Window
+
+    s = assign_split_by_cluster(docs, id_col, text_col, n, threshold)
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return (
+        s.withColumn("csize", size_w)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.when(F.col("csize") > 1, 1)).alias("n_clustered_docs"),
+        )
+    )
+
+
+def cluster_split_counts_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB twin: the dedup_clusters recursive-CTE closure as a
+    subquery (DuckDB scopes WITH RECURSIVE inside a derived table),
+    then the identical h32(cluster_id) bucket rule."""
+    from tabsketchfm_spark.operators.dedup import dedup_clusters_oracle_sql
+
+    labels = dedup_clusters_oracle_sql(table, id_col, text_col, n, threshold)
+    h = h32_sql("cluster_id", "duckdb")
+    return f"""
+WITH labels AS (SELECT * FROM ({labels}) l),
+s AS (SELECT {id_col}, cluster_id, cluster_size,
+             CASE WHEN ({h}) % 10 <= 7 THEN 'train'
+                  WHEN ({h}) % 10 = 8 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM labels)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT cluster_id) AS n_clusters,
+       count(CASE WHEN cluster_size > 1 THEN 1 END) AS n_clustered_docs
+FROM s GROUP BY split
+"""
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 10,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard per-domain cap (the RefinedWeb/C4-style curation step that
+    bounds any single domain's share of the corpus — complementary to
+    domain_mixture_sample's proportional quotas): keep at most ``cap``
+    documents per domain, chosen by a DETERMINISTIC uniform priority —
+    ascending (h32(id), id) — so the kept set is stable across runs
+    and engines, never a partition-order sample.
+
+    Scale shape: one row_number window PARTITIONED BY domain (sorts
+    within each domain's hash partition only; AQE splits skewed
+    domains). Output: (doc_id, domain, keep_rank) for the kept rows.
+    """
+    from pyspark.sql import Window
+
+    h = F.expr(h32_sql(id_col, "spark"))
+    w = Window.partitionBy("domain").orderBy(F.col("h").asc(), F.col(id_col).asc())
+    return (
+        docs.select(id_col, F.col(domain_col).alias("domain"), h.alias("h"))
+        # bigint: DuckDB row_number emits int64, Spark int32
+        .withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("keep_rank") <= cap)
+        .select(id_col, "domain", "keep_rank")
+    )
+
+
+def domain_cap_oracle_sql(
+    table: str = "documents",
+    cap: int = 10,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    h = h32_sql(id_col, "duckdb")
+    return f"""
+WITH r AS (SELECT {id_col}, {domain_col} AS domain,
+                  row_number() OVER (PARTITION BY {domain_col}
+                                     ORDER BY ({h}) ASC, {id_col} ASC)
+                    AS keep_rank
+           FROM {table})
+SELECT {id_col}, domain, keep_rank FROM r WHERE keep_rank <= {cap}
+"""

@@ -154,3 +154,51 @@ def test_domain_mixture_flattens_toward_small_domains(spark, sf01):
     rate = lambda d: s.get(d, 0) / n[d]  # noqa: E731
     assert rate(big) < 1.0, "big domain must not saturate or the test is vacuous"
     assert rate(small) > rate(big)
+
+
+def test_cluster_split_never_straddles_near_dup_clusters(spark, sf01):
+    """Leakage invariant: every near-dup cluster's documents land in
+    ONE split (the whole point vs row-hash assign_split), and the
+    registered summary's totals reconcile with the corpus."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.sources.splits import (
+        assign_split_by_cluster,
+        cluster_split_counts,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    s = assign_split_by_cluster(docs)
+    straddlers = (
+        s.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    summary = {r["split"]: r for r in cluster_split_counts(docs).collect()}
+    assert sum(r["n_docs"] for r in summary.values()) == docs.count()
+    # the corpus has real near-dup clusters, else the guarantee is vacuous
+    assert sum(r["n_clustered_docs"] for r in summary.values()) > 0
+
+
+def test_domain_cap_bounds_every_domain_deterministically(spark, sf01):
+    """Hard cap semantics: <= cap docs per domain, every nonempty
+    domain keeps at least one doc (the priority is a per-domain rank,
+    not a global cut), and the kept set is run-stable."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.sources.splits import domain_cap
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    kept = domain_cap(docs, cap=7)
+    per = {r["domain"]: r["n"] for r in kept.groupBy("domain").agg(
+        F.count("*").alias("n")).collect()}
+    assert per and max(per.values()) <= 7
+    domains = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert set(per) == domains
+    a = sorted(map(tuple, kept.collect()))
+    b = sorted(map(tuple, domain_cap(docs, cap=7).collect()))
+    assert a == b
