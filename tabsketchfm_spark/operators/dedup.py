@@ -403,6 +403,133 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+def dedup_incremental_lsh(
+    delta: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup — the daily-crawl shape: dedup a NEW
+    batch against the existing lake WITHOUT re-pairing the corpus with
+    itself. Only |delta| signatures are built fresh on the hot path (in
+    production the corpus side reads the persisted sketch store, S7/S8
+    — here both sides share the same signature pipeline so the query
+    is self-contained); candidates are exclusively CROSS pairs from
+    the banded bucket equi-join, so the work scales with the delta,
+    not the corpus pair count.
+
+    Same signature scheme as minhash_lsh_pairs (shingle → h32 →
+    num_perm-slot MIN signature → band keys), same slot-agreement
+    verification. Output: (delta_id, corpus_id, est_jaccard)."""
+    rows = num_perm // bands
+    perms = minhash_perm_params(num_perm)
+
+    def sigs_of(df: DataFrame) -> DataFrame:
+        sh = _shingles(df, id_col, text_col, n, dedupe=False)
+        h = F.expr(h32_sql("shingle", "spark"))
+        aggs = [
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+        # persisted: consumed by banding AND the estimate join (lazy
+        # registered consumers keep the cache per the registry contract)
+        return sh.select("id", h.alias("h")).groupBy("id").agg(*aggs).persist()
+
+    def banded_of(sigs: DataFrame) -> DataFrame:
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            "id", F.explode(F.array(*band_structs)).alias("bk")
+        ).select("id", "bk.band", "bk.bkey")
+
+    sig_d, sig_c = sigs_of(delta), sigs_of(corpus)
+    cand = (
+        banded_of(sig_d)
+        .alias("x")
+        .join(banded_of(sig_c).alias("y"), ["band", "bkey"])
+        .select(
+            F.col("x.id").alias("delta_id"), F.col("y.id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    sa = sig_d.select(
+        F.col("id").alias("delta_id"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)],
+    )
+    sb = sig_c.select(
+        F.col("id").alias("corpus_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
+    )
+    est = (
+        sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm))
+        / F.lit(float(num_perm))
+    ).alias("est_jaccard")
+    return (
+        cand.join(sa, "delta_id")
+        .join(sb, "corpus_id")
+        .select("delta_id", "corpus_id", est)
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_incremental_lsh_oracle_sql(
+    table: str,
+    delta_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin for a delta/corpus split of one table by
+    ``delta_pred`` (a boolean SQL expression over ``id``): signatures
+    are computed once for every doc — a doc's signature is the same
+    whether built from the subset or the full table — and the bucket
+    join keeps only delta×corpus cross pairs."""
+    rows = num_perm // bands
+    h = h32_sql("shingle", "duckdb")
+    return f"""
+WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
+perms AS ({perms_cte_duckdb(num_perm)}),
+sig AS (SELECT id, i, min((a * {h} + b) % {MINHASH_PRIME}) AS s
+        FROM sh, perms GROUP BY id, i),
+banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
+                  md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
+           FROM sig GROUP BY id, i // {rows}),
+cand AS (SELECT DISTINCT x.id AS delta_id, y.id AS corpus_id
+         FROM banded x JOIN banded y USING (band, bkey)
+         WHERE ({delta_pred.format(id="x.id")})
+           AND NOT ({delta_pred.format(id="y.id")})),
+est AS (SELECT delta_id, corpus_id,
+               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / CAST({num_perm} AS DOUBLE)
+                 AS est_jaccard
+        FROM cand JOIN sig sa ON sa.id = delta_id
+                  JOIN sig sb ON sb.id = corpus_id AND sb.i = sa.i
+        GROUP BY delta_id, corpus_id)
+SELECT delta_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

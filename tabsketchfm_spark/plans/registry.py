@@ -644,6 +644,25 @@ _register(
     ),
     dedup.ngram_jaccard_oracle_sql("documents", threshold=0.8),
 )
+
+
+def _dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # daily-crawl shape: docs with doc_id % 7 == 0 are the incoming
+    # delta, the rest the existing corpus — only cross pairs computed
+    docs = load_table(spark, sf, "documents")
+    from pyspark.sql import functions as F
+
+    return dedup.dedup_incremental_lsh(
+        docs.where(F.col("doc_id") % 7 == 0),
+        docs.where(F.col("doc_id") % 7 != 0),
+    )
+
+
+_register(
+    "dedup_incremental_lsh_documents",
+    _dedup_incremental,
+    dedup.dedup_incremental_lsh_oracle_sql("documents", "{id} % 7 = 0"),
+)
 _register(
     # default components are STAR CONTRACTION since round 7 (measured:
     # wins shallow AND deep standalone, within noise in-pipeline —

@@ -202,3 +202,34 @@ def test_domain_cap_bounds_every_domain_deterministically(spark, sf01):
     a = sorted(map(tuple, kept.collect()))
     b = sorted(map(tuple, domain_cap(docs, cap=7).collect()))
     assert a == b
+
+
+def test_incremental_lsh_matches_full_runs_cross_pairs(spark, sf01):
+    """Consistency pin: delta-vs-corpus incremental dedup produces
+    EXACTLY the full run's pairs that cross the delta/corpus boundary,
+    with identical estimates — the incremental path loses nothing and
+    invents nothing."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        minhash_lsh_pairs,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    inc = {
+        (r["delta_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in dedup_incremental_lsh(
+            docs.where(F.col("doc_id") % 7 == 0),
+            docs.where(F.col("doc_id") % 7 != 0),
+        ).collect()
+    }
+    full_cross = {}
+    for r in minhash_lsh_pairs(docs, threshold=0.5).collect():
+        a, b = r["id_a"], r["id_b"]
+        for d, c in ((a, b), (b, a)):
+            if d % 7 == 0 and c % 7 != 0:
+                full_cross[(d, c)] = r["est_jaccard"]
+    assert inc == full_cross
+    assert inc, "testdata must yield cross pairs or the pin is vacuous"
