@@ -1,0 +1,199 @@
+"""Trained document-quality classifier with ORACLE-EXACT training.
+
+The operative LLM-corpus pattern (GPT-3/LLaMA-style curation): score
+every document with a CLASSIFIER trained on cheap seed labels, then
+filter/sample by the score — heuristics label a seed set, the model
+generalizes the judgment. The repo already has the heuristic gates
+(text.gopher_rules) and oracle-exact *inference* for fixed seeded
+weights (m4, m6h); this module closes the remaining gap: the TRAINING
+itself is bit-reproducible cross-engine.
+
+How: a batch perceptron over INTEGER features. Per epoch
+    w  <-  w + Σ_{i misclassified} y_i · x_i      (y ∈ {+1,−1})
+with integer token-bucket counts as x, so every update is an exact
+integer sum — order-free, partition-order-proof, and replayable in
+DuckDB as a chain of MATERIALIZED one-row weight CTEs (the
+BPE/pagerank chained-replay family, extended from *inference* to
+*learning*). No floats anywhere in the loop: unlike SGD+sigmoid,
+there is no libm exp() to drift between engines.
+
+Spark shape at 100 TB: ONE scan builds the (id, y, x0..xK) feature
+frame (persisted; one row per doc, K+2 ints); each epoch is a single
+map-side-combined aggregate over it (shuffle payload = K+1 longs) +
+a driver update of K+1 weights — epochs × O(1) driver traffic, like
+the BPE merge loop. Scoring is a broadcast-free literal projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tabsketchfm_spark.functions.hashing import h32_sql
+from tabsketchfm_spark.operators.text import _ALL_STOP, _toks_duckdb, _toks_spark
+
+N_BUCKETS = 8  # hashed token-count buckets; +1 bias term
+
+
+def _label_expr_spark(text_col: str) -> str:
+    """y ∈ {+1,−1} from the gopher conjunction (text.gopher_rules) —
+    the cheap seed label the classifier is trained to generalize."""
+    toks = _toks_spark(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n = f"size({toks})"
+    tot_len = f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
+    mean_len = f"({tot_len} / greatest({n}, 1))"
+    short = f"(size(filter({toks}, t -> length(t) <= 2)) / cast(greatest({n}, 1) as double))"
+    n_stop = f"size(filter({toks}, t -> t in ({stop_list})))"
+    return (
+        f"CASE WHEN {n} BETWEEN 5 AND 100000 AND {mean_len} BETWEEN 2.0 AND 12.0 "
+        f"AND {short} <= 0.6 AND {n_stop} >= 1 THEN 1 ELSE -1 END"
+    )
+
+
+def _label_expr_duckdb(text_col: str = "tk") -> str:
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n = "len(tk)"
+    mean_len = (
+        "(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))"
+        " / greatest(len(tk), 1))"
+    )
+    short = "(len(list_filter(tk, t -> length(t) <= 2)) / CAST(greatest(len(tk), 1) AS DOUBLE))"
+    n_stop = f"len(list_filter(tk, t -> t IN ({stop_list})))"
+    return (
+        f"CASE WHEN {n} BETWEEN 5 AND 100000 AND {mean_len} BETWEEN 2.0 AND 12.0 "
+        f"AND {short} <= 0.6 AND {n_stop} >= 1 THEN 1 ELSE -1 END"
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, y, x0..xK): bias x0=1 and K hashed token-bucket counts —
+    all BIGINT, one scan, no shuffle."""
+    toks = _toks_spark(text_col)
+    h = h32_sql("t", "spark")
+    cols = [
+        F.col(id_col).alias("id"),
+        F.expr(_label_expr_spark(text_col)).cast("bigint").alias("y"),
+        F.lit(1).cast("bigint").alias("x0"),
+    ]
+    for j in range(N_BUCKETS):
+        cols.append(
+            F.expr(f"size(filter({toks}, t -> ({h}) % {N_BUCKETS} = {j}))")
+            .cast("bigint")
+            .alias(f"x{j + 1}")
+        )
+    return df.select(*cols)
+
+
+def train_quality_perceptron(
+    df: DataFrame,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[int], DataFrame]:
+    """Run the batch-perceptron loop; returns (weights, features) —
+    features persisted (the caller scoring frame reads it; eager
+    callers unpersist)."""
+    feat = quality_features(df, id_col, text_col).persist()
+    dim = N_BUCKETS + 1
+    w = [0] * dim
+    for _ in range(epochs):
+        margin = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+        mis = F.col("y") * margin <= 0
+        sums = feat.agg(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
+    return w, feat
+
+
+def quality_perceptron_scores(
+    df: DataFrame,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train on the corpus' own seed labels, then score every doc with
+    the trained weights as literals. Output: (id, y, score, pred) —
+    all exact integers, so the WHOLE train→score pipeline is bit-exact
+    vs the DuckDB replay (quality_perceptron_oracle_sql)."""
+    w, feat = train_quality_perceptron(df, epochs, id_col, text_col)
+    dim = N_BUCKETS + 1
+    score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+    return feat.select(
+        "id",
+        "y",
+        score.alias("score"),
+        (score > 0).alias("pred"),
+    )
+
+
+def quality_perceptron_oracle_sql(
+    table: str,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Full training REPLAY: one MATERIALIZED weight CTE per epoch,
+    each folding the misclassified-sum update over the feature CTE
+    (coalesce guards the no-misclassified empty aggregate — the
+    NULL-poisoning lesson). Integer sums arrive as HUGEINT; cast back
+    to BIGINT for dtype parity."""
+    toks = _toks_duckdb(text_col)
+    h = h32_sql("t", "duckdb")
+    dim = N_BUCKETS + 1
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
+        f"CAST(1 AS BIGINT) AS x0, {xdefs} FROM t)",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
+        + ")",
+    ]
+    for e in range(epochs):
+        margin = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
+        upd = ", ".join(
+            f"CAST(w.w{j} + coalesce(sum(CASE WHEN f.y * ({margin}) <= 0 "
+            f"THEN f.y * f.x{j} END), 0) AS BIGINT) AS w{j}"
+            for j in range(dim)
+        )
+        ctes.append(
+            f"w{e + 1} AS MATERIALIZED (SELECT {upd} FROM feat f, w{e} w "
+            + "GROUP BY "
+            + ", ".join(f"w.w{j}" for j in range(dim))
+            + ")"
+        )
+    score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.id, f.y, CAST({score} AS BIGINT) AS score, ({score}) > 0 AS pred
+FROM feat f, w{epochs} w
+"""
+    )
+
+
+def train_quality_perceptron_py(rows: list[dict], epochs: int = 6) -> list[int]:
+    """Independent driver-side fold over collected feature rows — the
+    implementation-pin twin (the ExactSubstr-fold pattern): same
+    integer algebra, no Spark, for the regression test."""
+    dim = N_BUCKETS + 1
+    w = [0] * dim
+    for _ in range(epochs):
+        g = [0] * dim
+        for r in rows:
+            x = [r[f"x{j}"] for j in range(dim)]
+            if r["y"] * sum(w[j] * x[j] for j in range(dim)) <= 0:
+                for j in range(dim):
+                    g[j] += r["y"] * x[j]
+        w = [w[j] + g[j] for j in range(dim)]
+    return w

@@ -1571,6 +1571,21 @@ _register(
     lambda spark, sf: txt.gopher_rules(load_table(spark, sf, "documents")),
     txt.gopher_rules_oracle_sql("documents"),
 )
+
+from tabsketchfm_spark.operators import classifier as qclf
+
+_register(
+    # TRAINED quality filter with ORACLE-EXACT TRAINING: batch
+    # perceptron (integer algebra, no libm) over hashed token-bucket
+    # counts, seed labels = the gopher conjunction; the DuckDB twin
+    # replays every epoch as a MATERIALIZED weight CTE — the chained-
+    # replay family (BPE/pagerank) extended from inference to learning
+    "quality_perceptron_scores_documents",
+    lambda spark, sf: qclf.quality_perceptron_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qclf.quality_perceptron_oracle_sql("documents"),
+)
 _register(
     "cube_order_stats",
     ana.cube_order_stats,

@@ -233,3 +233,29 @@ def test_incremental_lsh_matches_full_runs_cross_pairs(spark, sf01):
                 full_cross[(d, c)] = r["est_jaccard"]
     assert inc == full_cross
     assert inc, "testdata must yield cross pairs or the pin is vacuous"
+
+
+def test_quality_perceptron_matches_independent_fold(spark, sf01):
+    """Implementation pin (the ExactSubstr-fold pattern): the
+    distributed batch-perceptron loop produces IDENTICAL integer
+    weights to a plain python fold over the same feature rows, and the
+    trained scorer's training accuracy is at least the majority-class
+    baseline (the gopher seed labels are ~90% positive at sf0.01, so
+    convergence to the majority predictor is the documented floor)."""
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    w, feat = qc.train_quality_perceptron(docs)
+    try:
+        rows = [r.asDict() for r in feat.collect()]
+        assert qc.train_quality_perceptron_py(rows) == w
+        scores = qc.quality_perceptron_scores(docs).collect()
+    finally:
+        feat.unpersist()
+    n = len(scores)
+    majority = max(
+        sum(1 for r in scores if r["y"] == 1), sum(1 for r in scores if r["y"] == -1)
+    ) / n
+    acc = sum(1 for r in scores if r["pred"] == (r["y"] == 1)) / n
+    assert acc >= majority
