@@ -197,3 +197,46 @@ def train_quality_perceptron_py(rows: list[dict], epochs: int = 6) -> list[int]:
                     g[j] += r["y"] * x[j]
         w = [w[j] + g[j] for j in range(dim)]
     return w
+
+
+def classifier_guided_sample(
+    df: DataFrame,
+    k: int = 100,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classifier-guided corpus sampling (the DSIR/GPT-3-style step:
+    sample the corpus ∝ a trained quality score, not uniformly): train
+    the perceptron on the corpus' own seed labels, map each doc's
+    integer score to weight max(score,0)+1, and run the deterministic
+    Horvitz-Thompson inclusion rule (splits.weighted_sample — pure
+    integer h24·W < k·w·2^24 arithmetic). End to end — training,
+    scoring, AND sampling — replays bit-exactly in DuckDB.
+    Output: (id, w) for the sampled docs."""
+    from tabsketchfm_spark.sources.splits import weighted_sample
+
+    scores = quality_perceptron_scores(df, epochs, id_col, text_col)
+    base = scores.select(
+        "id", (F.greatest(F.col("score"), F.lit(0)) + F.lit(1)).alias("w")
+    )
+    return weighted_sample(base, F.col("w"), "id", k)
+
+
+def classifier_guided_sample_oracle_sql(
+    table: str,
+    k: int = 100,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    scores = quality_perceptron_oracle_sql(table, epochs, id_col, text_col)
+    h = h32_sql("id", "duckdb")
+    return f"""
+WITH base AS (SELECT id, greatest(score, 0) + 1 AS w
+              FROM ({scores}) s),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base)
+SELECT id, w FROM base, tot
+WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(tw AS HUGEINT)
+    < CAST({k * (1 << 24)} AS HUGEINT) * CAST(w AS HUGEINT)
+"""

@@ -1587,6 +1587,16 @@ _register(
     qclf.quality_perceptron_oracle_sql("documents"),
 )
 _register(
+    # DSIR/GPT-3-style classifier-guided corpus sampling: sample docs
+    # ∝ max(trained score, 0)+1 through the integer Horvitz-Thompson
+    # rule — training, scoring, AND sampling replay bit-exactly
+    "mix_classifier_guided_documents",
+    lambda spark, sf: qclf.classifier_guided_sample(
+        load_table(spark, sf, "documents")
+    ),
+    qclf.classifier_guided_sample_oracle_sql("documents"),
+)
+_register(
     "cube_order_stats",
     ana.cube_order_stats,
     ana.cube_order_stats_oracle_sql(),
