@@ -412,6 +412,7 @@ def dedup_incremental_lsh(
     num_perm: int = 100,
     bands: int = 20,
     threshold: float = 0.5,
+    caches: list | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus near-dup — the daily-crawl shape: dedup a NEW
     batch against the existing lake WITHOUT re-pairing the corpus with
@@ -425,50 +426,69 @@ def dedup_incremental_lsh(
     Same signature scheme as minhash_lsh_pairs (shingle → h32 →
     num_perm-slot MIN signature → band keys), same slot-agreement
     verification. Output: (delta_id, corpus_id, est_jaccard)."""
-    rows = num_perm // bands
-    perms = minhash_perm_params(num_perm)
+    sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
+    sig_c = _lsh_sigs(corpus, id_col, text_col, n, num_perm, caches)
+    return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
-    def sigs_of(df: DataFrame) -> DataFrame:
-        sh = _shingles(df, id_col, text_col, n, dedupe=False)
-        h = F.expr(h32_sql("shingle", "spark"))
-        aggs = [
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"mh{i}"
-            )
-            for i, (a, b) in enumerate(perms)
-        ]
-        # persisted: consumed by banding AND the estimate join (lazy
-        # registered consumers keep the cache per the registry contract)
-        return sh.select("id", h.alias("h")).groupBy("id").agg(*aggs).persist()
 
-    def banded_of(sigs: DataFrame) -> DataFrame:
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows + r}").cast("string")
-                            for r in range(rows)
-                        ],
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-        return sigs.select(
-            "id", F.explode(F.array(*band_structs)).alias("bk")
-        ).select("id", "bk.band", "bk.bkey")
-
-    sig_d, sig_c = sigs_of(delta), sigs_of(corpus)
-    cand = (
-        banded_of(sig_d)
-        .alias("x")
-        .join(banded_of(sig_c).alias("y"), ["band", "bkey"])
-        .select(
-            F.col("x.id").alias("delta_id"), F.col("y.id").alias("corpus_id")
+def _lsh_sigs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_perm: int,
+    caches: list | None = None,
+) -> DataFrame:
+    """(id, mh0..mhN) MinHash signature frame — persisted: consumed by
+    banding AND the estimate join (lazy registered consumers keep the
+    cache per the registry contract; eager callers pass ``caches``)."""
+    sh = _shingles(df, id_col, text_col, n, dedupe=False)
+    h = F.expr(h32_sql("shingle", "spark"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
         )
+        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
+    ]
+    sigs = sh.select("id", h.alias("h")).groupBy("id").agg(*aggs).persist()
+    if caches is not None:
+        caches.append(sigs)
+    return sigs
+
+
+def _lsh_band_keys(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    rows = num_perm // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
+                )
+            ).alias("bkey"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "id", "bk.band", "bk.bkey"
+    )
+
+
+def _lsh_cross_pairs(
+    sig_d: DataFrame,
+    sig_c: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Banded bucket equi-join keeping ONLY delta×corpus cross pairs,
+    verified by slot agreement."""
+    cand = (
+        _lsh_band_keys(sig_d, num_perm, bands)
+        .alias("x")
+        .join(_lsh_band_keys(sig_c, num_perm, bands).alias("y"), ["band", "bkey"])
+        .select(F.col("x.id").alias("delta_id"), F.col("y.id").alias("corpus_id"))
         .distinct()
     )
     sa = sig_d.select(

@@ -663,6 +663,33 @@ _register(
     _dedup_incremental,
     dedup.dedup_incremental_lsh_oracle_sql("documents", "{id} % 7 = 0"),
 )
+
+
+def _stream_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # production sink form (per-batch executor-side parquet appends),
+    # materialized + dir removed before returning (the linkage-sink
+    # lifecycle); oracle = the BATCH incremental operator — append
+    # union over micro-batches covers the identical delta
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    sink = tempfile.mkdtemp(prefix="tsfm_dedup_sink_")
+    try:
+        out = ps2.streaming_dedup_incremental(spark, sf, sink_path=sink)
+        rows = out.collect()  # bounded: threshold-bounded pair set
+        schema = out.schema
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "stream_dedup_incremental_documents",
+    _stream_dedup_incremental,
+    dedup.dedup_incremental_lsh_oracle_sql("documents", "{id} % 7 = 0"),
+)
 _register(
     # default components are STAR CONTRACTION since round 7 (measured:
     # wins shallow AND deep standalone, within noise in-pipeline —

@@ -630,3 +630,117 @@ WITH pu AS (SELECT user_id, {mins}
 oks AS (SELECT *, {okcols} FROM pu)
 {selects}
 """
+
+
+# --- streaming delta-vs-corpus dedup ----------------------------------------
+
+
+def streaming_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    n_batches: int = 3,
+    sink_path: str | None = None,
+) -> DataFrame:
+    """Streaming delta-vs-corpus near-dup dedup — the live crawl-feed
+    shape: document deltas ARRIVE as files; every micro-batch is
+    deduped against the static corpus with the batch operator's exact
+    algebra (dedup._lsh_cross_pairs), and each batch's matches APPEND
+    to the result (near-dup pairs are immutable facts, so this is
+    append semantics, not the complete-mode last-batch-wins
+    convention). Corpus signatures are built ONCE and persisted across
+    batches; per batch only the arriving docs' signatures are computed
+    — hot-path work scales with the batch, exactly the incremental
+    argument of dedup_incremental_lsh.
+
+    Harness plumbing (not the operator): the delta feed (doc_id % 7
+    == 0) is materialized as ``n_batches`` range-partitioned parquet
+    files and consumed with maxFilesPerTrigger=1, so a completed
+    availableNow run processes the same docs as the batch operator in
+    ``n_batches`` real micro-batches — the union of batch outputs is
+    bit-equal to dedup_incremental_lsh over the full delta, which is
+    the oracle. ``sink_path``: production materialization — per-batch
+    executor-side parquet appends under batch_id=N, read back as one
+    frame; None = bounded driver accumulation (demo contract).
+    Output: (delta_id, corpus_id, est_jaccard)."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+
+    caches: list = []
+    feed_dir = tempfile.mkdtemp(prefix="tsfm_dedup_feed_")
+    try:
+        # corpus side: ONE signature build shared by every micro-batch
+        sig_c = dedup._lsh_sigs(corpus, "doc_id", "text", 3, 100, caches)
+
+        delta.repartitionByRange(n_batches, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(feed_dir)
+        feed = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+
+        holder: dict[str, object] = {"rows": [], "batches": []}
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            bcaches: list = []
+            out = dedup._lsh_cross_pairs(
+                dedup._lsh_sigs(batch_df, "doc_id", "text", 3, 100, bcaches),
+                sig_c,
+                100,
+                20,
+                threshold,
+            )
+            holder["schema"] = out.schema
+            try:
+                if sink_path is not None:
+                    out.write.mode("overwrite").parquet(
+                        f"{sink_path}/batch_id={max(batch_id, 0)}"
+                    )
+                    holder["batches"].append(max(batch_id, 0))
+                else:
+                    holder["rows"].extend(out.collect())
+            finally:
+                # per-batch delta sigs are consumed eagerly above —
+                # release them or every batch leaks a cache entry
+                for c in bcaches:
+                    c.unpersist()
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if "schema" not in holder:  # zero-batch run (empty feed)
+            sink(spark.createDataFrame([], delta.schema), -1)
+        if sink_path is not None:
+            return spark.read.schema(holder["schema"]).parquet(
+                *[f"{sink_path}/batch_id={b}" for b in holder["batches"]]
+            )
+        return spark.createDataFrame(holder["rows"], holder["schema"])
+    finally:
+        # the returned frame never reads the feed dir or the corpus
+        # sigs' upstream after this point only when rows were collected;
+        # for the sink_path form the result parquet is self-contained —
+        # both allow releasing the shared corpus cache and the feed
+        for c in caches:
+            c.unpersist()
+        shutil.rmtree(feed_dir, ignore_errors=True)
+
+
+def streaming_dedup_incremental_oracle_sql(threshold: float = 0.5) -> str:
+    from tabsketchfm_spark.operators.dedup import dedup_incremental_lsh_oracle_sql
+
+    return dedup_incremental_lsh_oracle_sql(
+        "documents", "{id} % 7 = 0", threshold=threshold
+    )

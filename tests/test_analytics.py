@@ -259,3 +259,37 @@ def test_quality_perceptron_matches_independent_fold(spark, sf01):
     ) / n
     acc = sum(1 for r in scores if r["pred"] == (r["y"] == 1)) / n
     assert acc >= majority
+
+
+def test_streaming_dedup_runs_real_micro_batches(spark, sf01, tmp_path):
+    """The streaming twin must actually stream: the range-partitioned
+    feed with maxFilesPerTrigger=1 produces one sink partition per
+    micro-batch, and the APPEND union across batches equals the batch
+    incremental operator exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import dedup_incremental_lsh
+    from tabsketchfm_spark.sources.tables import load_table
+    from tabsketchfm_spark.streaming.profile_stream import (
+        streaming_dedup_incremental,
+    )
+
+    sink = str(tmp_path / "sink")
+    got = sorted(
+        map(tuple, streaming_dedup_incremental(spark, sf01, sink_path=sink).collect())
+    )
+    parts = [d for d in os.listdir(sink) if d.startswith("batch_id=")]
+    assert len(parts) >= 2, f"expected real micro-batches, got {parts}"
+    docs = load_table(spark, sf01, "documents")
+    want = sorted(
+        map(
+            tuple,
+            dedup_incremental_lsh(
+                docs.where(F.col("doc_id") % 7 == 0),
+                docs.where(F.col("doc_id") % 7 != 0),
+            ).collect(),
+        )
+    )
+    assert got == want and got
