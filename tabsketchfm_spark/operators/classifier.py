@@ -29,40 +29,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from tabsketchfm_spark.functions.hashing import h32_sql
-from tabsketchfm_spark.operators.text import _ALL_STOP, _toks_duckdb, _toks_spark
+from tabsketchfm_spark.operators.text import (
+    _toks_duckdb,
+    _toks_spark,
+    gopher_parts_duckdb,
+    gopher_parts_spark,
+    gopher_pass_condition,
+)
 
 N_BUCKETS = 8  # hashed token-count buckets; +1 bias term
+WEIGHT_CAP = 1_000_000  # sampling-weight clamp (see classifier_guided_sample)
 
 
 def _label_expr_spark(text_col: str) -> str:
-    """y ∈ {+1,−1} from the gopher conjunction (text.gopher_rules) —
-    the cheap seed label the classifier is trained to generalize."""
-    toks = _toks_spark(text_col)
-    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
-    n = f"size({toks})"
-    tot_len = f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
-    mean_len = f"({tot_len} / greatest({n}, 1))"
-    short = f"(size(filter({toks}, t -> length(t) <= 2)) / cast(greatest({n}, 1) as double))"
-    n_stop = f"size(filter({toks}, t -> t in ({stop_list})))"
-    return (
-        f"CASE WHEN {n} BETWEEN 5 AND 100000 AND {mean_len} BETWEEN 2.0 AND 12.0 "
-        f"AND {short} <= 0.6 AND {n_stop} >= 1 THEN 1 ELSE -1 END"
-    )
+    """y ∈ {+1,−1} from the gopher conjunction — the SAME shared gate
+    expressions text.gopher_rules uses, so a threshold tuned there
+    re-labels the classifier's seed set automatically."""
+    cond = gopher_pass_condition(*gopher_parts_spark(text_col))
+    return f"CASE WHEN {cond} THEN 1 ELSE -1 END"
 
 
-def _label_expr_duckdb(text_col: str = "tk") -> str:
-    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
-    n = "len(tk)"
-    mean_len = (
-        "(list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))"
-        " / greatest(len(tk), 1))"
-    )
-    short = "(len(list_filter(tk, t -> length(t) <= 2)) / CAST(greatest(len(tk), 1) AS DOUBLE))"
-    n_stop = f"len(list_filter(tk, t -> t IN ({stop_list})))"
-    return (
-        f"CASE WHEN {n} BETWEEN 5 AND 100000 AND {mean_len} BETWEEN 2.0 AND 12.0 "
-        f"AND {short} <= 0.6 AND {n_stop} >= 1 THEN 1 ELSE -1 END"
-    )
+def _label_expr_duckdb() -> str:
+    cond = gopher_pass_condition(*gopher_parts_duckdb())
+    return f"CASE WHEN {cond} THEN 1 ELSE -1 END"
 
 
 def quality_features(
@@ -209,7 +198,8 @@ def classifier_guided_sample(
     """Classifier-guided corpus sampling (the DSIR/GPT-3-style step:
     sample the corpus ∝ a trained quality score, not uniformly): train
     the perceptron on the corpus' own seed labels, map each doc's
-    integer score to weight max(score,0)+1, and run the deterministic
+    integer score to weight min(max(score,0), WEIGHT_CAP)+1, and run
+    the deterministic
     Horvitz-Thompson inclusion rule (splits.weighted_sample — pure
     integer h24·W < k·w·2^24 arithmetic). End to end — training,
     scoring, AND sampling — replays bit-exactly in DuckDB.
@@ -217,8 +207,18 @@ def classifier_guided_sample(
     from tabsketchfm_spark.sources.splits import weighted_sample
 
     scores = quality_perceptron_scores(df, epochs, id_col, text_col)
+    # clamp the margin before weighting: the raw score is an unbounded
+    # integer (grows with epochs × corpus token mass), and
+    # weighted_sample's int64 total-weight sum must never wrap (tw <=
+    # n_docs · (WEIGHT_CAP+1): safe to ~9e12 docs; unbounded importance
+    # weights are bad sampling practice anyway — one huge-margin doc
+    # would swallow the whole budget)
     base = scores.select(
-        "id", (F.greatest(F.col("score"), F.lit(0)) + F.lit(1)).alias("w")
+        "id",
+        (
+            F.least(F.greatest(F.col("score"), F.lit(0)), F.lit(WEIGHT_CAP))
+            + F.lit(1)
+        ).alias("w"),
     )
     return weighted_sample(base, F.col("w"), "id", k)
 
@@ -233,7 +233,7 @@ def classifier_guided_sample_oracle_sql(
     scores = quality_perceptron_oracle_sql(table, epochs, id_col, text_col)
     h = h32_sql("id", "duckdb")
     return f"""
-WITH base AS (SELECT id, greatest(score, 0) + 1 AS w
+WITH base AS (SELECT id, least(greatest(score, 0), {WEIGHT_CAP}) + 1 AS w
               FROM ({scores}) s),
 tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM base)
 SELECT id, w FROM base, tot

@@ -762,6 +762,55 @@ HAVING count(*) >= {min_shared}
 """
 
 
+# Gopher gate thresholds — ONE source of truth: gopher_rules, its
+# oracle, AND the quality classifier's seed labels (operators/
+# classifier.py) all read these; tuning them here keeps every
+# consumer (and every oracle twin) in lockstep.
+GOPHER_LEN_MIN, GOPHER_LEN_MAX = 5, 100000
+GOPHER_MEANLEN_MIN, GOPHER_MEANLEN_MAX = 2.0, 12.0
+GOPHER_SHORT_MAX = 0.6
+GOPHER_STOP_MIN = 1
+
+
+def gopher_pass_condition(n, mean_len, short, n_stop) -> str:
+    """Dialect-free conjunction template over the four gate metrics
+    (callers pass dialect-specific sub-expressions or column names)."""
+    return (
+        f"{n} BETWEEN {GOPHER_LEN_MIN} AND {GOPHER_LEN_MAX} "
+        f"AND {mean_len} BETWEEN {GOPHER_MEANLEN_MIN} AND {GOPHER_MEANLEN_MAX} "
+        f"AND {short} <= {GOPHER_SHORT_MAX} AND {n_stop} >= {GOPHER_STOP_MIN}"
+    )
+
+
+def gopher_parts_spark(text_col: str) -> tuple[str, str, str, str]:
+    """(n, mean_len, short_frac, n_stop) Spark SQL sub-expressions."""
+    toks = _toks_spark(text_col)
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n = f"size({toks})"
+    tot_len = f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
+    mean_len = f"({tot_len} / greatest({n}, 1))"
+    short = f"(size(filter({toks}, t -> length(t) <= 2)) / cast(greatest({n}, 1) as double))"
+    n_stop = f"size(filter({toks}, t -> t in ({stop_list})))"
+    return n, mean_len, short, n_stop
+
+
+def gopher_parts_duckdb(tk: str = "tk") -> tuple[str, str, str, str]:
+    """(n, mean_len, short_frac, n_stop) DuckDB sub-expressions over a
+    token-list column."""
+    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n = f"len({tk})"
+    mean_len = (
+        f"(list_sum(list_transform({tk}, t -> CAST(length(t) AS DOUBLE)))"
+        f" / greatest(len({tk}), 1))"
+    )
+    short = (
+        f"(len(list_filter({tk}, t -> length(t) <= 2))"
+        f" / CAST(greatest(len({tk}), 1) AS DOUBLE))"
+    )
+    n_stop = f"len(list_filter({tk}, t -> t IN ({stop_list})))"
+    return n, mean_len, short, n_stop
+
+
 def gopher_rules(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -774,27 +823,22 @@ def gopher_rules(
     projection: one scan, no shuffle, bit-exact oracle.
     Output: (id, n_tokens, mean_tok_len, short_frac, n_stop,
     pass_len, pass_tok_len, pass_short, pass_stop, pass_all)."""
-    toks = _toks_spark(text_col)
-    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
-    n = f"size({toks})"
-    tot_len = f"aggregate({toks}, cast(0.0 as double), (acc, t) -> acc + length(t))"
-    mean_len = f"({tot_len} / greatest({n}, 1))"
-    short = f"(size(filter({toks}, t -> length(t) <= 2)) / cast(greatest({n}, 1) as double))"
-    n_stop = f"size(filter({toks}, t -> t in ({stop_list})))"
+    n, mean_len, short, n_stop = gopher_parts_spark(text_col)
     return df.select(
         F.col(id_col).alias("id"),
         F.expr(n).alias("n_tokens"),
         F.round(F.expr(mean_len), 6).alias("mean_tok_len"),
         F.round(F.expr(short), 6).alias("short_frac"),
         F.expr(n_stop).cast("int").alias("n_stop"),
-        F.expr(f"{n} BETWEEN 5 AND 100000").alias("pass_len"),
-        F.expr(f"{mean_len} BETWEEN 2.0 AND 12.0").alias("pass_tok_len"),
-        F.expr(f"{short} <= 0.6").alias("pass_short"),
-        F.expr(f"{n_stop} >= 1").alias("pass_stop"),
+        F.expr(f"{n} BETWEEN {GOPHER_LEN_MIN} AND {GOPHER_LEN_MAX}").alias(
+            "pass_len"
+        ),
         F.expr(
-            f"{n} BETWEEN 5 AND 100000 AND {mean_len} BETWEEN 2.0 AND 12.0 "
-            f"AND {short} <= 0.6 AND {n_stop} >= 1"
-        ).alias("pass_all"),
+            f"{mean_len} BETWEEN {GOPHER_MEANLEN_MIN} AND {GOPHER_MEANLEN_MAX}"
+        ).alias("pass_tok_len"),
+        F.expr(f"{short} <= {GOPHER_SHORT_MAX}").alias("pass_short"),
+        F.expr(f"{n_stop} >= {GOPHER_STOP_MIN}").alias("pass_stop"),
+        F.expr(gopher_pass_condition(n, mean_len, short, n_stop)).alias("pass_all"),
     )
 
 
@@ -802,25 +846,22 @@ def gopher_rules_oracle_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
     toks = _toks_duckdb(text_col)
-    stop_list = ", ".join(f"'{w}'" for w in _ALL_STOP)
+    n, mean_len, short, n_stop = gopher_parts_duckdb()
     return f"""
 WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
 m AS (SELECT id,
-             CAST(len(tk) AS INTEGER) AS n_tokens,
-             list_sum(list_transform(tk, t -> CAST(length(t) AS DOUBLE)))
-               / greatest(len(tk), 1) AS mean_len,
-             len(list_filter(tk, t -> length(t) <= 2))
-               / CAST(greatest(len(tk), 1) AS DOUBLE) AS short_frac,
-             CAST(len(list_filter(tk, t -> t IN ({stop_list}))) AS INTEGER) AS n_stop
+             CAST({n} AS INTEGER) AS n_tokens,
+             {mean_len} AS mean_len,
+             {short} AS short_frac,
+             CAST({n_stop} AS INTEGER) AS n_stop
       FROM t)
 SELECT id, n_tokens, round(mean_len, 6) AS mean_tok_len,
        round(short_frac, 6) AS short_frac, n_stop,
-       n_tokens BETWEEN 5 AND 100000 AS pass_len,
-       mean_len BETWEEN 2.0 AND 12.0 AS pass_tok_len,
-       short_frac <= 0.6 AS pass_short,
-       n_stop >= 1 AS pass_stop,
-       (n_tokens BETWEEN 5 AND 100000 AND mean_len BETWEEN 2.0 AND 12.0
-        AND short_frac <= 0.6 AND n_stop >= 1) AS pass_all
+       n_tokens BETWEEN {GOPHER_LEN_MIN} AND {GOPHER_LEN_MAX} AS pass_len,
+       mean_len BETWEEN {GOPHER_MEANLEN_MIN} AND {GOPHER_MEANLEN_MAX} AS pass_tok_len,
+       short_frac <= {GOPHER_SHORT_MAX} AS pass_short,
+       n_stop >= {GOPHER_STOP_MIN} AS pass_stop,
+       ({gopher_pass_condition("n_tokens", "mean_len", "short_frac", "n_stop")}) AS pass_all
 FROM m
 """
 

@@ -1615,8 +1615,10 @@ _register(
 )
 _register(
     # DSIR/GPT-3-style classifier-guided corpus sampling: sample docs
-    # ∝ max(trained score, 0)+1 through the integer Horvitz-Thompson
-    # rule — training, scoring, AND sampling replay bit-exactly
+    # ∝ the CLAMPED trained score (min(max(score,0), cap)+1 — bounded
+    # weights keep the int64 weight sum wrap-proof at corpus scale)
+    # through the integer Horvitz-Thompson rule — training, scoring,
+    # AND sampling replay bit-exactly
     "mix_classifier_guided_documents",
     lambda spark, sf: qclf.classifier_guided_sample(
         load_table(spark, sf, "documents")
@@ -1987,16 +1989,17 @@ _DRIVER_WINDOW = [
     "bpe_merges_documents",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
+    "dedup_incremental_lsh_documents",
+    "quality_perceptron_scores_documents",
+    "s9c_split_by_cluster_documents",
     "dedup_clusters_documents",
     "k2_value_znorm_customer",
     "text_quality_score",
     "text_gopher_rules",
     "pipeline_curate_documents",
-    "text_decontaminate_documents",
     "k3c_join_cardinality_estimate",
     "w2_sessionize_events_batch",
     "asof_event_hourly_snapshot",
-    "range_join_error_followers",
     "dedup_exact_substrings_chars_documents",
     "m8_mask_plan_customer",
     "m9_token_features_subword_customer",
@@ -2009,7 +2012,6 @@ _DRIVER_WINDOW = [
     "m6h_head_scores_customer",
     "p13_functional_deps_guided_customer",
     "text_bm25_topk_documents",
-    "w6_funnel_counts_events",
     "stream_funnel_events",
     "cdc_latest_state_events",
     "stream_windowed_counts_append",

@@ -227,14 +227,10 @@ def assign_split_by_cluster(
     from tabsketchfm_spark.operators.dedup import dedup_clusters
 
     labels = dedup_clusters(docs, id_col, text_col, n, threshold)
-    bucket = F.expr(h32_sql("cluster_id", "spark")) % 10
-    return labels.select(
-        id_col,
-        "cluster_id",
-        F.when(bucket <= 7, "train")
-        .when(bucket == 8, "valid")
-        .otherwise("test")
-        .alias("split"),
+    # the standard 8/1/1 rule (assign_split), keyed on cluster_id —
+    # cluster_size rides along so consumers need no second window
+    return assign_split(labels, "cluster_id").select(
+        id_col, "cluster_id", "cluster_size", "split"
     )
 
 
@@ -248,18 +244,11 @@ def cluster_split_counts(
     """Registered summary over assign_split_by_cluster: per split, the
     doc count, cluster count, and how many docs sit in multi-doc
     clusters (the rows a row-hash split would have risked leaking)."""
-    from pyspark.sql import Window
-
     s = assign_split_by_cluster(docs, id_col, text_col, n, threshold)
-    size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
-    return (
-        s.withColumn("csize", size_w)
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("cluster_id").alias("n_clusters"),
-            F.count(F.when(F.col("csize") > 1, 1)).alias("n_clustered_docs"),
-        )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count(F.when(F.col("cluster_size") > 1, 1)).alias("n_clustered_docs"),
     )
 
 

@@ -736,11 +736,3 @@ def streaming_dedup_incremental(
         for c in caches:
             c.unpersist()
         shutil.rmtree(feed_dir, ignore_errors=True)
-
-
-def streaming_dedup_incremental_oracle_sql(threshold: float = 0.5) -> str:
-    from tabsketchfm_spark.operators.dedup import dedup_incremental_lsh_oracle_sql
-
-    return dedup_incremental_lsh_oracle_sql(
-        "documents", "{id} % 7 = 0", threshold=threshold
-    )

@@ -218,13 +218,19 @@ def test_incremental_lsh_matches_full_runs_cross_pairs(spark, sf01):
     from tabsketchfm_spark.sources.tables import load_table
 
     docs = load_table(spark, sf01, "documents")
-    inc = {
-        (r["delta_id"], r["corpus_id"]): r["est_jaccard"]
-        for r in dedup_incremental_lsh(
-            docs.where(F.col("doc_id") % 7 == 0),
-            docs.where(F.col("doc_id") % 7 != 0),
-        ).collect()
-    }
+    caches: list = []
+    try:
+        inc = {
+            (r["delta_id"], r["corpus_id"]): r["est_jaccard"]
+            for r in dedup_incremental_lsh(
+                docs.where(F.col("doc_id") % 7 == 0),
+                docs.where(F.col("doc_id") % 7 != 0),
+                caches=caches,
+            ).collect()
+        }
+    finally:
+        for c in caches:
+            c.unpersist()
     full_cross = {}
     for r in minhash_lsh_pairs(docs, threshold=0.5).collect():
         a, b = r["id_a"], r["id_b"]
@@ -250,7 +256,17 @@ def test_quality_perceptron_matches_independent_fold(spark, sf01):
     try:
         rows = [r.asDict() for r in feat.collect()]
         assert qc.train_quality_perceptron_py(rows) == w
-        scores = qc.quality_perceptron_scores(docs).collect()
+        # score from the SAME trained (w, feat) — a second
+        # quality_perceptron_scores call would re-train and persist a
+        # second feature frame this test could not release
+        dim = qc.N_BUCKETS + 1
+        scores = [
+            {
+                "y": r["y"],
+                "pred": sum(w[j] * r[f"x{j}"] for j in range(dim)) > 0,
+            }
+            for r in rows
+        ]
     finally:
         feat.unpersist()
     n = len(scores)

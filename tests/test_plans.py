@@ -541,6 +541,12 @@ _PLAN_GUARD_SKIP = {
     "k3h_table_communities",
     "dedup_clusters_documents",
     "dedup_clusters_labelprop_documents",
+    # round-7 eager additions: perceptron training runs its epoch
+    # collects at build; the cluster split runs the full star-
+    # contraction clustering (checkpoint jobs) at build
+    "quality_perceptron_scores_documents",
+    "mix_classifier_guided_documents",
+    "s9c_split_by_cluster_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
