@@ -431,6 +431,49 @@ def dedup_incremental_lsh(
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
 
+def build_signature_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+) -> None:
+    """Materialize the corpus' MinHash signatures as a parquet store —
+    the S7-style sink that makes incremental dedup truly incremental:
+    the corpus is scanned ONCE at store-build time; every later delta
+    batch reads k longs per doc back instead of re-shingling the lake.
+    Executor-side write (no driver collect)."""
+    sigs = _lsh_sigs(corpus, id_col, text_col, n, num_perm)
+    try:
+        sigs.write.mode("overwrite").parquet(path)
+    finally:
+        sigs.unpersist()
+
+
+def dedup_incremental_lsh_stored(
+    delta: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+    caches: list | None = None,
+) -> DataFrame:
+    """dedup_incremental_lsh with the corpus side read from a
+    build_signature_store parquet — the production deployment shape
+    (only the delta is shingled; the corpus contributes a columnar
+    signature scan). Bit-identical output to the self-contained
+    operator: a signature depends only on the doc, so where it is
+    read from cannot change a pair."""
+    sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
+    sig_c = spark.read.parquet(store_path)
+    return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
+
+
 def _lsh_sigs(
     df: DataFrame,
     id_col: str,

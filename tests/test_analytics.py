@@ -309,3 +309,40 @@ def test_streaming_dedup_runs_real_micro_batches(spark, sf01, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_incremental_dedup_from_signature_store(spark, sf01, tmp_path):
+    """Production seam: corpus signatures materialized once to parquet
+    (build_signature_store), deltas deduped against the STORE — output
+    bit-identical to the self-contained operator."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        build_signature_store,
+        dedup_incremental_lsh,
+        dedup_incremental_lsh_stored,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    store = str(tmp_path / "sig_store")
+    build_signature_store(corpus, store)
+    caches: list = []
+    try:
+        stored = sorted(
+            map(
+                tuple,
+                dedup_incremental_lsh_stored(
+                    delta, spark, store, caches=caches
+                ).collect(),
+            )
+        )
+        direct = sorted(
+            map(tuple, dedup_incremental_lsh(delta, corpus, caches=caches).collect())
+        )
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert stored == direct and stored
