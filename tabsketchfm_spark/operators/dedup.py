@@ -431,6 +431,13 @@ def dedup_incremental_lsh(
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
 
+def _read_signature_store(spark, path: str) -> DataFrame:
+    # recursive lookup: the base build writes flat part files, each
+    # ingest_dedup_commit appends a commit_<uuid>/ subdirectory — one
+    # reader shape covers both without partition-discovery conflicts
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
 def build_signature_store(
     corpus: DataFrame,
     path: str,
@@ -470,8 +477,72 @@ def dedup_incremental_lsh_stored(
     operator: a signature depends only on the doc, so where it is
     read from cannot change a pair."""
     sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
-    sig_c = spark.read.parquet(store_path)
+    sig_c = _read_signature_store(spark, store_path)
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
+
+
+def ingest_dedup_commit(
+    delta: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full incremental-ingest loop, one call per arriving batch:
+    (1) dedup the delta against the signature store; (2) COMMIT the
+    SURVIVORS' signatures into the store (near-dups of existing corpus
+    docs are rejected and never become corpus — the standard
+    keep-first ingest policy, so later deltas dedup against everything
+    previously accepted); (3) return the delta's verdict rows.
+
+    The store grows by k longs per accepted doc per batch; the commit
+    is an executor-side parquet append into a fresh subdirectory (no
+    read-modify-write of existing files — object-store-friendly; a
+    real deployment uses a Delta/Iceberg append for atomicity).
+    Output: (delta_id, accepted, matched_corpus_id, est_jaccard) —
+    one row per delta doc; rejected rows carry their best match."""
+    import uuid
+
+    caches: list = []
+    try:
+        sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
+        sig_c = _read_signature_store(spark, store_path)
+        pairs = _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
+        # best match per delta doc: max (est, corpus_id) — deterministic
+        best = pairs.groupBy("delta_id").agg(
+            F.max(F.struct("est_jaccard", "corpus_id")).alias("m")
+        )
+        verdict = (
+            sig_d.select(F.col("id").alias("delta_id"))
+            .join(best, "delta_id", "left")
+            .select(
+                "delta_id",
+                F.col("m").isNull().alias("accepted"),
+                F.col("m.corpus_id").alias("matched_corpus_id"),
+                F.col("m.est_jaccard").alias("est_jaccard"),
+            )
+            .persist()
+        )
+        survivors = sig_d.join(
+            verdict.where("accepted").select(F.col("delta_id").alias("id")),
+            "id",
+        )
+        # fresh subdir per commit: parquet append without touching
+        # existing files, and a crashed write never corrupts the store
+        survivors.write.mode("overwrite").parquet(
+            f"{store_path}/commit_{uuid.uuid4().hex[:12]}"
+        )
+        rows = verdict.collect()  # one row per delta doc — bounded
+        schema = verdict.schema
+        verdict.unpersist()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def _lsh_sigs(

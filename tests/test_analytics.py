@@ -346,3 +346,48 @@ def test_incremental_dedup_from_signature_store(spark, sf01, tmp_path):
         for c in caches:
             c.unpersist()
     assert stored == direct and stored
+
+
+def test_ingest_dedup_commit_loop(spark, sf01, tmp_path):
+    """The full incremental-ingest lifecycle: build store → ingest
+    batch 1 (commit survivors) → ingest batch 2 → REPLAY batch 1.
+    Every batch-1 doc accepted in the first pass must now be REJECTED
+    at est_jaccard exactly 1.0 — it self-matches against its own
+    committed signature — proving the commit actually lands in the
+    store later deltas read."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        build_signature_store,
+        ingest_dedup_commit,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    delta = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, store)
+
+    mid = delta.approxQuantile("doc_id", [0.5], 0)[0]
+    b1 = delta.where(F.col("doc_id") <= mid)
+    b2 = delta.where(F.col("doc_id") > mid)
+
+    v1 = {r["delta_id"]: r for r in ingest_dedup_commit(b1, spark, store).collect()}
+    assert len(v1) == b1.count()  # one verdict per delta doc
+    for r in v1.values():  # rejected rows carry their best match
+        assert r["accepted"] == (r["matched_corpus_id"] is None)
+        if not r["accepted"]:
+            assert r["est_jaccard"] >= 0.5
+
+    v2 = {r["delta_id"]: r for r in ingest_dedup_commit(b2, spark, store).collect()}
+    assert len(v2) == b2.count()
+
+    replay = {
+        r["delta_id"]: r for r in ingest_dedup_commit(b1, spark, store).collect()
+    }
+    accepted1 = {i for i, r in v1.items() if r["accepted"]}
+    assert accepted1, "batch 1 must have survivors or the replay is vacuous"
+    for i in accepted1:
+        assert not replay[i]["accepted"]
+        assert replay[i]["est_jaccard"] == 1.0
