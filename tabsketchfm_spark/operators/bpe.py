@@ -491,3 +491,47 @@ def name_corpus_learning_ctes(n_merges: int) -> list[str]:
     return _oracle_ctes(
         n_merges, MAX_WORD_LEN, final_round=False, words_sql=name_corpus_words_sql()
     )
+
+
+# --- tokenizer artifact sink/scan -------------------------------------------
+
+
+def save_merges(path: str, merges: list[tuple[str, str]]) -> dict:
+    """Tokenizer artifact sink (the S13 checkpoint pattern for the
+    BPE vocabulary): write the ORDERED merge list as JSON with an
+    embedded content hash, closing the learn→save→serve loop — a
+    pipeline trains its vocabulary once and every later tokenization
+    job loads the identical merges. Returns the manifest."""
+    import hashlib
+    import json
+
+    payload = [[s1, s2] for s1, s2 in merges]
+    blob = json.dumps(payload, separators=(",", ":"), ensure_ascii=False)
+    manifest = {
+        "n_merges": len(merges),
+        "content_hash": hashlib.md5(blob.encode()).hexdigest(),
+        "merges": payload,
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(manifest, f, indent=1, ensure_ascii=False)
+    return manifest
+
+
+def load_merges(path: str, verify: bool = True) -> list[tuple[str, str]]:
+    """Scan the merges artifact; a tampered or truncated file fails
+    loudly (hash mismatch), never silently mis-tokenizes."""
+    import hashlib
+    import json
+
+    with open(path + ".json") as f:
+        manifest = json.load(f)
+    payload = manifest["merges"]
+    if verify:
+        blob = json.dumps(payload, separators=(",", ":"), ensure_ascii=False)
+        got = hashlib.md5(blob.encode()).hexdigest()
+        if got != manifest["content_hash"]:
+            raise IOError(
+                f"merge artifact hash mismatch at {path}: "
+                f"manifest {manifest['content_hash']}, content {got}"
+            )
+    return [(s1, s2) for s1, s2 in payload]

@@ -391,3 +391,39 @@ def test_ingest_dedup_commit_loop(spark, sf01, tmp_path):
     for i in accepted1:
         assert not replay[i]["accepted"]
         assert replay[i]["est_jaccard"] == 1.0
+
+
+def test_bpe_merge_artifact_roundtrip_drives_tokenization(spark, sf01, tmp_path):
+    """Tokenizer learn→save→serve loop: merges saved to the hashed
+    artifact and loaded back tokenize identically to the in-memory
+    list; a tampered artifact fails loudly."""
+    import json
+
+    import pytest
+
+    from tabsketchfm_spark.operators import bpe
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.bpe_learn(spark, sf01, n_merges=4).collect()
+    ]
+    assert merges
+    path = str(tmp_path / "tok")
+    bpe.save_merges(path, merges)
+    assert bpe.load_merges(path) == merges
+    direct = sorted(
+        map(tuple, bpe.bpe_tokenize_with(spark, sf01, merges).collect())
+    )
+    served = sorted(
+        map(
+            tuple,
+            bpe.bpe_tokenize_with(spark, sf01, bpe.load_merges(path)).collect(),
+        )
+    )
+    assert served == direct
+
+    m = json.load(open(path + ".json"))
+    m["merges"][0][0] = m["merges"][0][0] + "x"
+    json.dump(m, open(path + ".json", "w"))
+    with pytest.raises(IOError):
+        bpe.load_merges(path)
