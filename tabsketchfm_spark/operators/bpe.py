@@ -512,7 +512,7 @@ def save_merges(path: str, merges: list[tuple[str, str]]) -> dict:
         "content_hash": hashlib.md5(blob.encode()).hexdigest(),
         "merges": payload,
     }
-    with open(path + ".json", "w") as f:
+    with open(path + ".json", "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1, ensure_ascii=False)
     return manifest
 
@@ -523,7 +523,7 @@ def load_merges(path: str, verify: bool = True) -> list[tuple[str, str]]:
     import hashlib
     import json
 
-    with open(path + ".json") as f:
+    with open(path + ".json", encoding="utf-8") as f:
         manifest = json.load(f)
     payload = manifest["merges"]
     if verify:

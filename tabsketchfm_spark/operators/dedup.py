@@ -431,11 +431,46 @@ def dedup_incremental_lsh(
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
 
-def _read_signature_store(spark, path: str) -> DataFrame:
-    # recursive lookup: the base build writes flat part files, each
-    # ingest_dedup_commit appends a commit_<uuid>/ subdirectory — one
-    # reader shape covers both without partition-discovery conflicts
-    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+_SIG_STORE_FORMAT = "minhash-shingle-v1"
+
+
+def _read_signature_store(
+    spark, path: str, n: int, num_perm: int, caches: list | None = None
+) -> DataFrame:
+    """Schema-from-manifest read of a signature store, PERSISTED (the
+    store side feeds two subtrees of _lsh_cross_pairs — band keys and
+    the slot-agreement join — and the store grows every commit).
+    The manifest makes two failure modes LOUD instead of silent:
+    parameter mismatch (a store built with different shingle/perm
+    settings would produce meaningless estimates — the save_merges
+    hash-manifest rationale) and the empty-corpus cold start (explicit
+    schema → an empty store reads as an empty frame, no inference
+    error). Recursive lookup covers the flat base build plus the
+    commit_<uuid>/ subdirectories; `_`-prefixed files are ignored by
+    the parquet reader, so the manifest rides inside the store dir."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "_manifest.json"), encoding="utf-8") as f:
+        m = json.load(f)
+    if m["format"] != _SIG_STORE_FORMAT or m["n"] != n or m["num_perm"] != num_perm:
+        raise IOError(
+            f"signature store at {path} was built as {m['format']} with "
+            f"n={m['n']}, num_perm={m['num_perm']}; caller requested "
+            f"n={n}, num_perm={num_perm}"
+        )
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    sig_c = (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+        .persist()
+    )
+    if caches is not None:
+        caches.append(sig_c)
+    return sig_c
 
 
 def build_signature_store(
@@ -450,10 +485,25 @@ def build_signature_store(
     the S7-style sink that makes incremental dedup truly incremental:
     the corpus is scanned ONCE at store-build time; every later delta
     batch reads k longs per doc back instead of re-shingling the lake.
-    Executor-side write (no driver collect)."""
+    Executor-side write (no driver collect); the `_manifest.json`
+    records the build parameters and schema (see
+    _read_signature_store). Works for an EMPTY corpus — the manifest
+    schema bootstraps reads, so the ingest loop can start cold."""
+    import json
+    import os
+
     sigs = _lsh_sigs(corpus, id_col, text_col, n, num_perm)
     try:
         sigs.write.mode("overwrite").parquet(path)
+        manifest = {
+            "format": _SIG_STORE_FORMAT,
+            "n": n,
+            "num_perm": num_perm,
+            "id_col": id_col,
+            "schema": sigs.schema.json(),
+        }
+        with open(os.path.join(path, "_manifest.json"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
     finally:
         sigs.unpersist()
 
@@ -477,7 +527,7 @@ def dedup_incremental_lsh_stored(
     operator: a signature depends only on the doc, so where it is
     read from cannot change a pair."""
     sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
-    sig_c = _read_signature_store(spark, store_path)
+    sig_c = _read_signature_store(spark, store_path, n, num_perm, caches)
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
 
@@ -493,31 +543,44 @@ def ingest_dedup_commit(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The full incremental-ingest loop, one call per arriving batch:
-    (1) dedup the delta against the signature store; (2) COMMIT the
-    SURVIVORS' signatures into the store (near-dups of existing corpus
-    docs are rejected and never become corpus — the standard
-    keep-first ingest policy, so later deltas dedup against everything
-    previously accepted); (3) return the delta's verdict rows.
+    (1) dedup the delta against the signature store AND against the
+    EARLIER docs of its own batch (crawlers routinely deliver a page
+    and its near-copy together — without the intra-batch pass both
+    would be committed); (2) COMMIT the survivors' signatures into the
+    store, so later deltas dedup against everything previously
+    accepted (keep-first policy: an intra-batch reject's content is
+    represented by its earlier match, which is either committed or
+    itself matched the corpus); (3) return the delta's verdict rows.
 
     The store grows by k longs per accepted doc per batch; the commit
     is an executor-side parquet append into a fresh subdirectory (no
     read-modify-write of existing files — object-store-friendly; a
     real deployment uses a Delta/Iceberg append for atomicity).
     Output: (delta_id, accepted, matched_corpus_id, est_jaccard) —
-    one row per delta doc; rejected rows carry their best match."""
+    EXACTLY one row per delta doc (docs too short to shingle — under
+    ``n`` tokens — carry no signature, so LSH cannot reject them:
+    accepted, nothing committed; pair exact_dedup upstream for those).
+    ``matched_corpus_id`` may name an earlier doc of the same batch."""
     import uuid
 
     caches: list = []
     try:
         sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
-        sig_c = _read_signature_store(spark, store_path)
+        sig_c = _read_signature_store(spark, store_path, n, num_perm, caches)
         pairs = _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
-        # best match per delta doc: max (est, corpus_id) — deterministic
-        best = pairs.groupBy("delta_id").agg(
-            F.max(F.struct("est_jaccard", "corpus_id")).alias("m")
+        # intra-batch pass: self cross-pairs, matching only EARLIER
+        # (lower-id) batch docs — the deterministic keep-first order
+        intra = _lsh_cross_pairs(sig_d, sig_d, num_perm, bands, threshold).where(
+            F.col("corpus_id") < F.col("delta_id")
+        )
+        # best match per delta doc: max (est, id) — deterministic
+        best = (
+            pairs.unionByName(intra)
+            .groupBy("delta_id")
+            .agg(F.max(F.struct("est_jaccard", "corpus_id")).alias("m"))
         )
         verdict = (
-            sig_d.select(F.col("id").alias("delta_id"))
+            delta.select(F.col(id_col).alias("delta_id"))
             .join(best, "delta_id", "left")
             .select(
                 "delta_id",
@@ -527,6 +590,7 @@ def ingest_dedup_commit(
             )
             .persist()
         )
+        caches.append(verdict)  # released in finally even if a write throws
         survivors = sig_d.join(
             verdict.where("accepted").select(F.col("delta_id").alias("id")),
             "id",
@@ -537,9 +601,7 @@ def ingest_dedup_commit(
             f"{store_path}/commit_{uuid.uuid4().hex[:12]}"
         )
         rows = verdict.collect()  # one row per delta doc — bounded
-        schema = verdict.schema
-        verdict.unpersist()
-        return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows, verdict.schema)
     finally:
         for c in caches:
             c.unpersist()

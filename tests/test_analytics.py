@@ -427,3 +427,67 @@ def test_bpe_merge_artifact_roundtrip_drives_tokenization(spark, sf01, tmp_path)
     json.dump(m, open(path + ".json", "w"))
     with pytest.raises(IOError):
         bpe.load_merges(path)
+
+
+def test_signature_store_guards_and_cold_start(spark, sf01, tmp_path):
+    """Store manifest semantics: a parameter mismatch fails LOUDLY
+    (mismatched shingle settings would produce meaningless estimates
+    silently), and an EMPTY corpus bootstraps — the first ingest runs
+    against a zero-row store and accepts everything shingle-able."""
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    from tabsketchfm_spark.operators.dedup import (
+        build_signature_store,
+        dedup_incremental_lsh_stored,
+        ingest_dedup_commit,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    store = str(tmp_path / "cold_store")
+    build_signature_store(docs.where(F.lit(False)), store)  # EMPTY corpus
+
+    with pytest.raises(IOError):
+        dedup_incremental_lsh_stored(docs.limit(1), spark, store, n=4)
+
+    batch = docs.where(F.col("doc_id") % 50 == 0)
+    v = {r["delta_id"]: r for r in ingest_dedup_commit(batch, spark, store).collect()}
+    assert len(v) == batch.count()
+    # cold store: nothing to match except earlier docs of the batch
+    for r in v.values():
+        if not r["accepted"]:
+            assert r["matched_corpus_id"] < r["delta_id"]
+
+
+def test_ingest_rejects_intra_batch_near_dups(spark, sf01, tmp_path):
+    """Same-batch near-dups (the common crawl arrival pattern): ingest
+    a batch containing an exact copy pair into an empty store — the
+    higher-id copy must be rejected against the lower-id one."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        build_signature_store,
+        ingest_dedup_commit,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    base = docs.orderBy("doc_id").limit(3)
+    clone = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    store = str(tmp_path / "intra_store")
+    build_signature_store(docs.where(F.lit(False)), store)
+    v = {
+        r["delta_id"]: r
+        for r in ingest_dedup_commit(base.unionByName(clone), spark, store).collect()
+    }
+    originals = [i for i in v if i < 100000]
+    for i in originals:
+        assert v[i]["accepted"], "lower-id original must survive"
+        c = v[i + 100000]
+        assert not c["accepted"] and c["est_jaccard"] == 1.0
+        assert c["matched_corpus_id"] == i
