@@ -526,8 +526,10 @@ def dedup_incremental_lsh_stored(
     signature scan). Bit-identical output to the self-contained
     operator: a signature depends only on the doc, so where it is
     read from cannot change a pair."""
-    sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
+    # store first: the manifest check fails FAST, before the delta
+    # signature frame is built and persisted
     sig_c = _read_signature_store(spark, store_path, n, num_perm, caches)
+    sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
 
@@ -565,8 +567,8 @@ def ingest_dedup_commit(
 
     caches: list = []
     try:
-        sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
         sig_c = _read_signature_store(spark, store_path, n, num_perm, caches)
+        sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
         pairs = _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
         # intra-batch pass: self cross-pairs, matching only EARLIER
         # (lower-id) batch docs — the deterministic keep-first order
