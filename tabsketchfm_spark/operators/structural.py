@@ -864,3 +864,92 @@ SELECT table_name, community,
        CAST(count(*) OVER (PARTITION BY community) AS BIGINT) AS community_size
 FROM cl
 """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Two-version table diff — the lake audit op behind every "what
+    changed since yesterday" question (and the verification step after
+    any rewrite/compaction/migration): full-outer join on the key,
+    rows classified added / removed / changed by NULL-SAFE column
+    comparison (eqNullSafe == DuckDB's IS NOT DISTINCT FROM — no
+    row-hash, so the gate is exact even across engines' string
+    renderings). Unchanged rows are dropped BEFORE the output, so the
+    result is bounded by the change volume, not the table size; the
+    only shuffle is the key join, which AQE skew-handles.
+    Output: (*key_cols, change)."""
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"o_{c}") for c in compare_cols],
+        F.lit(1).alias("in_o"),
+    )
+    nw = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"n_{c}") for c in compare_cols],
+        F.lit(1).alias("in_n"),
+    )
+    j = o.join(nw, list(key_cols), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"o_{c}").eqNullSafe(F.col(f"n_{c}"))
+    change = (
+        F.when(F.col("in_o").isNull(), "added")
+        .when(F.col("in_n").isNull(), "removed")
+        .when(~same, "changed")
+    )
+    return j.select(*key_cols, change.alias("change")).where(
+        F.col("change").isNotNull()
+    )
+
+
+def _documents_v2_sql() -> str:
+    """The deterministic 'next version' of documents used by the
+    registered diff: drop doc_id%10==0, retag source for %10==1,
+    append cloned rows at doc_id+1000000 for %10==2."""
+    return """
+SELECT doc_id, text, lang,
+       CASE WHEN doc_id % 10 = 1 THEN source || '_x' ELSE source END AS source,
+       n_chars
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT doc_id + 1000000, text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 2
+"""
+
+
+def snapshot_diff_documents(spark, sf_dir: str) -> DataFrame:
+    """Registered exemplar: diff documents against its deterministic
+    next version; returns per-change-type counts plus the key span
+    (bounded, order-free)."""
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    v2 = spark.sql(_documents_v2_sql())
+    d = snapshot_diff(docs, v2, ["doc_id"], ["text", "lang", "source", "n_chars"])
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+    )
+
+
+def snapshot_diff_documents_oracle_sql() -> str:
+    return f"""
+WITH v2 AS ({_documents_v2_sql()}),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN NOT (o.text IS NOT DISTINCT FROM n.text
+                            AND o.lang IS NOT DISTINCT FROM n.lang
+                            AND o.source IS NOT DISTINCT FROM n.source
+                            AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                    THEN 'changed' END AS change
+      FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+SELECT change, count(*) AS n_rows, min(doc_id) AS min_key, max(doc_id) AS max_key
+FROM j WHERE change IS NOT NULL GROUP BY change
+"""

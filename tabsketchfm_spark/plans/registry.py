@@ -1347,6 +1347,14 @@ _register(
     lambda spark, sf: struc.cdc_scd2_history(load_table(spark, sf, "events")),
     struc.cdc_scd2_history_oracle_sql(),
 )
+_register(
+    # two-version table diff: full-outer key join + NULL-SAFE column
+    # comparison (eqNullSafe == IS NOT DISTINCT FROM), unchanged rows
+    # dropped before output — bounded by change volume, not table size
+    "snapshot_diff_documents",
+    struc.snapshot_diff_documents,
+    struc.snapshot_diff_documents_oracle_sql(),
+)
 
 
 # --- §2.9 json decode on events.props ---------------------------------------

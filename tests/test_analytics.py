@@ -491,3 +491,25 @@ def test_ingest_rejects_intra_batch_near_dups(spark, sf01, tmp_path):
         c = v[i + 100000]
         assert not c["accepted"] and c["est_jaccard"] == 1.0
         assert c["matched_corpus_id"] == i
+
+
+def test_snapshot_diff_classifies_all_change_types(spark, sf01):
+    """The registered diff's synthetic v2 exercises all three change
+    classes, and counts reconcile with the mutation rules (removed =
+    doc_id%10==0, changed = %10==1, added = cloned %10==2 rows)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.structural import snapshot_diff_documents
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    by_mod = {
+        m: docs.where(F.col("doc_id") % 10 == m).count() for m in (0, 1, 2)
+    }
+    got = {r["change"]: r["n_rows"] for r in snapshot_diff_documents(
+        spark, "/root/testdata/sf0.01").collect()}
+    assert got == {
+        "removed": by_mod[0],
+        "changed": by_mod[1],
+        "added": by_mod[2],
+    }
