@@ -907,9 +907,10 @@ def snapshot_diff(
 
 
 def _documents_v2_sql() -> str:
-    """The deterministic 'next version' of documents used by the
-    registered diff: drop doc_id%10==0, retag source for %10==1,
-    append cloned rows at doc_id+1000000 for %10==2."""
+    """The ORACLE's definition of documents' deterministic 'next
+    version': drop doc_id%10==0, retag source for %10==1, append
+    cloned rows at doc_id+1000000 for %10==2. The Spark twin builds
+    the same rows in one pass inside snapshot_diff_documents."""
     return """
 SELECT doc_id, text, lang,
        CASE WHEN doc_id % 10 = 1 THEN source || '_x' ELSE source END AS source,
@@ -924,12 +925,44 @@ FROM documents WHERE doc_id % 10 = 2
 def snapshot_diff_documents(spark, sf_dir: str) -> DataFrame:
     """Registered exemplar: diff documents against its deterministic
     next version; returns per-change-type counts plus the key span
-    (bounded, order-free)."""
+    (bounded, order-free). v2 is built in ONE pass (each source row
+    emits 0-2 variant rows via explode — no temp view to collide with
+    the session's registered `documents`, and no second scan for the
+    clone branch); total = 2 scans, same as diffing two real
+    versions. The +1000000 clone offset assumes max(doc_id) stays
+    below it — true at every gate SF (dense ids, ≤ 50k docs at
+    sf0.1); a real deployment derives the offset from its key space."""
     from tabsketchfm_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    docs.createOrReplaceTempView("documents")
-    v2 = spark.sql(_documents_v2_sql())
+    mod = F.col("doc_id") % 10
+    keep = F.struct(
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.when(mod == 1, F.concat(F.col("source"), F.lit("_x")))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.col("n_chars"),
+    )
+    clone = F.struct(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    v2 = (
+        docs.select(
+            F.explode(
+                F.array(
+                    F.when(mod != 0, keep), F.when(mod == 2, clone)
+                )
+            ).alias("r")
+        )
+        .where(F.col("r").isNotNull())
+        .select("r.*")
+    )
     d = snapshot_diff(docs, v2, ["doc_id"], ["text", "lang", "source", "n_chars"])
     return d.groupBy("change").agg(
         F.count(F.lit(1)).alias("n_rows"),

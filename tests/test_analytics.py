@@ -507,7 +507,7 @@ def test_snapshot_diff_classifies_all_change_types(spark, sf01):
         m: docs.where(F.col("doc_id") % 10 == m).count() for m in (0, 1, 2)
     }
     got = {r["change"]: r["n_rows"] for r in snapshot_diff_documents(
-        spark, "/root/testdata/sf0.01").collect()}
+        spark, sf01).collect()}
     assert got == {
         "removed": by_mod[0],
         "changed": by_mod[1],
