@@ -240,3 +240,304 @@ SELECT id, w FROM base, tot
 WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(tw AS HUGEINT)
     < CAST({k * (1 << 24)} AS HUGEINT) * CAST(w AS HUGEINT)
 """
+
+
+# --- multi-class: trained language-ID ---------------------------------------
+
+LANGS = ("de", "en", "es", "fr", "zh")  # the lake's label space (stable per SF)
+# bias-feature scale for the multi-class trainer: class thresholds on a
+# count-sum axis need intercepts ~1e5 while count coordinates move by
+# ±Σx per epoch — a unit bias (±n_mis/epoch) would take ~1000 epochs to
+# reach them (measured); x0=64 closes the gap within the epoch budget
+BIAS_SCALE = 64
+
+
+def langid_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = LANGS,
+) -> DataFrame:
+    """(id, y, x0..xK): bias + K hashed CHARACTER-BIGRAM bucket counts
+    plus an integer class label from the lake's ``lang`` column — the
+    SUPERVISED variant (real labels, not heuristic seeds). Char
+    bigrams, not token hashes: languages differ in character
+    statistics (CJK vs latin vs accented latin), while a uniform hash
+    of whole tokens carries no class signal at K=8. Rows with labels
+    outside ``langs`` are excluded (none at the gate SFs).
+
+    ``lang_col`` may be any SQL expression producing a string class
+    (a plain column name on a real lake; the registered gate uses a
+    length-class CASE because the testdata's lang labels are synthetic
+    decorations over one shared vocabulary — no text signal exists for
+    them, so a lang-trained model provably converges to the majority
+    class there; see test_langid_on_synthetic_corpus)."""
+    h = h32_sql("b", "spark")
+    bigrams = (
+        f"transform(sequence(1, greatest(length({text_col}) - 1, 0)),"
+        f" i -> substring({text_col}, i, 2))"
+    )
+    y = F.lit(None).cast("bigint")
+    for i, lg in reversed(list(enumerate(langs))):
+        y = F.when(F.expr(lang_col) == lg, F.lit(i).cast("bigint")).otherwise(y)
+    cols = [
+        F.col(id_col).alias("id"),
+        y.alias("y"),
+        F.lit(BIAS_SCALE).cast("bigint").alias("x0"),
+    ]
+    for j in range(N_BUCKETS):
+        cols.append(
+            F.expr(f"size(filter({bigrams}, b -> ({h}) % {N_BUCKETS} = {j}))")
+            .cast("bigint")
+            .alias(f"x{j + 1}")
+        )
+    return df.select(*cols).where(F.col("y").isNotNull())
+
+
+def _argmax_pred(scores):
+    """Deterministic argmax (ties → LOWEST class index): first score
+    equal to the maximum wins — the same CASE shape the oracle uses."""
+    m = F.greatest(*scores)
+    pred = F.lit(len(scores) - 1)
+    for c in reversed(range(len(scores) - 1)):
+        pred = F.when(scores[c] == m, F.lit(c)).otherwise(pred)
+    return pred.cast("bigint")
+
+
+def train_langid_perceptron(
+    df: DataFrame,
+    epochs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = LANGS,
+) -> tuple[list[list[int]], DataFrame]:
+    """Multi-class batch perceptron, all-integer like the binary one:
+    per epoch, for every misclassified sample, w[y] += x and
+    w[pred] -= x (Collins 2002's structured-perceptron update in its
+    flat multi-class form), stabilized by POCKET selection (Gallant
+    1990): the returned weights are the epoch snapshot with the FEWEST
+    training misclassifications — full-batch perceptron oscillates
+    (measured: final-epoch accuracy swings between majority-level and
+    good across adjacent epochs), and pocket makes the outcome the
+    deterministic minimum over the trajectory instead of epoch-count
+    luck. Each epoch's mis count rides the same aggregate as its
+    update sums (no extra pass). Returns (W[class][dim], features) —
+    features persisted; eager callers unpersist."""
+    feat = langid_features(df, id_col, text_col, lang_col, langs).persist()
+    spark = df.sparkSession
+    dim = N_BUCKETS + 1
+    C = len(langs)
+    # weights enter as a BROADCAST one-row frame, not literals: the
+    # per-epoch plan is then IDENTICAL (only the broadcast data
+    # changes), so whole-stage codegen compiles once instead of paying
+    # a fresh multi-second Janino compile per epoch (measured 2.4s/
+    # epoch with literal weights — the HOF-unroll compile-cost lesson)
+    wschema = ", ".join(f"w{c}_{j} bigint" for c in range(C) for j in range(dim))
+    W = [[0] * dim for _ in range(C)]
+    pocket = None  # (mis, epoch, W) — lexicographic min = ties to earliest
+    for e in range(epochs):
+        wdf = spark.createDataFrame(
+            [tuple(int(W[c][j]) for c in range(C) for j in range(dim))], wschema
+        )
+        scores = [
+            sum(F.col(f"w{c}_{j}") * F.col(f"x{j}") for j in range(dim))
+            for c in range(C)
+        ]
+        pred = _argmax_pred(scores)
+        # pred computed ONCE in a projection; the aggregate's 1+C*dim
+        # conditions then compare small columns instead of re-embedding
+        # the C score polynomials in every sum expression
+        proj = feat.crossJoin(F.broadcast(wdf)).select(
+            "y", pred.alias("pred"), *[f"x{j}" for j in range(dim)]
+        )
+        mis = F.col("pred") != F.col("y")
+        aggs = [F.sum(F.when(mis, 1)).alias("n_mis")]
+        for c in range(C):
+            for j in range(dim):
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            mis & (F.col("y") == c), F.col(f"x{j}")
+                        ).when(mis & (F.col("pred") == c), -F.col(f"x{j}"))
+                    ).alias(f"g{c}_{j}")
+                )
+        sums = proj.agg(*aggs).collect()[0]
+        n_mis = int(sums["n_mis"] or 0)
+        if pocket is None or n_mis < pocket[0]:
+            pocket = (n_mis, e, W)
+        W = [
+            [W[c][j] + int(sums[f"g{c}_{j}"] or 0) for j in range(dim)]
+            for c in range(C)
+        ]
+    return pocket[2], feat
+
+
+def langid_perceptron_scores(
+    df: DataFrame,
+    epochs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = LANGS,
+) -> DataFrame:
+    """Train on the lake's own labels, score every doc. Output:
+    (id, y, pred, correct) — integers/booleans only, so the whole
+    multi-class train→score pipeline replays bit-exactly in DuckDB."""
+    W, feat = train_langid_perceptron(df, epochs, id_col, text_col, lang_col, langs)
+    dim = N_BUCKETS + 1
+    scores = [
+        sum(F.lit(int(W[c][j])) * F.col(f"x{j}") for j in range(dim))
+        for c in range(len(langs))
+    ]
+    pred = _argmax_pred(scores)
+    return feat.select("id", "y", pred.alias("pred"), (pred == F.col("y")).alias("correct"))
+
+
+def langid_perceptron_oracle_sql(
+    table: str,
+    epochs: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = LANGS,
+) -> str:
+    """Per-epoch MATERIALIZED weight CTE carrying C×dim BIGINT columns;
+    the argmax uses the identical first-match-of-max CASE (ties →
+    lowest class index) as the Spark side. max(w) reads the single
+    weight row through the aggregate (no GROUP BY over 45 columns)."""
+    h = h32_sql("b", "duckdb")
+    dim = N_BUCKETS + 1
+    C = len(langs)
+    ymap = " ".join(f"WHEN '{lg}' THEN {i}" for i, lg in enumerate(langs))
+    lang_col = f"({lang_col})"  # expression-safe (plain names unaffected)
+    bigrams = (
+        f"list_transform(range(1, greatest(length({text_col}) - 1, 0) + 1),"
+        f" i -> substring({text_col}, CAST(i AS INTEGER), 2))"
+    )
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, b -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, CASE {lang_col} {ymap} END AS yy, {bigrams} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST(yy AS BIGINT) AS y, "
+        f"CAST({BIAS_SCALE} AS BIGINT) AS x0, {xdefs} FROM t WHERE yy IS NOT NULL)",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(
+            f"CAST(0 AS BIGINT) AS w{c}_{j}" for c in range(C) for j in range(dim)
+        )
+        + ")",
+    ]
+
+    def score(c):
+        return " + ".join(f"w.w{c}_{j} * f.x{j}" for j in range(dim))
+
+    for e in range(epochs):
+        sdefs = ", ".join(f"({score(c)}) AS s{c}" for c in range(C))
+        mexpr = "greatest(" + ", ".join(f"s{c}" for c in range(C)) + ")"
+        pcase = (
+            "CASE "
+            + " ".join(f"WHEN s{c} = m THEN {c}" for c in range(C - 1))
+            + f" ELSE {C - 1} END"
+        )
+        ctes.append(
+            f"p{e} AS (SELECT f.*, w.*, {sdefs}, {mexpr} AS m, {pcase} AS pred "
+            f"FROM feat f, w{e} w)"
+        )
+        upd = ", ".join(
+            f"CAST(max(w{c}_{j}) + coalesce(sum(CASE "
+            f"WHEN pred <> y AND y = {c} THEN x{j} "
+            f"WHEN pred <> y AND pred = {c} THEN -x{j} END), 0) AS BIGINT) AS w{c}_{j}"
+            for c in range(C)
+            for j in range(dim)
+        )
+        # mis = the error of w{e}'s model (rides the update aggregate,
+        # exactly as on the Spark side)
+        ctes.append(
+            f"w{e + 1} AS MATERIALIZED (SELECT {upd}, "
+            f"CAST(coalesce(sum(CASE WHEN pred <> y THEN 1 END), 0) AS BIGINT)"
+            f" AS mis FROM p{e})"
+        )
+    # POCKET replay: candidate e = w{e}'s weights with w{e+1}.mis (the
+    # error of w{e}'s model); lexicographic (mis, e) min = the Spark
+    # side's strict-improvement pocket with ties to the earliest epoch
+    wcols = ", ".join(f"w{c}_{j}" for c in range(C) for j in range(dim))
+    cand = "\nUNION ALL\n".join(
+        f"SELECT {e} AS e, (SELECT mis FROM w{e + 1}) AS mis, {wcols} FROM w{e}"
+        for e in range(epochs)
+    )
+    ctes.append(f"cand AS ({cand})")
+    ctes.append("pocket AS MATERIALIZED (SELECT * FROM cand ORDER BY mis, e LIMIT 1)")
+    sdefs = ", ".join(f"({score(c)}) AS s{c}" for c in range(C))
+    mexpr = "greatest(" + ", ".join(f"s{c}" for c in range(C)) + ")"
+    pcase = (
+        "CASE "
+        + " ".join(f"WHEN s{c} = m THEN {c}" for c in range(C - 1))
+        + f" ELSE {C - 1} END"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, y, CAST(pred AS BIGINT) AS pred, pred = y AS correct
+FROM (SELECT f.id, f.y, {sdefs}, {mexpr} AS m, {pcase} AS pred
+      FROM feat f, pocket w) q
+"""
+    )
+
+
+def train_langid_perceptron_py(
+    rows: list[dict], epochs: int = 20, n_classes: int = len(LANGS)
+) -> list[list[int]]:
+    """Independent python fold (pocket included) — the pin twin."""
+    dim = N_BUCKETS + 1
+    W = [[0] * dim for _ in range(n_classes)]
+    pocket = None
+    for e in range(epochs):
+        G = [[0] * dim for _ in range(n_classes)]
+        n_mis = 0
+        for r in rows:
+            x = [r[f"x{j}"] for j in range(dim)]
+            s = [sum(W[c][j] * x[j] for j in range(dim)) for c in range(n_classes)]
+            m = max(s)
+            pred = s.index(m)  # first max = lowest class index
+            y = r["y"]
+            if pred != y:
+                n_mis += 1
+                for j in range(dim):
+                    G[y][j] += x[j]
+                    G[pred][j] -= x[j]
+        if pocket is None or n_mis < pocket[0]:
+            pocket = (n_mis, e, W)
+        W = [[W[c][j] + G[c][j] for j in range(dim)] for c in range(n_classes)]
+    return pocket[2]
+
+
+# length-class demo target for the registered multi-class gate: the
+# testdata's lang column has no text signal (synthetic decoration over
+# one vocabulary), while length terciles ARE learnable from the
+# bigram-bucket counts — the gate then certifies a trainer that
+# demonstrably LEARNS, not one that converges to the majority class.
+LENCLASS_EXPR = (
+    "CASE WHEN length(text) < 216 THEN 'short' "
+    "WHEN length(text) < 380 THEN 'mid' ELSE 'long' END"
+)
+LENCLASS_LABELS = ("long", "mid", "short")
+
+
+def lenclass_perceptron_scores(df: DataFrame, epochs: int = 20) -> DataFrame:
+    """The registered multi-class exemplar: train the multi-class
+    perceptron on length terciles (see LENCLASS_EXPR) and score every
+    doc. Same machinery as language-ID on a real lake — only the label
+    expression differs."""
+    return langid_perceptron_scores(
+        df, epochs, lang_col=LENCLASS_EXPR, langs=LENCLASS_LABELS
+    )
+
+
+def lenclass_perceptron_oracle_sql(table: str, epochs: int = 20) -> str:
+    return langid_perceptron_oracle_sql(
+        table, epochs, lang_col=LENCLASS_EXPR, langs=LENCLASS_LABELS
+    )

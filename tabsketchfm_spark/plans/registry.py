@@ -1622,6 +1622,21 @@ _register(
     qclf.quality_perceptron_oracle_sql("documents"),
 )
 _register(
+    # MULTI-CLASS oracle-exact trained classifier (the language-ID
+    # trainer's machinery — Collins-style flat multi-class perceptron
+    # + pocket selection, all integer): the registered gate trains on
+    # length terciles because the testdata's lang labels are synthetic
+    # decorations with no text signal (documented in classifier.py);
+    # pocket accuracy 0.76 vs 0.34 majority at sf0.01 — the model
+    # demonstrably LEARNS, and every epoch + the pocket pick replay
+    # bit-exactly as DuckDB weight CTEs
+    "multiclass_perceptron_lenclass_documents",
+    lambda spark, sf: qclf.lenclass_perceptron_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qclf.lenclass_perceptron_oracle_sql("documents"),
+)
+_register(
     # DSIR/GPT-3-style classifier-guided corpus sampling: sample docs
     # ∝ the CLAMPED trained score (min(max(score,0), cap)+1 — bounded
     # weights keep the int64 weight sum wrap-proof at corpus scale)

@@ -546,6 +546,7 @@ _PLAN_GUARD_SKIP = {
     # contraction clustering (checkpoint jobs) at build
     "quality_perceptron_scores_documents",
     "mix_classifier_guided_documents",
+    "multiclass_perceptron_lenclass_documents",
     "s9c_split_by_cluster_documents",
 }
 
