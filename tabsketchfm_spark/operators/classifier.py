@@ -274,9 +274,15 @@ def langid_features(
     them, so a lang-trained model provably converges to the majority
     class there; see test_langid_on_synthetic_corpus)."""
     h = h32_sql("b", "spark")
+    # guard length < 2: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    # which would fabricate two phantom bigrams for empty/1-char texts
+    # while the DuckDB range() twin yields [] — empty docs are routine
+    # on a real lake even though the gate SFs have none
     bigrams = (
-        f"transform(sequence(1, greatest(length({text_col}) - 1, 0)),"
-        f" i -> substring({text_col}, i, 2))"
+        f"CASE WHEN length({text_col}) >= 2 THEN "
+        f"transform(sequence(1, length({text_col}) - 1),"
+        f" i -> substring({text_col}, i, 2)) "
+        f"ELSE array() END"
     )
     y = F.lit(None).cast("bigint")
     for i, lg in reversed(list(enumerate(langs))):

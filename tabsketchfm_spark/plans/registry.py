@@ -2038,7 +2038,7 @@ _DRIVER_WINDOW = [
     "stream_funnel_events",
     "cdc_latest_state_events",
     "stream_windowed_counts_append",
-    "stream_sessionize_events",
+    "multiclass_perceptron_lenclass_documents",
 ]
 
 assert all(n in _QUERIES for n in _DRIVER_WINDOW), [

@@ -535,9 +535,8 @@ def test_multiclass_perceptron_learns_and_matches_fold(spark, sf01):
         feat.unpersist()
     assert qc.train_langid_perceptron_py(rows, epochs=10, n_classes=3) == W
     dim = qc.N_BUCKETS + 1
-    correct = majority = 0
-    counts = Counter(r["y"] for r in rows)
-    majority = counts.most_common(1)[0][1]
+    correct = 0
+    majority = Counter(r["y"] for r in rows).most_common(1)[0][1]
     for r in rows:
         x = [r[f"x{j}"] for j in range(dim)]
         s = [sum(W[c][j] * x[j] for j in range(dim)) for c in range(3)]
