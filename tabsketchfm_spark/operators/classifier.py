@@ -55,10 +55,15 @@ def _label_expr_duckdb() -> str:
 
 
 def quality_features(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_total: bool = False,
 ) -> DataFrame:
     """(id, y, x0..xK): bias x0=1 and K hashed token-bucket counts —
-    all BIGINT, one scan, no shuffle."""
+    all BIGINT, one scan, no shuffle. ``with_total`` appends
+    x{K+1} = size(tokens) (== Σ bucket counts — the tree trainer's
+    doc-length feature)."""
     toks = _toks_spark(text_col)
     h = h32_sql("t", "spark")
     cols = [
@@ -71,6 +76,10 @@ def quality_features(
             F.expr(f"size(filter({toks}, t -> ({h}) % {N_BUCKETS} = {j}))")
             .cast("bigint")
             .alias(f"x{j + 1}")
+        )
+    if with_total:
+        cols.append(
+            F.expr(f"size({toks})").cast("bigint").alias(f"x{N_BUCKETS + 1}")
         )
     return df.select(*cols)
 
@@ -119,6 +128,152 @@ def quality_perceptron_scores(
         score.alias("score"),
         (score > 0).alias("pred"),
     )
+
+
+def train_quality_perceptron_margin(
+    df: DataFrame,
+    epochs: int = 6,
+    margin: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[int], list[int], DataFrame]:
+    """MARGIN + AVERAGED batch perceptron — the two classic stability
+    variants, still all-integer and oracle-replayable:
+
+    - margin: update on y·(w·x) <= margin (not just <= 0), so nearly-
+      misclassified points keep pushing the boundary (Krauth-Mézard
+      margin perceptron, integer τ);
+    - averaged: also return S = Σ_e w^(e), the sum of the per-epoch
+      weight snapshots; sign(S·x) is the averaged-perceptron decision
+      (Freund-Schapire voting, batch form — the 1/E normalization
+      cancels in the sign, so S stays integer).
+
+    Returns (w_final, w_summed, features); features persisted — eager
+    callers unpersist."""
+    feat = quality_features(df, id_col, text_col).persist()
+    dim = N_BUCKETS + 1
+    w = [0] * dim
+    wsum = [0] * dim
+    for _ in range(epochs):
+        score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+        mis = F.col("y") * score <= margin
+        sums = feat.agg(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
+        wsum = [wsum[j] + w[j] for j in range(dim)]
+    return w, wsum, feat
+
+
+def quality_perceptron_margin_scores(
+    df: DataFrame,
+    epochs: int = 6,
+    margin: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the margin perceptron, score every doc with BOTH the
+    final and the summed (averaged-decision) weights. Output:
+    (id, y, score, pred, score_avg, pred_avg) — all exact integers."""
+    w, wsum, feat = train_quality_perceptron_margin(
+        df, epochs, margin, id_col, text_col
+    )
+    dim = N_BUCKETS + 1
+    score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+    savg = sum(F.lit(int(wsum[j])) * F.col(f"x{j}") for j in range(dim))
+    return feat.select(
+        "id",
+        "y",
+        score.alias("score"),
+        (score > 0).alias("pred"),
+        savg.alias("score_avg"),
+        (savg > 0).alias("pred_avg"),
+    )
+
+
+def quality_perceptron_margin_oracle_sql(
+    table: str,
+    epochs: int = 6,
+    margin: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Replay with the margin condition in each epoch CTE; the summed
+    weights come from ONE cross join of the per-epoch one-row CTEs
+    (aliased — every w{e} shares column names)."""
+    toks = _toks_duckdb(text_col)
+    h = h32_sql("t", "duckdb")
+    dim = N_BUCKETS + 1
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
+        f"CAST(1 AS BIGINT) AS x0, {xdefs} FROM t)",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
+        + ")",
+    ]
+    for e in range(epochs):
+        score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
+        upd = ", ".join(
+            f"CAST(w.w{j} + coalesce(sum(CASE WHEN f.y * ({score}) <= {margin} "
+            f"THEN f.y * f.x{j} END), 0) AS BIGINT) AS w{j}"
+            for j in range(dim)
+        )
+        ctes.append(
+            f"w{e + 1} AS MATERIALIZED (SELECT {upd} FROM feat f, w{e} w "
+            + "GROUP BY "
+            + ", ".join(f"w.w{j}" for j in range(dim))
+            + ")"
+        )
+    sdefs = ", ".join(
+        "CAST("
+        + " + ".join(f"a{e}.w{j}" for e in range(1, epochs + 1))
+        + f" AS BIGINT) AS s{j}"
+        for j in range(dim)
+    )
+    ctes.append(
+        f"ws AS MATERIALIZED (SELECT {sdefs} FROM "
+        + ", ".join(f"w{e} a{e}" for e in range(1, epochs + 1))
+        + ")"
+    )
+    score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
+    savg = " + ".join(f"s.s{j} * f.x{j}" for j in range(dim))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.id, f.y, CAST({score} AS BIGINT) AS score, ({score}) > 0 AS pred,
+       CAST({savg} AS BIGINT) AS score_avg, ({savg}) > 0 AS pred_avg
+FROM feat f, w{epochs} w, ws s
+"""
+    )
+
+
+def train_quality_perceptron_margin_py(
+    rows: list[dict], epochs: int = 6, margin: int = 32
+) -> tuple[list[int], list[int]]:
+    """Independent driver-side fold — the pin twin for the margin +
+    averaged trainer."""
+    dim = N_BUCKETS + 1
+    w = [0] * dim
+    wsum = [0] * dim
+    for _ in range(epochs):
+        g = [0] * dim
+        for r in rows:
+            x = [r[f"x{j}"] for j in range(dim)]
+            if r["y"] * sum(w[j] * x[j] for j in range(dim)) <= margin:
+                for j in range(dim):
+                    g[j] += r["y"] * x[j]
+        w = [w[j] + g[j] for j in range(dim)]
+        wsum = [wsum[j] + w[j] for j in range(dim)]
+    return w, wsum
 
 
 def quality_perceptron_oracle_sql(

@@ -1,0 +1,303 @@
+"""Trained decision tree with ORACLE-EXACT training (integer splits).
+
+Second trained-model family after the perceptron (operators/
+classifier.py): a depth-2 decision tree over the SAME integer
+token-bucket features and gopher seed labels, trained by exact
+misclassification-count minimization. Every quantity in the trainer is
+an integer COUNT — split scores, tie-breaks, leaf majorities — so the
+whole train→score pipeline replays bit-exactly in DuckDB (the
+chained-replay family: BPE, pagerank, perceptron epochs, now tree
+induction). Unlike gini/entropy splitting there is no ratio or libm
+call anywhere: the split criterion is
+
+    cost(j, t) = min(posL, negL) + min(posR, negR)
+
+(the tree's training error if both sides became majority leaves),
+minimized over a FIXED threshold grid with deterministic ties →
+lexicographically smallest (cost, feature, threshold). CART supports
+misclassification-count splitting; the fixed grid keeps the candidate
+set schema-bounded and oracle-mirrorable (data-derived thresholds
+would make the candidate set data-sized).
+
+Spark shape at 100 TB: ONE scan builds the persisted integer feature
+frame; each tree LEVEL is a single map-side-combined aggregate over it
+(pass 1: root candidate counts; pass 2: both child nodes' candidate
+counts + leaf majorities ride the same aggregate), so depth-2 training
+is exactly 2 aggregate jobs + O(grid) driver arithmetic — epochs ×
+O(1) driver traffic like the perceptron/BPE loops. Scoring is a
+literal nested-CASE projection (no join, no shuffle).
+
+Reference seam: the reference trains its quality judgment as a torch
+classifier head (tabsketchfm_finetune.py); this module is the
+engine-native counterpart whose TRAINING is itself part of the
+verified surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tabsketchfm_spark.operators.classifier import (
+    N_BUCKETS,
+    _label_expr_duckdb,
+    quality_features,
+)
+from tabsketchfm_spark.functions.hashing import h32_sql
+from tabsketchfm_spark.operators.text import _toks_duckdb
+
+# fixed split-threshold grid (token-bucket counts are small integers:
+# ~tokens/N_BUCKETS per bucket; the doubling tail reaches the total-
+# token-count feature's range on long docs)
+THRESHOLDS = (0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96)
+# x1..xK bucket counts + x{K+1} = total token count (the standard
+# doc-length quality feature; x0 is the perceptron bias, not split-able)
+FEATURES = tuple(range(1, N_BUCKETS + 2))
+
+# deterministic fallback split for an EMPTY child node (possible when
+# the root split isolates one side; ties in the argmin can also pick a
+# degenerate split): both engines emit (first feature, first threshold,
+# all-zero counts) so the leaf CASEs stay well-defined and identical
+_EMPTY = (FEATURES[0], THRESHOLDS[0], 0, 0, 0, 0)
+
+
+def tree_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The perceptron's integer feature frame + x{K+1} = total token
+    count (== Σ bucket counts, since the hash buckets partition the
+    token list — computed directly as size(tokens))."""
+    return quality_features(df, id_col, text_col, with_total=True)
+
+
+def _argmin_split(rows):
+    """rows: iterable of (j, t, posL, negL, pos, neg) — returns the
+    (cost, j, t)-lexicographic minimum row, the SAME order the oracle's
+    ORDER BY cost, j, t LIMIT 1 uses."""
+    best = None
+    for j, t, pl, nl, p, n in rows:
+        cost = min(pl, nl) + min(p - pl, n - nl)
+        key = (cost, j, t)
+        if best is None or key < best[0]:
+            best = (key, (j, t, pl, nl, p, n))
+    return _EMPTY if best is None else best[1]
+
+
+def _leaf_pred(pos: int, neg: int) -> int:
+    """Majority leaf; ties → −1 (both engines use pos > neg)."""
+    return 1 if pos > neg else -1
+
+
+def train_quality_tree(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[dict, DataFrame]:
+    """Two aggregate passes over the persisted feature frame:
+    pass 1 picks the root split, pass 2 picks BOTH child splits and
+    their leaf counts in one job. Returns (tree, features); tree =
+    {root: (j, t), left/right: (j, t), leaves: [pred × 4]} with leaf
+    order (L-left, L-right, R-left, R-right). Features persisted —
+    eager callers unpersist."""
+    feat = tree_features(df, id_col, text_col).persist()
+
+    def _counts(side=None, prefix=""):
+        """One wide aggregate: per grid pair, pos/neg counts left of the
+        threshold plus node totals; ``side`` restricts to a child node."""
+        aggs = []
+        node = side if side is not None else F.lit(True)
+        for j in FEATURES:
+            for t in THRESHOLDS:
+                left = node & (F.col(f"x{j}") <= t)
+                aggs.append(
+                    F.sum(F.when(left & (F.col("y") == 1), 1)).alias(
+                        f"{prefix}pl_{j}_{t}"
+                    )
+                )
+                aggs.append(
+                    F.sum(F.when(left & (F.col("y") == -1), 1)).alias(
+                        f"{prefix}nl_{j}_{t}"
+                    )
+                )
+        aggs.append(F.sum(F.when(node & (F.col("y") == 1), 1)).alias(f"{prefix}p"))
+        aggs.append(F.sum(F.when(node & (F.col("y") == -1), 1)).alias(f"{prefix}n"))
+        return aggs
+
+    def _rows(r, prefix=""):
+        p = int(r[prefix + "p"] or 0)
+        n = int(r[prefix + "n"] or 0)
+        return [
+            (
+                j,
+                t,
+                int(r[f"{prefix}pl_{j}_{t}"] or 0),
+                int(r[f"{prefix}nl_{j}_{t}"] or 0),
+                p,
+                n,
+            )
+            for j in FEATURES
+            for t in THRESHOLDS
+        ]
+
+    r0 = feat.agg(*_counts()).collect()[0]
+    j0, t0, *_ = _argmin_split(_rows(r0))
+
+    # pass 2: both children in ONE aggregate (aliases prefixed per side)
+    sideL = F.col(f"x{j0}") <= t0
+    r1 = feat.agg(*_counts(sideL, "L_"), *_counts(~sideL, "R_")).collect()[0]
+
+    jl, tl, pll, nll, pL, nL = _argmin_split(_rows(r1, "L_")) if int(r1["L_p"] or 0) + int(r1["L_n"] or 0) > 0 else _EMPTY
+    jr, tr, plr, nlr, pR, nR = _argmin_split(_rows(r1, "R_")) if int(r1["R_p"] or 0) + int(r1["R_n"] or 0) > 0 else _EMPTY
+
+    tree = {
+        "root": (j0, t0),
+        "left": (jl, tl),
+        "right": (jr, tr),
+        "leaves": [
+            _leaf_pred(pll, nll),
+            _leaf_pred(pL - pll, nL - nll),
+            _leaf_pred(plr, nlr),
+            _leaf_pred(pR - plr, nR - nlr),
+        ],
+    }
+    return tree, feat
+
+
+def quality_tree_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Train the depth-2 tree on the corpus' own gopher seed labels,
+    then score every doc through the trained splits as a literal
+    nested-CASE projection. Output: (id, y, leaf, pred, correct) — all
+    integers/booleans, bit-exact vs quality_tree_oracle_sql."""
+    tree, feat = train_quality_tree(df, id_col, text_col)
+    j0, t0 = tree["root"]
+    jl, tl = tree["left"]
+    jr, tr = tree["right"]
+    leaf = (
+        F.when((F.col(f"x{j0}") <= t0) & (F.col(f"x{jl}") <= tl), 0)
+        .when(F.col(f"x{j0}") <= t0, 1)
+        .when(F.col(f"x{jr}") <= tr, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    pred = F.lit(None).cast("bigint")
+    for i in reversed(range(4)):
+        pred = F.when(leaf == i, F.lit(tree["leaves"][i]).cast("bigint")).otherwise(pred)
+    return feat.select(
+        "id",
+        "y",
+        leaf.alias("leaf"),
+        pred.alias("pred"),
+        (pred == F.col("y")).alias("correct"),
+    )
+
+
+def quality_tree_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Full tree-induction REPLAY. The candidate counts use the
+    grid-cross-join shape (feat × (feature, threshold) VALUES list,
+    GROUP BY pair) — clearer SQL than 160 wide aggregates and exactly
+    the same integers; argmin = ORDER BY cost, j, t LIMIT 1 (the Spark
+    driver's lexicographic rule). Child selections filter on the root
+    pair through a CASE-dispatched feature read (the chosen feature
+    index is data, so the column access must be a CASE chain). Empty
+    child nodes fall back to the same deterministic _EMPTY row."""
+    toks = _toks_duckdb(text_col)
+    h = h32_sql("t", "duckdb")
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    xdefs += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
+    grid = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
+    xcase = "CASE g.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    empty = (
+        f"SELECT {_EMPTY[0]} AS j, {_EMPTY[1]} AS t, 0 AS pl, 0 AS nl, 0 AS p, 0 AS n"
+    )
+
+    def _best(cand: str, flt: str) -> str:
+        return (
+            f"(SELECT j, t, pl, nl, p, n FROM {cand} WHERE {flt} "
+            "ORDER BY least(pl, nl) + least(p - pl, n - nl), j, t LIMIT 1) "
+            f"UNION ALL "
+            f"{empty} WHERE NOT EXISTS (SELECT 1 FROM {cand} WHERE {flt})"
+        )
+
+    # the root-feature read inside cand1 dispatches on b0.j the same way
+    b0case = "CASE b0.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    blcase = "CASE bl.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    brcase = "CASE br.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    return f"""
+WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y,
+                             {xdefs} FROM t),
+grid AS (SELECT * FROM (VALUES {grid}) g(j, t)),
+cand0 AS MATERIALIZED (
+  SELECT g.j, g.t,
+         coalesce(sum(CASE WHEN f.y = 1  AND {xcase} <= g.t THEN 1 END), 0) AS pl,
+         coalesce(sum(CASE WHEN f.y = -1 AND {xcase} <= g.t THEN 1 END), 0) AS nl,
+         coalesce(sum(CASE WHEN f.y = 1  THEN 1 END), 0) AS p,
+         coalesce(sum(CASE WHEN f.y = -1 THEN 1 END), 0) AS n
+  FROM feat f CROSS JOIN grid g GROUP BY g.j, g.t),
+best0 AS MATERIALIZED ({_best("cand0", "TRUE")}),
+cand1 AS MATERIALIZED (
+  SELECT CASE WHEN {b0case} <= b0.t THEN 0 ELSE 1 END AS side, g.j, g.t,
+         coalesce(sum(CASE WHEN f.y = 1  AND {xcase} <= g.t THEN 1 END), 0) AS pl,
+         coalesce(sum(CASE WHEN f.y = -1 AND {xcase} <= g.t THEN 1 END), 0) AS nl,
+         coalesce(sum(CASE WHEN f.y = 1  THEN 1 END), 0) AS p,
+         coalesce(sum(CASE WHEN f.y = -1 THEN 1 END), 0) AS n
+  FROM feat f CROSS JOIN grid g, best0 b0
+  GROUP BY 1, g.j, g.t),
+bestL AS MATERIALIZED ({_best("cand1", "side = 0")}),
+bestR AS MATERIALIZED ({_best("cand1", "side = 1")}),
+leaves AS MATERIALIZED (
+  SELECT CASE WHEN bl.pl       > bl.nl       THEN 1 ELSE -1 END AS p0,
+         CASE WHEN bl.p - bl.pl > bl.n - bl.nl THEN 1 ELSE -1 END AS p1,
+         CASE WHEN br.pl       > br.nl       THEN 1 ELSE -1 END AS p2,
+         CASE WHEN br.p - br.pl > br.n - br.nl THEN 1 ELSE -1 END AS p3
+  FROM bestL bl, bestR br)
+SELECT id, y, leaf,
+       CAST(CASE leaf WHEN 0 THEN lv.p0 WHEN 1 THEN lv.p1
+                      WHEN 2 THEN lv.p2 ELSE lv.p3 END AS BIGINT) AS pred,
+       CASE leaf WHEN 0 THEN lv.p0 WHEN 1 THEN lv.p1
+                 WHEN 2 THEN lv.p2 ELSE lv.p3 END = y AS correct
+FROM (SELECT f.id, f.y,
+             CAST(CASE WHEN {b0case} <= b0.t THEN
+                    CASE WHEN {blcase} <= bl.t THEN 0 ELSE 1 END
+                  ELSE
+                    CASE WHEN {brcase} <= br.t THEN 2 ELSE 3 END
+                  END AS BIGINT) AS leaf
+      FROM feat f, best0 b0, bestL bl, bestR br) q, leaves lv
+"""
+
+
+def train_quality_tree_py(rows: list[dict]) -> dict:
+    """Independent driver-side fold over collected feature rows — the
+    implementation-pin twin: same integer split search, no Spark."""
+
+    def counts(sub):
+        out = []
+        p = sum(1 for r in sub if r["y"] == 1)
+        n = len(sub) - p
+        for j in FEATURES:
+            for t in THRESHOLDS:
+                pl = sum(1 for r in sub if r[f"x{j}"] <= t and r["y"] == 1)
+                nl = sum(1 for r in sub if r[f"x{j}"] <= t and r["y"] == -1)
+                out.append((j, t, pl, nl, p, n))
+        return out
+
+    j0, t0, *_ = _argmin_split(counts(rows))
+    L = [r for r in rows if r[f"x{j0}"] <= t0]
+    R = [r for r in rows if r[f"x{j0}"] > t0]
+    jl, tl, pll, nll, pL, nL = _argmin_split(counts(L)) if L else _EMPTY
+    jr, tr, plr, nlr, pR, nR = _argmin_split(counts(R)) if R else _EMPTY
+    return {
+        "root": (j0, t0),
+        "left": (jl, tl),
+        "right": (jr, tr),
+        "leaves": [
+            _leaf_pred(pll, nll),
+            _leaf_pred(pL - pll, nL - nll),
+            _leaf_pred(plr, nlr),
+            _leaf_pred(pR - plr, nR - nlr),
+        ],
+    }

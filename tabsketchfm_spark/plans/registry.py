@@ -1637,6 +1637,39 @@ _register(
     qclf.lenclass_perceptron_oracle_sql("documents"),
 )
 _register(
+    # MARGIN + AVERAGED perceptron (Krauth-Mézard margin update,
+    # Freund-Schapire averaged decision via integer snapshot SUMS —
+    # 1/E cancels in the sign): the two classic stability variants of
+    # the oracle-exact trainer, still all-integer; the DuckDB twin
+    # adds the margin to each epoch CTE and cross-joins the per-epoch
+    # weight rows for the summed decision
+    "quality_perceptron_margin_documents",
+    lambda spark, sf: qclf.quality_perceptron_margin_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qclf.quality_perceptron_margin_oracle_sql("documents"),
+)
+
+from tabsketchfm_spark.operators import tree as qtree
+
+_register(
+    # SECOND trained-model FAMILY with oracle-exact training: a
+    # depth-2 decision tree induced by exact misclassification-count
+    # minimization over a fixed integer threshold grid (no gini/
+    # entropy — no ratios, no libm), deterministic ties →
+    # lexicographic (cost, feature, threshold). Training = 2 wide
+    # map-side-combined aggregates; the DuckDB twin replays the whole
+    # induction (grid cross-join candidate counts → ORDER BY argmin
+    # CTEs → nested-CASE scoring). Beats the majority class where the
+    # linear perceptron cannot (0.932 vs 0.906 at sf0.01 — the split
+    # semantics capture threshold structure a linear score misses)
+    "quality_tree_scores_documents",
+    lambda spark, sf: qtree.quality_tree_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qtree.quality_tree_oracle_sql("documents"),
+)
+_register(
     # DSIR/GPT-3-style classifier-guided corpus sampling: sample docs
     # ∝ the CLAMPED trained score (min(max(score,0), cap)+1 — bounded
     # weights keep the int64 weight sum wrap-proof at corpus scale)
@@ -2018,7 +2051,7 @@ _DRIVER_WINDOW = [
     "dedup_clusters_documents",
     "k2_value_znorm_customer",
     "text_quality_score",
-    "text_gopher_rules",
+    "quality_tree_scores_documents",
     "pipeline_curate_documents",
     "k3c_join_cardinality_estimate",
     "w2_sessionize_events_batch",

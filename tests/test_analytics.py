@@ -545,3 +545,78 @@ def test_multiclass_perceptron_learns_and_matches_fold(spark, sf01):
     assert correct / len(rows) > majority / len(rows) + 0.15, (
         correct, majority, len(rows)
     )
+
+
+def test_margin_perceptron_matches_fold_and_averaged_is_stabler(spark, sf01):
+    """The margin+averaged trainer pins to its python fold, and the
+    AVERAGED decision is the stability story: at a long horizon the
+    final-epoch weights oscillate below the majority baseline while
+    the summed-snapshot decision holds it (Freund-Schapire's point,
+    measured driver-side on the same feature rows — ep=40 final acc
+    0.288 vs averaged 0.906 at sf0.01)."""
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    w, wsum, feat = qc.train_quality_perceptron_margin(docs, epochs=4, margin=64)
+    try:
+        rows = [r.asDict() for r in feat.collect()]
+    finally:
+        feat.unpersist()
+    assert qc.train_quality_perceptron_margin_py(rows, epochs=4, margin=64) == (
+        w,
+        wsum,
+    )
+    # margin=0 degenerates to the plain perceptron's update set —
+    # the two trainers' final weights must agree exactly
+    w0, _ = qc.train_quality_perceptron_margin_py(rows, epochs=6, margin=0)
+    assert w0 == qc.train_quality_perceptron_py(rows, epochs=6)
+
+    dim = qc.N_BUCKETS + 1
+
+    def acc(wv):
+        ok = sum(
+            1
+            for r in rows
+            if (sum(wv[j] * r[f"x{j}"] for j in range(dim)) > 0) == (r["y"] == 1)
+        )
+        return ok / len(rows)
+
+    wl, wsl = qc.train_quality_perceptron_margin_py(rows, epochs=40, margin=0)
+    assert acc(wsl) > acc(wl), (acc(wsl), acc(wl))
+
+
+def test_quality_tree_matches_fold_and_beats_majority(spark, sf01):
+    """Tree-induction pin: the two-aggregate distributed trainer
+    produces the IDENTICAL tree (splits + leaves) to the plain python
+    fold, and the trained tree beats the majority baseline the linear
+    perceptron cannot improve on (split semantics capture threshold
+    structure)."""
+    from tabsketchfm_spark.operators import tree as qt
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    t, feat = qt.train_quality_tree(docs)
+    try:
+        rows = [r.asDict() for r in feat.collect()]
+    finally:
+        feat.unpersist()
+    assert qt.train_quality_tree_py(rows) == t
+
+    n = len(rows)
+    majority = max(
+        sum(1 for r in rows if r["y"] == 1), sum(1 for r in rows if r["y"] == -1)
+    ) / n
+
+    def leaf_pred(r):
+        j0, t0 = t["root"]
+        jl, tl = t["left"]
+        jr, tr = t["right"]
+        if r[f"x{j0}"] <= t0:
+            leaf = 0 if r[f"x{jl}"] <= tl else 1
+        else:
+            leaf = 2 if r[f"x{jr}"] <= tr else 3
+        return t["leaves"][leaf]
+
+    acc = sum(1 for r in rows if leaf_pred(r) == r["y"]) / n
+    assert acc > majority + 0.01, (acc, majority)

@@ -548,6 +548,10 @@ _PLAN_GUARD_SKIP = {
     "mix_classifier_guided_documents",
     "multiclass_perceptron_lenclass_documents",
     "s9c_split_by_cluster_documents",
+    # round-7 session-2: margin/averaged perceptron and tree induction
+    # run their training aggregates at build
+    "quality_perceptron_margin_documents",
+    "quality_tree_scores_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
