@@ -270,6 +270,221 @@ FROM (SELECT f.id, f.y,
 """
 
 
+# --- integer boosting-by-majority -------------------------------------------
+#
+# AdaBoost's multiplicative reweighting with the factor fixed at 2:
+# every sample's weight DOUBLES each time the current stump misreads it
+# (w_i = 2^mistakes — Littlestone-Warmuth multiplicative weights), and
+# each round picks the decision stump (feature, threshold, polarity)
+# minimizing the WEIGHTED misclassification count. Because the factor
+# is an integer, every weight and every weighted error is an exact
+# integer — the whole ensemble induction replays bit-exactly in DuckDB
+# as chained stump CTEs, like the perceptron epochs and the tree
+# levels. The final classifier is the unweighted MAJORITY VOTE of the
+# stumps (odd T → no vote ties).
+#
+# Overflow bound: weights ≤ 2^T, weighted sums ≤ 2^T · n_docs — at
+# T=11 that is 2048·n, int64-safe to ~4.5e15 docs. Raising T toward
+# ~40 needs the same HUGEINT-oracle care as the money sums.
+
+BOOST_ROUNDS = 11
+
+
+def _stump_pred(r: dict, j: int, t: int, pol: int) -> int:
+    return pol if r[f"x{j}"] <= t else -pol
+
+
+def train_quality_boost(
+    df: DataFrame,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[tuple[int, int, int]], DataFrame]:
+    """T rounds × ONE weighted candidate-count aggregate each: round r
+    projects w = Π_{q<r} (2 if stump_q wrong else 1) from the previous
+    stumps as literals, sums w over the wrong-side rows per grid pair
+    (map-side combined, shuffle payload = |grid|+1 longs), and the
+    driver picks the (err, j, t, pol)-lexicographic minimum (polarity
+    −1 wins exact ties, matching the oracle's ORDER BY). Returns
+    (stumps, features); features persisted — eager callers unpersist."""
+    feat = tree_features(df, id_col, text_col).persist()
+    spark = df.sparkSession
+    stumps: list[tuple[int, int, int]] = []
+    # stumps enter as a BROADCAST one-row frame with T fixed slots
+    # (j_q, t_q, pol_q, act_q), not literals: the per-round plan is
+    # then IDENTICAL (only broadcast data changes), so whole-stage
+    # codegen compiles ONCE instead of a fresh multi-second Janino
+    # compile per round on the growing weight product (measured
+    # 38.6s → 5.7s for 11 rounds at sf0.01 — the langid lesson)
+    sschema = ", ".join(
+        f"j_{q} bigint, t_{q} bigint, pol_{q} bigint, act_{q} bigint"
+        for q in range(rounds)
+    )
+    w = F.lit(1).cast("bigint")
+    for q in range(rounds):
+        xq = F.lit(None).cast("bigint")
+        for j in reversed(FEATURES):
+            xq = F.when(F.col(f"j_{q}") == j, F.col(f"x{j}")).otherwise(xq)
+        pred = F.when(xq <= F.col(f"t_{q}"), F.col(f"pol_{q}")).otherwise(
+            -F.col(f"pol_{q}")
+        )
+        w = w * (
+            F.when(F.col(f"act_{q}") == 0, 1)
+            .when(pred != F.col("y"), 2)
+            .otherwise(1)
+        )
+    # w computed ONCE in a projection; the aggregate's 1+|grid| sums
+    # then read a small column instead of each re-embedding the
+    # T-slot weight product (langid's proj pattern — inlining w into
+    # 127 sum expressions blew the codegen heap)
+    aggs = [F.sum(F.col("w")).alias("wt")]
+    for j in FEATURES:
+        for t in THRESHOLDS:
+            pred_pos = F.when(F.col(f"x{j}") <= t, 1).otherwise(-1)
+            aggs.append(
+                F.sum(F.when(pred_pos != F.col("y"), F.col("w"))).alias(f"e_{j}_{t}")
+            )
+    for _ in range(rounds):
+        slot = []
+        for q in range(rounds):
+            j, t, pol = stumps[q] if q < len(stumps) else (FEATURES[0], 0, 1)
+            slot += [j, t, pol, 1 if q < len(stumps) else 0]
+        sdf = spark.createDataFrame([tuple(slot)], sschema)
+        proj = feat.crossJoin(F.broadcast(sdf)).select(
+            "y", *[f"x{j}" for j in FEATURES], w.alias("w")
+        )
+        r = proj.agg(*aggs).collect()[0]
+        wt = int(r["wt"] or 0)
+        best = None
+        for j in FEATURES:
+            for t in THRESHOLDS:
+                epos = int(r[f"e_{j}_{t}"] or 0)
+                for pol, err in ((1, epos), (-1, wt - epos)):
+                    key = (err, j, t, pol)
+                    if best is None or key < best:
+                        best = key
+        stumps.append((best[1], best[2], best[3]))
+    return stumps, feat
+
+
+def quality_boost_scores(
+    df: DataFrame,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the stump ensemble on the corpus' own gopher seed labels,
+    then score every doc with the majority vote as a literal
+    projection. Output: (id, y, vote, pred, correct) — exact integers,
+    bit-exact vs quality_boost_oracle_sql."""
+    stumps, feat = train_quality_boost(df, rounds, id_col, text_col)
+    vote = sum(
+        F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol) for j, t, pol in stumps
+    ).cast("bigint")
+    return feat.select(
+        "id",
+        "y",
+        vote.alias("vote"),
+        (vote > 0).alias("pred"),
+        ((vote > 0) == (F.col("y") == 1)).alias("correct"),
+    )
+
+
+def quality_boost_oracle_sql(
+    table: str,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Ensemble-induction REPLAY: round r's candidate CTE cross-joins
+    the grid AND the r−1 previous one-row stump CTEs (the weight
+    product dispatches each stump's feature read through a CASE chain);
+    each stump CTE is the two-polarity argmin ORDER BY err, j, t, pol
+    LIMIT 1 — the driver's exact lexicographic rule."""
+    toks = _toks_duckdb(text_col)
+    h = h32_sql("t", "duckdb")
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    xdefs += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
+    grid = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
+    xcase = "CASE g.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+
+    def sread(a: str) -> str:
+        return (
+            f"CASE {a}.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+        )
+
+    def spred(a: str) -> str:
+        return f"CASE WHEN {sread(a)} <= {a}.t THEN {a}.pol ELSE -{a}.pol END"
+
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y,"
+        f" {xdefs} FROM t)",
+        f"grid AS (SELECT * FROM (VALUES {grid}) g(j, t))",
+    ]
+    for r in range(1, rounds + 1):
+        prev = [f"s{q}" for q in range(1, r)]
+        wexpr = " * ".join(
+            [f"CASE WHEN {spred(a)} <> f.y THEN 2 ELSE 1 END" for a in prev]
+        ) or "1"
+        joins = "".join(f", {a} {a}" for a in prev)
+        ctes.append(
+            f"cand{r} AS (SELECT g.j, g.t, "
+            f"coalesce(sum(CASE WHEN (CASE WHEN {xcase} <= g.t THEN 1 ELSE -1 END)"
+            f" <> f.y THEN CAST({wexpr} AS BIGINT) END), 0) AS epos, "
+            f"sum(CAST({wexpr} AS BIGINT)) AS wt "
+            f"FROM feat f CROSS JOIN grid g{joins} GROUP BY g.j, g.t)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT j, t, pol FROM "
+            f"(SELECT j, t, 1 AS pol, epos AS err FROM cand{r} "
+            f"UNION ALL SELECT j, t, -1, wt - epos FROM cand{r}) c "
+            f"ORDER BY err, j, t, pol LIMIT 1)"
+        )
+    vote = " + ".join(spred(f"s{r}") for r in range(1, rounds + 1))
+    joins = "".join(f", s{r} s{r}" for r in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT f.id, f.y, CAST({vote} AS BIGINT) AS vote, ({vote}) > 0 AS pred,
+       (({vote}) > 0) = (f.y = 1) AS correct
+FROM feat f{joins}
+"""
+    )
+
+
+def train_quality_boost_py(
+    rows: list[dict], rounds: int = BOOST_ROUNDS
+) -> list[tuple[int, int, int]]:
+    """Independent driver-side fold — the pin twin for the booster."""
+    w = [1] * len(rows)
+    stumps = []
+    for _ in range(rounds):
+        wt = sum(w)
+        best = None
+        for j in FEATURES:
+            for t in THRESHOLDS:
+                epos = sum(
+                    w[i]
+                    for i, r in enumerate(rows)
+                    if (1 if r[f"x{j}"] <= t else -1) != r["y"]
+                )
+                for pol, err in ((1, epos), (-1, wt - epos)):
+                    key = (err, j, t, pol)
+                    if best is None or key < best:
+                        best = key
+        j, t, pol = best[1], best[2], best[3]
+        stumps.append((j, t, pol))
+        for i, r in enumerate(rows):
+            if _stump_pred(r, j, t, pol) != r["y"]:
+                w[i] *= 2
+    return stumps
+
+
 def train_quality_tree_py(rows: list[dict]) -> dict:
     """Independent driver-side fold over collected feature rows — the
     implementation-pin twin: same integer split search, no Spark."""

@@ -1670,6 +1670,22 @@ _register(
     qtree.quality_tree_oracle_sql("documents"),
 )
 _register(
+    # THIRD oracle-exact trained family: integer boosting-by-majority
+    # (AdaBoost with the multiplicative factor fixed at 2 — weights
+    # are 2^mistakes, Littlestone-Warmuth style, so every weighted
+    # error is an exact integer). T=11 stump rounds, each ONE weighted
+    # candidate-count aggregate (stumps ride a broadcast slot frame so
+    # codegen compiles once); majority vote scores. The DuckDB twin
+    # replays the whole ensemble induction as chained stump CTEs.
+    # Best trained accuracy of the three families at sf0.01: 0.938
+    # (tree 0.932, linear-majority floor 0.906)
+    "quality_boost_scores_documents",
+    lambda spark, sf: qtree.quality_boost_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qtree.quality_boost_oracle_sql("documents"),
+)
+_register(
     # DSIR/GPT-3-style classifier-guided corpus sampling: sample docs
     # ∝ the CLAMPED trained score (min(max(score,0), cap)+1 — bounded
     # weights keep the int64 weight sum wrap-proof at corpus scale)

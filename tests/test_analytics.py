@@ -620,3 +620,34 @@ def test_quality_tree_matches_fold_and_beats_majority(spark, sf01):
 
     acc = sum(1 for r in rows if leaf_pred(r) == r["y"]) / n
     assert acc > majority + 0.01, (acc, majority)
+
+
+def test_quality_boost_matches_fold_and_beats_majority(spark, sf01):
+    """Booster pin: the broadcast-slot distributed trainer picks the
+    IDENTICAL stump sequence to the plain python fold, and the
+    majority vote beats the majority-class baseline (best of the three
+    trained families at sf0.01)."""
+    from tabsketchfm_spark.operators import tree as qt
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    stumps, feat = qt.train_quality_boost(docs)
+    try:
+        rows = [r.asDict() for r in feat.collect()]
+    finally:
+        feat.unpersist()
+    assert qt.train_quality_boost_py(rows) == stumps
+
+    n = len(rows)
+    majority = max(
+        sum(1 for r in rows if r["y"] == 1), sum(1 for r in rows if r["y"] == -1)
+    ) / n
+    acc = (
+        sum(
+            1
+            for r in rows
+            if (sum(qt._stump_pred(r, *s) for s in stumps) > 0) == (r["y"] == 1)
+        )
+        / n
+    )
+    assert acc > majority + 0.02, (acc, majority)

@@ -552,6 +552,7 @@ _PLAN_GUARD_SKIP = {
     # run their training aggregates at build
     "quality_perceptron_margin_documents",
     "quality_tree_scores_documents",
+    "quality_boost_scores_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
