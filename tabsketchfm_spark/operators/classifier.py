@@ -397,6 +397,147 @@ WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(tw AS HUGEINT)
 """
 
 
+def quality_perceptron_cv_scores(
+    df: DataFrame,
+    k: int = 3,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-VALIDATED evaluation of the oracle-exact trainer — the
+    honest metric the train-set scores are not: deterministic fold
+    assignment fold = h32(id) % k (md5-based, identical cross-engine),
+    train on the other k−1 folds, count held-out hits. Every quantity
+    is an integer (fold ids, weights, hit counts), so model SELECTION
+    on held-out data is itself bit-reproducible in DuckDB.
+
+    Output: one row per fold — (fold, n_train, n_test, correct_cnt,
+    majority_cnt), where majority_cnt is the held-out hit count of the
+    train-fold majority label (the baseline the trained model must
+    beat). Spark shape: the persisted feature frame is scanned
+    k·(epochs+1) times with map-side-combined aggregates — O(1) driver
+    traffic per epoch, like every trainer in this family."""
+    feat = (
+        quality_features(df, id_col, text_col)
+        .withColumn("fold", F.expr(h32_sql("id", "spark")) % k)
+        .persist()
+    )
+    dim = N_BUCKETS + 1
+    out = []
+    try:
+        for f in range(k):
+            train = feat.where(F.col("fold") != f)
+            w = [0] * dim
+            for _ in range(epochs):
+                score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+                mis = F.col("y") * score <= 0
+                sums = train.agg(
+                    *[
+                        F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
+                        for j in range(dim)
+                    ],
+                    F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
+                    F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
+                ).collect()[0]
+                w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
+            n_train = int(sums["p"] or 0) + int(sums["n"] or 0)
+            maj = 1 if int(sums["p"] or 0) > int(sums["n"] or 0) else -1
+            score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+            pred = F.when(score > 0, 1).otherwise(-1)
+            ev = (
+                feat.where(F.col("fold") == f)
+                .agg(
+                    F.count("*").alias("n_test"),
+                    F.sum(F.when(pred == F.col("y"), 1)).alias("correct"),
+                    F.sum(F.when(F.col("y") == maj, 1)).alias("maj_ok"),
+                )
+                .collect()[0]
+            )
+            out.append(
+                (
+                    f,
+                    n_train,
+                    int(ev["n_test"] or 0),
+                    int(ev["correct"] or 0),
+                    int(ev["maj_ok"] or 0),
+                )
+            )
+    finally:
+        feat.unpersist()
+    return df.sparkSession.createDataFrame(
+        out, "fold bigint, n_train bigint, n_test bigint, "
+        "correct_cnt bigint, majority_cnt bigint"
+    )
+
+
+def quality_perceptron_cv_oracle_sql(
+    table: str,
+    k: int = 3,
+    epochs: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Per-fold training replay (epochs × k MATERIALIZED weight CTEs
+    over the fold<>f subset) + a held-out count CTE per fold, unioned.
+    The train-fold majority label rides the last epoch's aggregate
+    exactly as on the Spark side."""
+    toks = _toks_duckdb(text_col)
+    h = h32_sql("t", "duckdb")
+    hid = h32_sql("id", "duckdb")
+    dim = N_BUCKETS + 1
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
+        f"CAST(1 AS BIGINT) AS x0, {xdefs}, CAST(({hid}) % {k} AS BIGINT) AS fold FROM t)",
+    ]
+    evals = []
+    for f in range(k):
+        ctes.append(
+            f"f{f}w0 AS MATERIALIZED (SELECT "
+            + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
+            + ")"
+        )
+        for e in range(epochs):
+            score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
+            upd = ", ".join(
+                f"CAST(w.w{j} + coalesce(sum(CASE WHEN f.y * ({score}) <= 0 "
+                f"THEN f.y * f.x{j} END), 0) AS BIGINT) AS w{j}"
+                for j in range(dim)
+            )
+            ctes.append(
+                f"f{f}w{e + 1} AS MATERIALIZED (SELECT {upd}, "
+                f"CAST(coalesce(sum(CASE WHEN f.y = 1 THEN 1 END), 0) AS BIGINT) AS p, "
+                f"CAST(coalesce(sum(CASE WHEN f.y = -1 THEN 1 END), 0) AS BIGINT) AS n "
+                f"FROM feat f, f{f}w{e} w WHERE f.fold <> {f} "
+                + "GROUP BY "
+                + ", ".join(f"w.w{j}" for j in range(dim))
+                + ")"
+            )
+        score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
+        evals.append(
+            f"SELECT CAST({f} AS BIGINT) AS fold, "
+            f"CAST(w.p + w.n AS BIGINT) AS n_train, "
+            f"CAST(count(*) AS BIGINT) AS n_test, "
+            f"CAST(coalesce(sum(CASE WHEN (CASE WHEN ({score}) > 0 THEN 1 ELSE -1 END)"
+            f" = f.y THEN 1 END), 0) AS BIGINT) AS correct_cnt, "
+            f"CAST(coalesce(sum(CASE WHEN f.y = (CASE WHEN w.p > w.n THEN 1 ELSE -1 END)"
+            f" THEN 1 END), 0) AS BIGINT) AS majority_cnt "
+            f"FROM feat f, f{f}w{epochs} w WHERE f.fold = {f} "
+            # group over the whole single-row weight CTE (p, n AND the
+            # weights the score reads); a fold with zero held-out rows
+            # would drop its group — impossible under the md5 split at
+            # any real corpus size, and the Spark side would emit a
+            # zero-count row, so keep folds non-empty
+            + "GROUP BY w.p, w.n, "
+            + ", ".join(f"w.w{j}" for j in range(dim))
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(evals)
+
+
 # --- multi-class: trained language-ID ---------------------------------------
 
 LANGS = ("de", "en", "es", "fr", "zh")  # the lake's label space (stable per SF)

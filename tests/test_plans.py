@@ -553,6 +553,8 @@ _PLAN_GUARD_SKIP = {
     "quality_perceptron_margin_documents",
     "quality_tree_scores_documents",
     "quality_boost_scores_documents",
+    "quality_perceptron_cv_documents",
+    "quality_tree_cv_documents",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
