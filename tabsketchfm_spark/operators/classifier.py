@@ -54,6 +54,22 @@ def _label_expr_duckdb() -> str:
     return f"CASE WHEN {cond} THEN 1 ELSE -1 END"
 
 
+def feat_xdefs_duckdb(lam: str = "t", with_total: bool = False) -> str:
+    """DuckDB projection for the integer bucket-count features
+    x1..xK (+ x{K+1} = total token count for the tree grid) — the ONE
+    source of truth every trained-family oracle shares with
+    quality_features. ``lam`` names the list_filter lambda variable
+    (the bigram oracles use a different letter for readability)."""
+    h = h32_sql(lam, "duckdb")
+    s = ", ".join(
+        f"CAST(len(list_filter(tk, {lam} -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
+        for j in range(N_BUCKETS)
+    )
+    if with_total:
+        s += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
+    return s
+
+
 def quality_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -205,12 +221,8 @@ def quality_perceptron_margin_oracle_sql(
     weights come from ONE cross join of the per-epoch one-row CTEs
     (aliased — every w{e} shares column names)."""
     toks = _toks_duckdb(text_col)
-    h = h32_sql("t", "duckdb")
     dim = N_BUCKETS + 1
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
+    xdefs = feat_xdefs_duckdb()
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
         f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
@@ -288,12 +300,8 @@ def quality_perceptron_oracle_sql(
     NULL-poisoning lesson). Integer sums arrive as HUGEINT; cast back
     to BIGINT for dtype parity."""
     toks = _toks_duckdb(text_col)
-    h = h32_sql("t", "duckdb")
     dim = N_BUCKETS + 1
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
+    xdefs = feat_xdefs_duckdb()
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
         f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
@@ -427,7 +435,12 @@ def quality_perceptron_cv_scores(
     try:
         for f in range(k):
             train = feat.where(F.col("fold") != f)
+            pn = [
+                F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
+                F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
+            ]
             w = [0] * dim
+            sums = None
             for _ in range(epochs):
                 score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
                 mis = F.col("y") * score <= 0
@@ -436,10 +449,13 @@ def quality_perceptron_cv_scores(
                         F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
                         for j in range(dim)
                     ],
-                    F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
-                    F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
+                    *pn,
                 ).collect()[0]
                 w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
+            if sums is None:
+                # epochs=0: baseline-only evaluation still needs the
+                # train-fold p/n (they normally ride the epoch aggregates)
+                sums = train.agg(*pn).collect()[0]
             n_train = int(sums["p"] or 0) + int(sums["n"] or 0)
             maj = 1 if int(sums["p"] or 0) > int(sums["n"] or 0) else -1
             score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
@@ -477,18 +493,18 @@ def quality_perceptron_cv_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """Per-fold training replay (epochs × k MATERIALIZED weight CTEs
-    over the fold<>f subset) + a held-out count CTE per fold, unioned.
-    The train-fold majority label rides the last epoch's aggregate
-    exactly as on the Spark side."""
+    """Per-fold training replay + a held-out count per fold, unioned.
+    Robust to DEGENERATE folds, matching the Spark side's
+    unconditional per-fold output row: the train-set p/n are computed
+    once in w0 (epoch-invariant — also what makes epochs=0 valid) and
+    carried through the chain; each epoch's gradient aggregate may be
+    EMPTY (a fold holding every row) so the weight update LEFT JOINs
+    it; the eval LEFT JOINs the always-one-row weight CTE onto the
+    held-out rows so a zero-test fold still yields its group."""
     toks = _toks_duckdb(text_col)
-    h = h32_sql("t", "duckdb")
     hid = h32_sql("id", "duckdb")
     dim = N_BUCKETS + 1
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
+    xdefs = feat_xdefs_duckdb()
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
         f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
@@ -499,39 +515,45 @@ def quality_perceptron_cv_oracle_sql(
         ctes.append(
             f"f{f}w0 AS MATERIALIZED (SELECT "
             + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
-            + ")"
+            + f", (SELECT CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT)"
+            f" FROM feat WHERE fold <> {f}) AS p"
+            + f", (SELECT CAST(coalesce(sum(CASE WHEN y = -1 THEN 1 END), 0) AS BIGINT)"
+            f" FROM feat WHERE fold <> {f}) AS n)"
         )
         for e in range(epochs):
             score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
-            upd = ", ".join(
-                f"CAST(w.w{j} + coalesce(sum(CASE WHEN f.y * ({score}) <= 0 "
-                f"THEN f.y * f.x{j} END), 0) AS BIGINT) AS w{j}"
+            gdefs = ", ".join(
+                f"coalesce(sum(CASE WHEN f.y * ({score}) <= 0 "
+                f"THEN f.y * f.x{j} END), 0) AS g{j}"
                 for j in range(dim)
             )
             ctes.append(
-                f"f{f}w{e + 1} AS MATERIALIZED (SELECT {upd}, "
-                f"CAST(coalesce(sum(CASE WHEN f.y = 1 THEN 1 END), 0) AS BIGINT) AS p, "
-                f"CAST(coalesce(sum(CASE WHEN f.y = -1 THEN 1 END), 0) AS BIGINT) AS n "
-                f"FROM feat f, f{f}w{e} w WHERE f.fold <> {f} "
-                + "GROUP BY "
+                f"f{f}g{e} AS (SELECT {gdefs} FROM feat f, f{f}w{e} w "
+                f"WHERE f.fold <> {f} GROUP BY "
                 + ", ".join(f"w.w{j}" for j in range(dim))
                 + ")"
+            )
+            upd = ", ".join(
+                f"CAST(w.w{j} + coalesce(a.g{j}, 0) AS BIGINT) AS w{j}"
+                for j in range(dim)
+            )
+            ctes.append(
+                f"f{f}w{e + 1} AS MATERIALIZED (SELECT {upd}, w.p AS p, w.n AS n "
+                f"FROM f{f}w{e} w LEFT JOIN f{f}g{e} a ON TRUE)"
             )
         score = " + ".join(f"w.w{j} * f.x{j}" for j in range(dim))
         evals.append(
             f"SELECT CAST({f} AS BIGINT) AS fold, "
             f"CAST(w.p + w.n AS BIGINT) AS n_train, "
-            f"CAST(count(*) AS BIGINT) AS n_test, "
+            # count(f.y), not count(*): the LEFT JOIN's padding row on
+            # an empty test fold must not count (y is never NULL on
+            # real rows — CASE with ELSE)
+            f"CAST(count(f.y) AS BIGINT) AS n_test, "
             f"CAST(coalesce(sum(CASE WHEN (CASE WHEN ({score}) > 0 THEN 1 ELSE -1 END)"
             f" = f.y THEN 1 END), 0) AS BIGINT) AS correct_cnt, "
             f"CAST(coalesce(sum(CASE WHEN f.y = (CASE WHEN w.p > w.n THEN 1 ELSE -1 END)"
             f" THEN 1 END), 0) AS BIGINT) AS majority_cnt "
-            f"FROM feat f, f{f}w{epochs} w WHERE f.fold = {f} "
-            # group over the whole single-row weight CTE (p, n AND the
-            # weights the score reads); a fold with zero held-out rows
-            # would drop its group — impossible under the md5 split at
-            # any real corpus size, and the Spark side would emit a
-            # zero-count row, so keep folds non-empty
+            f"FROM f{f}w{epochs} w LEFT JOIN feat f ON f.fold = {f} "
             + "GROUP BY w.p, w.n, "
             + ", ".join(f"w.w{j}" for j in range(dim))
         )
@@ -709,7 +731,6 @@ def langid_perceptron_oracle_sql(
     the argmax uses the identical first-match-of-max CASE (ties →
     lowest class index) as the Spark side. max(w) reads the single
     weight row through the aggregate (no GROUP BY over 45 columns)."""
-    h = h32_sql("b", "duckdb")
     dim = N_BUCKETS + 1
     C = len(langs)
     ymap = " ".join(f"WHEN '{lg}' THEN {i}" for i, lg in enumerate(langs))
@@ -718,10 +739,7 @@ def langid_perceptron_oracle_sql(
         f"list_transform(range(1, greatest(length({text_col}) - 1, 0) + 1),"
         f" i -> substring({text_col}, CAST(i AS INTEGER), 2))"
     )
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, b -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
+    xdefs = feat_xdefs_duckdb("b")
     ctes = [
         f"t AS (SELECT {id_col} AS id, CASE {lang_col} {ymap} END AS yy, {bigrams} AS tk FROM {table})",
         f"feat AS MATERIALIZED (SELECT id, CAST(yy AS BIGINT) AS y, "

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 from tabsketchfm_spark.operators.classifier import (
     N_BUCKETS,
     _label_expr_duckdb,
+    feat_xdefs_duckdb,
     quality_features,
 )
 from tabsketchfm_spark.functions.hashing import h32_sql
@@ -58,6 +59,34 @@ FEATURES = tuple(range(1, N_BUCKETS + 2))
 # degenerate split): both engines emit (first feature, first threshold,
 # all-zero counts) so the leaf CASEs stay well-defined and identical
 _EMPTY = (FEATURES[0], THRESHOLDS[0], 0, 0, 0, 0)
+
+# shared oracle-SQL scaffolding (one source of truth for the full and
+# the CV tree oracles plus the booster — a grid/argmin/feature-read
+# change must land everywhere at once or parity breaks)
+_GRID_SQL = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
+_EMPTY_SQL = (
+    f"SELECT {_EMPTY[0]} AS j, {_EMPTY[1]} AS t, 0 AS pl, 0 AS nl, 0 AS p, 0 AS n"
+)
+
+
+def _xread(alias: str) -> str:
+    """CASE-dispatched feature read ``f.x{alias.j}`` — the chosen
+    feature index is data, so the column access must be a CASE chain."""
+    return (
+        f"CASE {alias}.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    )
+
+
+def _best_sql(cand: str, flt: str) -> str:
+    """Argmin CTE body: ORDER BY cost, j, t LIMIT 1 (the Spark
+    driver's lexicographic rule) with the deterministic empty-node
+    fallback unioned in."""
+    return (
+        f"(SELECT j, t, pl, nl, p, n FROM {cand} WHERE {flt} "
+        "ORDER BY least(pl, nl) + least(p - pl, n - nl), j, t LIMIT 1) "
+        f"UNION ALL "
+        f"{_EMPTY_SQL} WHERE NOT EXISTS (SELECT 1 FROM {cand} WHERE {flt})"
+    )
 
 
 def tree_features(
@@ -220,30 +249,14 @@ def quality_tree_oracle_sql(
     index is data, so the column access must be a CASE chain). Empty
     child nodes fall back to the same deterministic _EMPTY row."""
     toks = _toks_duckdb(text_col)
-    h = h32_sql("t", "duckdb")
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
-    xdefs += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
-    grid = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
-    xcase = "CASE g.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-    empty = (
-        f"SELECT {_EMPTY[0]} AS j, {_EMPTY[1]} AS t, 0 AS pl, 0 AS nl, 0 AS p, 0 AS n"
-    )
-
-    def _best(cand: str, flt: str) -> str:
-        return (
-            f"(SELECT j, t, pl, nl, p, n FROM {cand} WHERE {flt} "
-            "ORDER BY least(pl, nl) + least(p - pl, n - nl), j, t LIMIT 1) "
-            f"UNION ALL "
-            f"{empty} WHERE NOT EXISTS (SELECT 1 FROM {cand} WHERE {flt})"
-        )
-
+    xdefs = feat_xdefs_duckdb(with_total=True)
+    grid = _GRID_SQL
+    xcase = _xread("g")
+    _best = _best_sql
     # the root-feature read inside cand1 dispatches on b0.j the same way
-    b0case = "CASE b0.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-    blcase = "CASE bl.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-    brcase = "CASE br.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    b0case = _xread("b0")
+    blcase = _xread("bl")
+    brcase = _xread("br")
     return f"""
 WITH t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
 feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y,
@@ -353,30 +366,14 @@ def quality_tree_cv_oracle_sql(
     as a scalar subquery (best0 always holds exactly one row — the
     argmin or the deterministic empty fallback)."""
     toks = _toks_duckdb(text_col)
-    h = h32_sql("t", "duckdb")
     hid = h32_sql("id", "duckdb")
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
-    xdefs += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
-    grid = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
-    xcase = "CASE g.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-    empty = (
-        f"SELECT {_EMPTY[0]} AS j, {_EMPTY[1]} AS t, 0 AS pl, 0 AS nl, 0 AS p, 0 AS n"
-    )
-
-    def _best(cand: str, flt: str) -> str:
-        return (
-            f"(SELECT j, t, pl, nl, p, n FROM {cand} WHERE {flt} "
-            "ORDER BY least(pl, nl) + least(p - pl, n - nl), j, t LIMIT 1) "
-            f"UNION ALL "
-            f"{empty} WHERE NOT EXISTS (SELECT 1 FROM {cand} WHERE {flt})"
-        )
-
-    b0case = "CASE b0.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-    blcase = "CASE bl.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-    brcase = "CASE br.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
+    xdefs = feat_xdefs_duckdb(with_total=True)
+    grid = _GRID_SQL
+    xcase = _xread("g")
+    _best = _best_sql
+    b0case = _xread("b0")
+    blcase = _xread("bl")
+    brcase = _xread("br")
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
         f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
@@ -565,22 +562,12 @@ def quality_boost_oracle_sql(
     each stump CTE is the two-polarity argmin ORDER BY err, j, t, pol
     LIMIT 1 — the driver's exact lexicographic rule."""
     toks = _toks_duckdb(text_col)
-    h = h32_sql("t", "duckdb")
-    xdefs = ", ".join(
-        f"CAST(len(list_filter(tk, t -> ({h}) % {N_BUCKETS} = {j})) AS BIGINT) AS x{j + 1}"
-        for j in range(N_BUCKETS)
-    )
-    xdefs += f", CAST(len(tk) AS BIGINT) AS x{N_BUCKETS + 1}"
-    grid = ", ".join(f"({j}, {t})" for j in FEATURES for t in THRESHOLDS)
-    xcase = "CASE g.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-
-    def sread(a: str) -> str:
-        return (
-            f"CASE {a}.j " + " ".join(f"WHEN {j} THEN f.x{j}" for j in FEATURES) + " END"
-        )
+    xdefs = feat_xdefs_duckdb(with_total=True)
+    grid = _GRID_SQL
+    xcase = _xread("g")
 
     def spred(a: str) -> str:
-        return f"CASE WHEN {sread(a)} <= {a}.t THEN {a}.pol ELSE -{a}.pol END"
+        return f"CASE WHEN {_xread(a)} <= {a}.t THEN {a}.pol ELSE -{a}.pol END"
 
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
@@ -595,7 +582,10 @@ def quality_boost_oracle_sql(
         ) or "1"
         joins = "".join(f", {a} {a}" for a in prev)
         ctes.append(
-            f"cand{r} AS (SELECT g.j, g.t, "
+            # MATERIALIZED: s{r} reads cand{r} in BOTH polarity
+            # branches — a plain CTE re-evaluates the weighted
+            # feat×grid aggregate per reference (the pagerank lesson)
+            f"cand{r} AS MATERIALIZED (SELECT g.j, g.t, "
             f"coalesce(sum(CASE WHEN (CASE WHEN {xcase} <= g.t THEN 1 ELSE -1 END)"
             f" <> f.y THEN CAST({wexpr} AS BIGINT) END), 0) AS epos, "
             f"sum(CAST({wexpr} AS BIGINT)) AS wt "
