@@ -555,6 +555,12 @@ _PLAN_GUARD_SKIP = {
     "quality_boost_scores_documents",
     "quality_perceptron_cv_documents",
     "quality_tree_cv_documents",
+    # SCHEMA-derived driver-local frames (createDataFrame over static
+    # schema constants — python createDataFrame plans as an RDD scan
+    # of literal rows): no data computation, nothing to guard. Found
+    # by the is-eager probe below.
+    "t1_sorted_columns",
+    "sk5_aug_column_order",
 }
 
 # SCHEMA-BOUNDED exemptions: these queries number ONE table's token
@@ -579,10 +585,24 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
     """Registry-wide scale guard (round-4 verdict): NO registered query
     may plan a partition-less row_number window over an input that is
     not already capped by a limit/TakeOrderedAndProject. ranked_topk's
-    post-limit window passes; a bare global sort window fails."""
+    post-limit window passes; a bare global sort window fails.
+
+    Each guarded query's returned plan is also checked by an IS-EAGER
+    PROBE: a plan whose every LEAF is driver-materialized
+    (LocalTableScan / checkpoint RDD scan) means the build already RAN
+    the computation — the window check on it is vacuous, so the query
+    BELONGS in _PLAN_GUARD_SKIP with a reason. The probe makes the
+    hand list verified-complete: a new fully-eager registration left
+    off the list fails here loudly instead of passing silently (and
+    costing the suite its training runtime every guard run). Queries
+    with build-time calibration collects but a real distributed result
+    plan (threshold probes, bloom builds, split boundaries) are NOT
+    flagged — their returned plan is exactly what the guard exists to
+    check."""
     from tabsketchfm_spark.plans import registry
 
     failures = {}
+    unmarked_eager = {}
     for name, fn in registry.queries().items():
         if (
             name in _PLAN_GUARD_SKIP
@@ -590,10 +610,41 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
             or name.startswith(_PLAN_GUARD_SKIP_PREFIXES)
         ):
             continue
-        bad = _partitionless_window_violations(fn(spark, sf01))
+        df = fn(spark, sf01)
+        leaves = [
+            n
+            for n in _walk_jplan(df._jdf.queryExecution().sparkPlan())
+            if n.children().size() == 0
+        ]
+        mat = [
+            n.getClass().getSimpleName()
+            for n in leaves
+            if n.getClass().getSimpleName() in ("LocalTableScanExec", "RDDScanExec")
+            or "ExistingRDD" in n.getClass().getSimpleName()
+        ]
+        if leaves and len(mat) == len(leaves):
+            unmarked_eager[name] = sorted(set(mat))
+        bad = _partitionless_window_violations(df)
         if bad:
             failures[name] = bad
     assert not failures, f"unbounded global windows: {failures}"
+    assert not unmarked_eager, (
+        "these queries returned fully driver-materialized plans (eager "
+        "build) but are not in _PLAN_GUARD_SKIP — add them with a "
+        f"reason: {unmarked_eager}"
+    )
+
+
+def test_plan_guard_skip_list_is_not_stale():
+    """Every hand-listed skip entry must still name a registered query
+    — a rename or deregistration must clean its skip row, or the guard
+    silently guards less than the list claims."""
+    from tabsketchfm_spark.plans import registry
+
+    names = set(registry.queries())
+    stale = (_PLAN_GUARD_SKIP | _PLAN_GUARD_SCHEMA_BOUNDED) - names
+    assert not stale, f"skip-list entries no longer registered: {stale}"
+    assert any(n.startswith(_PLAN_GUARD_SKIP_PREFIXES) for n in names)
 
 
 def test_pmi_topk_uses_distributed_topk(spark, sf01):
