@@ -405,6 +405,39 @@ WHERE CAST(({h}) % {1 << 24} AS HUGEINT) * CAST(tw AS HUGEINT)
 """
 
 
+def _train_perceptron_on(
+    train: DataFrame, epochs: int
+) -> tuple[list[int], int, int]:
+    """The batch-perceptron epoch loop over an (already
+    filtered/persisted-upstream) feature frame; returns
+    (weights, pos, neg) — the class totals ride every epoch's
+    aggregate, so CV/model-selection callers get n_train and the
+    majority baseline without an extra job."""
+    dim = N_BUCKETS + 1
+    pn = [
+        F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
+        F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
+    ]
+    w = [0] * dim
+    sums = None
+    for _ in range(epochs):
+        score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+        mis = F.col("y") * score <= 0
+        sums = train.agg(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
+                for j in range(dim)
+            ],
+            *pn,
+        ).collect()[0]
+        w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
+    if sums is None:
+        # epochs=0: baseline-only evaluation still needs the
+        # train-fold p/n (they normally ride the epoch aggregates)
+        sums = train.agg(*pn).collect()[0]
+    return w, int(sums["p"] or 0), int(sums["n"] or 0)
+
+
 def quality_perceptron_cv_scores(
     df: DataFrame,
     k: int = 3,
@@ -434,30 +467,9 @@ def quality_perceptron_cv_scores(
     out = []
     try:
         for f in range(k):
-            train = feat.where(F.col("fold") != f)
-            pn = [
-                F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
-                F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
-            ]
-            w = [0] * dim
-            sums = None
-            for _ in range(epochs):
-                score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
-                mis = F.col("y") * score <= 0
-                sums = train.agg(
-                    *[
-                        F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
-                        for j in range(dim)
-                    ],
-                    *pn,
-                ).collect()[0]
-                w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
-            if sums is None:
-                # epochs=0: baseline-only evaluation still needs the
-                # train-fold p/n (they normally ride the epoch aggregates)
-                sums = train.agg(*pn).collect()[0]
-            n_train = int(sums["p"] or 0) + int(sums["n"] or 0)
-            maj = 1 if int(sums["p"] or 0) > int(sums["n"] or 0) else -1
+            w, p, n = _train_perceptron_on(feat.where(F.col("fold") != f), epochs)
+            n_train = p + n
+            maj = 1 if p > n else -1
             score = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
             pred = F.when(score > 0, 1).otherwise(-1)
             ev = (

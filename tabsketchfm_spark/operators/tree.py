@@ -468,7 +468,18 @@ def train_quality_boost(
     −1 wins exact ties, matching the oracle's ORDER BY). Returns
     (stumps, features); features persisted — eager callers unpersist."""
     feat = tree_features(df, id_col, text_col).persist()
-    spark = df.sparkSession
+    stumps, _, _ = _induce_boost(feat, rounds)
+    return stumps, feat
+
+
+def _induce_boost(
+    feat: DataFrame, rounds: int
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """The round loop over an (already filtered/persisted) feature
+    frame; returns (stumps, pos, neg) — the node's class totals ride
+    the last round's aggregate, so CV gets n_train and the majority
+    baseline without an extra job."""
+    spark = feat.sparkSession
     stumps: list[tuple[int, int, int]] = []
     # stumps enter as a BROADCAST one-row frame with T fixed slots
     # (j_q, t_q, pol_q, act_q), not literals: the per-round plan is
@@ -497,13 +508,20 @@ def train_quality_boost(
     # then read a small column instead of each re-embedding the
     # T-slot weight product (langid's proj pattern — inlining w into
     # 127 sum expressions blew the codegen heap)
-    aggs = [F.sum(F.col("w")).alias("wt")]
+    aggs = [
+        F.sum(F.col("w")).alias("wt"),
+        # UNWEIGHTED class totals ride every round (CV reads them off
+        # the last one — n_train + majority baseline at no extra job)
+        F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
+        F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
+    ]
     for j in FEATURES:
         for t in THRESHOLDS:
             pred_pos = F.when(F.col(f"x{j}") <= t, 1).otherwise(-1)
             aggs.append(
                 F.sum(F.when(pred_pos != F.col("y"), F.col("w"))).alias(f"e_{j}_{t}")
             )
+    r = None
     for _ in range(rounds):
         slot = []
         for q in range(rounds):
@@ -524,7 +542,13 @@ def train_quality_boost(
                     if best is None or key < best:
                         best = key
         stumps.append((best[1], best[2], best[3]))
-    return stumps, feat
+    if r is None:
+        # rounds=0: baseline-only evaluation still needs the totals
+        r = feat.agg(
+            F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
+            F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
+        ).collect()[0]
+    return stumps, int(r["p"] or 0), int(r["n"] or 0)
 
 
 def quality_boost_scores(
@@ -608,6 +632,251 @@ SELECT f.id, f.y, CAST({vote} AS BIGINT) AS vote, ({vote}) > 0 AS pred,
 FROM feat f{joins}
 """
     )
+
+
+def quality_boost_cv_scores(
+    df: DataFrame,
+    k: int = 3,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CROSS-VALIDATED booster evaluation — same contract as the
+    perceptron/tree CVs: md5 fold split, per-fold ensemble induction
+    (rounds × one weighted aggregate via _induce_boost), held-out
+    integer hit counts vs the train-fold majority baseline. Output:
+    (fold, n_train, n_test, correct_cnt, majority_cnt)."""
+    if rounds < 1:
+        raise ValueError("boosting needs at least one stump round")
+    feat = (
+        tree_features(df, id_col, text_col)
+        .withColumn("fold", F.expr(h32_sql("id", "spark")) % k)
+        .persist()
+    )
+    out = []
+    try:
+        for f in range(k):
+            stumps, p, n = _induce_boost(feat.where(F.col("fold") != f), rounds)
+            maj = 1 if p > n else -1
+            vote = sum(
+                F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol)
+                for j, t, pol in stumps
+            )
+            hit = (vote > 0) == (F.col("y") == 1)
+            ev = (
+                feat.where(F.col("fold") == f)
+                .agg(
+                    F.count("*").alias("n_test"),
+                    F.sum(F.when(hit, 1)).alias("correct"),
+                    F.sum(F.when(F.col("y") == maj, 1)).alias("maj_ok"),
+                )
+                .collect()[0]
+            )
+            out.append(
+                (
+                    f,
+                    p + n,
+                    int(ev["n_test"] or 0),
+                    int(ev["correct"] or 0),
+                    int(ev["maj_ok"] or 0),
+                )
+            )
+    finally:
+        feat.unpersist()
+    return df.sparkSession.createDataFrame(
+        out, "fold bigint, n_train bigint, n_test bigint, "
+        "correct_cnt bigint, majority_cnt bigint"
+    )
+
+
+def quality_boost_cv_oracle_sql(
+    table: str,
+    k: int = 3,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Per-fold ensemble-induction replay (the quality_boost chained
+    stump CTEs filtered to fold <> f) + a held-out eval per fold.
+    Degenerate-fold-safe like the perceptron CV oracle: the train-set
+    p/n come from an ungrouped aggregate CTE (always one row), each
+    stump CTE unions a deterministic fallback (FEATURES[0],
+    THRESHOLDS[0], pol −1 — exactly the Spark driver's argmin over an
+    all-zero aggregate row), and the eval LEFT JOINs the one-row state
+    onto the held-out rows."""
+    toks = _toks_duckdb(text_col)
+    hid = h32_sql("id", "duckdb")
+    xdefs = feat_xdefs_duckdb(with_total=True)
+    xcase = _xread("g")
+
+    def spred(a: str) -> str:
+        return f"CASE WHEN {_xread(a)} <= {a}.t THEN {a}.pol ELSE -{a}.pol END"
+
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y,"
+        f" {xdefs}, CAST(({hid}) % {k} AS BIGINT) AS fold FROM t)",
+        f"grid AS (SELECT * FROM (VALUES {_GRID_SQL}) g(j, t))",
+    ]
+    evals = []
+    for f in range(k):
+        s = f"f{f}_"
+        ctes.append(
+            f"{s}pn AS MATERIALIZED (SELECT "
+            f"CAST(coalesce(sum(CASE WHEN y = 1 THEN 1 END), 0) AS BIGINT) AS p, "
+            f"CAST(coalesce(sum(CASE WHEN y = -1 THEN 1 END), 0) AS BIGINT) AS n "
+            f"FROM feat WHERE fold <> {f})"
+        )
+        for r in range(1, rounds + 1):
+            prev = [f"{s}s{q}" for q in range(1, r)]
+            wexpr = " * ".join(
+                [f"CASE WHEN {spred(a)} <> f.y THEN 2 ELSE 1 END" for a in prev]
+            ) or "1"
+            joins = "".join(f", {a} {a}" for a in prev)
+            ctes.append(
+                f"{s}cand{r} AS MATERIALIZED (SELECT g.j, g.t, "
+                f"coalesce(sum(CASE WHEN (CASE WHEN {xcase} <= g.t THEN 1 ELSE -1 END)"
+                f" <> f.y THEN CAST({wexpr} AS BIGINT) END), 0) AS epos, "
+                f"sum(CAST({wexpr} AS BIGINT)) AS wt "
+                f"FROM feat f CROSS JOIN grid g{joins} "
+                f"WHERE f.fold <> {f} GROUP BY g.j, g.t)"
+            )
+            ctes.append(
+                f"{s}s{r} AS MATERIALIZED ((SELECT j, t, pol FROM "
+                f"(SELECT j, t, 1 AS pol, epos AS err FROM {s}cand{r} "
+                f"UNION ALL SELECT j, t, -1, wt - epos FROM {s}cand{r}) c "
+                f"ORDER BY err, j, t, pol LIMIT 1) "
+                f"UNION ALL SELECT {FEATURES[0]} AS j, {THRESHOLDS[0]} AS t, -1 AS pol "
+                f"WHERE NOT EXISTS (SELECT 1 FROM {s}cand{r}))"
+            )
+        vote = " + ".join(spred(f"{s}s{r}") for r in range(1, rounds + 1))
+        joins = "".join(f", {s}s{r} {s}s{r}" for r in range(1, rounds + 1))
+        evals.append(
+            f"SELECT CAST({f} AS BIGINT) AS fold, "
+            f"CAST(w.p + w.n AS BIGINT) AS n_train, "
+            f"CAST(count(f.y) AS BIGINT) AS n_test, "
+            f"CAST(coalesce(sum(CASE WHEN (({vote}) > 0) = (f.y = 1) THEN 1 END), 0)"
+            f" AS BIGINT) AS correct_cnt, "
+            f"CAST(coalesce(sum(CASE WHEN f.y = (CASE WHEN w.p > w.n THEN 1 ELSE -1 END)"
+            f" THEN 1 END), 0) AS BIGINT) AS majority_cnt "
+            f"FROM {s}pn w{joins} LEFT JOIN feat f ON f.fold = {f} "
+            f"GROUP BY w.p, w.n"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(evals)
+
+
+# --- oracle-exact model selection -------------------------------------------
+
+FAMILIES = ("boost", "majority", "perceptron", "tree")
+
+
+def quality_model_selection(
+    df: DataFrame,
+    k: int = 3,
+    epochs: int = 6,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ORACLE-EXACT MODEL SELECTION — the capstone of the trained
+    families: train all three (perceptron, tree, boost) per CV fold on
+    ONE shared persisted feature frame, score every family plus the
+    majority baseline on the held-out fold in ONE aggregate, and pick
+    the winner by total held-out hits (tie → lexicographically
+    smallest family name). Every quantity in training, evaluation AND
+    the selection rule is an integer, so the whole train→evaluate→
+    select workflow replays bit-exactly in DuckDB — the reference's
+    "train and keep the best model" loop as a verifiable lake query.
+
+    Output: one row per family — (family, heldout_correct, n_test,
+    selected)."""
+    from tabsketchfm_spark.operators.classifier import _train_perceptron_on
+
+    feat = (
+        tree_features(df, id_col, text_col)
+        .withColumn("fold", F.expr(h32_sql("id", "spark")) % k)
+        .persist()
+    )
+    dim = N_BUCKETS + 1
+    tot = {fam: 0 for fam in FAMILIES}
+    n_test_total = 0
+    try:
+        for f in range(k):
+            train = feat.where(F.col("fold") != f)
+            w, p, n = _train_perceptron_on(train, epochs)
+            tree, _, _ = _induce_tree(train)
+            stumps, _, _ = _induce_boost(train, rounds)
+            maj = 1 if p > n else -1
+            pscore = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+            ppred = F.when(pscore > 0, 1).otherwise(-1)
+            _, tpred = _tree_cols(tree)
+            vote = sum(
+                F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol)
+                for j, t, pol in stumps
+            )
+            ev = (
+                feat.where(F.col("fold") == f)
+                .agg(
+                    F.count("*").alias("nt"),
+                    F.sum(F.when(ppred == F.col("y"), 1)).alias("perceptron"),
+                    F.sum(F.when(tpred == F.col("y"), 1)).alias("tree"),
+                    F.sum(
+                        F.when((vote > 0) == (F.col("y") == 1), 1)
+                    ).alias("boost"),
+                    F.sum(F.when(F.col("y") == maj, 1)).alias("majority"),
+                )
+                .collect()[0]
+            )
+            n_test_total += int(ev["nt"] or 0)
+            for fam in FAMILIES:
+                tot[fam] += int(ev[fam] or 0)
+    finally:
+        feat.unpersist()
+    best = max(tot.values())
+    winner = min(fam for fam in FAMILIES if tot[fam] == best)
+    rows = [(fam, tot[fam], n_test_total, fam == winner) for fam in FAMILIES]
+    return df.sparkSession.createDataFrame(
+        rows, "family string, heldout_correct bigint, n_test bigint, "
+        "selected boolean"
+    )
+
+
+def quality_model_selection_oracle_sql(
+    table: str,
+    k: int = 3,
+    epochs: int = 6,
+    rounds: int = BOOST_ROUNDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Wraps the three per-family CV replays as subqueries (each is a
+    self-contained WITH), sums their held-out hits, and applies the
+    SAME argmax-with-lexicographic-tie rule. The majority baseline and
+    n_test ride the perceptron CV's rows (all three CVs share the fold
+    split and labels, so the numbers are identical by construction)."""
+    from tabsketchfm_spark.operators.classifier import (
+        quality_perceptron_cv_oracle_sql,
+    )
+
+    perc = quality_perceptron_cv_oracle_sql(table, k, epochs, id_col, text_col)
+    tre = quality_tree_cv_oracle_sql(table, k, id_col, text_col)
+    boo = quality_boost_cv_oracle_sql(table, k, rounds, id_col, text_col)
+    return f"""
+WITH perc AS MATERIALIZED (SELECT sum(correct_cnt) AS c, sum(n_test) AS nt,
+                                  sum(majority_cnt) AS m FROM ({perc}) q),
+tre AS MATERIALIZED (SELECT sum(correct_cnt) AS c FROM ({tre}) q),
+boo AS MATERIALIZED (SELECT sum(correct_cnt) AS c FROM ({boo}) q),
+fam AS MATERIALIZED (
+  SELECT 'boost' AS family, c FROM boo
+  UNION ALL SELECT 'majority', m FROM perc
+  UNION ALL SELECT 'perceptron', c FROM perc
+  UNION ALL SELECT 'tree', c FROM tre),
+win AS (SELECT min(family) AS wf FROM fam WHERE c = (SELECT max(c) FROM fam))
+SELECT family, CAST(c AS BIGINT) AS heldout_correct,
+       (SELECT CAST(nt AS BIGINT) FROM perc) AS n_test,
+       family = (SELECT wf FROM win) AS selected
+FROM fam
+"""
 
 
 def train_quality_boost_py(

@@ -1715,6 +1715,20 @@ _register(
     qtree.quality_boost_oracle_sql("documents"),
 )
 _register(
+    # ORACLE-EXACT MODEL SELECTION — the trained-family capstone:
+    # train all three families per CV fold on ONE shared feature
+    # frame, score each plus the majority baseline held-out in ONE
+    # aggregate per fold, pick the winner by total held-out hits
+    # (tie → lexicographic). The selection is itself bit-reproducible
+    # — and honest: at sf0.001 it picks the majority baseline (tiny
+    # corpus), at sf0.01 the tree (464 vs boost 460 vs majority 453)
+    "quality_model_selection_documents",
+    lambda spark, sf: qtree.quality_model_selection(
+        load_table(spark, sf, "documents")
+    ),
+    qtree.quality_model_selection_oracle_sql("documents"),
+)
+_register(
     # DSIR/GPT-3-style classifier-guided corpus sampling: sample docs
     # ∝ the CLAMPED trained score (min(max(score,0), cap)+1 — bounded
     # weights keep the int64 weight sum wrap-proof at corpus scale)

@@ -721,3 +721,38 @@ def test_cv_scores_match_independent_folds(spark, sf01):
         )
         expect_p = dict(expect, correct_cnt=correct)
         assert perc_rows[f] == expect_p, (f, perc_rows[f], expect_p)
+
+
+def test_model_selection_matches_cv_totals_and_argmax(spark, sf01):
+    """The model-selection capstone must equal the sum of the three
+    standalone CV queries' per-fold hit counts (shared fold split and
+    label algebra), and its winner must follow the documented rule:
+    max total held-out hits, tie → lexicographically smallest family."""
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.operators import tree as qt
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    sel = {r["family"]: r.asDict() for r in qt.quality_model_selection(docs).collect()}
+    assert set(sel) == set(qt.FAMILIES)
+
+    cv = {
+        "perceptron": qc.quality_perceptron_cv_scores(docs).collect(),
+        "tree": qt.quality_tree_cv_scores(docs).collect(),
+        "boost": qt.quality_boost_cv_scores(docs).collect(),
+    }
+    n_test = sum(r["n_test"] for r in cv["perceptron"])
+    for fam, rows in cv.items():
+        assert sel[fam]["heldout_correct"] == sum(r["correct_cnt"] for r in rows), fam
+        assert sel[fam]["n_test"] == n_test
+    # majority baseline rides every CV identically
+    maj = sum(r["majority_cnt"] for r in cv["tree"])
+    assert sel["majority"]["heldout_correct"] == maj
+    assert maj == sum(r["majority_cnt"] for r in cv["boost"])
+
+    best = max(v["heldout_correct"] for v in sel.values())
+    winner = min(f for f, v in sel.items() if v["heldout_correct"] == best)
+    for fam, v in sel.items():
+        assert v["selected"] == (fam == winner), (fam, v, winner)
+    # exactly one winner
+    assert sum(1 for v in sel.values() if v["selected"]) == 1

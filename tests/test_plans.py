@@ -555,6 +555,7 @@ _PLAN_GUARD_SKIP = {
     "quality_boost_scores_documents",
     "quality_perceptron_cv_documents",
     "quality_tree_cv_documents",
+    "quality_model_selection_documents",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found
