@@ -77,6 +77,22 @@ def _xread(alias: str) -> str:
     )
 
 
+def _spred(alias: str) -> str:
+    """One stump's ±pol SQL prediction, feature read dispatched through
+    the CASE chain — the ONE source of truth for every oracle that
+    replays a stump vote (full boost, boost CV, model selection)."""
+    return f"CASE WHEN {_xread(alias)} <= {alias}.t THEN {alias}.pol ELSE -{alias}.pol END"
+
+
+def _boost_vote(stumps: list[tuple[int, int, int]]):
+    """The ensemble's Spark-side majority-vote column — shared by the
+    full-corpus scorer, the CV evaluator and model selection so a
+    polarity/tie-break change lands everywhere at once."""
+    return sum(
+        F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol) for j, t, pol in stumps
+    )
+
+
 def _best_sql(cand: str, flt: str) -> str:
     """Argmin CTE body: ORDER BY cost, j, t LIMIT 1 (the Spark
     driver's lexicographic rule) with the deterministic empty-node
@@ -479,6 +495,8 @@ def _induce_boost(
     frame; returns (stumps, pos, neg) — the node's class totals ride
     the last round's aggregate, so CV gets n_train and the majority
     baseline without an extra job."""
+    if rounds < 1:
+        raise ValueError("boosting needs at least one stump round")
     spark = feat.sparkSession
     stumps: list[tuple[int, int, int]] = []
     # stumps enter as a BROADCAST one-row frame with T fixed slots
@@ -562,9 +580,7 @@ def quality_boost_scores(
     projection. Output: (id, y, vote, pred, correct) — exact integers,
     bit-exact vs quality_boost_oracle_sql."""
     stumps, feat = train_quality_boost(df, rounds, id_col, text_col)
-    vote = sum(
-        F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol) for j, t, pol in stumps
-    ).cast("bigint")
+    vote = _boost_vote(stumps).cast("bigint")
     return feat.select(
         "id",
         "y",
@@ -585,13 +601,13 @@ def quality_boost_oracle_sql(
     product dispatches each stump's feature read through a CASE chain);
     each stump CTE is the two-polarity argmin ORDER BY err, j, t, pol
     LIMIT 1 — the driver's exact lexicographic rule."""
+    if rounds < 1:
+        raise ValueError("boosting needs at least one stump round")
     toks = _toks_duckdb(text_col)
     xdefs = feat_xdefs_duckdb(with_total=True)
     grid = _GRID_SQL
     xcase = _xread("g")
-
-    def spred(a: str) -> str:
-        return f"CASE WHEN {_xread(a)} <= {a}.t THEN {a}.pol ELSE -{a}.pol END"
+    spred = _spred
 
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
@@ -646,8 +662,6 @@ def quality_boost_cv_scores(
     (rounds × one weighted aggregate via _induce_boost), held-out
     integer hit counts vs the train-fold majority baseline. Output:
     (fold, n_train, n_test, correct_cnt, majority_cnt)."""
-    if rounds < 1:
-        raise ValueError("boosting needs at least one stump round")
     feat = (
         tree_features(df, id_col, text_col)
         .withColumn("fold", F.expr(h32_sql("id", "spark")) % k)
@@ -658,11 +672,7 @@ def quality_boost_cv_scores(
         for f in range(k):
             stumps, p, n = _induce_boost(feat.where(F.col("fold") != f), rounds)
             maj = 1 if p > n else -1
-            vote = sum(
-                F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol)
-                for j, t, pol in stumps
-            )
-            hit = (vote > 0) == (F.col("y") == 1)
+            hit = (_boost_vote(stumps) > 0) == (F.col("y") == 1)
             ev = (
                 feat.where(F.col("fold") == f)
                 .agg(
@@ -704,13 +714,13 @@ def quality_boost_cv_oracle_sql(
     THRESHOLDS[0], pol −1 — exactly the Spark driver's argmin over an
     all-zero aggregate row), and the eval LEFT JOINs the one-row state
     onto the held-out rows."""
+    if rounds < 1:
+        raise ValueError("boosting needs at least one stump round")
     toks = _toks_duckdb(text_col)
     hid = h32_sql("id", "duckdb")
     xdefs = feat_xdefs_duckdb(with_total=True)
     xcase = _xread("g")
-
-    def spred(a: str) -> str:
-        return f"CASE WHEN {_xread(a)} <= {a}.t THEN {a}.pol ELSE -{a}.pol END"
+    spred = _spred
 
     ctes = [
         f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
@@ -810,10 +820,7 @@ def quality_model_selection(
             pscore = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
             ppred = F.when(pscore > 0, 1).otherwise(-1)
             _, tpred = _tree_cols(tree)
-            vote = sum(
-                F.when(F.col(f"x{j}") <= t, pol).otherwise(-pol)
-                for j, t, pol in stumps
-            )
+            vote = _boost_vote(stumps)
             ev = (
                 feat.where(F.col("fold") == f)
                 .agg(
@@ -854,6 +861,8 @@ def quality_model_selection_oracle_sql(
     SAME argmax-with-lexicographic-tie rule. The majority baseline and
     n_test ride the perceptron CV's rows (all three CVs share the fold
     split and labels, so the numbers are identical by construction)."""
+    if rounds < 1:
+        raise ValueError("boosting needs at least one stump round")
     from tabsketchfm_spark.operators.classifier import (
         quality_perceptron_cv_oracle_sql,
     )

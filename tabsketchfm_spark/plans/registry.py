@@ -1715,13 +1715,29 @@ _register(
     qtree.quality_boost_oracle_sql("documents"),
 )
 _register(
+    # cross-validated held-out evaluation of the booster — same
+    # contract as the perceptron/tree CVs (md5 fold split, per-fold
+    # induction, integer held-out hit counts vs the train-fold
+    # majority baseline); the oracle replays each fold's ensemble
+    # induction with degenerate-fold fallbacks
+    "quality_boost_cv_documents",
+    lambda spark, sf: qtree.quality_boost_cv_scores(
+        load_table(spark, sf, "documents")
+    ),
+    qtree.quality_boost_cv_oracle_sql("documents"),
+)
+_register(
     # ORACLE-EXACT MODEL SELECTION — the trained-family capstone:
     # train all three families per CV fold on ONE shared feature
     # frame, score each plus the majority baseline held-out in ONE
     # aggregate per fold, pick the winner by total held-out hits
     # (tie → lexicographic). The selection is itself bit-reproducible
     # — and honest: at sf0.001 it picks the majority baseline (tiny
-    # corpus), at sf0.01 the tree (464 vs boost 460 vs majority 453)
+    # corpus), at sf0.01 the tree (464 vs boost 460 vs majority 453).
+    # DELIBERATELY sweep-only (not in _DRIVER_WINDOW): the 9-model
+    # training loop runs ~66s at sf0.01 — half the whole window's
+    # latency budget; its constituent trained scorers ARE in the
+    # window (perceptron, tree) and gate the same algebra
     "quality_model_selection_documents",
     lambda spark, sf: qtree.quality_model_selection(
         load_table(spark, sf, "documents")

@@ -654,10 +654,10 @@ def test_quality_boost_matches_fold_and_beats_majority(spark, sf01):
 
 
 def test_cv_scores_match_independent_folds(spark, sf01):
-    """CV pin for BOTH trained families: the per-fold held-out counts
-    from the distributed CV queries equal a plain python replay (md5
-    fold split, python trainer twins, python scoring) — and the TREE
-    beats the majority baseline on every held-out fold at sf0.01,
+    """CV pin for ALL THREE trained families: the per-fold held-out
+    counts from the distributed CV queries equal a plain python replay
+    (md5 fold split, python trainer twins, python scoring) — and the
+    TREE beats the majority baseline on every held-out fold at sf0.01,
     the honest-metric claim the registry comment makes."""
     from pyspark.sql import functions as F
 
@@ -691,6 +691,10 @@ def test_cv_scores_match_independent_folds(spark, sf01):
         r["fold"]: r.asDict()
         for r in qc.quality_perceptron_cv_scores(docs, k=k).collect()
     }
+    boost_rows = {
+        r["fold"]: r.asDict()
+        for r in qt.quality_boost_cv_scores(docs, k=k).collect()
+    }
     dim = qc.N_BUCKETS + 1
     for f in range(k):
         train = [r for r in rows if r["fold"] != f]
@@ -721,6 +725,18 @@ def test_cv_scores_match_independent_folds(spark, sf01):
         )
         expect_p = dict(expect, correct_cnt=correct)
         assert perc_rows[f] == expect_p, (f, perc_rows[f], expect_p)
+
+        stumps = qt.train_quality_boost_py(train)
+        correct_b = sum(
+            1
+            for r in test
+            if (
+                sum(qt._stump_pred(r, j, t, pol) for j, t, pol in stumps) > 0
+            )
+            == (r["y"] == 1)
+        )
+        expect_b = dict(expect, correct_cnt=correct_b)
+        assert boost_rows[f] == expect_b, (f, boost_rows[f], expect_b)
 
 
 def test_model_selection_matches_cv_totals_and_argmax(spark, sf01):
