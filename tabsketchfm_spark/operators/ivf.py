@@ -21,6 +21,11 @@ Two quantizer variants:
   engines, so this is a rows-only query; recall vs. brute force is
   pinned by a pytest property test instead.
 
+A third variant closes the trained-vs-oracle-exact trade-off:
+operators/kmeans.py fits an integer-quantized Lloyd's whose every
+training step replays bit-exactly in DuckDB (``ivf_kmeans_exact_topk``
+— trained cells AND a hash-checked gate).
+
 Scale shape (the point of IVF at 100 TB): cell assignment is one
 narrow projection per vector against a BROADCAST centroid table (no
 shuffle); the inverted lists are the base table repartitioned/bucketed

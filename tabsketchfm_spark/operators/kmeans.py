@@ -1,0 +1,352 @@
+"""Integer-exact k-means (quantized Lloyd's) and the trained-quantizer
+IVF search it enables — ORACLE-EXACT unsupervised training.
+
+The IVF module (operators/ivf.py) ships two quantizers: a deterministic
+sampled one (oracle-exact, but untrained — cell balance is whatever the
+first n_cells vectors happen to be) and MLlib KMeans (trained, but
+RNG-seeded and iterative, so rows-only). This module closes that gap
+the same way the perceptron/boost trainers closed it for supervised
+learning (operators/classifier.py, tree.py): make every quantity in
+the training loop an exact integer, and the whole fit replays
+bit-for-bit in DuckDB as chained MATERIALIZED CTEs — the
+pagerank/BPE/perceptron replay family extended to clustering.
+
+The trick, step by step (reference parity: the reference clusters
+embeddings with sklearn KMeans in its search-evaluation tooling;
+embedding_search.py's brute-force scan is what IVF accelerates):
+
+1. QUANTIZE: unit vectors (the established bit-exact cosine frame,
+   operators/vector.py `_unit`) → integers ``q[i] = floor(u[i]*S + .5)``
+   with S = 1024. floor(x + 0.5) rounds identically in Spark, DuckDB
+   and python (the round() HALF_UP/HALF_EVEN divergence lesson).
+2. INIT: centroids = the quantized vectors of the k smallest ids. No
+   RNG — deterministic across engines and runs.
+3. ASSIGN: argmin_k ||q − m_k||² with integer centroids m_k. The
+   common q·q term cancels inside the argmin, so the comparable is
+   ``B_k = m_k·m_k − 2·(q·m_k)`` — a plain BIGINT (≤ ~2·10⁸ at S=1024,
+   dim 64), exact even through DuckDB's DOUBLE list_dot_product
+   (integers < 2⁵³ are exact doubles). Ties → smallest cell id.
+4. UPDATE: new ``m_k[i] = floor(s_k[i]/c_k + 1/2)`` computed as the
+   INTEGER floor division ``(2s + c) // (2c)`` — rounding the running
+   mean back onto the integer grid keeps every later round's distances
+   integer too (no rational-arithmetic blowup, no float drift). Python
+   ``//`` floors; DuckDB ``//`` truncates toward zero, so the oracle
+   spells out floor division for negative numerators. Empty cluster →
+   previous centroid.
+5. Repeat a FIXED number of rounds (no convergence check needed for
+   replay determinism).
+
+Scale shape (100 TB): the quantized frame is persisted once; each
+Lloyd round is ONE map-side-combinable aggregate (assignment is a
+per-row expression against k broadcast-small centroids — zero shuffle;
+the update is a groupBy(cell) with dim partial sums). The trained
+centroids then drive the same broadcast-probe IVF search plan as
+operators/ivf.py — candidate generation is an equi-join on cell id,
+never a crossJoin of the lake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tabsketchfm_spark.functions.vector import dot_sql
+from tabsketchfm_spark.operators.vector import _unit, _unit_cte_duckdb
+
+SCALE = 1024
+N_CELLS = 8
+N_ITERS = 4
+DIM = 64
+
+
+def _quantized(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, u, qv): unit vector + its integer quantization."""
+    units = _unit(emb, {"id": F.col(id_col)}, vec_col)
+    return units.select(
+        "id",
+        "u",
+        F.expr(
+            f"transform(u, x -> cast(floor(x * cast({SCALE} as double)"
+            " + cast(0.5 as double)) as bigint))"
+        ).alias("qv"),
+    )
+
+
+def _b_exprs(m: dict[int, list[int]]) -> list[F.Column]:
+    """One BIGINT distance-comparable column per centroid:
+    B_k = m_k·m_k − 2·(qv·m_k), centroids as array literals (HOF dot —
+    interpreted, but the loop runs on a persisted narrow frame and the
+    literal arrays change every round, so unrolled codegen would pay a
+    fresh Janino compile per round for nothing)."""
+    out = []
+    for cid in sorted(m):
+        vec = m[cid]
+        mm = sum(v * v for v in vec)
+        arr = ", ".join(f"cast({v} as bigint)" for v in vec)
+        dot = (
+            f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        out.append(F.expr(f"cast({mm} as bigint) - 2 * ({dot})").alias(f"b{cid}"))
+    return out
+
+
+def _bk_col(k: int) -> F.Column:
+    """argmin over the projected b0..b{k-1} columns, tie → smallest
+    cell id (first match in the when-chain)."""
+    lb = F.least(*[F.col(f"b{c}") for c in range(k)])
+    bk = F.when(F.col("b0") == lb, 0)
+    for c in range(1, k - 1):
+        bk = bk.when(F.col(f"b{c}") == lb, c)
+    # the least() always equals one of the (exact-integer) b columns,
+    # so the tail case is the unconditional fallback
+    return bk.otherwise(k - 1)
+
+
+def _lloyd_centroids(
+    q: DataFrame, k: int, iters: int, dim: int
+) -> dict[int, list[int]]:
+    """The driver-coordinated Lloyd loop over a persisted quantized
+    frame: per round ONE aggregate job (assignment is expression-only
+    against centroid literals; the groupBy(cell) update carries `dim`
+    partial sums). Returns the final integer centroids."""
+    init = {
+        int(r["id"]): [int(v) for v in r["qv"]]
+        for r in q.where(F.col("id") < k).select("id", "qv").collect()
+    }
+    if len(init) != k:
+        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+    m = init
+    for _ in range(iters):
+        proj = q.select("qv", *_b_exprs(m))
+        sums = (
+            proj.select(_bk_col(k).alias("bk"), "qv")
+            .groupBy("bk")
+            .agg(
+                F.count("*").alias("c"),
+                *[
+                    F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = dict(m)  # empty cluster keeps its previous centroid
+        for r in sums:
+            c = int(r["c"])
+            new[int(r["bk"])] = [
+                (2 * int(r[f"s{i}"]) + c) // (2 * c) for i in range(dim)
+            ]
+        m = new
+    return m
+
+
+def kmeans_assign_exact(
+    emb: DataFrame,
+    k: int = N_CELLS,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit integer Lloyd's and return the final (vec_id, cluster)
+    assignment as a LAZY frame (the fit's calibration collects run at
+    build time; the returned plan is a plain expression over the base
+    scan). Bit-exact vs kmeans_assign_exact_oracle_sql."""
+    q = _quantized(emb, id_col, vec_col).persist()
+    try:
+        m = _lloyd_centroids(q, k, iters, dim)
+    finally:
+        q.unpersist()
+    proj = _quantized(emb, id_col, vec_col).select("id", *_b_exprs(m))
+    return proj.select(
+        F.col("id").alias("vec_id"), _bk_col(k).cast("int").alias("cluster")
+    )
+
+
+def _floor_div_sql(num: str, den: str) -> str:
+    """DuckDB floor division for a POSITIVE denominator — ``//``
+    truncates toward zero there, python's floors."""
+    return (
+        f"CASE WHEN ({num}) >= 0 THEN ({num}) // ({den}) "
+        f"ELSE -((-({num}) + ({den}) - 1) // ({den})) END"
+    )
+
+
+def _kmeans_ctes(
+    table: str, k: int, iters: int, dim: int
+) -> tuple[list[str], str]:
+    """The shared oracle scaffolding: CTE list replaying quantize →
+    init → `iters` Lloyd rounds, plus the name of the final centroid
+    CTE. Every state CTE is MATERIALIZED (plain CTEs re-evaluate per
+    reference — the pagerank lesson)."""
+    ctes = [
+        f"un AS ({_unit_cte_duckdb(table)})",
+        "pts AS MATERIALIZED (SELECT vec_id AS id, u, "
+        f"list_transform(u, x -> CAST(floor(x * CAST({SCALE} AS DOUBLE)"
+        " + 0.5) AS BIGINT)) AS qv FROM un)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+        f"c0 AS MATERIALIZED (SELECT id AS cid, qv AS m FROM pts WHERE id < {k})",
+    ]
+    b = (
+        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
+    )
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
+            "SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id "
+            f"ORDER BY {b}, c.cid) AS rn "
+            f"FROM pts p CROSS JOIN c{t - 1} c) z WHERE rn = 1)"
+        )
+        ctes.append(
+            f"s{t} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
+            "CAST(sum(p.qv[d.i]) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS c "
+            f"FROM a{t} a JOIN pts p ON p.id = a.id CROSS JOIN dims d "
+            "GROUP BY a.bk, d.i)"
+        )
+        fd = _floor_div_sql("2 * s + c", "2 * c")
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT prev.cid, coalesce(nm.m, prev.m) AS m "
+            f"FROM c{t - 1} prev LEFT JOIN "
+            f"(SELECT cid, list({fd} ORDER BY i) AS m FROM s{t} GROUP BY cid) nm "
+            "ON nm.cid = prev.cid)"
+        )
+    return ctes, f"c{iters}"
+
+
+def kmeans_assign_exact_oracle_sql(
+    table: str, k: int = N_CELLS, iters: int = N_ITERS, dim: int = DIM
+) -> str:
+    ctes, cfinal = _kmeans_ctes(table, k, iters, dim)
+    b = (
+        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id AS vec_id, CAST(bk AS INTEGER) AS cluster FROM (
+  SELECT p.id, c.cid AS bk, row_number() OVER (PARTITION BY p.id
+         ORDER BY {b}, c.cid) AS rn
+  FROM pts p CROSS JOIN {cfinal} c) z
+WHERE rn = 1
+"""
+    )
+
+
+def _nearest_cells_int(
+    q: DataFrame, cents: DataFrame, n: int
+) -> DataFrame:
+    """(id, u, cell, cell_rank): each point's n nearest trained
+    centroids by the integer comparable B (tie → smallest cell). The
+    centroid frame is k rows — broadcast, window bounded to k rows per
+    point."""
+    b = (
+        "aggregate(zip_with(cm, cm, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, x) -> acc + x)"
+        " - 2 * aggregate(zip_with(qv, cm, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "id", "u", "cell", F.expr(b).alias("_b")
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("_b"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .where(F.col("cell_rank") <= n)
+        .select("id", "u", "cell", "cell_rank")
+    )
+
+
+def ivf_kmeans_exact_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = 3,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search with the TRAINED integer quantizer — the
+    production-shaped variant of operators/ivf.py's ivf_kmeans_topk,
+    now oracle-exact: cell assignment/probing use the integer
+    comparable, the final ranking is exact cosine on unit vectors
+    (left-to-right, bit-identical cross-engine). Same output schema as
+    ivf_topk: (q_id, rank, cand_id, cos)."""
+    qf = _quantized(emb, id_col, vec_col).persist()
+    try:
+        m = _lloyd_centroids(qf, n_cells, iters, dim)
+        cents = qf.sparkSession.createDataFrame(
+            [(cid, m[cid]) for cid in sorted(m)], "cell int, cm array<bigint>"
+        )
+        assigned = _nearest_cells_int(qf, cents, 1).select(
+            F.col("id").alias("cand_id"), F.col("u").alias("cu"), "cell"
+        )
+        probes = _nearest_cells_int(
+            qf.where(F.col("id") < query_ids_max), cents, n_probe
+        ).select(F.col("id").alias("q_id"), F.col("u").alias("qu"), "cell")
+        pairs = assigned.join(F.broadcast(probes), "cell").where(
+            F.col("cand_id") != F.col("q_id")
+        )
+        scored = pairs.select(
+            "q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos")
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "rank", "cand_id", F.round("cos", 6).alias("cos"))
+        )
+    finally:
+        # drops only the cache — the returned lazy plan still computes
+        # through the same lineage
+        qf.unpersist()
+
+
+def ivf_kmeans_exact_topk_oracle_sql(
+    table: str,
+    query_ids_max: int,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = 3,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+) -> str:
+    ctes, cfinal = _kmeans_ctes(table, n_cells, iters, dim)
+    b = (
+        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
+    )
+    ctes.append(
+        "assigned AS MATERIALIZED (SELECT id AS cand_id, u AS cu, cid AS cell FROM ("
+        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {b}, c.cid) AS rn FROM pts p CROSS JOIN {cfinal} c) z "
+        "WHERE rn = 1)"
+    )
+    ctes.append(
+        "probes AS MATERIALIZED (SELECT id AS q_id, u AS qu, cid AS cell FROM ("
+        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {b}, c.cid) AS rn FROM pts p CROSS JOIN {cfinal} c "
+        f"WHERE p.id < {query_ids_max}) z WHERE rn <= {n_probe})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT p.q_id, a.cand_id, list_dot_product(p.qu, a.cu) AS cos
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.cand_id <> p.q_id),
+ranked AS (
+  SELECT q_id, cand_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id)
+              AS INTEGER) AS rank
+  FROM scored)
+SELECT q_id, rank, cand_id, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
+"""
+    )

@@ -1068,7 +1068,36 @@ _register(
     lambda spark, sf: ivf_op.ivf_kmeans_topk(
         load_table(spark, sf, "embeddings"), 10, k=5, n_cells=16, n_probe=4
     ),
-    None,  # KMeans training not SQL-reproducible; recall pinned in tests
+    None,  # MLlib KMeans training not SQL-reproducible; recall pinned in tests
+)
+
+# --- ORACLE-EXACT trained clustering: integer-quantized Lloyd's -------------
+
+from tabsketchfm_spark.operators import kmeans as km_op
+
+_register(
+    # the unsupervised member of the oracle-exact trained families
+    # (perceptron/tree/boost → now k-means): unit vectors quantized to
+    # a 1024 integer grid, deterministic smallest-id init, every Lloyd
+    # round pure integer arithmetic (centroid update = floor-div
+    # half-up mean), so the WHOLE fit replays as chained MATERIALIZED
+    # CTEs in DuckDB — trained clustering with a bit-exact gate
+    "cluster_kmeans_exact_embeddings",
+    lambda spark, sf: km_op.kmeans_assign_exact(
+        load_table(spark, sf, "embeddings")
+    ),
+    km_op.kmeans_assign_exact_oracle_sql("embeddings"),
+)
+_register(
+    # the trained-quantizer IVF the module above unlocks: cell
+    # assignment/probing on the integer comparable, final ranking by
+    # exact cosine — k6_ivf_kmeans_ann's production shape WITH the
+    # bit-exact gate MLlib's RNG denies it
+    "ann_ivf_kmeans_exact_topk",
+    lambda spark, sf: km_op.ivf_kmeans_exact_topk(
+        load_table(spark, sf, "embeddings"), 20, k=5
+    ),
+    km_op.ivf_kmeans_exact_topk_oracle_sql("embeddings", 20, k=5),
 )
 
 # --- north-star: multimodal plumbing + K1 embedding extraction (rows-only) --

@@ -73,21 +73,85 @@ def _topk_sets(df):
     return out
 
 
-@pytest.mark.parametrize("variant", ["deterministic", "kmeans"])
+@pytest.mark.parametrize("variant", ["deterministic", "kmeans", "exact_trained"])
 def test_ivf_recall_vs_brute_force(spark, sf001, variant):
     """IVF probing 1/4 of the cells must still recover most true
     neighbors (recall@5 >= 0.5 overall on the synthetic embeddings —
     cell-local structure keeps true neighbors in probed cells)."""
     from tabsketchfm_spark.operators.ivf import ivf_kmeans_topk, ivf_topk
+    from tabsketchfm_spark.operators.kmeans import ivf_kmeans_exact_topk
     from tabsketchfm_spark.operators.vector import cosine_topk
 
     emb = load_table(spark, sf001, "embeddings")
     truth = _topk_sets(cosine_topk(emb, 10, k=5))
-    fn = ivf_topk if variant == "deterministic" else ivf_kmeans_topk
+    fn = {
+        "deterministic": ivf_topk,
+        "kmeans": ivf_kmeans_topk,
+        "exact_trained": ivf_kmeans_exact_topk,
+    }[variant]
     approx = _topk_sets(fn(emb, 10, k=5, n_cells=16, n_probe=4))
     hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.5, f"IVF({variant}) recall {hits}/{total}"
+
+
+def test_kmeans_exact_matches_python_replay(spark, sf001):
+    """Implementation-pin twin for the integer Lloyd's: a plain python
+    fold (left-to-right float norm — the same order Spark's aggregate
+    and DuckDB's list_dot_product use — then pure-int quantize / init /
+    assign / floor-div update) reproduces the distributed fit's final
+    assignment exactly. Trainer, not oracle: this catches a bug that a
+    mirrored Spark/DuckDB pair would hide."""
+    import math
+
+    from tabsketchfm_spark.operators.kmeans import (
+        N_CELLS,
+        N_ITERS,
+        SCALE,
+        kmeans_assign_exact,
+    )
+
+    emb = load_table(spark, sf001, "embeddings")
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    q = {}
+    for i, v in vecs.items():
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        q[i] = [int(math.floor(x / nrm * 1024.0 + 0.5)) for x in v]
+    assert SCALE == 1024
+    dim = len(next(iter(q.values())))
+
+    m = {c: list(q[c]) for c in range(N_CELLS)}
+
+    def assign(qv):
+        best = None
+        for c in sorted(m):
+            b = sum(x * x for x in m[c]) - 2 * sum(
+                a * b_ for a, b_ in zip(qv, m[c])
+            )
+            if best is None or b < best[0]:
+                best = (b, c)
+        return best[1]
+
+    for _ in range(N_ITERS):
+        sums = {}
+        for i, qv in q.items():
+            c = assign(qv)
+            s, n = sums.setdefault(c, ([0] * dim, [0]))
+            n[0] += 1
+            for j, x in enumerate(qv):
+                s[j] += x
+        for c, (s, n) in sums.items():
+            m[c] = [(2 * sj + n[0]) // (2 * n[0]) for sj in s]
+
+    expect = sorted((i, assign(qv)) for i, qv in q.items())
+    got = sorted(map(tuple, kmeans_assign_exact(emb).collect()))
+    assert got == expect
 
 
 def test_ivf_assign_partitions_every_vector(spark, sf001):
