@@ -309,6 +309,77 @@ def ivf_kmeans_exact_topk(
         qf.unpersist()
 
 
+def semantic_dedup_trained(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    threshold: float = 0.4,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup with the TRAINED quantizer — dedup.semantic_dedup's
+    docstring names this exact upgrade ('swap in kmeans centroids for
+    the production balanced variant') but MLlib's RNG made it
+    rows-only; the integer Lloyd's gives balanced cells AND the
+    bit-exact gate. Near-dup pairs (cos >= threshold) are found ONLY
+    within a trained cell, bounding the quadratic term to the largest
+    cell (Abbas et al. 2023's premise: trained cells are what keep
+    that bound tight). Output: (cell, id_a, id_b, cos)."""
+    qf = _quantized(emb, id_col, vec_col).persist()
+    try:
+        m = _lloyd_centroids(qf, n_cells, iters, dim)
+    finally:
+        qf.unpersist()
+    cents = emb.sparkSession.createDataFrame(
+        [(cid, m[cid]) for cid in sorted(m)], "cell int, cm array<bigint>"
+    )
+    # consumed by both sides of the cell self-join — keep cached
+    assigned = (
+        _nearest_cells_int(_quantized(emb, id_col, vec_col), cents, 1)
+        .select("id", "u", "cell")
+        .persist()
+    )
+    a = assigned.select("cell", F.col("id").alias("id_a"), F.col("u").alias("ua"))
+    b = assigned.select("cell", F.col("id").alias("id_b"), F.col("u").alias("ub"))
+    pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("cell", "id_a", "id_b", F.expr(dot_sql("ua", "ub")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("cell", "id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def semantic_dedup_trained_oracle_sql(
+    table: str,
+    n_cells: int = N_CELLS,
+    threshold: float = 0.4,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+) -> str:
+    ctes, cfinal = _kmeans_ctes(table, n_cells, iters, dim)
+    b = (
+        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
+    )
+    ctes.append(
+        "assigned AS MATERIALIZED (SELECT id, u, cid AS cell FROM ("
+        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {b}, c.cid) AS rn FROM pts p CROSS JOIN {cfinal} c) z "
+        "WHERE rn = 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(a.cell AS INTEGER) AS cell, a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.u, b.u), 6) AS cos
+FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
+WHERE list_dot_product(a.u, b.u) >= {threshold}
+"""
+    )
+
+
 def ivf_kmeans_exact_topk_oracle_sql(
     table: str,
     query_ids_max: int,

@@ -1099,6 +1099,18 @@ _register(
     ),
     km_op.ivf_kmeans_exact_topk_oracle_sql("embeddings", 20, k=5),
 )
+_register(
+    # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
+    # docstring names but MLlib's RNG kept rows-only; the pair join is
+    # bounded to a balanced trained cell and still hash-checked
+    # (threshold 0.4: the synthetic embeddings' near-orthogonality
+    # makes >= 0.85 vacuously empty — round-3 lesson)
+    "dedup_semantic_trained_embeddings",
+    lambda spark, sf: km_op.semantic_dedup_trained(
+        load_table(spark, sf, "embeddings")
+    ),
+    km_op.semantic_dedup_trained_oracle_sql("embeddings"),
+)
 
 # --- north-star: multimodal plumbing + K1 embedding extraction (rows-only) --
 
