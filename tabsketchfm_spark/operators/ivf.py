@@ -67,6 +67,27 @@ def _nearest_cells(units: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _search_tail(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """The IVF-Flat search tail shared by every quantizer variant
+    (sampled, MLlib-trained, integer-exact-trained — a self-pair or
+    tie-break change must land in all three at once): equi-join
+    candidates to the broadcast probe list on cell id, drop
+    self-pairs, rank by exact cosine. assigned: (cand_id, cu, cell);
+    probes: (q_id, qu, cell)."""
+    pairs = assigned.join(F.broadcast(probes), "cell").where(
+        F.col("cand_id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
@@ -103,16 +124,7 @@ def ivf_topk(
         units.where(F.col("id") < query_ids_max), cents, n_probe
     ).select(F.col("id").alias("q_id"), F.col("u").alias("qu"), "cell")
     # tiny probe list broadcasts; inverted lists stream through the join
-    pairs = assigned.join(F.broadcast(probes), "cell").where(
-        F.col("cand_id") != F.col("q_id")
-    )
-    scored = pairs.select("q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "rank", "cand_id", F.round("cos", 6).alias("cos"))
-    )
+    return _search_tail(assigned, probes, k)
 
 
 def ivf_topk_oracle_sql(
@@ -191,13 +203,4 @@ def ivf_kmeans_topk(
     probes = _nearest_cells(
         units.where(F.col("id") < query_ids_max), cents, n_probe
     ).select(F.col("id").alias("q_id"), F.col("u").alias("qu"), "cell")
-    pairs = assigned.join(F.broadcast(probes), "cell").where(
-        F.col("cand_id") != F.col("q_id")
-    )
-    scored = pairs.select("q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos"))
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "rank", "cand_id", F.round("cos", 6).alias("cos"))
-    )
+    return _search_tail(assigned, probes, k)

@@ -50,6 +50,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from tabsketchfm_spark.functions.vector import dot_sql
+from tabsketchfm_spark.operators.ivf import _search_tail
 from tabsketchfm_spark.operators.vector import _unit, _unit_cte_duckdb
 
 SCALE = 1024
@@ -111,6 +112,8 @@ def _lloyd_centroids(
     frame: per round ONE aggregate job (assignment is expression-only
     against centroid literals; the groupBy(cell) update carries `dim`
     partial sums). Returns the final integer centroids."""
+    if k < 2:
+        raise ValueError("k-means needs at least 2 cells")
     init = {
         int(r["id"]): [int(v) for v in r["qv"]]
         for r in q.where(F.col("id") < k).select("id", "qv").collect()
@@ -142,6 +145,50 @@ def _lloyd_centroids(
     return m
 
 
+# fitted centroids keyed on the INPUT PLAN's semantic hash + all fit
+# params: three registered queries share one identical fit, and every
+# registry build pass (plan guard, parity sweep, bench) would otherwise
+# re-train in triplicate. Plan-keyed, NOT content-keyed — mutating the
+# file behind an already-fitted path serves stale centroids (the
+# checkpoint-memo lesson); testdata parquet is immutable per session,
+# and clear_fit_memo() resets after any rewrite.
+_FIT_MEMO: dict[tuple, dict[int, list[int]]] = {}
+
+
+def clear_fit_memo() -> None:
+    _FIT_MEMO.clear()
+
+
+def _fit(
+    emb: DataFrame, k: int, iters: int, dim: int, id_col: str, vec_col: str
+) -> dict[int, list[int]]:
+    """Quantize + persist + Lloyd + release, memoized."""
+    key = (emb._jdf.semanticHash(), id_col, vec_col, k, iters, dim, SCALE)
+    hit = _FIT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    q = _quantized(emb, id_col, vec_col).persist()
+    try:
+        m = _lloyd_centroids(q, k, iters, dim)
+    finally:
+        q.unpersist()
+    _FIT_MEMO[key] = m
+    return m
+
+
+def _assigned_cols(emb, m, id_col, vec_col):
+    """(id, u, cell): expression-only assignment against the FITTED
+    centroid literals — no window, no crossJoin, no cache; recomputing
+    it per join side is one narrow projection over the base scan (the
+    right shape at lake scale too)."""
+    k = len(m)
+    return (
+        _quantized(emb, id_col, vec_col)
+        .select("id", "u", *_b_exprs(m))
+        .select("id", "u", _bk_col(k).cast("int").alias("cell"))
+    )
+
+
 def kmeans_assign_exact(
     emb: DataFrame,
     k: int = N_CELLS,
@@ -154,14 +201,9 @@ def kmeans_assign_exact(
     assignment as a LAZY frame (the fit's calibration collects run at
     build time; the returned plan is a plain expression over the base
     scan). Bit-exact vs kmeans_assign_exact_oracle_sql."""
-    q = _quantized(emb, id_col, vec_col).persist()
-    try:
-        m = _lloyd_centroids(q, k, iters, dim)
-    finally:
-        q.unpersist()
-    proj = _quantized(emb, id_col, vec_col).select("id", *_b_exprs(m))
-    return proj.select(
-        F.col("id").alias("vec_id"), _bk_col(k).cast("int").alias("cluster")
+    m = _fit(emb, k, iters, dim, id_col, vec_col)
+    return _assigned_cols(emb, m, id_col, vec_col).select(
+        F.col("id").alias("vec_id"), F.col("cell").alias("cluster")
     )
 
 
@@ -171,6 +213,27 @@ def _floor_div_sql(num: str, den: str) -> str:
     return (
         f"CASE WHEN ({num}) >= 0 THEN ({num}) // ({den}) "
         f"ELSE -((-({num}) + ({den}) - 1) // ({den})) END"
+    )
+
+
+# the DuckDB distance comparable — ONE source of truth for the replay
+# rounds and every final-assignment/probe consumer (a drift between
+# copies would silently break the bit-exact contract). Integer-valued
+# doubles < 2^53, so DOUBLE list_dot_product is exact.
+_B_SQL = (
+    "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+    " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
+)
+
+
+def _ranked_cells_sql(cents_cte: str, where: str = "") -> str:
+    """The shared (id, u, cid, rn) cell-ranking subquery: every point
+    × the k centroids of ``cents_cte``, ranked by B, tie → smallest
+    cell id."""
+    return (
+        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {_B_SQL}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN {cents_cte} c{where}"
     )
 
 
@@ -189,16 +252,10 @@ def _kmeans_ctes(
         f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
         f"c0 AS MATERIALIZED (SELECT id AS cid, qv AS m FROM pts WHERE id < {k})",
     ]
-    b = (
-        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
-    )
     for t in range(1, iters + 1):
         ctes.append(
             f"a{t} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
-            "SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id "
-            f"ORDER BY {b}, c.cid) AS rn "
-            f"FROM pts p CROSS JOIN c{t - 1} c) z WHERE rn = 1)"
+            f"{_ranked_cells_sql(f'c{t - 1}')}) z WHERE rn = 1)"
         )
         ctes.append(
             f"s{t} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
@@ -221,20 +278,24 @@ def kmeans_assign_exact_oracle_sql(
     table: str, k: int = N_CELLS, iters: int = N_ITERS, dim: int = DIM
 ) -> str:
     ctes, cfinal = _kmeans_ctes(table, k, iters, dim)
-    b = (
-        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
-    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT id AS vec_id, CAST(bk AS INTEGER) AS cluster FROM (
-  SELECT p.id, c.cid AS bk, row_number() OVER (PARTITION BY p.id
-         ORDER BY {b}, c.cid) AS rn
-  FROM pts p CROSS JOIN {cfinal} c) z
+SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
+FROM ({_ranked_cells_sql(cfinal)}) z
 WHERE rn = 1
 """
+    )
+
+
+def _cents_frame(spark, m: dict[int, list[int]]) -> DataFrame:
+    """The fitted centroids as a broadcastable k-row frame, with the
+    self-dot mm precomputed once per centroid (recomputing it per
+    (point, centroid) pair would double the interpreted HOF work)."""
+    return spark.createDataFrame(
+        [(cid, m[cid], sum(v * v for v in m[cid])) for cid in sorted(m)],
+        "cell int, cm array<bigint>, mm bigint",
     )
 
 
@@ -246,9 +307,7 @@ def _nearest_cells_int(
     centroid frame is k rows — broadcast, window bounded to k rows per
     point."""
     b = (
-        "aggregate(zip_with(cm, cm, (x, y) -> x * y), cast(0 as bigint),"
-        " (acc, x) -> acc + x)"
-        " - 2 * aggregate(zip_with(qv, cm, (x, y) -> x * y),"
+        "mm - 2 * aggregate(zip_with(qv, cm, (x, y) -> x * y),"
         " cast(0 as bigint), (acc, x) -> acc + x)"
     )
     scored = q.crossJoin(F.broadcast(cents)).select(
@@ -279,34 +338,18 @@ def ivf_kmeans_exact_topk(
     comparable, the final ranking is exact cosine on unit vectors
     (left-to-right, bit-identical cross-engine). Same output schema as
     ivf_topk: (q_id, rank, cand_id, cos)."""
-    qf = _quantized(emb, id_col, vec_col).persist()
-    try:
-        m = _lloyd_centroids(qf, n_cells, iters, dim)
-        cents = qf.sparkSession.createDataFrame(
-            [(cid, m[cid]) for cid in sorted(m)], "cell int, cm array<bigint>"
-        )
-        assigned = _nearest_cells_int(qf, cents, 1).select(
-            F.col("id").alias("cand_id"), F.col("u").alias("cu"), "cell"
-        )
-        probes = _nearest_cells_int(
-            qf.where(F.col("id") < query_ids_max), cents, n_probe
-        ).select(F.col("id").alias("q_id"), F.col("u").alias("qu"), "cell")
-        pairs = assigned.join(F.broadcast(probes), "cell").where(
-            F.col("cand_id") != F.col("q_id")
-        )
-        scored = pairs.select(
-            "q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos")
-        )
-        w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("q_id", "rank", "cand_id", F.round("cos", 6).alias("cos"))
-        )
-    finally:
-        # drops only the cache — the returned lazy plan still computes
-        # through the same lineage
-        qf.unpersist()
+    m = _fit(emb, n_cells, iters, dim, id_col, vec_col)
+    # candidates: expression-only assignment (rank-1 == argmin);
+    # probes: rank <= n_probe needs the bounded k-rows-per-id window
+    assigned = _assigned_cols(emb, m, id_col, vec_col).select(
+        F.col("id").alias("cand_id"), F.col("u").alias("cu"), "cell"
+    )
+    probes = _nearest_cells_int(
+        _quantized(emb, id_col, vec_col).where(F.col("id") < query_ids_max),
+        _cents_frame(emb.sparkSession, m),
+        n_probe,
+    ).select(F.col("id").alias("q_id"), F.col("u").alias("qu"), "cell")
+    return _search_tail(assigned, probes, k)
 
 
 def semantic_dedup_trained(
@@ -326,20 +369,10 @@ def semantic_dedup_trained(
     within a trained cell, bounding the quadratic term to the largest
     cell (Abbas et al. 2023's premise: trained cells are what keep
     that bound tight). Output: (cell, id_a, id_b, cos)."""
-    qf = _quantized(emb, id_col, vec_col).persist()
-    try:
-        m = _lloyd_centroids(qf, n_cells, iters, dim)
-    finally:
-        qf.unpersist()
-    cents = emb.sparkSession.createDataFrame(
-        [(cid, m[cid]) for cid in sorted(m)], "cell int, cm array<bigint>"
-    )
-    # consumed by both sides of the cell self-join — keep cached
-    assigned = (
-        _nearest_cells_int(_quantized(emb, id_col, vec_col), cents, 1)
-        .select("id", "u", "cell")
-        .persist()
-    )
+    m = _fit(emb, n_cells, iters, dim, id_col, vec_col)
+    # expression-only assignment: each self-join side recomputes one
+    # narrow projection over the base scan — no persist, no window
+    assigned = _assigned_cols(emb, m, id_col, vec_col)
     a = assigned.select("cell", F.col("id").alias("id_a"), F.col("u").alias("ua"))
     b = assigned.select("cell", F.col("id").alias("id_b"), F.col("u").alias("ub"))
     pairs = a.join(b, "cell").where(F.col("id_a") < F.col("id_b"))
@@ -358,15 +391,9 @@ def semantic_dedup_trained_oracle_sql(
     dim: int = DIM,
 ) -> str:
     ctes, cfinal = _kmeans_ctes(table, n_cells, iters, dim)
-    b = (
-        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
-    )
     ctes.append(
         "assigned AS MATERIALIZED (SELECT id, u, cid AS cell FROM ("
-        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
-        f"ORDER BY {b}, c.cid) AS rn FROM pts p CROSS JOIN {cfinal} c) z "
-        "WHERE rn = 1)"
+        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
     )
     return (
         "WITH "
@@ -390,21 +417,14 @@ def ivf_kmeans_exact_topk_oracle_sql(
     dim: int = DIM,
 ) -> str:
     ctes, cfinal = _kmeans_ctes(table, n_cells, iters, dim)
-    b = (
-        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
-    )
     ctes.append(
         "assigned AS MATERIALIZED (SELECT id AS cand_id, u AS cu, cid AS cell FROM ("
-        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
-        f"ORDER BY {b}, c.cid) AS rn FROM pts p CROSS JOIN {cfinal} c) z "
-        "WHERE rn = 1)"
+        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
     )
     ctes.append(
         "probes AS MATERIALIZED (SELECT id AS q_id, u AS qu, cid AS cell FROM ("
-        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
-        f"ORDER BY {b}, c.cid) AS rn FROM pts p CROSS JOIN {cfinal} c "
-        f"WHERE p.id < {query_ids_max}) z WHERE rn <= {n_probe})"
+        f"{_ranked_cells_sql(cfinal, f' WHERE p.id < {query_ids_max}')}) z "
+        f"WHERE rn <= {n_probe})"
     )
     return (
         "WITH "

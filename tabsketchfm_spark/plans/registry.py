@@ -1092,7 +1092,8 @@ _register(
     # the trained-quantizer IVF the module above unlocks: cell
     # assignment/probing on the integer comparable, final ranking by
     # exact cosine — k6_ivf_kmeans_ann's production shape WITH the
-    # bit-exact gate MLlib's RNG denies it
+    # bit-exact gate MLlib's RNG denies it. Sweep-only: the family's
+    # window row is cluster_kmeans_exact_embeddings (shared fit)
     "ann_ivf_kmeans_exact_topk",
     lambda spark, sf: km_op.ivf_kmeans_exact_topk(
         load_table(spark, sf, "embeddings"), 20, k=5
@@ -1104,7 +1105,8 @@ _register(
     # docstring names but MLlib's RNG kept rows-only; the pair join is
     # bounded to a balanced trained cell and still hash-checked
     # (threshold 0.4: the synthetic embeddings' near-orthogonality
-    # makes >= 0.85 vacuously empty — round-3 lesson)
+    # makes >= 0.85 vacuously empty — round-3 lesson). Sweep-only:
+    # the family's window row is cluster_kmeans_exact_embeddings
     "dedup_semantic_trained_embeddings",
     lambda spark, sf: km_op.semantic_dedup_trained(
         load_table(spark, sf, "embeddings")
@@ -2146,7 +2148,7 @@ _DRIVER_WINDOW = [
     "dedup_winnow_pairs_documents",
     "sk_merge_oph_lineitem",
     "sk3_snapshot_lineitem",
-    "sk4_hashing_vector_part",
+    "cluster_kmeans_exact_embeddings",
     "sk6_table_hash_lineitem",
     "sk7_setsim_o_custkey_c_custkey",
     "k3_all_pairs_joinability",
