@@ -690,6 +690,25 @@ _register(
     _stream_dedup_incremental,
     dedup.dedup_incremental_lsh_oracle_sql("documents", "{id} % 7 = 0"),
 )
+def _stream_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    return ps2.streaming_kmeans_assign(spark, sf)
+
+
+from tabsketchfm_spark.operators.kmeans import kmeans_assign_exact_oracle_sql
+
+_register(
+    # streaming serve-time assignment on the trained integer
+    # quantizer: per-vector assignments are immutable facts (append
+    # form), so the union of per-batch outputs == the batch operator
+    # over the full feed, and the batch kmeans replay gates the
+    # stream bit-exactly. The fit is memoized — shared in-session
+    # with cluster_kmeans_exact_embeddings
+    "stream_kmeans_assign_embeddings",
+    _stream_kmeans_assign,
+    kmeans_assign_exact_oracle_sql("embeddings"),
+)
 _register(
     # default components are STAR CONTRACTION since round 7 (measured:
     # wins shallow AND deep standalone, within noise in-pipeline —

@@ -635,6 +635,66 @@ oks AS (SELECT *, {okcols} FROM pu)
 # --- streaming delta-vs-corpus dedup ----------------------------------------
 
 
+def streaming_kmeans_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """Streaming serve-time cluster assignment on the TRAINED integer
+    quantizer (operators/kmeans.py): the fit runs ONCE on the static
+    corpus (the index-build step — memoized, so it is shared with the
+    batch query in-session), then arriving embedding batches are
+    assigned with the expression-only batch algebra. An assignment is
+    an immutable per-vector fact, so per-batch outputs APPEND and
+    their union over the full feed is bit-equal to the batch operator
+    — kmeans_assign_exact's DuckDB replay gates the stream exactly
+    (the append-form contract, vs complete-mode last-batch-wins state
+    ops). Output: (vec_id, cluster)."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import kmeans as km
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = km._fit(emb, km.N_CELLS, km.N_ITERS, km.DIM, "vec_id", "embedding")
+
+    feed_dir = tempfile.mkdtemp(prefix="tsfm_kmeans_feed_")
+    try:
+        emb.repartitionByRange(n_batches, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(feed_dir)
+        feed = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+
+        holder: dict[str, object] = {"rows": []}
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            out = km._assigned_cols(batch_df, m, "vec_id", "embedding").select(
+                F.col("id").alias("vec_id"), F.col("cell").alias("cluster")
+            )
+            holder["schema"] = out.schema
+            holder["rows"].extend(out.collect())
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if "schema" not in holder:  # zero-batch run (empty feed)
+            sink(spark.createDataFrame([], emb.schema), -1)
+        return spark.createDataFrame(holder["rows"], holder["schema"])
+    finally:
+        # rows are collected — the returned local frame never reads
+        # the feed dir
+        shutil.rmtree(feed_dir, ignore_errors=True)
+
+
 def streaming_dedup_incremental(
     spark: SparkSession,
     sf_dir: str,
