@@ -122,27 +122,34 @@ def _lloyd_centroids(
         raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
     m = init
     for _ in range(iters):
-        proj = q.select("qv", *_b_exprs(m))
-        sums = (
-            proj.select(_bk_col(k).alias("bk"), "qv")
-            .groupBy("bk")
-            .agg(
-                F.count("*").alias("c"),
-                *[
-                    F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
         new = dict(m)  # empty cluster keeps its previous centroid
-        for r in sums:
-            c = int(r["c"])
-            new[int(r["bk"])] = [
-                (2 * int(r[f"s{i}"]) + c) // (2 * c) for i in range(dim)
-            ]
+        for cid, (s, c) in cell_aggregate(q, m, dim).items():
+            new[cid] = [(2 * sj + c) // (2 * c) for sj in s]
         m = new
     return m
+
+
+def cell_aggregate(
+    q: DataFrame, m: dict[int, list[int]], dim: int
+) -> dict[int, tuple[list[int], int]]:
+    """ONE aggregate job: assign every row of ``q`` to its nearest
+    centroid (expression-only) and return {cid: (sum_vec, count)} —
+    the shared per-pass algebra of the full Lloyd loop and the
+    streaming mini-batch update."""
+    rows = (
+        q.select("qv", *_b_exprs(m))
+        .select(_bk_col(len(m)).alias("bk"), "qv")
+        .groupBy("bk")
+        .agg(
+            F.count("*").alias("c"),
+            *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        .collect()
+    )
+    return {
+        int(r["bk"]): ([int(r[f"s{i}"]) for i in range(dim)], int(r["c"]))
+        for r in rows
+    }
 
 
 # fitted centroids keyed on the INPUT PLAN's semantic hash + all fit
@@ -405,6 +412,118 @@ FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
 WHERE list_dot_product(a.u, b.u) >= {threshold}
 """
     )
+
+
+# --- streaming mini-batch Lloyd's (sequential k-means) ----------------------
+#
+# The stateful-streaming LEARNING member of the oracle-exact trained
+# families: centroids evolve across ordered micro-batches with
+# CUMULATIVE integer state (s_k, c_k), m_k = floor-div half-up mean
+# after every batch. Batches are ARITHMETIC id buckets
+# (floor(id / W), W = floor(max_id / n) + 1 — the round-3 bucketing
+# lesson: closed-form membership, no sampling job), so DuckDB replays
+# the exact batch sequence as chained CTEs. The k seed vectors enter
+# the state once at init (c=1 prior) and again as batch-0
+# observations — a documented warm-start convention, identical in
+# both engines.
+
+
+def minibatch_seed_state(
+    q: DataFrame, k: int
+) -> dict[int, tuple[list[int], int]]:
+    """{cid: (s_vec, c)} seeded from the k smallest ids (c=1, s=qv:
+    floor-div of (2s+1, 2) gives back s exactly, so the seed centroid
+    IS the seed vector)."""
+    if k < 2:
+        raise ValueError("k-means needs at least 2 cells")
+    init = {
+        int(r["id"]): ([int(v) for v in r["qv"]], 1)
+        for r in q.where(F.col("id") < k).select("id", "qv").collect()
+    }
+    if len(init) != k:
+        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+    return init
+
+
+def state_centroids(
+    state: dict[int, tuple[list[int], int]],
+) -> dict[int, list[int]]:
+    return {
+        cid: [(2 * sj + c) // (2 * c) for sj in s]
+        for cid, (s, c) in state.items()
+    }
+
+
+def minibatch_update(
+    state: dict[int, tuple[list[int], int]],
+    cell_sums: dict[int, tuple[list[int], int]],
+) -> dict[int, tuple[list[int], int]]:
+    """Fold one micro-batch's per-cell (sum_vec, count) into the
+    cumulative state."""
+    out = {}
+    for cid, (s, c) in state.items():
+        bs, bc = cell_sums.get(cid, ([0] * len(s), 0))
+        out[cid] = ([sj + bj for sj, bj in zip(s, bs)], c + bc)
+    return out
+
+
+def streaming_minibatch_oracle_sql(
+    table: str,
+    n_batches: int = 3,
+    k: int = N_CELLS,
+    dim: int = DIM,
+) -> str:
+    """Chained-CTE replay of the whole ordered mini-batch run: per
+    batch an assignment (against the PREVIOUS state's centroids), a
+    per-cell aggregate, and a cumulative state update. Output: one row
+    per (batch, cell) — (batch, cell, n_batch, n_cum)."""
+    fd = _floor_div_sql("2 * s + c", "2 * c")
+    ctes = [
+        f"un AS ({_unit_cte_duckdb(table)})",
+        "pts AS MATERIALIZED (SELECT vec_id AS id, u, "
+        f"list_transform(u, x -> CAST(floor(x * CAST({SCALE} AS DOUBLE)"
+        " + 0.5) AS BIGINT)) AS qv FROM un)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+        # arithmetic bucket width from the data — closed-form batches
+        f"w AS (SELECT (max(id) // {n_batches}) + 1 AS w FROM pts)",
+        # state 0: per-(cid, i) sums with c = 1
+        "sts0 AS MATERIALIZED (SELECT p.id AS cid, d.i, p.qv[d.i] AS s, "
+        f"CAST(1 AS BIGINT) AS c FROM pts p CROSS JOIN dims d WHERE p.id < {k})",
+        f"m0 AS MATERIALIZED (SELECT cid, list({fd} ORDER BY i) AS m "
+        "FROM sts0 GROUP BY cid)",
+    ]
+    for b in range(n_batches):
+        ctes.append(
+            f"a{b} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
+            f"{_ranked_cells_sql(f'm{b}', f' WHERE p.id // (SELECT w FROM w) = {b}')}"
+            ") z WHERE rn = 1)"
+        )
+        ctes.append(
+            f"bs{b} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
+            "CAST(sum(p.qv[d.i]) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS c "
+            f"FROM a{b} a JOIN pts p ON p.id = a.id CROSS JOIN dims d "
+            "GROUP BY a.bk, d.i)"
+        )
+        ctes.append(
+            f"sts{b + 1} AS MATERIALIZED (SELECT prev.cid, prev.i, "
+            "prev.s + coalesce(nb.s, 0) AS s, prev.c + coalesce(nb.c, 0) AS c "
+            f"FROM sts{b} prev LEFT JOIN bs{b} nb "
+            "ON nb.cid = prev.cid AND nb.i = prev.i)"
+        )
+        ctes.append(
+            f"m{b + 1} AS MATERIALIZED (SELECT cid, list({fd} ORDER BY i) AS m "
+            f"FROM sts{b + 1} GROUP BY cid)"
+        )
+    emits = [
+        f"SELECT CAST({b} AS BIGINT) AS batch, CAST(st.cid AS INTEGER) AS cell, "
+        "CAST(coalesce(nb.c, 0) AS BIGINT) AS n_batch, "
+        "CAST(st.c AS BIGINT) AS n_cum "
+        f"FROM (SELECT DISTINCT cid, c FROM sts{b + 1}) st "
+        f"LEFT JOIN (SELECT DISTINCT cid, c FROM bs{b}) nb ON nb.cid = st.cid"
+        for b in range(n_batches)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(emits)
 
 
 def ivf_kmeans_exact_topk_oracle_sql(

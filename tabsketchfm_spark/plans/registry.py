@@ -709,6 +709,27 @@ _register(
     _stream_kmeans_assign,
     kmeans_assign_exact_oracle_sql("embeddings"),
 )
+
+
+def _stream_kmeans_minibatch(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    return ps2.streaming_kmeans_minibatch(spark, sf)
+
+
+from tabsketchfm_spark.operators.kmeans import streaming_minibatch_oracle_sql
+
+_register(
+    # stateful streaming LEARNING: sequential mini-batch k-means —
+    # centroids evolve across ORDERED micro-batches with cumulative
+    # integer state; arithmetic id buckets give closed-form batch
+    # membership, so the DuckDB twin replays the exact batch sequence
+    # (an order-SENSITIVE stream with a bit-exact gate, unlike the
+    # append-form assignment twin above)
+    "stream_kmeans_minibatch_embeddings",
+    _stream_kmeans_minibatch,
+    streaming_minibatch_oracle_sql("embeddings"),
+)
 _register(
     # default components are STAR CONTRACTION since round 7 (measured:
     # wins shallow AND deep standalone, within noise in-pipeline —

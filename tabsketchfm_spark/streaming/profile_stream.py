@@ -695,6 +695,97 @@ def streaming_kmeans_assign(
         shutil.rmtree(feed_dir, ignore_errors=True)
 
 
+def streaming_kmeans_minibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+) -> DataFrame:
+    """Stateful streaming LEARNING: sequential (mini-batch) k-means —
+    centroids evolve across ORDERED micro-batches with cumulative
+    integer state (s_k, c_k), every batch one assignment-aggregate
+    against the previous state's centroids, then m_k = floor-div
+    half-up mean. Because batches are ARITHMETIC id buckets
+    (floor(id/W), W = max_id//n + 1 — closed-form membership) and
+    every update is integer, kmeans.streaming_minibatch_oracle_sql
+    replays the exact batch sequence in DuckDB — an order-SENSITIVE
+    stateful stream with a bit-exact gate (contrast the append-form
+    assignment twin, where order cancels).
+
+    Harness plumbing: each bucket is written as one parquet file with
+    ASCENDING mtimes, so the file-source's (timestamp, path) ordering
+    delivers batch b at trigger b deterministically under
+    maxFilesPerTrigger=1 + availableNow. Output: one row per
+    (batch, cell) — (batch, cell, n_batch, n_cum)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from tabsketchfm_spark.operators import kmeans as km
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = km.minibatch_seed_state(
+        km._quantized(emb, "vec_id", "embedding"), km.N_CELLS
+    )
+    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+    width = max_id // n_batches + 1
+
+    feed_dir = tempfile.mkdtemp(prefix="tsfm_kmb_feed_")
+    stage_dir = tempfile.mkdtemp(prefix="tsfm_kmb_stage_")
+    try:
+        t0 = time.time()
+        for b in range(n_batches):
+            part = f"{stage_dir}/b{b}"
+            emb.where(F.floor(F.col("vec_id") / width) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(part)
+            (src,) = glob.glob(f"{part}/part-*.parquet")
+            dst = f"{feed_dir}/{b:05d}.parquet"
+            shutil.move(src, dst)
+            os.utime(dst, (t0 + b, t0 + b))
+        feed = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+
+        rows: list[tuple] = []
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            nonlocal state
+            sums = km.cell_aggregate(
+                km._quantized(batch_df, "vec_id", "embedding"),
+                km.state_centroids(state),
+                km.DIM,
+            )
+            state = km.minibatch_update(state, sums)
+            rows.extend(
+                (
+                    int(batch_id),
+                    cid,
+                    sums.get(cid, ([], 0))[1],
+                    state[cid][1],
+                )
+                for cid in sorted(state)
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(
+            rows, "batch bigint, cell int, n_batch bigint, n_cum bigint"
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
 def streaming_dedup_incremental(
     spark: SparkSession,
     sf_dir: str,
