@@ -57,6 +57,9 @@ SCALE = 1024
 N_CELLS = 8
 N_ITERS = 4
 DIM = 64
+# micro-batch count shared by the streaming mini-batch operator and
+# its oracle — a lone default on either side desyncs the pairing
+N_BATCHES = 3
 
 
 def _quantized(
@@ -112,6 +115,18 @@ def _lloyd_centroids(
     frame: per round ONE aggregate job (assignment is expression-only
     against centroid literals; the groupBy(cell) update carries `dim`
     partial sums). Returns the final integer centroids."""
+    m = _seed_vectors(q, k)
+    for _ in range(iters):
+        new = dict(m)  # empty cluster keeps its previous centroid
+        for cid, (s, c) in cell_aggregate(q, m, dim).items():
+            new[cid] = [(2 * sj + c) // (2 * c) for sj in s]
+        m = new
+    return m
+
+
+def _seed_vectors(q: DataFrame, k: int) -> dict[int, list[int]]:
+    """The ONE deterministic-init contract (batch fit AND streaming
+    seed): the quantized vectors of the k smallest ids."""
     if k < 2:
         raise ValueError("k-means needs at least 2 cells")
     init = {
@@ -120,13 +135,7 @@ def _lloyd_centroids(
     }
     if len(init) != k:
         raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
-    m = init
-    for _ in range(iters):
-        new = dict(m)  # empty cluster keeps its previous centroid
-        for cid, (s, c) in cell_aggregate(q, m, dim).items():
-            new[cid] = [(2 * sj + c) // (2 * c) for sj in s]
-        m = new
-    return m
+    return init
 
 
 def cell_aggregate(
@@ -244,6 +253,19 @@ def _ranked_cells_sql(cents_cte: str, where: str = "") -> str:
     )
 
 
+def _base_ctes(table: str, dim: int) -> list[str]:
+    """The shared un/pts/dims prefix — ONE copy of the quantization
+    SQL (a drift between the batch and streaming oracles would
+    silently break the bit-exact contract)."""
+    return [
+        f"un AS ({_unit_cte_duckdb(table)})",
+        "pts AS MATERIALIZED (SELECT vec_id AS id, u, "
+        f"list_transform(u, x -> CAST(floor(x * CAST({SCALE} AS DOUBLE)"
+        " + 0.5) AS BIGINT)) AS qv FROM un)",
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+    ]
+
+
 def _kmeans_ctes(
     table: str, k: int, iters: int, dim: int
 ) -> tuple[list[str], str]:
@@ -251,12 +273,7 @@ def _kmeans_ctes(
     init → `iters` Lloyd rounds, plus the name of the final centroid
     CTE. Every state CTE is MATERIALIZED (plain CTEs re-evaluate per
     reference — the pagerank lesson)."""
-    ctes = [
-        f"un AS ({_unit_cte_duckdb(table)})",
-        "pts AS MATERIALIZED (SELECT vec_id AS id, u, "
-        f"list_transform(u, x -> CAST(floor(x * CAST({SCALE} AS DOUBLE)"
-        " + 0.5) AS BIGINT)) AS qv FROM un)",
-        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+    ctes = _base_ctes(table, dim) + [
         f"c0 AS MATERIALIZED (SELECT id AS cid, qv AS m FROM pts WHERE id < {k})",
     ]
     for t in range(1, iters + 1):
@@ -431,18 +448,10 @@ WHERE list_dot_product(a.u, b.u) >= {threshold}
 def minibatch_seed_state(
     q: DataFrame, k: int
 ) -> dict[int, tuple[list[int], int]]:
-    """{cid: (s_vec, c)} seeded from the k smallest ids (c=1, s=qv:
+    """{cid: (s_vec, c)} from the shared seed contract (c=1, s=qv:
     floor-div of (2s+1, 2) gives back s exactly, so the seed centroid
     IS the seed vector)."""
-    if k < 2:
-        raise ValueError("k-means needs at least 2 cells")
-    init = {
-        int(r["id"]): ([int(v) for v in r["qv"]], 1)
-        for r in q.where(F.col("id") < k).select("id", "qv").collect()
-    }
-    if len(init) != k:
-        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
-    return init
+    return {cid: (vec, 1) for cid, vec in _seed_vectors(q, k).items()}
 
 
 def state_centroids(
@@ -469,7 +478,7 @@ def minibatch_update(
 
 def streaming_minibatch_oracle_sql(
     table: str,
-    n_batches: int = 3,
+    n_batches: int = N_BATCHES,
     k: int = N_CELLS,
     dim: int = DIM,
 ) -> str:
@@ -478,12 +487,7 @@ def streaming_minibatch_oracle_sql(
     per-cell aggregate, and a cumulative state update. Output: one row
     per (batch, cell) — (batch, cell, n_batch, n_cum)."""
     fd = _floor_div_sql("2 * s + c", "2 * c")
-    ctes = [
-        f"un AS ({_unit_cte_duckdb(table)})",
-        "pts AS MATERIALIZED (SELECT vec_id AS id, u, "
-        f"list_transform(u, x -> CAST(floor(x * CAST({SCALE} AS DOUBLE)"
-        " + 0.5) AS BIGINT)) AS qv FROM un)",
-        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+    ctes = _base_ctes(table, dim) + [
         # arithmetic bucket width from the data — closed-form batches
         f"w AS (SELECT (max(id) // {n_batches}) + 1 AS w FROM pts)",
         # state 0: per-(cid, i) sums with c = 1

@@ -698,7 +698,7 @@ def streaming_kmeans_assign(
 def streaming_kmeans_minibatch(
     spark: SparkSession,
     sf_dir: str,
-    n_batches: int = 3,
+    n_batches: int | None = None,
 ) -> DataFrame:
     """Stateful streaming LEARNING: sequential (mini-batch) k-means —
     centroids evolve across ORDERED micro-batches with cumulative
@@ -725,26 +725,35 @@ def streaming_kmeans_minibatch(
     from tabsketchfm_spark.operators import kmeans as km
     from tabsketchfm_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    state = km.minibatch_seed_state(
-        km._quantized(emb, "vec_id", "embedding"), km.N_CELLS
-    )
-    max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
-    width = max_id // n_batches + 1
-
+    if n_batches is None:
+        n_batches = km.N_BATCHES  # shared with the oracle builder
+    # one real scan: seeds, max-id and the bucket write all read the
+    # cached frame
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     feed_dir = tempfile.mkdtemp(prefix="tsfm_kmb_feed_")
     stage_dir = tempfile.mkdtemp(prefix="tsfm_kmb_stage_")
     try:
+        state = km.minibatch_seed_state(
+            km._quantized(emb, "vec_id", "embedding"), km.N_CELLS
+        )
+        max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+        width = max_id // n_batches + 1
+
+        # ONE write job: repartition on the bucket key puts each
+        # bucket in exactly one task, so each b=X dir holds one file
         t0 = time.time()
+        emb.withColumn(
+            "b", F.floor(F.col("vec_id") / width).cast("int")
+        ).repartition(n_batches, "b").write.mode("overwrite").partitionBy(
+            "b"
+        ).parquet(stage_dir)
         for b in range(n_batches):
-            part = f"{stage_dir}/b{b}"
-            emb.where(F.floor(F.col("vec_id") / width) == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(part)
-            (src,) = glob.glob(f"{part}/part-*.parquet")
+            (src,) = glob.glob(f"{stage_dir}/b={b}/part-*.parquet")
             dst = f"{feed_dir}/{b:05d}.parquet"
             shutil.move(src, dst)
             os.utime(dst, (t0 + b, t0 + b))
+        # partitionBy keeps "b" in the dir name, not the file — the
+        # moved files carry exactly the original embedding schema
         feed = (
             spark.readStream.schema(emb.schema)
             .option("maxFilesPerTrigger", 1)
@@ -755,6 +764,21 @@ def streaming_kmeans_minibatch(
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             nonlocal state
+            # the mtime-ordering contract is load-bearing for an
+            # order-sensitive learner — fail LOUD if the source ever
+            # delivers a bucket out of sequence, instead of letting
+            # centroids evolve in the wrong order and surfacing as an
+            # opaque parity mismatch
+            lo, hi = batch_df.agg(
+                F.min("vec_id"), F.max("vec_id")
+            ).collect()[0]
+            if lo is not None and not (
+                lo // width == hi // width == int(batch_id)
+            ):
+                raise AssertionError(
+                    f"micro-batch {batch_id} delivered ids [{lo}, {hi}] "
+                    f"outside bucket {batch_id} (width {width})"
+                )
             sums = km.cell_aggregate(
                 km._quantized(batch_df, "vec_id", "embedding"),
                 km.state_centroids(state),
@@ -782,6 +806,7 @@ def streaming_kmeans_minibatch(
             rows, "batch bigint, cell int, n_batch bigint, n_cum bigint"
         )
     finally:
+        emb.unpersist()
         shutil.rmtree(feed_dir, ignore_errors=True)
         shutil.rmtree(stage_dir, ignore_errors=True)
 

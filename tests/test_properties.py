@@ -154,6 +154,79 @@ def test_kmeans_exact_matches_python_replay(spark, sf001):
     assert got == expect
 
 
+def test_streaming_minibatch_kmeans_matches_python_replay(spark, sf001):
+    """Implementation-pin twin for the ORDER-SENSITIVE streaming
+    learner: a plain python fold (quantize, seed state, arithmetic
+    buckets in ascending order, assign-against-previous-centroids,
+    cumulative floor-div update) reproduces the streamed run's
+    (batch, cell, n_batch, n_cum) rows exactly — pinning the
+    mtime-ordered delivery AND the state algebra independently of the
+    DuckDB mirror (an oracle-mirrored bug is invisible to parity)."""
+    import math
+
+    from tabsketchfm_spark.operators.kmeans import N_BATCHES, N_CELLS
+    from tabsketchfm_spark.streaming.profile_stream import (
+        streaming_kmeans_minibatch,
+    )
+
+    emb = load_table(spark, sf001, "embeddings")
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    q = {}
+    for i, v in vecs.items():
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        q[i] = [int(math.floor(x / nrm * 1024.0 + 0.5)) for x in v]
+    dim = len(next(iter(q.values())))
+    width = max(q) // N_BATCHES + 1
+
+    state = {c: (list(q[c]), 1) for c in range(N_CELLS)}
+    expect = []
+    for b in range(N_BATCHES):
+        m = {
+            c: [(2 * sj + n) // (2 * n) for sj in s]
+            for c, (s, n) in state.items()
+        }
+
+        def assign(qv):
+            best = None
+            for c in sorted(m):
+                bv = sum(x * x for x in m[c]) - 2 * sum(
+                    a * b_ for a, b_ in zip(qv, m[c])
+                )
+                if best is None or bv < best[0]:
+                    best = (bv, c)
+            return best[1]
+
+        sums = {}
+        for i in sorted(q):
+            if i // width != b:
+                continue
+            c = assign(q[i])
+            s, n = sums.setdefault(c, ([0] * dim, [0]))
+            n[0] += 1
+            for j, x in enumerate(q[i]):
+                s[j] += x
+        state = {
+            c: (
+                [sj + sums.get(c, ([0] * dim, [0]))[0][j] for j, sj in enumerate(s)],
+                n + sums.get(c, ([0] * dim, [0]))[1][0],
+            )
+            for c, (s, n) in state.items()
+        }
+        expect.extend(
+            (b, c, sums.get(c, ([], [0]))[1][0], state[c][1])
+            for c in sorted(state)
+        )
+
+    got = sorted(map(tuple, streaming_kmeans_minibatch(spark, sf001).collect()))
+    assert got == sorted(expect)
+
+
 def test_ivf_assign_partitions_every_vector(spark, sf001):
     """Every vector lands in exactly one cell, and every cell id is a
     valid centroid id."""
