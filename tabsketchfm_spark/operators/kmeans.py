@@ -267,35 +267,38 @@ def _base_ctes(table: str, dim: int) -> list[str]:
 
 
 def _kmeans_ctes(
-    table: str, k: int, iters: int, dim: int
+    table: str, k: int, iters: int, dim: int, prefix: str = "", base: bool = True
 ) -> tuple[list[str], str]:
     """The shared oracle scaffolding: CTE list replaying quantize →
     init → `iters` Lloyd rounds, plus the name of the final centroid
     CTE. Every state CTE is MATERIALIZED (plain CTEs re-evaluate per
-    reference — the pagerank lesson)."""
-    ctes = _base_ctes(table, dim) + [
-        f"c0 AS MATERIALIZED (SELECT id AS cid, qv AS m FROM pts WHERE id < {k})",
+    reference — the pagerank lesson). ``prefix``/``base=False`` let
+    several fits (different k) share one un/pts/dims prefix in a
+    single WITH (the SSE curve)."""
+    p = prefix
+    ctes = ([] if not base else _base_ctes(table, dim)) + [
+        f"{p}c0 AS MATERIALIZED (SELECT id AS cid, qv AS m FROM pts WHERE id < {k})",
     ]
     for t in range(1, iters + 1):
         ctes.append(
-            f"a{t} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
-            f"{_ranked_cells_sql(f'c{t - 1}')}) z WHERE rn = 1)"
+            f"{p}a{t} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
+            f"{_ranked_cells_sql(f'{p}c{t - 1}')}) z WHERE rn = 1)"
         )
         ctes.append(
-            f"s{t} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
+            f"{p}s{t} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
             "CAST(sum(p.qv[d.i]) AS BIGINT) AS s, "
             "CAST(count(*) AS BIGINT) AS c "
-            f"FROM a{t} a JOIN pts p ON p.id = a.id CROSS JOIN dims d "
+            f"FROM {p}a{t} a JOIN pts p ON p.id = a.id CROSS JOIN dims d "
             "GROUP BY a.bk, d.i)"
         )
         fd = _floor_div_sql("2 * s + c", "2 * c")
         ctes.append(
-            f"c{t} AS MATERIALIZED (SELECT prev.cid, coalesce(nm.m, prev.m) AS m "
-            f"FROM c{t - 1} prev LEFT JOIN "
-            f"(SELECT cid, list({fd} ORDER BY i) AS m FROM s{t} GROUP BY cid) nm "
+            f"{p}c{t} AS MATERIALIZED (SELECT prev.cid, coalesce(nm.m, prev.m) AS m "
+            f"FROM {p}c{t - 1} prev LEFT JOIN "
+            f"(SELECT cid, list({fd} ORDER BY i) AS m FROM {p}s{t} GROUP BY cid) nm "
             "ON nm.cid = prev.cid)"
         )
-    return ctes, f"c{iters}"
+    return ctes, f"{p}c{iters}"
 
 
 def kmeans_assign_exact_oracle_sql(
@@ -428,6 +431,90 @@ SELECT CAST(a.cell AS INTEGER) AS cell, a.id AS id_a, b.id AS id_b,
 FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id
 WHERE list_dot_product(a.u, b.u) >= {threshold}
 """
+    )
+
+
+KS_CURVE = (2, 4, 8)
+
+
+def kmeans_sse_curve(
+    emb: DataFrame,
+    ks: tuple[int, ...] = KS_CURVE,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ORACLE-EXACT k SELECTION — the unsupervised analog of
+    quality_model_selection: fit the integer Lloyd's at each candidate
+    k, score each fit by its exact integer SSE
+    (Σ ||q − m_assigned||² = Σ (q·q + B_min) — every term integer), and
+    pick k by the deterministic elbow rule: the smallest k whose
+    successor improves SSE by less than 10% (10·sse_next > 9·sse_k);
+    if every step keeps improving ≥10%, the largest k. Train,
+    evaluate AND select replay bit-exactly in DuckDB. Output: one row
+    per k — (k, sse, selected)."""
+    qq = (
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, x) -> acc + x)"
+    )
+    sse = {}
+    for k in sorted(ks):
+        m = _fit(emb, k, iters, dim, id_col, vec_col)
+        d = F.expr(qq) + F.least(*[F.col(f"b{c}") for c in range(k)])
+        r = (
+            _quantized(emb, id_col, vec_col)
+            .select("qv", *_b_exprs(m))
+            .agg(F.sum(d).alias("sse"))
+            .collect()[0]
+        )
+        sse[k] = int(r["sse"])
+    ordered = sorted(ks)
+    kstar = ordered[-1]
+    for a, b in zip(ordered, ordered[1:]):
+        if 10 * sse[b] > 9 * sse[a]:
+            kstar = a
+            break
+    rows = [(k, sse[k], k == kstar) for k in ordered]
+    return emb.sparkSession.createDataFrame(
+        rows, "k int, sse bigint, selected boolean"
+    )
+
+
+def kmeans_sse_curve_oracle_sql(
+    table: str,
+    ks: tuple[int, ...] = KS_CURVE,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+) -> str:
+    """One WITH: the shared un/pts/dims prefix, a prefixed fit replay
+    per candidate k, an SSE aggregate per fit, and the same elbow rule
+    (lead() over the 3-row curve)."""
+    ctes = _base_ctes(table, dim)
+    sses = []
+    for k in sorted(ks):
+        kctes, cfinal = _kmeans_ctes(table, k, iters, dim, prefix=f"k{k}_", base=False)
+        ctes.extend(kctes)
+        ctes.append(
+            f"sse{k} AS MATERIALIZED (SELECT CAST({k} AS INTEGER) AS k, "
+            "CAST(sum(qq + mb) AS BIGINT) AS sse FROM ("
+            "SELECT p.id, min(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) AS qq, "
+            f"min({_B_SQL}) AS mb FROM pts p CROSS JOIN {cfinal} c GROUP BY p.id) t)"
+        )
+        sses.append(f"SELECT k, sse FROM sse{k}")
+    ctes.append("curve AS MATERIALIZED (" + " UNION ALL ".join(sses) + ")")
+    ctes.append(
+        "nxt AS (SELECT k, sse, lead(sse) OVER (ORDER BY k) AS nsse FROM curve)"
+    )
+    ctes.append(
+        "pick AS (SELECT coalesce("
+        "(SELECT min(k) FROM nxt WHERE nsse IS NOT NULL AND 10 * nsse > 9 * sse), "
+        "(SELECT max(k) FROM curve)) AS kstar)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT k, sse, k = (SELECT kstar FROM pick) AS selected FROM curve"
     )
 
 

@@ -1141,6 +1141,20 @@ _register(
     km_op.ivf_kmeans_exact_topk_oracle_sql("embeddings", 20, k=5),
 )
 _register(
+    # ORACLE-EXACT k SELECTION — the unsupervised analog of
+    # quality_model_selection: fit at k=2/4/8, score each by exact
+    # integer SSE, pick by the deterministic 10%-improvement elbow
+    # rule; train, evaluate AND select replay bit-exactly. Honest
+    # selection: the near-orthogonal synthetic embeddings have no
+    # cluster structure (each k step improves SSE only ~2-3%), so the
+    # rule picks the smallest k at both SFs
+    "cluster_kmeans_k_selection_embeddings",
+    lambda spark, sf: km_op.kmeans_sse_curve(
+        load_table(spark, sf, "embeddings")
+    ),
+    km_op.kmeans_sse_curve_oracle_sql("embeddings"),
+)
+_register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is
     # bounded to a balanced trained cell and still hash-checked

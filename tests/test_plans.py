@@ -557,6 +557,7 @@ _PLAN_GUARD_SKIP = {
     "quality_tree_cv_documents",
     "quality_boost_cv_documents",
     "quality_model_selection_documents",
+    "cluster_kmeans_k_selection_embeddings",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found
