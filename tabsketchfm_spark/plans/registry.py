@@ -1154,6 +1154,33 @@ _register(
     ),
     km_op.kmeans_sse_curve_oracle_sql("embeddings"),
 )
+from tabsketchfm_spark.operators import pq as pq_op
+
+_register(
+    # PRODUCT QUANTIZATION encode (Jégou et al. 2011, the FAISS
+    # workhorse): 8 subspaces × 8 integer codewords trained with the
+    # same integer-Lloyd machinery (all 8 codebooks advance in ONE
+    # aggregate per round), vectors stored as 8 small ids — codebook
+    # training AND encoding replay bit-exactly. Sweep-only (the
+    # clustering family's window row is cluster_kmeans_exact)
+    "pq_codes_embeddings",
+    lambda spark, sf: pq_op.pq_codes(load_table(spark, sf, "embeddings")),
+    pq_op.pq_codes_oracle_sql("embeddings"),
+)
+_register(
+    # PQ ASYMMETRIC-DISTANCE search: candidates contribute ONLY their
+    # 8 codes (the compressed-domain memory story — S bytes/vector,
+    # never the vector); the query keeps its full vector; distance =
+    # sum of 8 codebook terms, all integer → bit-exact. Recall vs
+    # exact cosine is modest on the near-orthogonal synthetic
+    # embeddings (0.2 @5, 4x the random baseline) — a data property,
+    # pinned honestly in the recall test. Sweep-only
+    "ann_pq_adc_topk",
+    lambda spark, sf: pq_op.pq_adc_topk(
+        load_table(spark, sf, "embeddings"), 20, k=5
+    ),
+    pq_op.pq_adc_topk_oracle_sql("embeddings", 20, k=5),
+)
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is
