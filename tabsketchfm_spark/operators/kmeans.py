@@ -96,13 +96,15 @@ def _b_exprs(m: dict[int, list[int]]) -> list[F.Column]:
     return out
 
 
-def _bk_col(k: int) -> F.Column:
-    """argmin over the projected b0..b{k-1} columns, tie → smallest
-    cell id (first match in the when-chain)."""
-    lb = F.least(*[F.col(f"b{c}") for c in range(k)])
-    bk = F.when(F.col("b0") == lb, 0)
+def _bk_col(k: int, cols: list[F.Column] | None = None) -> F.Column:
+    """argmin over the b0..b{k-1} columns (or the given expression
+    list), tie → smallest cell id (first match in the when-chain) —
+    the ONE tie-break rule for every trained-quantizer consumer."""
+    bs = cols if cols is not None else [F.col(f"b{c}") for c in range(k)]
+    lb = F.least(*bs)
+    bk = F.when(bs[0] == lb, 0)
     for c in range(1, k - 1):
-        bk = bk.when(F.col(f"b{c}") == lb, c)
+        bk = bk.when(bs[c] == lb, c)
     # the least() always equals one of the (exact-integer) b columns,
     # so the tail case is the unconditional fallback
     return bk.otherwise(k - 1)
@@ -176,18 +178,29 @@ def clear_fit_memo() -> None:
 
 
 def _fit(
-    emb: DataFrame, k: int, iters: int, dim: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    q: DataFrame | None = None,
 ) -> dict[int, list[int]]:
-    """Quantize + persist + Lloyd + release, memoized."""
+    """Quantize + persist + Lloyd + release, memoized. Pass an
+    already-persisted quantized frame as ``q`` to share one cache
+    across several fits (the SSE curve)."""
     key = (emb._jdf.semanticHash(), id_col, vec_col, k, iters, dim, SCALE)
     hit = _FIT_MEMO.get(key)
     if hit is not None:
         return hit
-    q = _quantized(emb, id_col, vec_col).persist()
-    try:
+    if q is not None:
         m = _lloyd_centroids(q, k, iters, dim)
-    finally:
-        q.unpersist()
+    else:
+        qf = _quantized(emb, id_col, vec_col).persist()
+        try:
+            m = _lloyd_centroids(qf, k, iters, dim)
+        finally:
+            qf.unpersist()
     _FIT_MEMO[key] = m
     return m
 
@@ -236,20 +249,32 @@ def _floor_div_sql(num: str, den: str) -> str:
 # rounds and every final-assignment/probe consumer (a drift between
 # copies would silently break the bit-exact contract). Integer-valued
 # doubles < 2^53, so DOUBLE list_dot_product is exact.
-_B_SQL = (
-    "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-    " - 2 * list_dot_product(p.qv::DOUBLE[], c.m::DOUBLE[])"
-)
-
-
-def _ranked_cells_sql(cents_cte: str, where: str = "") -> str:
-    """The shared (id, u, cid, rn) cell-ranking subquery: every point
-    × the k centroids of ``cents_cte``, ranked by B, tie → smallest
-    cell id."""
+def _b_sql(vec: str = "qv") -> str:
     return (
-        "SELECT p.id, p.u, c.cid, row_number() OVER (PARTITION BY p.id "
-        f"ORDER BY {_B_SQL}, c.cid) AS rn "
-        f"FROM pts p CROSS JOIN {cents_cte} c{where}"
+        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        f" - 2 * list_dot_product(p.{vec}::DOUBLE[], c.m::DOUBLE[])"
+    )
+
+
+_B_SQL = _b_sql()
+
+
+def _ranked_cells_sql(
+    cents_cte: str,
+    where: str = "",
+    pts: str = "pts",
+    vec: str = "qv",
+    with_u: bool = True,
+) -> str:
+    """The shared (id[, u], cid, rn) cell-ranking subquery: every
+    point × the k centroids of ``cents_cte``, ranked by B, tie →
+    smallest cell id. ``with_u=False`` for point sources without a
+    unit-vector column (the PQ subvector frame)."""
+    u = " p.u," if with_u else ""
+    return (
+        f"SELECT p.id,{u} c.cid, row_number() OVER (PARTITION BY p.id "
+        f"ORDER BY {_b_sql(vec)}, c.cid) AS rn "
+        f"FROM {pts} p CROSS JOIN {cents_cte} c{where}"
     )
 
 
@@ -267,28 +292,41 @@ def _base_ctes(table: str, dim: int) -> list[str]:
 
 
 def _kmeans_ctes(
-    table: str, k: int, iters: int, dim: int, prefix: str = "", base: bool = True
+    table: str,
+    k: int,
+    iters: int,
+    dim: int,
+    prefix: str = "",
+    base: bool = True,
+    pts: str = "pts",
+    vec: str = "qv",
+    dims: str = "dims",
+    with_u: bool = True,
 ) -> tuple[list[str], str]:
     """The shared oracle scaffolding: CTE list replaying quantize →
     init → `iters` Lloyd rounds, plus the name of the final centroid
     CTE. Every state CTE is MATERIALIZED (plain CTEs re-evaluate per
     reference — the pagerank lesson). ``prefix``/``base=False`` let
     several fits (different k) share one un/pts/dims prefix in a
-    single WITH (the SSE curve)."""
+    single WITH (the SSE curve); ``pts``/``vec``/``dims``/``with_u``
+    retarget the replay at a different point source (the PQ subvector
+    frame) — ONE copy of the Lloyd-round SQL for every fit replay."""
     p = prefix
     ctes = ([] if not base else _base_ctes(table, dim)) + [
-        f"{p}c0 AS MATERIALIZED (SELECT id AS cid, qv AS m FROM pts WHERE id < {k})",
+        f"{p}c0 AS MATERIALIZED (SELECT id AS cid, {vec} AS m "
+        f"FROM {pts} t0 WHERE t0.id < {k})",
     ]
     for t in range(1, iters + 1):
         ctes.append(
             f"{p}a{t} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
-            f"{_ranked_cells_sql(f'{p}c{t - 1}')}) z WHERE rn = 1)"
+            f"{_ranked_cells_sql(f'{p}c{t - 1}', pts=pts, vec=vec, with_u=with_u)}"
+            ") z WHERE rn = 1)"
         )
         ctes.append(
             f"{p}s{t} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
-            "CAST(sum(p.qv[d.i]) AS BIGINT) AS s, "
+            f"CAST(sum(p.{vec}[d.i]) AS BIGINT) AS s, "
             "CAST(count(*) AS BIGINT) AS c "
-            f"FROM {p}a{t} a JOIN pts p ON p.id = a.id CROSS JOIN dims d "
+            f"FROM {p}a{t} a JOIN {pts} p ON p.id = a.id CROSS JOIN {dims} d "
             "GROUP BY a.bk, d.i)"
         )
         fd = _floor_div_sql("2 * s + c", "2 * c")
@@ -459,16 +497,21 @@ def kmeans_sse_curve(
         " (acc, x) -> acc + x)"
     )
     sse = {}
-    for k in sorted(ks):
-        m = _fit(emb, k, iters, dim, id_col, vec_col)
-        d = F.expr(qq) + F.least(*[F.col(f"b{c}") for c in range(k)])
-        r = (
-            _quantized(emb, id_col, vec_col)
-            .select("qv", *_b_exprs(m))
-            .agg(F.sum(d).alias("sse"))
-            .collect()[0]
-        )
-        sse[k] = int(r["sse"])
+    # ONE persisted quantized frame shared by every fit and every SSE
+    # aggregate (this eager query runs at build in every sweep pass)
+    qf = _quantized(emb, id_col, vec_col).persist()
+    try:
+        for k in sorted(ks):
+            m = _fit(emb, k, iters, dim, id_col, vec_col, q=qf)
+            d = F.expr(qq) + F.least(*[F.col(f"b{c}") for c in range(k)])
+            r = (
+                qf.select("qv", *_b_exprs(m))
+                .agg(F.sum(d).alias("sse"))
+                .collect()[0]
+            )
+            sse[k] = int(r["sse"])
+    finally:
+        qf.unpersist()
     ordered = sorted(ks)
     kstar = ordered[-1]
     for a, b in zip(ordered, ordered[1:]):

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from tabsketchfm_spark.operators.kmeans import (
     SCALE,
     _base_ctes,
-    _floor_div_sql,
+    _bk_col,
+    _kmeans_ctes,
     _quantized,
     _seed_vectors,
 )
@@ -43,8 +44,14 @@ D_SUB = 8  # dims per subspace (S_SUB * D_SUB = embedding dim)
 K_PQ = 8  # codewords per subspace
 ITERS_PQ = 3
 
-# memoized codebooks, same contract as kmeans._FIT_MEMO (plan-keyed)
+# memoized codebooks, same contract as kmeans._FIT_MEMO: plan-keyed,
+# NOT content-keyed — a rewrite behind an already-fitted path must
+# call clear_pq_memo() (kmeans.clear_fit_memo's sibling)
 _PQ_MEMO: dict[tuple, dict[tuple[int, int], list[int]]] = {}
+
+
+def clear_pq_memo() -> None:
+    _PQ_MEMO.clear()
 
 
 def _dot_lit(col: str, base: int, vec: list[int]) -> str:
@@ -76,7 +83,16 @@ def pq_fit(
     """{(s, c): codeword} — all S_SUB codebooks trained together, one
     aggregate job per Lloyd round over the exploded (id, s, qs)
     frame."""
-    key = (emb._jdf.semanticHash(), id_col, vec_col, S_SUB, D_SUB, K_PQ, ITERS_PQ)
+    key = (
+        emb._jdf.semanticHash(),
+        id_col,
+        vec_col,
+        S_SUB,
+        D_SUB,
+        K_PQ,
+        ITERS_PQ,
+        SCALE,
+    )
     hit = _PQ_MEMO.get(key)
     if hit is not None:
         return hit
@@ -105,13 +121,8 @@ def pq_fit(
                 )
                 bcols.append(F.expr(f"CASE s {branches} END").alias(f"b{c}"))
             proj = ex.select("s", "qs", *bcols)
-            lb = F.least(*[F.col(f"b{c}") for c in range(K_PQ)])
-            bk = F.when(F.col("b0") == lb, 0)
-            for c in range(1, K_PQ - 1):
-                bk = bk.when(F.col(f"b{c}") == lb, c)
-            bk = bk.otherwise(K_PQ - 1)
             rows = (
-                proj.select("s", bk.alias("bk"), "qs")
+                proj.select("s", _bk_col(K_PQ).alias("bk"), "qs")
                 .groupBy("s", "bk")
                 .agg(
                     F.count("*").alias("c"),
@@ -141,11 +152,7 @@ def _code_cols(m: dict[tuple[int, int], list[int]]) -> list[F.Column]:
     out = []
     for s in range(S_SUB):
         bs = [F.expr(_b_lit(s, m[(s, c)])) for c in range(K_PQ)]
-        lb = F.least(*bs)
-        code = F.when(bs[0] == lb, 0)
-        for c in range(1, K_PQ - 1):
-            code = code.when(bs[c] == lb, c)
-        out.append(code.otherwise(K_PQ - 1).cast("int").alias(f"code{s}"))
+        out.append(_bk_col(K_PQ, bs).cast("int").alias(f"code{s}"))
     return out
 
 
@@ -234,39 +241,22 @@ def _pq_ctes(table: str) -> tuple[list[str], str, str]:
     ctes.append(
         f"sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
     )
-    b = (
-        "list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[])"
-    )
-    fd = _floor_div_sql("2 * s + c", "2 * c")
     for s in range(S_SUB):
-        p = f"s{s}_"
-        ctes.append(
-            f"{p}c0 AS MATERIALIZED (SELECT id AS cid, qs AS m FROM ex "
-            f"WHERE s = {s} AND id < {K_PQ})"
+        # ONE copy of the Lloyd-round SQL: the kmeans replay retargeted
+        # at this subspace's rows of the exploded frame
+        kctes, _ = _kmeans_ctes(
+            table,
+            K_PQ,
+            ITERS_PQ,
+            D_SUB,
+            prefix=f"s{s}_",
+            base=False,
+            pts=f"(SELECT * FROM ex WHERE s = {s})",
+            vec="qs",
+            dims="sdims",
+            with_u=False,
         )
-        for t in range(1, ITERS_PQ + 1):
-            ctes.append(
-                f"{p}a{t} AS MATERIALIZED (SELECT id, cid AS bk FROM ("
-                "SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id "
-                f"ORDER BY {b}, c.cid) AS rn "
-                f"FROM (SELECT * FROM ex WHERE s = {s}) p "
-                f"CROSS JOIN {p}c{t - 1} c) z WHERE rn = 1)"
-            )
-            ctes.append(
-                f"{p}s{t} AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
-                "CAST(sum(p.qs[d.i]) AS BIGINT) AS s, "
-                "CAST(count(*) AS BIGINT) AS c "
-                f"FROM {p}a{t} a JOIN (SELECT * FROM ex WHERE s = {s}) p "
-                "ON p.id = a.id CROSS JOIN sdims d GROUP BY a.bk, d.i)"
-            )
-            ctes.append(
-                f"{p}c{t} AS MATERIALIZED (SELECT prev.cid, "
-                "coalesce(nm.m, prev.m) AS m "
-                f"FROM {p}c{t - 1} prev LEFT JOIN "
-                f"(SELECT cid, list({fd} ORDER BY i) AS m FROM {p}s{t} "
-                "GROUP BY cid) nm ON nm.cid = prev.cid)"
-            )
+        ctes.extend(kctes)
     ctes.append(
         "cents_long AS MATERIALIZED ("
         + " UNION ALL ".join(
