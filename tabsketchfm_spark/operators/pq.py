@@ -32,10 +32,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from tabsketchfm_spark.operators.kmeans import (
     SCALE,
+    _B_SQL,
+    _b_exprs,
     _base_ctes,
     _bk_col,
+    _cents_frame,
     _kmeans_ctes,
     _quantized,
+    _ranked_cells_sql,
     _seed_vectors,
 )
 
@@ -96,7 +100,15 @@ def pq_fit(
     hit = _PQ_MEMO.get(key)
     if hit is not None:
         return hit
-    q = _quantized(emb, id_col, vec_col)
+    m = pq_fit_frame(_quantized(emb, id_col, vec_col))
+    _PQ_MEMO[key] = m
+    return m
+
+
+def pq_fit_frame(q: DataFrame) -> dict[tuple[int, int], list[int]]:
+    """The frame-level trainer: ``q`` is any (id, qv) integer-vector
+    frame (the raw quantized vectors for plain PQ; coarse-cell
+    RESIDUALS for IVF-PQ). Not memoized — wrappers own their keys."""
     seeds = _seed_vectors(q, K_PQ)
     m = {
         (s, c): seeds[c][s * D_SUB : (s + 1) * D_SUB]
@@ -142,7 +154,6 @@ def pq_fit(
             m = new
     finally:
         ex.unpersist()
-    _PQ_MEMO[key] = m
     return m
 
 
@@ -220,6 +231,152 @@ def pq_adc_topk(
     )
 
 
+# --- IVF-PQ: coarse trained cells + PQ on integer residuals -----------------
+#
+# The full FAISS composition: the integer k-means quantizer
+# (operators/kmeans.py) partitions the lake into coarse cells; each
+# vector's RESIDUAL against its cell centroid — still integer, the
+# grid is closed under subtraction — is PQ-encoded; a query probes its
+# n_probe nearest cells and ranks candidates by the residual-domain
+# ADC. Candidates contribute (cell, S codes): the index never stores
+# vectors. All training, encoding and ranking stay integer →
+# bit-exact DuckDB replay.
+
+N_PROBE_IVFPQ = 3
+
+_IVFPQ_MEMO: dict[tuple, dict[tuple[int, int], list[int]]] = {}
+
+
+def clear_ivfpq_memo() -> None:
+    _IVFPQ_MEMO.clear()
+
+
+def _cell_qv_cols(emb, mc, id_col, vec_col):
+    """(id, u, qv, cell): expression-only coarse assignment KEEPING
+    the quantized vector (kmeans._assigned_cols drops it)."""
+    return (
+        _quantized(emb, id_col, vec_col)
+        .select("id", "u", "qv", *_b_exprs(mc))
+        .select("id", "u", "qv", _bk_col(len(mc)).cast("int").alias("cell"))
+    )
+
+
+def _residual_col(mc: dict[int, list[int]]) -> F.Column:
+    """rv = qv − m_coarse[cell] as a CASE chain over cell literals."""
+    expr = None
+    for cid in sorted(mc):
+        arr = ", ".join(f"cast({v} as bigint)" for v in mc[cid])
+        sub = f"zip_with(qv, array({arr}), (x, y) -> x - y)"
+        expr = (
+            F.when(F.col("cell") == cid, F.expr(sub))
+            if expr is None
+            else expr.when(F.col("cell") == cid, F.expr(sub))
+        )
+    return expr
+
+
+def ivfpq_fit(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[dict[int, list[int]], dict[tuple[int, int], list[int]]]:
+    """(coarse centroids, residual codebooks). The coarse fit is the
+    shared kmeans._fit memo; the residual codebooks train on the
+    (id, residual) frame and memoize under their own key."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS, _fit
+
+    mc = _fit(emb, N_CELLS, N_ITERS, S_SUB * D_SUB, id_col, vec_col)
+    key = (
+        emb._jdf.semanticHash(),
+        id_col,
+        vec_col,
+        "ivfpq",
+        S_SUB,
+        D_SUB,
+        K_PQ,
+        ITERS_PQ,
+        SCALE,
+    )
+    cb = _IVFPQ_MEMO.get(key)
+    if cb is None:
+        rf = _cell_qv_cols(emb, mc, id_col, vec_col).select(
+            "id", _residual_col(mc).alias("qv")
+        )
+        cb = pq_fit_frame(rf)
+        _IVFPQ_MEMO[key] = cb
+    return mc, cb
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int = 10,
+    n_probe: int = N_PROBE_IVFPQ,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: candidates carry (cell, codes) only; the query
+    probes its n_probe nearest coarse cells, forms its residual
+    against EACH probed centroid, and ranks same-cell candidates by
+    the exact integer ADC (residual self-dot + per-subspace codebook
+    terms). Output: (q_id, rank, cand_id, adc)."""
+    mc, cb = ivfpq_fit(emb, id_col, vec_col)
+    cands = (
+        _cell_qv_cols(emb, mc, id_col, vec_col)
+        .select(
+            F.col("id").alias("cand_id"),
+            "cell",
+            _residual_col(mc).alias("qv"),
+        )
+        .select("cand_id", "cell", *_code_cols(cb))
+        .select(
+            "cand_id",
+            "cell",
+            *[F.col(f"code{s}").alias(f"c{s}") for s in range(S_SUB)],
+        )
+    )
+    cents = _cents_frame(emb.sparkSession, mc)
+    qf = _quantized(emb, id_col, vec_col).where(F.col("id") < query_ids_max)
+    b = (
+        "mm - 2 * aggregate(zip_with(qv, cm, (x, y) -> x * y),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    scored_cells = qf.crossJoin(F.broadcast(cents)).select(
+        F.col("id").alias("q_id"), "qv", "cm", "cell", F.expr(b).alias("_b")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("_b"), F.asc("cell"))
+    probes = (
+        scored_cells.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_probe)
+        .select(
+            "q_id",
+            "cell",
+            F.expr("zip_with(qv, cm, (x, y) -> x - y)").alias("rq"),
+        )
+    )
+    rr = (
+        "aggregate(zip_with(rq, rq, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, x) -> acc + x)"
+    )
+    terms = []
+    for s in range(S_SUB):
+        branches = " ".join(
+            f"WHEN {c} THEN cast({sum(v * v for v in cb[(s, c)])} as bigint)"
+            f" - 2 * ({_dot_lit('rq', s * D_SUB, cb[(s, c)])})"
+            for c in range(K_PQ)
+        )
+        terms.append(f"(CASE c{s} {branches} END)")
+    adc = F.expr(f"({rr}) + " + " + ".join(terms))
+    pairs = cands.join(F.broadcast(probes), "cell").where(
+        F.col("cand_id") != F.col("q_id")
+    )
+    scored = pairs.select("q_id", "cand_id", adc.alias("adc"))
+    w2 = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "adc")
+    )
+
+
 # --- DuckDB replay -----------------------------------------------------------
 
 
@@ -283,6 +440,103 @@ def pq_codes_oracle_sql(table: str) -> str:
         + f"""
 SELECT id AS vec_id, list(CAST(cid AS INTEGER) ORDER BY s) AS codes
 FROM {codes} GROUP BY id
+"""
+    )
+
+
+def ivfpq_adc_topk_oracle_sql(
+    table: str,
+    query_ids_max: int,
+    k: int = 10,
+    n_probe: int = N_PROBE_IVFPQ,
+) -> str:
+    """Full IVF-PQ replay: the coarse kmeans fit, per-vector integer
+    residuals, the 8 residual-codebook fits, candidate (cell, code)
+    assignment, query cell-probing with per-cell residuals, and the
+    ADC ranking — one WITH, every quantity integer."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes, cfinal = _kmeans_ctes(table, N_CELLS, N_ITERS, dim)
+    ctes.append(
+        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
+    )
+    ctes.append(
+        "rpts AS MATERIALIZED (SELECT p.id, "
+        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
+        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
+    )
+    ctes.append(
+        "rex AS MATERIALIZED (SELECT p.id, sub.s, "
+        f"list_transform(generate_series(1, {D_SUB}), "
+        f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
+        f"FROM rpts p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
+        " AS s) sub)"
+    )
+    ctes.append(
+        f"sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
+    )
+    for s in range(S_SUB):
+        kctes, _ = _kmeans_ctes(
+            table,
+            K_PQ,
+            ITERS_PQ,
+            D_SUB,
+            prefix=f"r{s}_",
+            base=False,
+            pts=f"(SELECT * FROM rex WHERE s = {s})",
+            vec="qs",
+            dims="sdims",
+            with_u=False,
+        )
+        ctes.extend(kctes)
+    ctes.append(
+        "rcents AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT {s} AS s, cid, m FROM r{s}_c{ITERS_PQ}"
+            for s in range(S_SUB)
+        )
+        + ")"
+    )
+    ctes.append(
+        "rcodes AS MATERIALIZED (SELECT id, s, cid FROM ("
+        "SELECT p.id, p.s, c.cid, row_number() OVER (PARTITION BY p.id, p.s "
+        "ORDER BY list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[]), c.cid) AS rn "
+        "FROM rex p JOIN rcents c ON c.s = p.s) z WHERE rn = 1)"
+    )
+    ctes.append(
+        "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
+        f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "
+        "FROM (SELECT p.id, p.qv, c.cid, c.m, row_number() OVER ("
+        f"PARTITION BY p.id ORDER BY {_B_SQL}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN {cfinal} c WHERE p.id < {query_ids_max}) z "
+        f"WHERE rn <= {n_probe})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT q.q_id, a.id AS cand_id,
+         CAST(min(list_dot_product(q.rq::DOUBLE[], q.rq::DOUBLE[]))
+              + sum(list_dot_product(ct.m::DOUBLE[], ct.m::DOUBLE[])
+                    - 2 * list_dot_product(
+                        list_transform(generate_series(1, {D_SUB}),
+                                       i -> q.rq[cl.s * {D_SUB} + i])::DOUBLE[],
+                        ct.m::DOUBLE[])) AS BIGINT) AS adc
+  FROM qprobe q
+  JOIN acell a ON a.cell = q.cell AND a.id <> q.q_id
+  JOIN rcodes cl ON cl.id = a.id
+  JOIN rcents ct ON ct.s = cl.s AND ct.cid = cl.cid
+  GROUP BY q.q_id, a.id),
+ranked AS (
+  SELECT q_id, cand_id, adc,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id)
+              AS INTEGER) AS rank
+  FROM scored)
+SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= {k}
 """
     )
 

@@ -1182,6 +1182,18 @@ _register(
     pq_op.pq_adc_topk_oracle_sql("embeddings", 20, k=5),
 )
 _register(
+    # IVF-PQ — the full FAISS composition, every stage integer and
+    # bit-exact: trained coarse cells (shared kmeans fit memo), PQ
+    # codebooks on the integer RESIDUALS (the grid is closed under
+    # subtraction), candidates carry (cell, 8 codes) only, queries
+    # probe n_probe cells and rank by residual-domain ADC. Sweep-only
+    "ann_ivfpq_adc_topk",
+    lambda spark, sf: pq_op.ivfpq_adc_topk(
+        load_table(spark, sf, "embeddings"), 20, k=5
+    ),
+    pq_op.ivfpq_adc_topk_oracle_sql("embeddings", 20, k=5),
+)
+_register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is
     # bounded to a balanced trained cell and still hash-checked

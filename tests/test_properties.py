@@ -309,6 +309,20 @@ def test_pq_adc_recall_beats_random(spark, sf001):
     assert hits / total >= 0.1, f"ADC recall {hits}/{total}"
 
 
+def test_ivfpq_adc_recall_beats_random(spark, sf001):
+    """IVF-PQ probes 3/8 cells AND quantizes residuals — recall is
+    capped by both; pin it above the random baseline (~0.05)."""
+    from tabsketchfm_spark.operators.pq import ivfpq_adc_topk
+    from tabsketchfm_spark.operators.vector import cosine_topk
+
+    emb = load_table(spark, sf001, "embeddings")
+    truth = _topk_sets(cosine_topk(emb, 10, k=5))
+    approx = _topk_sets(ivfpq_adc_topk(emb, 10, k=5))
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.1, f"IVF-PQ recall {hits}/{total}"
+
+
 def test_ivf_assign_partitions_every_vector(spark, sf001):
     """Every vector lands in exactly one cell, and every cell id is a
     valid centroid id."""
