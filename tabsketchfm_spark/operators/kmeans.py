@@ -365,24 +365,26 @@ def _cents_frame(spark, m: dict[int, list[int]]) -> DataFrame:
 
 
 def _nearest_cells_int(
-    q: DataFrame, cents: DataFrame, n: int
+    q: DataFrame, cents: DataFrame, n: int, keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(id, u, cell, cell_rank): each point's n nearest trained
-    centroids by the integer comparable B (tie → smallest cell). The
-    centroid frame is k rows — broadcast, window bounded to k rows per
-    point."""
+    """(id, u, cell, cell_rank[, keep...]): each point's n nearest
+    trained centroids by the integer comparable B (tie → smallest
+    cell) — the ONE probe rule for every trained-quantizer consumer.
+    The centroid frame is k rows — broadcast, window bounded to k rows
+    per point. ``keep`` carries extra columns through (e.g. qv/cm for
+    IVF-PQ's per-cell query residuals)."""
     b = (
         "mm - 2 * aggregate(zip_with(qv, cm, (x, y) -> x * y),"
         " cast(0 as bigint), (acc, x) -> acc + x)"
     )
     scored = q.crossJoin(F.broadcast(cents)).select(
-        "id", "u", "cell", F.expr(b).alias("_b")
+        "id", "u", "cell", *keep, F.expr(b).alias("_b")
     )
     w = Window.partitionBy("id").orderBy(F.asc("_b"), F.asc("cell"))
     return (
         scored.withColumn("cell_rank", F.row_number().over(w))
         .where(F.col("cell_rank") <= n)
-        .select("id", "u", "cell", "cell_rank")
+        .select("id", "u", "cell", "cell_rank", *keep)
     )
 
 

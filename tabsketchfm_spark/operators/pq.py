@@ -38,6 +38,7 @@ from tabsketchfm_spark.operators.kmeans import (
     _bk_col,
     _cents_frame,
     _kmeans_ctes,
+    _nearest_cells_int,
     _quantized,
     _ranked_cells_sql,
     _seed_vectors,
@@ -55,7 +56,11 @@ _PQ_MEMO: dict[tuple, dict[tuple[int, int], list[int]]] = {}
 
 
 def clear_pq_memo() -> None:
+    """Clears BOTH PQ-family memos — the residual codebooks depend on
+    the coarse fit, so a partial clear could pair fresh centroids with
+    codebooks trained in the old residual domain."""
     _PQ_MEMO.clear()
+    _IVFPQ_MEMO.clear()
 
 
 def _dot_lit(col: str, base: int, vec: list[int]) -> str:
@@ -252,12 +257,12 @@ def clear_ivfpq_memo() -> None:
 
 
 def _cell_qv_cols(emb, mc, id_col, vec_col):
-    """(id, u, qv, cell): expression-only coarse assignment KEEPING
-    the quantized vector (kmeans._assigned_cols drops it)."""
+    """(id, qv, cell): expression-only coarse assignment KEEPING the
+    quantized vector (kmeans._assigned_cols drops it)."""
     return (
         _quantized(emb, id_col, vec_col)
-        .select("id", "u", "qv", *_b_exprs(mc))
-        .select("id", "u", "qv", _bk_col(len(mc)).cast("int").alias("cell"))
+        .select("id", "qv", *_b_exprs(mc))
+        .select("id", "qv", _bk_col(len(mc)).cast("int").alias("cell"))
     )
 
 
@@ -289,6 +294,10 @@ def ivfpq_fit(
         id_col,
         vec_col,
         "ivfpq",
+        # the residual codebooks depend on the COARSE fit too — a
+        # changed coarse configuration must invalidate them
+        N_CELLS,
+        N_ITERS,
         S_SUB,
         D_SUB,
         K_PQ,
@@ -333,24 +342,15 @@ def ivfpq_adc_topk(
             *[F.col(f"code{s}").alias(f"c{s}") for s in range(S_SUB)],
         )
     )
-    cents = _cents_frame(emb.sparkSession, mc)
-    qf = _quantized(emb, id_col, vec_col).where(F.col("id") < query_ids_max)
-    b = (
-        "mm - 2 * aggregate(zip_with(qv, cm, (x, y) -> x * y),"
-        " cast(0 as bigint), (acc, x) -> acc + x)"
-    )
-    scored_cells = qf.crossJoin(F.broadcast(cents)).select(
-        F.col("id").alias("q_id"), "qv", "cm", "cell", F.expr(b).alias("_b")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.asc("_b"), F.asc("cell"))
-    probes = (
-        scored_cells.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= n_probe)
-        .select(
-            "q_id",
-            "cell",
-            F.expr("zip_with(qv, cm, (x, y) -> x - y)").alias("rq"),
-        )
+    probes = _nearest_cells_int(
+        _quantized(emb, id_col, vec_col).where(F.col("id") < query_ids_max),
+        _cents_frame(emb.sparkSession, mc),
+        n_probe,
+        keep=("qv", "cm"),
+    ).select(
+        F.col("id").alias("q_id"),
+        "cell",
+        F.expr("zip_with(qv, cm, (x, y) -> x - y)").alias("rq"),
     )
     rr = (
         "aggregate(zip_with(rq, rq, (x, y) -> x * y), cast(0 as bigint),"
@@ -380,23 +380,29 @@ def ivfpq_adc_topk(
 # --- DuckDB replay -----------------------------------------------------------
 
 
-def _pq_ctes(table: str) -> tuple[list[str], str, str]:
-    """Shared oracle scaffolding: un/pts prefix, the exploded
-    (id, s, qs) frame, one prefixed fit replay per subspace, and the
-    unioned codebook/assignment CTEs. Returns (ctes, cents_long,
-    codes_long) — cents_long: (s, cid, m); codes_long: (id, s, cid)."""
+def _pq_ctes(
+    table: str, src: str = "pts", tag: str = "", base: bool = True
+) -> tuple[list[str], str, str]:
+    """Shared oracle scaffolding: the exploded (id, s, qs) frame, one
+    prefixed fit replay per subspace, and the unioned
+    codebook/assignment CTEs — ONE copy of the PQ-encode replay,
+    retargetable at any (id, qv) source (``src='pts'`` for plain PQ,
+    ``src='rpts'``/``tag='r'`` for IVF-PQ's residual domain; ``tag``
+    prefixes every emitted CTE name). Returns (ctes, cents, codes) —
+    cents: (s, cid, m); codes: (id, s, cid)."""
     dim = S_SUB * D_SUB
-    ctes = _base_ctes(table, dim)
+    ctes = _base_ctes(table, dim) if base else []
+    ex, cents, codes = f"{tag}ex", f"{tag}cents_long", f"{tag}codes_long"
     # DuckDB lists are 1-based: subspace s covers qv[s*D+1 .. s*D+D]
     ctes.append(
-        "ex AS MATERIALIZED (SELECT p.id, sub.s, "
+        f"{ex} AS MATERIALIZED (SELECT p.id, sub.s, "
         f"list_transform(generate_series(1, {D_SUB}), "
         f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
-        f"FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
+        f"FROM {src} p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
         " AS s) sub)"
     )
     ctes.append(
-        f"sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
+        f"{tag}sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
     )
     for s in range(S_SUB):
         # ONE copy of the Lloyd-round SQL: the kmeans replay retargeted
@@ -406,30 +412,30 @@ def _pq_ctes(table: str) -> tuple[list[str], str, str]:
             K_PQ,
             ITERS_PQ,
             D_SUB,
-            prefix=f"s{s}_",
+            prefix=f"{tag}s{s}_",
             base=False,
-            pts=f"(SELECT * FROM ex WHERE s = {s})",
+            pts=f"(SELECT * FROM {ex} WHERE s = {s})",
             vec="qs",
-            dims="sdims",
+            dims=f"{tag}sdims",
             with_u=False,
         )
         ctes.extend(kctes)
     ctes.append(
-        "cents_long AS MATERIALIZED ("
+        f"{cents} AS MATERIALIZED ("
         + " UNION ALL ".join(
-            f"SELECT {s} AS s, cid, m FROM s{s}_c{ITERS_PQ}"
+            f"SELECT {s} AS s, cid, m FROM {tag}s{s}_c{ITERS_PQ}"
             for s in range(S_SUB)
         )
         + ")"
     )
     ctes.append(
-        "codes_long AS MATERIALIZED (SELECT id, s, cid FROM ("
+        f"{codes} AS MATERIALIZED (SELECT id, s, cid FROM ("
         "SELECT p.id, p.s, c.cid, row_number() OVER (PARTITION BY p.id, p.s "
         "ORDER BY list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
         " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[]), c.cid) AS rn "
-        "FROM ex p JOIN cents_long c ON c.s = p.s) z WHERE rn = 1)"
+        f"FROM {ex} p JOIN {cents} c ON c.s = p.s) z WHERE rn = 1)"
     )
-    return ctes, "cents_long", "codes_long"
+    return ctes, cents, codes
 
 
 def pq_codes_oracle_sql(table: str) -> str:
@@ -467,45 +473,9 @@ def ivfpq_adc_topk_oracle_sql(
         f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
         f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
     )
-    ctes.append(
-        "rex AS MATERIALIZED (SELECT p.id, sub.s, "
-        f"list_transform(generate_series(1, {D_SUB}), "
-        f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
-        f"FROM rpts p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
-        " AS s) sub)"
-    )
-    ctes.append(
-        f"sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
-    )
-    for s in range(S_SUB):
-        kctes, _ = _kmeans_ctes(
-            table,
-            K_PQ,
-            ITERS_PQ,
-            D_SUB,
-            prefix=f"r{s}_",
-            base=False,
-            pts=f"(SELECT * FROM rex WHERE s = {s})",
-            vec="qs",
-            dims="sdims",
-            with_u=False,
-        )
-        ctes.extend(kctes)
-    ctes.append(
-        "rcents AS MATERIALIZED ("
-        + " UNION ALL ".join(
-            f"SELECT {s} AS s, cid, m FROM r{s}_c{ITERS_PQ}"
-            for s in range(S_SUB)
-        )
-        + ")"
-    )
-    ctes.append(
-        "rcodes AS MATERIALIZED (SELECT id, s, cid FROM ("
-        "SELECT p.id, p.s, c.cid, row_number() OVER (PARTITION BY p.id, p.s "
-        "ORDER BY list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[]), c.cid) AS rn "
-        "FROM rex p JOIN rcents c ON c.s = p.s) z WHERE rn = 1)"
-    )
+    # the SAME PQ-encode replay, retargeted at the residual domain
+    pctes, rcents, rcodes = _pq_ctes(table, src="rpts", tag="r", base=False)
+    ctes.extend(pctes)
     ctes.append(
         "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
         f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "
@@ -528,8 +498,8 @@ scored AS (
                         ct.m::DOUBLE[])) AS BIGINT) AS adc
   FROM qprobe q
   JOIN acell a ON a.cell = q.cell AND a.id <> q.q_id
-  JOIN rcodes cl ON cl.id = a.id
-  JOIN rcents ct ON ct.s = cl.s AND ct.cid = cl.cid
+  JOIN {rcodes} cl ON cl.id = a.id
+  JOIN {rcents} ct ON ct.s = cl.s AND ct.cid = cl.cid
   GROUP BY q.q_id, a.id),
 ranked AS (
   SELECT q_id, cand_id, adc,
