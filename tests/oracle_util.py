@@ -26,11 +26,24 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).fetchdf()
 
 
+def _norm_cell(v):
+    """Representation-insensitive string form: Spark toPandas yields
+    python lists for array columns (numpy arrays when Arrow is on)
+    while DuckDB fetchdf yields numpy arrays — str() renders those
+    differently ('[0, 0]' vs '[0 0]'), so normalize every sequence to
+    the list rendering, recursively."""
+    if hasattr(v, "tolist") and not isinstance(v, (str, bytes)):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_norm_cell)
         elif str(df[c].dtype).startswith("datetime64"):
             # representation-only difference: DuckDB fetchdf yields
             # datetime64[us], Spark toPandas datetime64[ns] — same
