@@ -65,9 +65,16 @@ N_BATCHES = 3
 def _quantized(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, u, qv): unit vector + its integer quantization."""
+    """(id, u, qv): unit vector + its integer quantization. NULL or
+    zero-norm vectors (u all-NaN after the 0/0 division) are dropped
+    — without the filter they would quantize to NULL comparables,
+    which Spark's when-chain argmin and DuckDB's row_number NULLS-LAST
+    ordering assign to DIFFERENT cells. The oracle's pts CTE mirrors
+    the filter."""
     units = _unit(emb, {"id": F.col(id_col)}, vec_col)
-    return units.select(
+    return units.where(
+        F.expr("u is not null and not exists(u, x -> isnan(x))")
+    ).select(
         "id",
         "u",
         F.expr(
@@ -172,9 +179,17 @@ def cell_aggregate(
 # and clear_fit_memo() resets after any rewrite.
 _FIT_MEMO: dict[tuple, dict[int, list[int]]] = {}
 
+# dependent memos (the PQ/IVF-PQ codebooks train AGAINST these fits)
+# register their clear functions here so ONE documented reset call
+# restores coherence — a partial clear could pair fresh centroids
+# with codebooks trained in the old residual domain
+_DEPENDENT_MEMO_CLEARS: list = []
+
 
 def clear_fit_memo() -> None:
     _FIT_MEMO.clear()
+    for clear in _DEPENDENT_MEMO_CLEARS:
+        clear()
 
 
 def _fit(
@@ -286,7 +301,9 @@ def _base_ctes(table: str, dim: int) -> list[str]:
         f"un AS ({_unit_cte_duckdb(table)})",
         "pts AS MATERIALIZED (SELECT vec_id AS id, u, "
         f"list_transform(u, x -> CAST(floor(x * CAST({SCALE} AS DOUBLE)"
-        " + 0.5) AS BIGINT)) AS qv FROM un)",
+        " + 0.5) AS BIGINT)) AS qv FROM un "
+        # mirror _quantized's degenerate-vector filter
+        "WHERE u IS NOT NULL AND len(list_filter(u, x -> isnan(x))) = 0)",
         f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i)",
     ]
 
@@ -541,8 +558,10 @@ def kmeans_sse_curve_oracle_sql(
         kctes, cfinal = _kmeans_ctes(table, k, iters, dim, prefix=f"k{k}_", base=False)
         ctes.extend(kctes)
         ctes.append(
+            # per-term BIGINT cast → the sum runs in HUGEINT; a DOUBLE
+            # accumulation would round past 2^53 (~3e7 rows)
             f"sse{k} AS MATERIALIZED (SELECT CAST({k} AS INTEGER) AS k, "
-            "CAST(sum(qq + mb) AS BIGINT) AS sse FROM ("
+            "CAST(sum(CAST(qq + mb AS BIGINT)) AS BIGINT) AS sse FROM ("
             "SELECT p.id, min(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])) AS qq, "
             f"min({_B_SQL}) AS mb FROM pts p CROSS JOIN {cfinal} c GROUP BY p.id) t)"
         )

@@ -63,6 +63,14 @@ def clear_pq_memo() -> None:
     _IVFPQ_MEMO.clear()
 
 
+# kmeans.clear_fit_memo() is the documented reset-after-rewrite call;
+# cascade it here so one call restores full coherence (the codebooks
+# train against those fits)
+from tabsketchfm_spark.operators import kmeans as _km_mod
+
+_km_mod._DEPENDENT_MEMO_CLEARS.append(clear_pq_memo)
+
+
 def _dot_lit(col: str, base: int, vec: list[int]) -> str:
     """Integer dot of the 0-based Spark slice ``col[base..base+D_SUB)``
     with a literal codeword — HOF form, NOT unrolled: the

@@ -539,7 +539,6 @@ def _induce_boost(
             aggs.append(
                 F.sum(F.when(pred_pos != F.col("y"), F.col("w"))).alias(f"e_{j}_{t}")
             )
-    r = None
     for _ in range(rounds):
         slot = []
         for q in range(rounds):
@@ -560,12 +559,9 @@ def _induce_boost(
                     if best is None or key < best:
                         best = key
         stumps.append((best[1], best[2], best[3]))
-    if r is None:
-        # rounds=0: baseline-only evaluation still needs the totals
-        r = feat.agg(
-            F.sum(F.when(F.col("y") == 1, 1)).alias("p"),
-            F.sum(F.when(F.col("y") == -1, 1)).alias("n"),
-        ).collect()[0]
+    # the rounds < 1 guard makes the loop run at least once, so r is
+    # always bound (rounds=0 is deliberately NOT supported here —
+    # unlike the perceptron's epochs=0 baseline path)
     return stumps, int(r["p"] or 0), int(r["n"] or 0)
 
 

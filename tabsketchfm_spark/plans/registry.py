@@ -703,8 +703,8 @@ _register(
     # quantizer: per-vector assignments are immutable facts (append
     # form), so the union of per-batch outputs == the batch operator
     # over the full feed, and the batch kmeans replay gates the
-    # stream bit-exactly. The fit is memoized — shared in-session
-    # with cluster_kmeans_exact_embeddings
+    # stream bit-exactly. The fit is memoized (keyed on the pruned
+    # projection it trains from)
     "stream_kmeans_assign_embeddings",
     _stream_kmeans_assign,
     kmeans_assign_exact_oracle_sql("embeddings"),

@@ -656,7 +656,15 @@ def streaming_kmeans_assign(
     from tabsketchfm_spark.operators import kmeans as km
     from tabsketchfm_spark.sources.tables import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # persist the PRUNED projection: repartitionByRange SAMPLES its
+    # input with an extra job (round-3 lesson) and the fit scans it
+    # too; a bare-table persist would cache-substitute under every
+    # other operator's embeddings scan (round-7 FD lesson)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .persist()
+    )
     m = km._fit(emb, km.N_CELLS, km.N_ITERS, km.DIM, "vec_id", "embedding")
 
     feed_dir = tempfile.mkdtemp(prefix="tsfm_kmeans_feed_")
@@ -691,7 +699,8 @@ def streaming_kmeans_assign(
         return spark.createDataFrame(holder["rows"], holder["schema"])
     finally:
         # rows are collected — the returned local frame never reads
-        # the feed dir
+        # the feed dir or the cached source
+        emb.unpersist()
         shutil.rmtree(feed_dir, ignore_errors=True)
 
 
