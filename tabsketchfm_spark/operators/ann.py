@@ -124,3 +124,106 @@ ranked AS (
   FROM scored)
 SELECT q_id, rank, cand_id, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
 """
+
+
+# --- binary sign-sketch + Hamming ranking ------------------------------------
+#
+# The most compressed point of the quantization spectrum (float →
+# int8 → PQ codes → 1 BIT per dim): each unit vector keeps only its
+# coordinate signs, packed into 32-bit words (8 bytes at dim 64), and
+# search ranks by Hamming distance bit_count(xor(...)) — for unit
+# vectors the expected angle is proportional to the sign-disagreement
+# count (the SimHash/Charikar bound), so Hamming order approximates
+# cosine order. Every quantity is integer → bit-exact DuckDB twin.
+
+_WORD = 32
+
+
+def _sign_words_spark(dim: int) -> list[str]:
+    """One packed BIGINT expression per 32-dim word (0-based u)."""
+    out = []
+    for w in range(dim // _WORD):
+        terms = " + ".join(
+            f"CASE WHEN u[{w * _WORD + i}] > cast(0 as double)"
+            f" THEN {1 << i} ELSE 0 END"
+            for i in range(_WORD)
+        )
+        out.append(f"cast({terms} as bigint)")
+    return out
+
+
+def _sign_words_duckdb(dim: int) -> list[str]:
+    """Same packing, 1-based DuckDB lists."""
+    out = []
+    for w in range(dim // _WORD):
+        terms = " + ".join(
+            f"CASE WHEN u[{w * _WORD + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(_WORD)
+        )
+        out.append(f"CAST({terms} AS BIGINT)")
+    return out
+
+
+def binary_hamming_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by Hamming distance over the 1-bit sign sketch: queries
+    and candidates both carry only dim/32 packed words, the per-pair
+    cost is a handful of xor+bit_count instructions, and the full
+    sketch table is dim/8 bytes per vector. Output:
+    (q_id, rank, cand_id, hamming)."""
+    from tabsketchfm_spark.operators.vector import _unit
+
+    words = _sign_words_spark(dim)
+    sk = _unit(emb, {"id": F.col(id_col)}, vec_col).select(
+        "id", *[F.expr(e).alias(f"w{w}") for w, e in enumerate(words)]
+    )
+    queries = sk.where(F.col("id") < query_ids_max).select(
+        F.col("id").alias("q_id"),
+        *[F.col(f"w{w}").alias(f"q{w}") for w in range(len(words))],
+    )
+    ham = F.expr(
+        " + ".join(f"bit_count(w{w} ^ q{w})" for w in range(len(words)))
+    ).cast("bigint")
+    pairs = sk.crossJoin(F.broadcast(queries)).where(
+        F.col("id") != F.col("q_id")
+    )
+    scored = pairs.select(
+        "q_id", F.col("id").alias("cand_id"), ham.alias("hamming")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "hamming")
+    )
+
+
+def binary_hamming_topk_oracle_sql(
+    table: str, query_ids_max: int, k: int = 10, dim: int = 64
+) -> str:
+    from tabsketchfm_spark.operators.vector import _unit_cte_duckdb
+
+    words = _sign_words_duckdb(dim)
+    wl = ", ".join(f"{e} AS w{w}" for w, e in enumerate(words))
+    ham = " + ".join(
+        f"bit_count(xor(c.w{w}, q.w{w}))" for w in range(len(words))
+    )
+    return f"""
+WITH un AS ({_unit_cte_duckdb(table)}),
+sk AS MATERIALIZED (SELECT vec_id AS id, {wl} FROM un),
+scored AS (
+  SELECT q.id AS q_id, c.id AS cand_id, CAST({ham} AS BIGINT) AS hamming
+  FROM sk c JOIN sk q ON q.id < {query_ids_max} AND c.id <> q.id),
+ranked AS (
+  SELECT q_id, cand_id, hamming,
+         CAST(row_number() OVER (PARTITION BY q_id
+                                 ORDER BY hamming, cand_id) AS INTEGER) AS rank
+  FROM scored)
+SELECT q_id, rank, cand_id, hamming FROM ranked WHERE rank <= {k}
+"""

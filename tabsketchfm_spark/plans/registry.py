@@ -1092,6 +1092,19 @@ _register(
     ann_op.ann_topk_oracle_sql("embeddings", 10, k=5),
 )
 
+_register(
+    # 1-BIT sign sketch + Hamming ranking — the most compressed point
+    # of the quantization spectrum (8 bytes/vector at dim 64); the
+    # SimHash/Charikar bound makes Hamming order approximate cosine
+    # order. Integer-exact: packed words + bit_count(xor) in both
+    # engines. Sweep-only
+    "ann_binary_hamming_topk",
+    lambda spark, sf: ann_op.binary_hamming_topk(
+        load_table(spark, sf, "embeddings"), 20, k=5
+    ),
+    ann_op.binary_hamming_topk_oracle_sql("embeddings", 20, k=5),
+)
+
 # --- K6/T2 scale path: IVF cell-probing ANN ---------------------------------
 
 from tabsketchfm_spark.operators import ivf as ivf_op

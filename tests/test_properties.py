@@ -323,6 +323,21 @@ def test_ivfpq_adc_recall_beats_random(spark, sf001):
     assert hits / total >= 0.1, f"IVF-PQ recall {hits}/{total}"
 
 
+def test_binary_hamming_recall_beats_random(spark, sf001):
+    """1-bit sign sketch keeps only coordinate signs — recall vs exact
+    cosine is capped hard by the near-orthogonal synthetic data
+    (measured 0.16 @5); pin it above the random baseline (~0.05)."""
+    from tabsketchfm_spark.operators.ann import binary_hamming_topk
+    from tabsketchfm_spark.operators.vector import cosine_topk
+
+    emb = load_table(spark, sf001, "embeddings")
+    truth = _topk_sets(cosine_topk(emb, 10, k=5))
+    approx = _topk_sets(binary_hamming_topk(emb, 10, k=5))
+    hits = sum(len(truth[q] & approx.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.1, f"binary Hamming recall {hits}/{total}"
+
+
 def test_ivf_assign_partitions_every_vector(spark, sf001):
     """Every vector lands in exactly one cell, and every cell id is a
     valid centroid id."""
