@@ -529,9 +529,12 @@ def trained_pair_scores(
             shutil.rmtree(tmpdir, ignore_errors=True)
         w, b = served["w"], served["b"]
 
+        # (query_table × candidate) pairs only — iterating `tables`
+        # here would prepend a (query, query) self-pair (round-8
+        # advisory)
         pair_prof = _pair_layout(
             profs,
-            [(f"{query_table}|{cand}", query_table, cand, 0) for cand in tables],
+            [(f"{query_table}|{cand}", query_table, cand, 0) for cand in cand_tables],
         )
         # trained-head scoring as column algebra (the m6h-pinned stage)
         wk = [F.array(*[F.lit(float(v)) for v in w[k]]) for k in range(2)]

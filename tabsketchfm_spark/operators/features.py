@@ -55,7 +55,9 @@ def subword_tk_expr(
     )
 
 
-def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
+def token_features(
+    profile: DataFrame, tk_expr: str | None = None, keep_name: bool = False
+) -> DataFrame:
     """profile (one row per column: column_name, col_idx, col_type,
     q10..q90, mean_v, std_v, min_v, max_v) → token rows:
 
@@ -69,7 +71,9 @@ def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
     ``tk_expr`` overrides the column-name tokenizer (a SQL expression
     over ``column_name`` yielding the token array INCLUDING the
     trailing [SEP]); default splits on '_', subword_tk_expr() gives
-    the BPE-segmented wordpiece-parity variant.
+    the BPE-segmented wordpiece-parity variant. ``keep_name`` appends
+    the source ``column_name`` (NULL on the [CLS] row) — the join key
+    the HV variant aligns per-column hashing vectors on.
     """
     qvec = (
         "array(q10, q20, q30, q40, q50, q60, q70, q80, q90, "
@@ -97,8 +101,9 @@ def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
         )
     )
     cls = toks.sparkSession.createDataFrame(
-        [(-1, "[CLS]", -1, "special", None, None)],
-        "col_idx int, token string, tok_pos int, col_type string, zq_first double, zq_last double",
+        [(-1, "[CLS]", -1, "special", None, None, None)],
+        "col_idx int, token string, tok_pos int, col_type string, "
+        "zq_first double, zq_last double, column_name string",
     ).select(
         "col_idx",
         "token",
@@ -106,6 +111,7 @@ def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
         "col_type",
         F.col("zq_first").cast("double"),
         F.col("zq_last").cast("double"),
+        "column_name",
     )
     body = toks.select(
         "col_idx",
@@ -114,6 +120,7 @@ def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
         "col_type",
         F.round(F.expr("zq[0]"), 10).alias("zq_first"),
         F.round(F.expr("zq[12]"), 10).alias("zq_last"),
+        "column_name",
     )
     seq = cls.unionByName(body)
     # one table's token sequence (≤ cols × 5 tokens) — bounded input,
@@ -157,6 +164,7 @@ def token_features(profile: DataFrame, tk_expr: str | None = None) -> DataFrame:
         "type_id",
         "zq_first",
         "zq_last",
+        *(["column_name"] if keep_name else []),
     )
 
 
@@ -164,6 +172,7 @@ def token_features_oracle_sql(
     profile_sql: str,
     prefix_ctes: str = "",
     ntk_sql: str | None = None,
+    keep_name: bool = False,
 ) -> str:
     """DuckDB mirror over the same profile relation (passed as SQL).
 
@@ -182,6 +191,7 @@ def token_features_oracle_sql(
         else "list_concat(list_filter(string_split(column_name, '_'), "
         "t -> t <> ''),\n                            ['[SEP]'])"
     )
+    name_out = ", column_name" if keep_name else ""
     return f"""
 WITH {prefix_ctes}prof AS ({profile_sql}),
 qv AS (SELECT column_name, col_idx, col_type,
@@ -197,16 +207,17 @@ ztok AS (SELECT column_name, col_idx, col_type,
                      ELSE list_transform(q, x -> ((x - m) / s) / 100000000.0) END AS zq,
                 {tk_expr} AS tk
          FROM zs {tk_join}),
-toks AS (SELECT col_idx, col_type, zq,
+toks AS (SELECT column_name, col_idx, col_type, zq,
                 unnest(tk) AS token,
                 generate_subscripts(tk, 1) - 1 AS tok_pos
          FROM ztok),
 seq AS (
   SELECT -1 AS col_idx, '[CLS]' AS token, -1 AS tok_pos, 'special' AS col_type,
-         CAST(NULL AS DOUBLE) AS zq_first, CAST(NULL AS DOUBLE) AS zq_last
+         CAST(NULL AS DOUBLE) AS zq_first, CAST(NULL AS DOUBLE) AS zq_last,
+         CAST(NULL AS VARCHAR) AS column_name
   UNION ALL
   SELECT col_idx, token, tok_pos, col_type,
-         round(zq[1], 10), round(zq[13], 10)
+         round(zq[1], 10), round(zq[13], 10), column_name
   FROM toks),
 pos AS (SELECT *,
                CAST(row_number() OVER (ORDER BY col_idx, tok_pos) - 1 AS INTEGER) AS position_id,
@@ -222,7 +233,7 @@ SELECT position_id, token,
        CAST(CASE col_type WHEN 'string' THEN 1 WHEN 'integer' THEN 2
                           WHEN 'float' THEN 3 WHEN 'date' THEN 4 ELSE 0 END AS INTEGER)
          AS type_id,
-       zq_first, zq_last
+       zq_first, zq_last{name_out}
 FROM pos
 """
 
@@ -435,6 +446,225 @@ signed AS (SELECT CAST(h % {n_features} AS INTEGER) AS feature_idx,
 counts AS (SELECT feature_idx, sum(sign) AS c FROM signed GROUP BY 1 HAVING sum(sign) <> 0),
 norm AS (SELECT sqrt(sum(c * c)) AS l2 FROM counts)
 SELECT feature_idx, round(c / l2, 10) AS tf FROM counts, norm
+"""
+
+
+def column_hashing_vectors(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    n_features: int = 30000,
+) -> DataFrame:
+    """Per-COLUMN hashing vectorizer (reference data_prep.py:251-261:
+    one document per column — the space-join of its values — through
+    HashingVectorizer(n_features=30000), stored as cols[col]['hv']).
+    Sparse rows (column_name, feature_idx, tf): signed token counts
+    (sign bit from the hash — sklearn's alternate_sign) L2-normalized
+    PER COLUMN. Same md5-based h32 + whitespace tokenization as the
+    table-level SK4 sketch (documented murmurhash divergence, SURVEY
+    §7.5 risk 1); zero-cancelled features are dropped, matching
+    sklearn's sparse storage."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+    from tabsketchfm_spark.operators.melt import melt_values
+
+    m = melt_values(df, columns)
+    tok = m.select(
+        "column_name", F.explode(F.split("v", r"\s+")).alias("t")
+    ).where(F.col("t") != "")
+    h = F.expr(h32_sql("t", "spark"))
+    signed = tok.select(
+        "column_name",
+        (h % n_features).cast("int").alias("feature_idx"),
+        F.when((F.shiftright(h, 31).bitwiseAND(F.lit(1))) == 1, -1)
+        .otherwise(1)
+        .alias("sign"),
+    )
+    counts = signed.groupBy("column_name", "feature_idx").agg(
+        F.sum("sign").alias("c")
+    )
+    counts = counts.where(F.col("c") != 0)
+    norm = counts.groupBy("column_name").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("l2")
+    )
+    # norm is schema-sized (one row per column) — broadcast it; the
+    # counts subtree recomputes once for the norm pass (the SK4 shape)
+    return counts.join(F.broadcast(norm), "column_name").select(
+        "column_name",
+        "feature_idx",
+        F.round(F.col("c") / F.col("l2"), 10).alias("tf"),
+    )
+
+
+def token_features_hv(
+    profile: DataFrame,
+    df: DataFrame,
+    columns: list[str] | None = None,
+    n_features: int = 30000,
+    tk_expr: str | None = None,
+) -> DataFrame:
+    """Tokenizer_HV (reference
+    tabular_tokenizer_hashing_vectorizer.py:12-54): the M9 token
+    stream with each column's hashing vector aligned at its name
+    tokens IN PLACE OF the minhash block — [CLS]/[SEP] and untyped
+    positions carry zeros (:25,:35,:43), a typed column
+    (string/date/integer/float, :40) carries its hv at every token of
+    its run (:48-52). Emitted SPARSE — (position_id, token,
+    col_encoding, token_position, type_id, feature_idx, tf) — a
+    30k-wide dense array per token would be the wrong storage (SURVEY
+    §7.5 risk 4); absent rows ARE the zeros, so the special-token and
+    untyped cases emit nothing.
+
+    Shape at scale: hv is a per-(column, feature) aggregate (bounded
+    by n_cols × n_features, not row count) and the token stream is
+    schema-sized — the alignment join broadcasts the token side."""
+    tf = token_features(profile, tk_expr, keep_name=True)
+    toks = tf.where(~F.col("token").isin("[CLS]", "[SEP]")).where(
+        F.col("type_id").isin(1, 2, 3, 4)
+    )
+    hv = column_hashing_vectors(df, columns, n_features)
+    return hv.join(F.broadcast(toks), "column_name").select(
+        "position_id",
+        "token",
+        "col_encoding",
+        "token_position",
+        "type_id",
+        "feature_idx",
+        "tf",
+    )
+
+
+def _column_hv_ctes(
+    table: str, columns: list[str], n_features: int, tag: str = ""
+) -> str:
+    """The DuckDB per-column hv chain (vals→tok→signed→counts→norm→hv),
+    CTE names suffixed with ``tag`` so the pair oracle can carry one
+    chain per side."""
+    from tabsketchfm_spark.functions.hashing import h32_sql
+
+    h = h32_sql("t", "duckdb")
+    vals = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, nullif(CAST({c} AS VARCHAR), '') AS v "
+        f"FROM {table}"
+        for c in columns
+    )
+    return f"""vals{tag} AS ({vals}),
+tok{tag} AS (SELECT column_name, unnest(string_split_regex(v, '\\s+')) AS t
+             FROM vals{tag} WHERE v IS NOT NULL),
+signed{tag} AS (SELECT column_name, CAST(h % {n_features} AS INTEGER) AS feature_idx,
+                       CASE WHEN (h >> 31) & 1 = 1 THEN -1 ELSE 1 END AS sign
+                FROM (SELECT column_name, {h} AS h FROM tok{tag} WHERE t <> '') hs),
+counts{tag} AS (SELECT column_name, feature_idx, sum(sign) AS c
+                FROM signed{tag} GROUP BY 1, 2 HAVING sum(sign) <> 0),
+nrm{tag} AS (SELECT column_name, sqrt(sum(c * c)) AS l2 FROM counts{tag} GROUP BY 1),
+hv{tag} AS (SELECT column_name, feature_idx, round(c / l2, 10) AS tf
+            FROM counts{tag} JOIN nrm{tag} USING (column_name))"""
+
+
+def token_features_hv_oracle_sql(
+    profile_sql: str,
+    table: str,
+    columns: list[str],
+    n_features: int = 30000,
+) -> str:
+    """DuckDB mirror: the keep_name token stream joined to the
+    identical per-column hv chain."""
+    base = token_features_oracle_sql(profile_sql, keep_name=True)
+    hv = _column_hv_ctes(table, columns, n_features)
+    return f"""
+WITH tfeat AS ({base}),
+{hv}
+SELECT position_id, token, col_encoding, token_position, type_id, feature_idx, tf
+FROM tfeat JOIN hv USING (column_name)
+WHERE token NOT IN ('[CLS]', '[SEP]') AND type_id IN (1, 2, 3, 4)
+"""
+
+
+def pair_token_features_hv(
+    profile1: DataFrame,
+    df1: DataFrame,
+    profile2: DataFrame,
+    df2: DataFrame,
+    columns1: list[str] | None = None,
+    columns2: list[str] | None = None,
+    n_features: int = 30000,
+    tk_expr: str | None = None,
+) -> DataFrame:
+    """M10 ∘ Tokenizer_HV (reference TableSimilarityTokenizer_HV,
+    tabular_tokenizer_hashing_vectorizer.py:57-60, layered on
+    tabular_dataset.py:168-192): the cross-encoder pair layout with
+    each SIDE's per-column hv aligned at its name tokens. Output:
+    (pair_position, table_id, token, col_encoding, token_position,
+    type_id, feature_idx, tf); the hv join keys on (table_id,
+    column_name) so same-named columns across the two tables cannot
+    cross-pollinate."""
+    s1 = token_features(profile1, tk_expr, keep_name=True).withColumn(
+        "table_id", F.lit(1)
+    )
+    s2 = (
+        token_features(profile2, tk_expr, keep_name=True)
+        .where(F.col("token") != "[CLS]")
+        .withColumn("table_id", F.lit(2))
+    )
+    u = s1.unionByName(s2)
+    w = Window.orderBy(F.asc("table_id"), F.asc("position_id"))
+    toks = (
+        u.withColumn("pair_position", F.row_number().over(w) - 1)
+        .where(~F.col("token").isin("[CLS]", "[SEP]"))
+        .where(F.col("type_id").isin(1, 2, 3, 4))
+    )
+    hv = (
+        column_hashing_vectors(df1, columns1, n_features)
+        .withColumn("table_id", F.lit(1))
+        .unionByName(
+            column_hashing_vectors(df2, columns2, n_features).withColumn(
+                "table_id", F.lit(2)
+            )
+        )
+    )
+    return hv.join(F.broadcast(toks), ["table_id", "column_name"]).select(
+        "pair_position",
+        "table_id",
+        "token",
+        "col_encoding",
+        "token_position",
+        "type_id",
+        "feature_idx",
+        "tf",
+    )
+
+
+def pair_token_features_hv_oracle_sql(
+    profile1_sql: str,
+    table1: str,
+    columns1: list[str],
+    profile2_sql: str,
+    table2: str,
+    columns2: list[str],
+    n_features: int = 30000,
+) -> str:
+    t1 = token_features_oracle_sql(profile1_sql, keep_name=True)
+    t2 = token_features_oracle_sql(profile2_sql, keep_name=True)
+    hv1 = _column_hv_ctes(table1, columns1, n_features, tag="1")
+    hv2 = _column_hv_ctes(table2, columns2, n_features, tag="2")
+    return f"""
+WITH s1 AS ({t1}), s2 AS ({t2}),
+u AS (
+  SELECT 1 AS table_id, position_id, token, col_encoding, token_position,
+         type_id, column_name FROM s1
+  UNION ALL
+  SELECT 2 AS table_id, position_id, token, col_encoding, token_position,
+         type_id, column_name
+  FROM s2 WHERE token <> '[CLS]'),
+p AS (SELECT CAST(row_number() OVER (ORDER BY table_id, position_id) - 1 AS INTEGER)
+               AS pair_position,
+             table_id, token, col_encoding, token_position, type_id, column_name
+      FROM u),
+{hv1},
+{hv2},
+hv AS (SELECT 1 AS table_id, * FROM hv1 UNION ALL SELECT 2 AS table_id, * FROM hv2)
+SELECT pair_position, p.table_id, token, col_encoding, token_position, type_id,
+       feature_idx, tf
+FROM p JOIN hv ON hv.table_id = p.table_id AND hv.column_name = p.column_name
+WHERE token NOT IN ('[CLS]', '[SEP]') AND type_id IN (1, 2, 3, 4)
 """
 
 

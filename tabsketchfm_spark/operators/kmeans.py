@@ -84,6 +84,21 @@ def _quantized(
     )
 
 
+def valid_rows(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``emb``'s rows restricted to the population that survives
+    ``_quantized``'s degenerate filter, ORIGINAL columns kept — via a
+    semi-join on the filtered ids, so the population is the oracle's
+    ``pts`` CTE by construction (no re-derived filter to drift).
+    Harness feeds that derive bucket widths from ``max(id)`` must read
+    THIS frame: a degenerate max-id row would otherwise give the Spark
+    side a different width than the oracle's ``max(id) FROM pts``
+    (round-8 advisory)."""
+    ids = _quantized(emb, id_col, vec_col).select(F.col("id").alias(id_col))
+    return emb.join(ids, id_col, "left_semi")
+
+
 def _b_exprs(m: dict[int, list[int]]) -> list[F.Column]:
     """One BIGINT distance-comparable column per centroid:
     B_k = m_k·m_k − 2·(qv·m_k), centroids as array literals (HOF dot —

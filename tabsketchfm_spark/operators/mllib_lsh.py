@@ -13,31 +13,29 @@ approximate index.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
-from pyspark.ml.feature import BucketedRandomProjectionLSH, MinHashLSH
-from pyspark.ml.linalg import Vectors, VectorUDT
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH
+from pyspark.ml.functions import array_to_vector
 
 
 def _shingle_vectors(
     df: DataFrame, id_col: str, text_col: str, n: int, vocab_size: int = 1 << 18
 ) -> DataFrame:
-    """Docs → sparse binary shingle-set vectors (MinHashLSH input)."""
-    from tabsketchfm_spark.functions.hashing import h32_sql
+    """Docs → sparse binary shingle-set vectors (MinHashLSH input),
+    built entirely JVM-side: HashingTF(binary=True) is the built-in
+    term→feature hasher (murmur3 % vocab_size), replacing the former
+    row-at-a-time sparse-vector Python UDF (round-7 verdict item 2).
+    Jaccard over the hashed index sets is invariant to WHICH injective
+    mapping indexes the shingles, so swapping the hash changes nothing
+    the recall contract measures."""
     from tabsketchfm_spark.operators.dedup import _shingles
 
     sh = _shingles(df, id_col, text_col, n)
-    idx = sh.select(
-        "id",
-        (F.expr(h32_sql("shingle", "spark")) % vocab_size).cast("int").alias("fi"),
-    ).distinct()
-    grouped = idx.groupBy("id").agg(F.collect_set("fi").alias("fis"))
-
-    @F.udf(VectorUDT())
-    def to_vec(fis):
-        pos = sorted(set(fis))
-        return Vectors.sparse(vocab_size, pos, [1.0] * len(pos))
-
-    return grouped.select("id", to_vec("fis").alias("features"))
+    grouped = sh.groupBy("id").agg(F.collect_set("shingle").alias("toks"))
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=vocab_size, binary=True
+    )
+    return tf.transform(grouped).select("id", "features")
 
 
 def mllib_minhash_dedup(
@@ -74,38 +72,36 @@ def mllib_brp_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """BucketedRandomProjectionLSH approxNearestNeighbors per query.
+    """BucketedRandomProjectionLSH top-k as ONE approxSimilarityJoin
+    over the whole query batch (replacing the former driver-side
+    per-query approxNearestNeighbors loop — q jobs from the driver —
+    and the dense-vector Python UDF with the built-in JVM
+    array_to_vector; round-7 verdict item 2). Candidates are the
+    bucket-colliding pairs; a per-query window ranks them by distance.
     Output: (q_id, rank, cand_id, eucl_dist)."""
-
-    @F.udf(VectorUDT())
-    def to_vec(arr):
-        return Vectors.dense([float(x) for x in arr])
-
     vecs = emb.select(
-        F.col(id_col).alias("id"), to_vec(vec_col).alias("features")
+        F.col(id_col).alias("id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     ).cache()
     model = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4,
         seed=42,
     ).fit(vecs)
-    queries = vecs.where(F.col("id") < query_ids_max).collect()
-    out = None
-    for row in queries:
-        nn = (
-            model.approxNearestNeighbors(vecs, row.features, k + 1)
-            .where(F.col("id") != row.id)
-            .limit(k)
-            .select(
-                F.lit(row.id).alias("q_id"),
-                F.col("id").alias("cand_id"),
-                F.round("distCol", 6).alias("eucl_dist"),
-            )
-        )
-        out = nn if out is None else out.unionByName(nn)
-    from pyspark.sql import Window
-
+    queries = vecs.where(F.col("id") < query_ids_max)
+    # the threshold only post-filters computed distances — pass +inf so
+    # ranking sees every bucket-colliding candidate (top-k semantics)
+    joined = model.approxSimilarityJoin(
+        queries, vecs, float("inf"), distCol="eucl_dist"
+    )
+    pairs = joined.select(
+        F.col("datasetA.id").alias("q_id"),
+        F.col("datasetB.id").alias("cand_id"),
+        F.round("eucl_dist", 6).alias("eucl_dist"),
+    ).where(F.col("q_id") != F.col("cand_id"))
     w = Window.partitionBy("q_id").orderBy(F.asc("eucl_dist"), F.asc("cand_id"))
-    return out.select("*", F.row_number().over(w).alias("rank"))
+    return pairs.select("*", F.row_number().over(w).alias("rank")).where(
+        F.col("rank") <= k
+    )
 
 
 def mllib_mlp_baseline(
@@ -153,13 +149,11 @@ def mllib_mlp_baseline(
         )
     )
 
-    @F.udf(VectorUDT())
-    def to_vec(*cs):
-        return Vectors.dense([float(x) for x in cs])
-
     data = feats.select(
         "doc_id",
-        to_vec(*[f"c{i}" for i in range(n_features)]).alias("features"),
+        array_to_vector(F.array(*[f"c{i}" for i in range(n_features)])).alias(
+            "features"
+        ),
         (F.col("n_chars") >= threshold).cast("double").alias("label"),
         (F.expr(h32_sql("doc_id", "spark")) % 5 == 0).alias("is_test"),
     ).persist()

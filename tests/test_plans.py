@@ -581,6 +581,8 @@ _PLAN_GUARD_SCHEMA_BOUNDED = {
     "m8_mask_plan_subword_customer",
     "m10_pair_tokens_customer_supplier",
     "m10_pair_tokens_subword_customer_supplier",
+    "m9_token_features_hv_customer",
+    "m10_pair_tokens_hv_customer_supplier",
 }
 
 
