@@ -64,6 +64,7 @@ def extract_embeddings(
     profile: DataFrame,
     minhash: DataFrame | None = None,
     checkpoint_path: str | None = None,
+    width: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """profile rows (one per column) → embedding table via the numpy
     reference forward (ml/reference_forward.py): the M1 six-stream
@@ -88,6 +89,10 @@ def extract_embeddings(
     serve-a-finetuned-model-lake-wide path); absent signatures fall
     back to zeros exactly like the
     reference tokenizer's missing-key path (tabular_tokenizer.py:206).
+    ``width`` overrides (hidden, n_heads, n_layers) per executor task —
+    ``reference_forward.REFERENCE_WIDTH`` serves at the published
+    bert-base config (768/12/12) with the same plumbing; None pins the
+    environment default so reused workers always reset.
     """
     from pyspark.sql import functions as F
 
@@ -123,9 +128,10 @@ def extract_embeddings(
         # TRAINED weights reach the executors here: install once per
         # worker process (hash-verified) — or, with no checkpoint,
         # clear any install a previous task left in this reused worker
-        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
+        # (and reset/resize the model width the same way)
+        from tabsketchfm_spark.ml.mlm import _ensure_task_state
 
-        ensure_checkpoint_state(checkpoint_path)
+        _ensure_task_state(checkpoint_path, width)
 
         col_rows = []
         names = {}
@@ -156,7 +162,9 @@ def extract_embeddings(
 
 
 def value_embeddings(
-    value_docs: DataFrame, checkpoint_path: str | None = None
+    value_docs: DataFrame,
+    checkpoint_path: str | None = None,
+    width: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """K2 (reference embedding_search.py:25-42): encode each column's
     value document (first-100-unique comma-joined values — see
@@ -173,10 +181,10 @@ def value_embeddings(
     ensure_package_on_workers(value_docs.sparkSession)
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
+        from tabsketchfm_spark.ml.mlm import _ensure_task_state
         from tabsketchfm_spark.ml.reference_forward import encode_text
 
-        ensure_checkpoint_state(checkpoint_path)
+        _ensure_task_state(checkpoint_path, width)
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
@@ -276,12 +284,14 @@ FROM v
 
 
 def merge_value_embeddings(
-    column_embs: DataFrame, value_embs: DataFrame
+    column_embs: DataFrame, value_embs: DataFrame, dim: int = EMBED_DIM
 ) -> DataFrame:
     """K2 merge (reference embedding_search.py:69-88): concatenate each
     column's sketch embedding with its value embedding (array concat
     after an equi-join; columns without a value doc keep the sketch
-    embedding alone via zero-padding)."""
+    embedding alone via zero-padding). ``dim`` is the value-embedding
+    width the zero pad must match — pass the hidden size used at
+    extraction when serving a non-default width."""
     from pyspark.sql import functions as F
 
     c = column_embs.where(F.col("kind") == "column").select(
@@ -290,7 +300,6 @@ def merge_value_embeddings(
     v = value_embs.select(
         "table_name", "column_name", F.col("vector").alias("vv")
     )
-    dim = EMBED_DIM
     zeros = F.array(*[F.lit(0.0).cast("float") for _ in range(dim)])
     return c.join(v, ["table_name", "column_name"], "left").select(
         "table_name",

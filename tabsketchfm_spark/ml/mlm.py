@@ -106,10 +106,25 @@ def apply_mask(seq: list[dict]) -> tuple[list[dict], np.ndarray]:
     return out, labels
 
 
+def _ensure_task_state(checkpoint_path, width) -> None:
+    """Executor-side state declaration (the reused-worker contract):
+    resize to the requested width — clearing any stale override first —
+    then install/clear the checkpoint. Shared by every mlm UDF."""
+    from tabsketchfm_spark.ml import reference_forward as rf_mod
+    from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
+
+    want = tuple(width) if width else rf_mod.DEFAULT_WIDTH
+    if rf_mod.width_config() != want:
+        ensure_checkpoint_state(None)
+        rf_mod.configure_width(*want)
+    ensure_checkpoint_state(checkpoint_path)
+
+
 def masked_lm_eval(
     profile: DataFrame,
     n_layers: int = rf.N_LAYERS,
     checkpoint_path: str | None = None,
+    width: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Lake-wide MLM evaluation: profile rows (one per column, with a
     table_name column) → one row per table with the masked-LM loss and
@@ -121,16 +136,15 @@ def masked_lm_eval(
     ensure_package_on_workers(profile.sparkSession)
 
     def infer(pdf: pd.DataFrame) -> pd.DataFrame:
-        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
-        from tabsketchfm_spark.ml.mlm import apply_mask
+        from tabsketchfm_spark.ml.mlm import _ensure_task_state, apply_mask
         from tabsketchfm_spark.ml.reference_forward import (
             build_token_sequence,
             masked_lm_forward,
         )
 
         # serve a TRAINED checkpoint when given one; otherwise make
-        # sure a reused worker is back on seeded weights
-        ensure_checkpoint_state(checkpoint_path)
+        # sure a reused worker is back on seeded weights + this width
+        _ensure_task_state(checkpoint_path, width)
         col_rows = [
             {c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()
         ]
@@ -177,6 +191,7 @@ def mlm_batches(
     profile: DataFrame,
     n_layers: int = rf.N_LAYERS,
     checkpoint_path: str | None = None,
+    width: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """Distributed batch assembly: profile rows → one row per MASKED
     position with its frozen encoder state and label. The expensive
@@ -188,11 +203,13 @@ def mlm_batches(
     ensure_package_on_workers(profile.sparkSession)
 
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
-        from tabsketchfm_spark.ml.mlm import mlm_training_batch
+        from tabsketchfm_spark.ml.mlm import (
+            _ensure_task_state,
+            mlm_training_batch,
+        )
         from tabsketchfm_spark.ml.reference_forward import build_token_sequence
 
-        ensure_checkpoint_state(checkpoint_path)
+        _ensure_task_state(checkpoint_path, width)
         col_rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
         table_name = col_rows[0]["table_name"]
         seq = build_token_sequence(col_rows)

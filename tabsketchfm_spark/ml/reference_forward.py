@@ -69,6 +69,45 @@ def _rng(seed: int) -> np.random.Generator:
 # swap a torch build performs with state_dict loading.
 _OVERRIDE: dict[str, np.ndarray] = {}
 
+# (hidden, n_heads, n_layers) presets: the environment default the
+# whole gate suite runs at, and the reference's published config
+# (transformer_bert.py:29 BertConfig defaults — bert-base: hidden 768,
+# 12 heads, 12 layers; pretrain.py:58,90 seq 512 / vocab 30522)
+DEFAULT_WIDTH = (32, 4, 4)
+REFERENCE_WIDTH = (768, 12, 12)
+
+
+def width_config() -> tuple[int, int, int]:
+    return (HIDDEN, N_HEADS, N_LAYERS)
+
+
+def configure_width(
+    hidden: int = 32, n_heads: int = 4, n_layers: int = 4
+) -> None:
+    """Resize the whole numpy stack — every consumer (encoder blocks,
+    MLM head, backprop, token-sequence builder) reads the module
+    globals at CALL time, so one mutation re-dimensions them all; the
+    lazily-materialized word table is reset (it is (VOCAB, HIDDEN)).
+    No-op when already at the requested width, so it is safe to call
+    per executor task (the ensure_checkpoint_state pattern — a reused
+    worker left at another width by a previous task resets itself).
+    Refuses to switch while a checkpoint override is installed: its
+    tensors carry the OLD width and would silently mix shapes."""
+    global HIDDEN, N_HEADS, HEAD_DIM, INTERMEDIATE, N_LAYERS, _WORD_TABLE
+    if (HIDDEN, N_HEADS, N_LAYERS) == (hidden, n_heads, n_layers):
+        return
+    if hidden % n_heads:
+        raise ValueError(f"hidden {hidden} not divisible by n_heads {n_heads}")
+    if _OVERRIDE:
+        raise RuntimeError(
+            "cannot change model width while a checkpoint override is "
+            "installed — clear_checkpoint()/ensure_checkpoint_state(None) first"
+        )
+    HIDDEN, N_HEADS, N_LAYERS = hidden, n_heads, n_layers
+    HEAD_DIM = hidden // n_heads
+    INTERMEDIATE = 4 * hidden
+    _WORD_TABLE = None
+
 
 def _emb_row(stream: str, idx: int) -> np.ndarray:
     """Deterministic embedding-table row: the (stream, id) cell of a

@@ -696,6 +696,165 @@ def streaming_minibatch_oracle_sql(
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(emits)
 
 
+# --- persisted centroid store: incremental cross-batch learning ------------
+#
+# The signature-store pattern (operators/dedup.py build_signature_store)
+# applied to the mini-batch LEARNER: the cumulative integer state
+# {cid: (s_vec, c)} lives in a manifest-guarded parquet store, so a NEW
+# day's batch updates centroids trained on every previous day — across
+# PROCESSES, not just across micro-batches of one stream. Every update
+# stays on the integer grid, so the whole multi-day evolution replays
+# bit-exactly in DuckDB (streaming_minibatch_oracle_sql gates the
+# arithmetic-bucket feed end to end).
+
+_KMEANS_STORE_FORMAT = "kmeans-int-state-v1"
+
+
+def _store_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifest.json")
+
+
+def kmeans_store_read(
+    spark, path: str, k: int = N_CELLS, dim: int = DIM
+) -> tuple[dict[int, tuple[list[int], int]], int]:
+    """Manifest-guarded read → ({cid: (s_vec, c)}, n_updates). Fails
+    LOUD on format/k/dim/scale mismatch (a state trained on another
+    grid would silently mis-assign every vector) and on a missing
+    store (callers decide whether cold start is allowed)."""
+    import json
+
+    with open(_store_manifest_path(path), encoding="utf-8") as f:
+        m = json.load(f)
+    if (
+        m["format"] != _KMEANS_STORE_FORMAT
+        or m["k"] != k
+        or m["dim"] != dim
+        or m["scale"] != SCALE
+    ):
+        raise IOError(
+            f"kmeans store at {path} is {m['format']} k={m['k']} "
+            f"dim={m['dim']} scale={m['scale']}; caller requested "
+            f"k={k} dim={dim} scale={SCALE}"
+        )
+    rows = spark.read.parquet(f"{path}/{m['state_dir']}").collect()
+    state = {int(r["cid"]): ([int(v) for v in r["s"]], int(r["c"])) for r in rows}
+    if len(state) != k:
+        raise IOError(f"kmeans store at {path} holds {len(state)} cells, not {k}")
+    return state, int(m["n_updates"])
+
+
+def kmeans_store_write(
+    spark,
+    path: str,
+    state: dict[int, tuple[list[int], int]],
+    n_updates: int,
+    dim: int = DIM,
+) -> None:
+    """Commit the state: write a FRESH ``state_<n>`` subdir first, then
+    flip the manifest pointer — no in-place rewrite of live files
+    (object-store-friendly; a crashed write leaves the previous
+    manifest pointing at intact state)."""
+    import json
+
+    state_dir = f"state_{n_updates:06d}"
+    spark.createDataFrame(
+        [(cid, s, c) for cid, (s, c) in sorted(state.items())],
+        "cid int, s array<bigint>, c bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{state_dir}")
+    manifest = {
+        "format": _KMEANS_STORE_FORMAT,
+        "k": len(state),
+        "dim": dim,
+        "scale": SCALE,
+        "n_updates": n_updates,
+        "state_dir": state_dir,
+    }
+    with open(_store_manifest_path(path), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def kmeans_store_update(
+    spark,
+    batch: DataFrame,
+    path: str,
+    k: int = N_CELLS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int, int]]:
+    """One arriving batch updates the PERSISTED centroid state: read
+    the store (COLD START: absent store seeds from this batch via the
+    shared ``_seed_vectors`` contract — ids 0..k-1 must be present),
+    assign the batch against the current centroids (one expression-only
+    aggregate), fold the per-cell integer sums, commit. Returns one
+    (cell, n_batch, n_cum) tuple per cell — the streaming twin's
+    per-batch emission, so a sequence of store updates over the same
+    batches is bit-equal to streaming_kmeans_minibatch."""
+    import os
+
+    q = _quantized(batch, id_col, vec_col).persist()
+    try:
+        if os.path.exists(_store_manifest_path(path)):
+            state, n_updates = kmeans_store_read(spark, path, k, dim)
+        else:
+            os.makedirs(path, exist_ok=True)
+            state, n_updates = minibatch_seed_state(q, k), 0
+        sums = cell_aggregate(q, state_centroids(state), dim)
+        state = minibatch_update(state, sums)
+        kmeans_store_write(spark, path, state, n_updates + 1, dim)
+        return [
+            (cid, sums.get(cid, ([], 0))[1], state[cid][1])
+            for cid in sorted(state)
+        ]
+    finally:
+        q.unpersist()
+
+
+def kmeans_store_run(
+    spark,
+    sf_dir: str,
+    n_batches: int | None = None,
+) -> DataFrame:
+    """The registered multi-day lifecycle: split the embeddings into
+    the SAME arithmetic id buckets the streaming learner feeds
+    (floor(id/W), W = max_id//n + 1 over the degenerate-filtered
+    population), then push each bucket through kmeans_store_update
+    against a fresh store — every update re-READS the state from disk,
+    so the evolution crosses process-state boundaries for real. Output
+    (batch, cell, n_batch, n_cum) is gated bit-exactly by
+    streaming_minibatch_oracle_sql — the same replay that gates the
+    in-process streaming twin (bucket 0 contains ids 0..k-1, so the
+    cold-start seed equals the whole-table seed contract)."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    if n_batches is None:
+        n_batches = N_BATCHES
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = valid_rows(raw, "vec_id", "embedding").persist()
+    store = tempfile.mkdtemp(prefix="tsfm_kmeans_store_")
+    try:
+        max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
+        width = max_id // n_batches + 1
+        rows = []
+        for b in range(n_batches):
+            batch = emb.where(F.floor(F.col("vec_id") / width) == b)
+            rows.extend(
+                (b, cid, nb, nc)
+                for cid, nb, nc in kmeans_store_update(spark, batch, store)
+            )
+        return spark.createDataFrame(
+            rows, "batch bigint, cell int, n_batch bigint, n_cum bigint"
+        )
+    finally:
+        emb.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+
+
 def ivf_kmeans_exact_topk_oracle_sql(
     table: str,
     query_ids_max: int,

@@ -730,6 +730,26 @@ _register(
     _stream_kmeans_minibatch,
     streaming_minibatch_oracle_sql("embeddings"),
 )
+
+
+def _store_kmeans_update(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.operators import kmeans as km_store
+
+    return km_store.kmeans_store_run(spark, sf)
+
+
+_register(
+    # incremental CROSS-BATCH k-means (round-7 verdict item 5): the
+    # cumulative integer state lives in a manifest-guarded parquet
+    # store — every bucket re-READS it from disk before updating, so
+    # centroid evolution crosses process-state boundaries (the
+    # signature-store pattern applied to a learner). Same arithmetic
+    # id buckets as the streaming twin → the SAME DuckDB replay gates
+    # the whole multi-day evolution bit-exactly
+    "store_kmeans_update_embeddings",
+    _store_kmeans_update,
+    streaming_minibatch_oracle_sql("embeddings"),
+)
 _register(
     # default components are STAR CONTRACTION since round 7 (measured:
     # wins shallow AND deep standalone, within noise in-pipeline —

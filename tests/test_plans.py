@@ -558,6 +558,9 @@ _PLAN_GUARD_SKIP = {
     "quality_boost_cv_documents",
     "quality_model_selection_documents",
     "cluster_kmeans_k_selection_embeddings",
+    # round-8: the store-backed mini-batch learner loops buckets and
+    # reads/writes its centroid store at build
+    "store_kmeans_update_embeddings",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found

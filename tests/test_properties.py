@@ -227,6 +227,46 @@ def test_streaming_minibatch_kmeans_matches_python_replay(spark, sf001):
     assert got == sorted(expect)
 
 
+def test_kmeans_store_lifecycle(spark, sf001):
+    """The persisted-centroid-store learner: (1) the store-backed run
+    over the arithmetic buckets is bit-equal to the in-process
+    streaming twin (same state algebra, but every update re-reads the
+    state from DISK — the multi-day shape); (2) cold start seeds from
+    the first batch; (3) the manifest guards parameter mismatch; (4) a
+    second update folds counts monotonically and bumps the version."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import kmeans as km
+    from tabsketchfm_spark.streaming.profile_stream import (
+        streaming_kmeans_minibatch,
+    )
+
+    got = sorted(map(tuple, km.kmeans_store_run(spark, sf001).collect()))
+    want = sorted(map(tuple, streaming_kmeans_minibatch(spark, sf001).collect()))
+    assert got == want
+
+    emb = load_table(spark, sf001, "embeddings").select("vec_id", "embedding")
+    d = tempfile.mkdtemp(prefix="tsfm_kms_test_")
+    try:
+        shutil.rmtree(d)  # store dir must not pre-exist for cold start
+        out1 = km.kmeans_store_update(spark, emb, d)
+        st1, n1 = km.kmeans_store_read(spark, d)
+        assert n1 == 1 and len(st1) == km.N_CELLS
+        assert {c for c, _nb, _nc in out1} == set(st1)
+        with pytest.raises(IOError):
+            km.kmeans_store_read(spark, d, k=km.N_CELLS + 1)
+        out2 = km.kmeans_store_update(spark, emb, d)
+        st2, n2 = km.kmeans_store_read(spark, d)
+        assert n2 == 2
+        # counts accumulate: every cell's cumulative n grows by its
+        # batch contribution (same batch fed twice)
+        for (c1, nb1, nc1), (c2, nb2, nc2) in zip(sorted(out1), sorted(out2)):
+            assert c1 == c2 and nc2 == nc1 + nb2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_pq_codes_match_python_replay(spark, sf001):
     """Implementation-pin twin for product quantization: a plain
     python fold (quantize, per-subspace smallest-id seeds, 3 Lloyd
