@@ -202,11 +202,44 @@ def ensure_checkpoint_state(path: str | None) -> None:
         return
     path = _resolve_checkpoint_path(path)
     with open(path + ".json") as f:
-        key = json.load(f)["content_hash"]
+        manifest = json.load(f)
+    _validate_manifest_width(manifest, path)
+    key = manifest["content_hash"]
     if _WORKER_INSTALLED == key:
         return
     install_checkpoint(load_checkpoint(path))
     _WORKER_INSTALLED = key
+
+
+def _validate_manifest_width(manifest: dict, path: str) -> None:
+    """A checkpoint trained at another model width must fail LOUD at
+    install time: a hidden-size mismatch breaks every matmul, and a
+    FULL-ENCODER checkpoint covering fewer layers than the configured
+    depth would silently mix trained layers with seeded ones (the
+    missing keys fall back to md5 weights — round-8 review finding).
+    Head-only checkpoints (manifest n_layers == 0) install at any
+    configured depth by design: serving them over the seeded encoder
+    IS the freeze path."""
+    h = manifest.get("hidden")
+    if h is not None and h != rf.HIDDEN:
+        raise IOError(
+            f"checkpoint at {path} was saved at hidden={h}; the model "
+            f"is configured at hidden={rf.HIDDEN} — "
+            "configure_width() to match before installing"
+        )
+    nl = manifest.get("n_layers", 0)
+    if nl and nl != rf.N_LAYERS:
+        raise IOError(
+            f"full-encoder checkpoint at {path} covers {nl} layers; the "
+            f"model is configured for {rf.N_LAYERS} — installing would "
+            "mix trained and seeded layers"
+        )
+    nh = manifest.get("n_heads")
+    if nl and nh is not None and nh != rf.N_HEADS:
+        raise IOError(
+            f"checkpoint at {path} was saved with {nh} heads; the model "
+            f"is configured for {rf.N_HEADS}"
+        )
 
 
 def checkpoint_exists(path: str) -> bool:

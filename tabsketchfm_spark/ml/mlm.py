@@ -122,7 +122,7 @@ def _ensure_task_state(checkpoint_path, width) -> None:
 
 def masked_lm_eval(
     profile: DataFrame,
-    n_layers: int = rf.N_LAYERS,
+    n_layers: int | None = None,
     checkpoint_path: str | None = None,
     width: tuple[int, int, int] | None = None,
 ) -> DataFrame:
@@ -173,7 +173,7 @@ def masked_lm_eval(
     return profile.groupBy("table_name").applyInPandas(infer, schema=EVAL_SCHEMA)
 
 
-def mlm_training_batch(seq: list[dict], n_layers: int = rf.N_LAYERS):
+def mlm_training_batch(seq: list[dict], n_layers: int | None = None):
     """One table → the frozen-encoder MLM training batch: (states at
     masked positions, labels). The encoder runs ONCE per table (the
     reference's freeze path, tabsketchfm_finetune.py:26-28 — only the
@@ -189,7 +189,7 @@ BATCH_SCHEMA = "table_name string, pos int, state array<double>, label long"
 
 def mlm_batches(
     profile: DataFrame,
-    n_layers: int = rf.N_LAYERS,
+    n_layers: int | None = None,
     checkpoint_path: str | None = None,
     width: tuple[int, int, int] | None = None,
 ) -> DataFrame:

@@ -82,7 +82,9 @@ def width_config() -> tuple[int, int, int]:
 
 
 def configure_width(
-    hidden: int = 32, n_heads: int = 4, n_layers: int = 4
+    hidden: int | None = None,
+    n_heads: int | None = None,
+    n_layers: int | None = None,
 ) -> None:
     """Resize the whole numpy stack — every consumer (encoder blocks,
     MLM head, backprop, token-sequence builder) reads the module
@@ -92,8 +94,17 @@ def configure_width(
     per executor task (the ensure_checkpoint_state pattern — a reused
     worker left at another width by a previous task resets itself).
     Refuses to switch while a checkpoint override is installed: its
-    tensors carry the OLD width and would silently mix shapes."""
+    tensors carry the OLD width and would silently mix shapes.
+    Omitted arguments fall back to DEFAULT_WIDTH — the ONE reset
+    constant, so configure_width() and _ensure_task_state(None) cannot
+    drift apart (round-8 review finding)."""
     global HIDDEN, N_HEADS, HEAD_DIM, INTERMEDIATE, N_LAYERS, _WORD_TABLE
+    if hidden is None:
+        hidden = DEFAULT_WIDTH[0]
+    if n_heads is None:
+        n_heads = DEFAULT_WIDTH[1]
+    if n_layers is None:
+        n_layers = DEFAULT_WIDTH[2]
     if (HIDDEN, N_HEADS, N_LAYERS) == (hidden, n_heads, n_layers):
         return
     if hidden % n_heads:
@@ -359,7 +370,9 @@ N_LAYERS = 4
 
 
 def encoder_forward(
-    states: np.ndarray, n_layers: int = N_LAYERS, output_hidden_states: bool = False
+    states: np.ndarray,
+    n_layers: int | None = None,
+    output_hidden_states: bool = False,
 ):
     """Run the embedding output through ``n_layers`` stacked blocks.
 
@@ -367,7 +380,12 @@ def encoder_forward(
     — the full ``hidden_states`` tuple analogue [embedding_output,
     layer1_out, ..., layerN_out] exactly as HF BertEncoder exposes it
     (the reference indexes ``hidden_states[1:]`` and pools layer 0 of
-    that slice, extract_embeddings.py:100,105)."""
+    that slice, extract_embeddings.py:100,105). ``n_layers`` None reads
+    the CURRENT module config at call time — a def-time ``= N_LAYERS``
+    default would freeze the import-time value and silently ignore
+    configure_width (round-8 review finding)."""
+    if n_layers is None:
+        n_layers = N_LAYERS
     hidden = [states]
     for layer in range(n_layers):
         hidden.append(encoder_layer(hidden[-1], layer=layer))
@@ -386,14 +404,14 @@ def pooler(sequence_output: np.ndarray) -> np.ndarray:
     return np.tanh(w @ cls_state + b)
 
 
-def model_forward(seq: list[dict], n_layers: int = N_LAYERS):
+def model_forward(seq: list[dict], n_layers: int | None = None):
     """TabularBertModel.forward with add_pooling_layer=True: returns
     (sequence_output, pooled_output)."""
     sequence_output = encoder_forward(m1_forward(seq), n_layers)
     return sequence_output, pooler(sequence_output)
 
 
-def encode_text(tokens: list[str], n_layers: int = N_LAYERS) -> np.ndarray:
+def encode_text(tokens: list[str], n_layers: int | None = None) -> np.ndarray:
     """Sentence-encoder stand-in for K2 (reference embedding_search.py:
     25-42 encodes each column's value document with a
     sentence-transformer): build [CLS] t1..tn [SEP] with only the
@@ -497,7 +515,7 @@ def cross_entropy(logits: np.ndarray, labels: np.ndarray) -> tuple[float, int]:
 
 
 def masked_lm_forward(
-    seq: list[dict], labels: np.ndarray, n_layers: int = N_LAYERS
+    seq: list[dict], labels: np.ndarray, n_layers: int | None = None
 ) -> dict:
     """TabularBertForMaskedLM.forward: full-sequence logits would be
     (seq, VOCAB); only label positions contribute to the loss, so the

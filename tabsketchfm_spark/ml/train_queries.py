@@ -114,23 +114,44 @@ def _masked_sequences(
     return out
 
 
+# driver-side fit memos (the classifier _TRAIN_MEMO / kmeans _FIT_MEMO
+# rationale, round-8 suite-cost item): the m5f/k1t/k4t/m6/m6t queries
+# and their tests re-run IDENTICAL deterministic fits (seeded init,
+# md5 rolls, full-batch epochs) several times per session. Keyed on
+# the data identity (sf_dir / profile plan hashes) + hyperparameters;
+# testdata is immutable per session. clear_fit_memos() resets.
+_FULL_MODEL_MEMO: dict[tuple, tuple] = {}
+_HEAD_MEMO: dict[tuple, tuple] = {}
+
+
+def clear_fit_memos() -> None:
+    _FULL_MODEL_MEMO.clear()
+    _HEAD_MEMO.clear()
+
+
 def _fit_full_model(
     spark: SparkSession, sf_dir: str, lr: float = 5e-3, max_epochs: int = 12
 ):
     """Shared assembly + full-backprop fit for the M5-complete paths:
     (model, curve). ONE definition so the registered pretrain curve
     and the served checkpoint cannot drift (same batches, dims floor,
-    optimizer discipline)."""
+    optimizer discipline). Memoized per (sf_dir, lr, max_epochs);
+    callers treat the returned model as read-only (state_dict reads)."""
     from tabsketchfm_spark.ml.backprop import (
         MLMPretrainModel,
         sequence_position_dims,
     )
 
+    key = (sf_dir, lr, max_epochs, rf.width_config())
+    hit = _FULL_MODEL_MEMO.get(key)
+    if hit is not None:
+        return hit
     bt = _masked_sequences(spark, sf_dir, PRETRAIN_TRAIN_TABLES)
     bv = _masked_sequences(spark, sf_dir, PRETRAIN_VALID_TABLES)
     mc, mt = sequence_position_dims(bt + bv)
     model = MLMPretrainModel(max_col=max(mc, 64), max_tokpos=max(mt, 64))
     curve = tr.fit(model, (bt, None), (bv, None), lr=lr, max_epochs=max_epochs)
+    _FULL_MODEL_MEMO[key] = (model, curve)
     return model, curve
 
 
@@ -283,7 +304,7 @@ PAIR_POOL_SCHEMA = "pair_id string, pooled array<double>, label long"
 
 def _pair_pooled(
     profile: DataFrame,
-    n_layers: int = rf.N_LAYERS,
+    n_layers: int | None = None,
     checkpoint_path: str | None = None,
 ) -> DataFrame:
     """Per-pair cross-encoder forward: the pair's combined token
@@ -299,13 +320,16 @@ def _pair_pooled(
     ensure_package_on_workers(profile.sparkSession)
 
     def pool(pdf: pd.DataFrame) -> pd.DataFrame:
-        from tabsketchfm_spark.ml.checkpoint import ensure_checkpoint_state
+        from tabsketchfm_spark.ml.mlm import _ensure_task_state
         from tabsketchfm_spark.ml.reference_forward import (
             build_token_sequence,
             model_forward,
         )
 
-        ensure_checkpoint_state(checkpoint_path)
+        # width=None RESETS a reused worker another task may have left
+        # at a non-default width (round-8 review finding — this was the
+        # one executor entry point without the declaration)
+        _ensure_task_state(checkpoint_path, None)
         rows = [{c: r[c] for c in pdf.columns} for _, r in pdf.iterrows()]
         pair_id = rows[0]["pair_id"]
         label = int(rows[0]["pair_label"])
@@ -398,7 +422,16 @@ def _fit_similarity_head(
     would stop at chance level; re-tune if weight generation changes).
     Shared by finetune_eval and trained_pair_scores so the trained
     scorer can never desync from the m6 metrics it reproduces.
-    Returns (head, curve, (xt, yt), (xv, yv))."""
+    Returns (head, curve, (xt, yt), (xv, yv)). Memoized per (profile
+    plan hashes, hyperparameters) — the m6/m6t queries and their tests
+    repeat this exact fit; callers read the head, never mutate it."""
+    key = (
+        tuple(sorted((t, p._jdf.semanticHash()) for t, p in profs.items())),
+        lr, max_epochs, patience, no_pretrain, rf.width_config(),
+    )
+    hit = _HEAD_MEMO.get(key)
+    if hit is not None:
+        return hit
     train_t, valid_t = FINETUNE_TABLES[:4], FINETUNE_TABLES[4:]
     xt, yt, _ = _collect_pairs(
         _pair_pooled(_pair_layout(profs, _similarity_pairs(train_t)))
@@ -415,6 +448,7 @@ def _fit_similarity_head(
         head, (xt, yt), (xv, yv),
         lr=lr, max_epochs=max_epochs, patience=patience, weight_decay=0.0,
     )
+    _HEAD_MEMO[key] = (head, curve, (xt, yt), (xv, yv))
     return head, curve, (xt, yt), (xv, yv)
 
 

@@ -771,8 +771,38 @@ def kmeans_store_write(
         "n_updates": n_updates,
         "state_dir": state_dir,
     }
-    with open(_store_manifest_path(path), "w", encoding="utf-8") as f:
+    # temp + rename: an in-place open('w') TRUNCATES the live manifest
+    # before writing, so a crash mid-dump bricks the store (round-8
+    # review finding); os.replace is atomic on POSIX
+    import os
+
+    tmp = _store_manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(tmp, _store_manifest_path(path))
+
+
+def kmeans_store_init(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    k: int = N_CELLS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Explicit store bootstrap from a corpus frame: seed the state via
+    the shared ``_seed_vectors`` contract (quantized vectors of ids
+    0..k-1) and commit it at version 0. Matches the streaming twin's
+    whole-table seeding — kmeans_store_run must init this way or a
+    small table whose bucket 0 lacks ids 0..k-1 would crash where the
+    oracle succeeds (round-8 review finding)."""
+    import os
+
+    q = _quantized(corpus, id_col, vec_col)
+    state = minibatch_seed_state(q, k)
+    os.makedirs(path, exist_ok=True)
+    kmeans_store_write(spark, path, state, 0, dim)
 
 
 def kmeans_store_update(
@@ -825,8 +855,8 @@ def kmeans_store_run(
     so the evolution crosses process-state boundaries for real. Output
     (batch, cell, n_batch, n_cum) is gated bit-exactly by
     streaming_minibatch_oracle_sql — the same replay that gates the
-    in-process streaming twin (bucket 0 contains ids 0..k-1, so the
-    cold-start seed equals the whole-table seed contract)."""
+    in-process streaming twin; the store is kmeans_store_init'ed from
+    the whole filtered population first (the oracle's sts0 seed)."""
     import shutil
     import tempfile
 
@@ -840,6 +870,10 @@ def kmeans_store_run(
     try:
         max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
         width = max_id // n_batches + 1
+        # seed from the WHOLE filtered population (the streaming twin's
+        # and the oracle's sts0 contract) — batch-0 cold start only
+        # coincides with it while width > k
+        kmeans_store_init(spark, emb, store)
         rows = []
         for b in range(n_batches):
             batch = emb.where(F.floor(F.col("vec_id") / width) == b)

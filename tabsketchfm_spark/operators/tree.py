@@ -150,7 +150,19 @@ def _induce_tree(feat: DataFrame) -> tuple[dict, int, int]:
     """The two-pass induction over an (already filtered/persisted)
     feature frame; returns (tree, root_pos, root_neg) — the root
     totals ride pass 1, so CV gets n_train and the majority baseline
-    without an extra job."""
+    without an extra job. Memoized per frame plan (classifier
+    _TRAIN_MEMO): CV, model selection and the parity twins induce the
+    same folds repeatedly across the suite."""
+    from tabsketchfm_spark.operators.classifier import _memo_train
+
+    return _memo_train(
+        feat,
+        ("tree2", tuple(FEATURES), tuple(THRESHOLDS)),
+        lambda: _induce_tree_impl(feat),
+    )
+
+
+def _induce_tree_impl(feat: DataFrame) -> tuple[dict, int, int]:
 
     def _counts(side=None, prefix=""):
         """One wide aggregate: per grid pair, pos/neg counts left of the
@@ -494,9 +506,22 @@ def _induce_boost(
     """The round loop over an (already filtered/persisted) feature
     frame; returns (stumps, pos, neg) — the node's class totals ride
     the last round's aggregate, so CV gets n_train and the majority
-    baseline without an extra job."""
+    baseline without an extra job. Memoized per (frame plan, rounds)
+    — the classifier-family suite-cost rationale."""
     if rounds < 1:
         raise ValueError("boosting needs at least one stump round")
+    from tabsketchfm_spark.operators.classifier import _memo_train
+
+    return _memo_train(
+        feat,
+        ("boost", rounds, tuple(FEATURES), tuple(THRESHOLDS)),
+        lambda: _induce_boost_impl(feat, rounds),
+    )
+
+
+def _induce_boost_impl(
+    feat: DataFrame, rounds: int
+) -> tuple[list[tuple[int, int, int]], int, int]:
     spark = feat.sparkSession
     stumps: list[tuple[int, int, int]] = []
     # stumps enter as a BROADCAST one-row frame with T fixed slots

@@ -692,3 +692,88 @@ def test_train_checkpoint_serve_loop(tmp_path):
     assert served < before  # training moved the served model
     # and clearing the checkpoint restores the seeded forward
     assert abs(rf.masked_lm_forward(masked, labels)["loss"] - before) < 1e-12
+
+
+# --- width seam (round-8): configure_width + per-task declaration ----------
+
+
+def test_configure_width_resizes_whole_stack_and_resets():
+    """The width seam must reach every consumer at CALL time — layers
+    included (the n_layers defaults were once bound at import and
+    silently ignored the config; round-8 review finding). Also pins
+    the one-reset-constant rule: bare configure_width() restores
+    DEFAULT_WIDTH exactly."""
+    try:
+        rf.configure_width(64, 8, 2)
+        assert rf.width_config() == (64, 8, 2)
+        assert rf.HEAD_DIM == 8 and rf.INTERMEDIATE == 256
+        seq = rf.build_token_sequence(
+            [
+                {
+                    "column_name": "c_name",
+                    "col_idx": 0,
+                    "col_type": "string",
+                    **{c: 1.0 for c in rf._STAT_COLS},
+                }
+            ]
+        )
+        # n_layers=None must resolve to the CONFIGURED depth: a 2-layer
+        # run differs from a 1-layer run of the same states
+        states = rf.m1_forward(seq)
+        full = rf.encoder_forward(states)
+        assert full.shape == (len(seq), 64)
+        assert not np.array_equal(full, rf.encoder_forward(states, n_layers=1))
+        assert np.array_equal(full, rf.encoder_forward(states, n_layers=2))
+        v = rf.encode_text(["alpha", "beta"])
+        assert v.shape == (64,)
+        assert np.array_equal(
+            v, rf.encode_text(["alpha", "beta"], n_layers=2)
+        )
+    finally:
+        rf.configure_width()
+    assert rf.width_config() == rf.DEFAULT_WIDTH
+
+
+def test_width_seam_reaches_executors_and_resets(spark, sf001):
+    """masked_lm_eval at a non-default width must produce a DIFFERENT
+    loss than the default run (proving hidden AND layer count reach
+    the executor forward), and a following default-width run must
+    match the original — the reused-worker reset contract."""
+    from tabsketchfm_spark.operators import profile as prof
+    from tabsketchfm_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf001, "customer")
+    p = prof.profile_table(cust, "customer", round_digits=4)
+    base = mlm.masked_lm_eval(p).collect()[0]["mlm_loss"]
+    narrow = mlm.masked_lm_eval(p, width=(32, 4, 2)).collect()[0]["mlm_loss"]
+    assert narrow != base  # layer count reached the executor forward
+    wide = mlm.masked_lm_eval(p, width=(64, 8, 2)).collect()[0]["mlm_loss"]
+    assert wide not in (base, narrow)  # hidden size reached it too
+    again = mlm.masked_lm_eval(p).collect()[0]["mlm_loss"]
+    assert again == base  # reused workers reset to DEFAULT_WIDTH
+
+
+def test_checkpoint_install_refuses_width_mismatch(tmp_path):
+    """A checkpoint saved at one width must fail LOUD when installed
+    under another (round-8 review finding: missing layer keys would
+    silently fall back to seeded weights — a half-trained forward)."""
+    from tabsketchfm_spark.ml import checkpoint as ck
+    from tabsketchfm_spark.ml.backprop import MLMPretrainModel
+
+    model = MLMPretrainModel(max_col=64, max_tokpos=64)
+    path = str(tmp_path / "w32")
+    ck.save_checkpoint(path, model.state_dict())
+    try:
+        rf.configure_width(64, 8, 2)
+        with pytest.raises(IOError, match="hidden"):
+            ck.ensure_checkpoint_state(path)
+        # full-encoder depth mismatch at SAME hidden also refuses
+        rf.configure_width(32, 4, 2)
+        with pytest.raises(IOError, match="layers"):
+            ck.ensure_checkpoint_state(path)
+    finally:
+        ck.ensure_checkpoint_state(None)
+        rf.configure_width()
+    # back at the saved width it installs cleanly
+    ck.ensure_checkpoint_state(path)
+    ck.ensure_checkpoint_state(None)

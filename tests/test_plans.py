@@ -611,17 +611,15 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
     plan (threshold probes, bloom builds, split boundaries) are NOT
     flagged — their returned plan is exactly what the guard exists to
     check."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from tabsketchfm_spark.plans import registry
 
     failures = {}
     unmarked_eager = {}
-    for name, fn in registry.queries().items():
-        if (
-            name in _PLAN_GUARD_SKIP
-            or name in _PLAN_GUARD_SCHEMA_BOUNDED
-            or name.startswith(_PLAN_GUARD_SKIP_PREFIXES)
-        ):
-            continue
+
+    def _check(item):
+        name, fn = item
         df = fn(spark, sf01)
         nodes = list(_walk_jplan(df._jdf.queryExecution().sparkPlan()))
         leaves = [n for n in nodes if n.children().size() == 0]
@@ -642,11 +640,33 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
             or "Window" in n.getClass().getSimpleName()
             for n in nodes
         )
-        if leaves and len(mat) == len(leaves) and not distributed_work:
-            unmarked_eager[name] = sorted(set(mat))
-        bad = _partitionless_window_violations(df)
-        if bad:
-            failures[name] = bad
+        eager = (
+            sorted(set(mat))
+            if leaves and len(mat) == len(leaves) and not distributed_work
+            else None
+        )
+        return name, eager, _partitionless_window_violations(df)
+
+    todo = [
+        (name, fn)
+        for name, fn in registry.queries().items()
+        if not (
+            name in _PLAN_GUARD_SKIP
+            or name in _PLAN_GUARD_SCHEMA_BOUNDED
+            or name.startswith(_PLAN_GUARD_SKIP_PREFIXES)
+        )
+    ]
+    # thread pool: the per-query work is Catalyst analysis + py4j plan
+    # walks (JVM-side, GIL released) — serial, this test was the
+    # suite's single most expensive item (144s; round-8 verdict item
+    # 4). Build-time fit memos may double-fit under a race, which is
+    # deterministic-identical wasted work, never a wrong result.
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, eager, bad in pool.map(_check, todo):
+            if eager is not None:
+                unmarked_eager[name] = eager
+            if bad:
+                failures[name] = bad
     assert not failures, f"unbounded global windows: {failures}"
     assert not unmarked_eager, (
         "these queries returned fully driver-materialized plans (eager "
@@ -715,10 +735,18 @@ def test_registered_queries_are_run_deterministic(spark, sf01):
     registered queries produce IDENTICAL row sets across two runs in
     one session (float sums via exact decimals / sorted aggregates,
     hashes seeded — nothing may depend on task scheduling)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from tabsketchfm_spark.plans import registry
 
     qs = registry.queries()
-    for name in [
+
+    def _twice(name):
+        r1 = {tuple(r) for r in qs[name](spark, sf01).collect()}
+        r2 = {tuple(r) for r in qs[name](spark, sf01).collect()}
+        return name, r1 == r2
+
+    names = [
         "a1a8_profile_customer",
         "dedup_minhash_lsh_documents",
         "text_unigram_logppl",
@@ -728,10 +756,13 @@ def test_registered_queries_are_run_deterministic(spark, sf01):
         # rows-only queries get only a weak driver check — determinism
         # across runs is their main reproducibility claim
         "m3_mlm_eval_tables",
-    ]:
-        r1 = {tuple(r) for r in qs[name](spark, sf01).collect()}
-        r2 = {tuple(r) for r in qs[name](spark, sf01).collect()}
-        assert r1 == r2, name
+    ]
+    # concurrent queries in one local session are independent Spark
+    # jobs — run-determinism is exactly what the test asserts, so
+    # concurrency only ever makes it STRICTER
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, same in pool.map(_twice, names):
+            assert same, name
 
 
 def test_cdc_compaction_semantics(spark):
