@@ -506,9 +506,16 @@ def quality_perceptron_cv_scores(
     train-fold majority label (the baseline the trained model must
     beat). Spark shape: the persisted feature frame is scanned
     k·(epochs+1) times with map-side-combined aggregates — O(1) driver
-    traffic per epoch, like every trainer in this family."""
+    traffic per epoch, like every trainer in this family.
+
+    The frame carries with_total=True (the x{K+1} token-total column
+    the perceptron never reads): its plan then EQUALS the
+    model-selection frame's, so the per-fold _train_perceptron_on memo
+    is shared between this query and quality_model_selection — one
+    fold training serves both (round-8 suite-cost item; the weights
+    are identical either way since dim stops at x{K})."""
     feat = (
-        quality_features(df, id_col, text_col)
+        quality_features(df, id_col, text_col, with_total=True)
         .withColumn("fold", F.expr(h32_sql("id", "spark")) % k)
         .persist()
     )
@@ -921,17 +928,20 @@ LENCLASS_EXPR = (
 LENCLASS_LABELS = ("long", "mid", "short")
 
 
-def lenclass_perceptron_scores(df: DataFrame, epochs: int = 20) -> DataFrame:
+def lenclass_perceptron_scores(df: DataFrame, epochs: int = 10) -> DataFrame:
     """The registered multi-class exemplar: train the multi-class
     perceptron on length terciles (see LENCLASS_EXPR) and score every
     doc. Same machinery as language-ID on a real lake — only the label
-    expression differs."""
+    expression differs. epochs=10 measured sufficient (pocket accuracy
+    +0.15 over majority at sf0.01 — the analytics test's pin); 20 was
+    double the training cost for the same demonstration (round-8
+    suite-cost item)."""
     return langid_perceptron_scores(
         df, epochs, lang_col=LENCLASS_EXPR, langs=LENCLASS_LABELS
     )
 
 
-def lenclass_perceptron_oracle_sql(table: str, epochs: int = 20) -> str:
+def lenclass_perceptron_oracle_sql(table: str, epochs: int = 10) -> str:
     return langid_perceptron_oracle_sql(
         table, epochs, lang_col=LENCLASS_EXPR, langs=LENCLASS_LABELS
     )

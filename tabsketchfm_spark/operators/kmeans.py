@@ -99,23 +99,23 @@ def valid_rows(
     return emb.join(ids, id_col, "left_semi")
 
 
+def _b_expr(vec: list[int]) -> F.Column:
+    """The BIGINT distance comparable to ONE centroid literal:
+    B = m·m − 2·(qv·m) (HOF dot — interpreted, but centroid literals
+    change every round, so unrolled codegen would pay a fresh Janino
+    compile per round for nothing)."""
+    mm = sum(v * v for v in vec)
+    arr = ", ".join(f"cast({v} as bigint)" for v in vec)
+    dot = (
+        f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return F.expr(f"cast({mm} as bigint) - 2 * ({dot})")
+
+
 def _b_exprs(m: dict[int, list[int]]) -> list[F.Column]:
-    """One BIGINT distance-comparable column per centroid:
-    B_k = m_k·m_k − 2·(qv·m_k), centroids as array literals (HOF dot —
-    interpreted, but the loop runs on a persisted narrow frame and the
-    literal arrays change every round, so unrolled codegen would pay a
-    fresh Janino compile per round for nothing)."""
-    out = []
-    for cid in sorted(m):
-        vec = m[cid]
-        mm = sum(v * v for v in vec)
-        arr = ", ".join(f"cast({v} as bigint)" for v in vec)
-        dot = (
-            f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), "
-            "cast(0 as bigint), (acc, x) -> acc + x)"
-        )
-        out.append(F.expr(f"cast({mm} as bigint) - 2 * ({dot})").alias(f"b{cid}"))
-    return out
+    """One aliased distance-comparable column per centroid."""
+    return [_b_expr(m[cid]).alias(f"b{cid}") for cid in sorted(m)]
 
 
 def _bk_col(k: int, cols: list[F.Column] | None = None) -> F.Column:
@@ -334,6 +334,7 @@ def _kmeans_ctes(
     vec: str = "qv",
     dims: str = "dims",
     with_u: bool = True,
+    init_sql: str | None = None,
 ) -> tuple[list[str], str]:
     """The shared oracle scaffolding: CTE list replaying quantize →
     init → `iters` Lloyd rounds, plus the name of the final centroid
@@ -342,11 +343,15 @@ def _kmeans_ctes(
     several fits (different k) share one un/pts/dims prefix in a
     single WITH (the SSE curve); ``pts``/``vec``/``dims``/``with_u``
     retarget the replay at a different point source (the PQ subvector
-    frame) — ONE copy of the Lloyd-round SQL for every fit replay."""
+    frame); ``init_sql`` overrides the seed SELECT (must yield
+    (cid, m) rows — the bisecting splits seed from in-cluster ids, not
+    ids < k) — ONE copy of the Lloyd-round SQL for every fit replay."""
     p = prefix
+    init = init_sql or (
+        f"SELECT id AS cid, {vec} AS m FROM {pts} t0 WHERE t0.id < {k}"
+    )
     ctes = ([] if not base else _base_ctes(table, dim)) + [
-        f"{p}c0 AS MATERIALIZED (SELECT id AS cid, {vec} AS m "
-        f"FROM {pts} t0 WHERE t0.id < {k})",
+        f"{p}c0 AS MATERIALIZED ({init})",
     ]
     for t in range(1, iters + 1):
         ctes.append(
@@ -887,6 +892,189 @@ def kmeans_store_run(
     finally:
         emb.unpersist()
         shutil.rmtree(store, ignore_errors=True)
+
+
+# --- bisecting k-means: hierarchical integer Lloyd's -----------------------
+#
+# The divisive variant (Steinbach-Karypis bisecting k-means — the
+# MLlib BisectingKMeans shape) on the SAME integer frame: start with
+# one cluster, repeatedly 2-means-split the largest cluster until k.
+# Every split is the established integer Lloyd loop (seeds = the two
+# smallest ids IN the cluster), the split choice is deterministic
+# (largest count, tie → smallest cluster id), and each point's final
+# cluster is a pure expression over per-split decision BITS — so the
+# whole hierarchical training replays bit-exactly in DuckDB via
+# chained scalar-subquery CTEs (the split target and seeds are
+# data-dependent, exactly like the BPE merge choices).
+
+_BISECT_MEMO: dict[tuple, list] = {}
+
+
+def clear_bisect_memo() -> None:
+    _BISECT_MEMO.clear()
+
+
+_DEPENDENT_MEMO_CLEARS.append(clear_bisect_memo)
+
+
+def _bisect_asg_over_bits(splits: list) -> F.Column:
+    """Final cluster id from the split-decision bit columns d1..dS
+    (d_s TRUE → the parent side of split s). The bits carry all the
+    HOF dot work (computed once per row in a projection); this
+    when-chain nests only cheap int/boolean nodes, so the k-deep tree
+    cannot blow up the expression with duplicated 64-term dots."""
+    asg = F.lit(0)
+    for s, (parent, newid, _ma, _mb) in enumerate(splits, 1):
+        asg = (
+            F.when((asg == parent) & F.col(f"d{s}"), F.lit(parent))
+            .when(asg == parent, F.lit(newid))
+            .otherwise(asg)
+        )
+    return asg
+
+
+def _bisect_proj(q: DataFrame, splits: list) -> DataFrame:
+    """(id, qv, d1..dS): one decision bit per split — B(parent
+    centroid) <= B(new centroid), the same tie rule as the 2-cell
+    when-chain argmin (tie → parent = smaller cell id)."""
+    return q.select(
+        "id",
+        "qv",
+        *[
+            (_b_expr(ma) <= _b_expr(mb)).alias(f"d{s}")
+            for s, (_p, _n, ma, mb) in enumerate(splits, 1)
+        ],
+    )
+
+
+def _bisect_fit(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[int, int, list[int], list[int]]]:
+    """The driver-coordinated divisive loop; returns the ordered split
+    records [(parent_cluster, new_cluster_id, m_parent, m_new)].
+    Memoized like _fit. Raises when no cluster of size >= 2 remains
+    before reaching k (the oracle would silently emit fewer clusters
+    there — the loud side of the asymmetry is ours)."""
+    key = (emb._jdf.semanticHash(), id_col, vec_col, k, iters, dim, SCALE)
+    hit = _BISECT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    q = _quantized(emb, id_col, vec_col).persist()
+    try:
+        splits: list[tuple[int, int, list[int], list[int]]] = []
+        for s in range(1, k):
+            proj = _bisect_proj(q, splits)
+            asg = _bisect_asg_over_bits(splits)
+            counts = (
+                proj.select(asg.alias("a")).groupBy("a").count().collect()
+            )
+            eligible = [
+                (int(r["count"]), int(r["a"])) for r in counts if r["count"] >= 2
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"bisecting k-means: no cluster of size >= 2 left after "
+                    f"{s - 1} splits (k={k} unreachable)"
+                )
+            target = min((-c, a) for c, a in eligible)[1]
+            seeds = (
+                proj.where(asg == target)
+                .select("id", "qv")
+                .orderBy("id")
+                .limit(2)
+                .collect()
+            )
+            m = {
+                0: [int(v) for v in seeds[0]["qv"]],
+                1: [int(v) for v in seeds[1]["qv"]],
+            }
+            member = proj.where(asg == target)
+            for _ in range(iters):
+                new = dict(m)
+                for cid, (sv, c) in cell_aggregate(member, m, dim).items():
+                    new[cid] = [(2 * sj + c) // (2 * c) for sj in sv]
+                m = new
+            splits.append((target, s, m[0], m[1]))
+        _BISECT_MEMO[key] = splits
+        return splits
+    finally:
+        q.unpersist()
+
+
+def bisecting_kmeans_assign(
+    emb: DataFrame,
+    k: int = N_CELLS,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit the divisive hierarchy and return the final (vec_id,
+    cluster) assignment as a LAZY expression-only frame (the bit
+    projection + the integer when-chain walk — no window, no join, no
+    cache; the cluster_kmeans_exact serving shape). Cluster ids are
+    0..k-1 in split-creation order. Bit-exact vs
+    bisecting_kmeans_oracle_sql."""
+    splits = _bisect_fit(emb, k, iters, dim, id_col, vec_col)
+    proj = _bisect_proj(_quantized(emb, id_col, vec_col), splits)
+    return proj.select(
+        F.col("id").alias("vec_id"),
+        _bisect_asg_over_bits(splits).cast("int").alias("cluster"),
+    )
+
+
+def bisecting_kmeans_oracle_sql(
+    table: str, k: int = N_CELLS, iters: int = N_ITERS, dim: int = DIM
+) -> str:
+    """Chained replay of the WHOLE divisive run: per split a
+    scalar-subquery target choice (largest cluster, tie → smallest
+    id), the two smallest-id in-cluster seeds, the 2-cell Lloyd rounds
+    (the retargeted _kmeans_ctes body — one copy of the round SQL),
+    and the assignment update."""
+    ctes = _base_ctes(table, dim)
+    ctes.append("bsg0 AS MATERIALIZED (SELECT id, 0 AS a FROM pts)")
+    for s in range(1, k):
+        prev = f"bsg{s - 1}"
+        ctes.append(
+            f"tgt{s} AS MATERIALIZED (SELECT a FROM "
+            f"(SELECT a, count(*) AS c FROM {prev} GROUP BY a) t "
+            "WHERE c >= 2 ORDER BY c DESC, a LIMIT 1)"
+        )
+        ctes.append(
+            f"mem{s} AS MATERIALIZED (SELECT p.* FROM pts p "
+            f"JOIN {prev} g ON g.id = p.id "
+            f"WHERE g.a = (SELECT a FROM tgt{s}))"
+        )
+        ctes.append(
+            f"sd{s} AS MATERIALIZED (SELECT id, qv FROM mem{s} ORDER BY id LIMIT 2)"
+        )
+        init = (
+            "SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cid, "
+            f"qv AS m FROM sd{s}"
+        )
+        sub, cfin = _kmeans_ctes(
+            table, 2, iters, dim,
+            prefix=f"b{s}", base=False, pts=f"mem{s}", init_sql=init,
+        )
+        ctes += sub
+        ctes.append(
+            f"bsg{s} AS MATERIALIZED (SELECT g.id, "
+            "CASE WHEN z.id IS NULL THEN g.a "
+            f"WHEN z.bk = 0 THEN g.a ELSE {s} END AS a "
+            f"FROM {prev} g LEFT JOIN (SELECT id, cid AS bk FROM ("
+            f"{_ranked_cells_sql(cfin, pts=f'mem{s}')}"
+            ") zz WHERE rn = 1) z ON z.id = g.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS vec_id, CAST(a AS INTEGER) AS cluster FROM bsg{k - 1}\n"
+    )
 
 
 def ivf_kmeans_exact_topk_oracle_sql(

@@ -1209,6 +1209,20 @@ _register(
     km_op.kmeans_assign_exact_oracle_sql("embeddings"),
 )
 _register(
+    # the DIVISIVE variant on the same integer frame (Steinbach-
+    # Karypis bisecting / MLlib BisectingKMeans shape): 2-means-split
+    # the largest cluster until k, split targets and in-cluster seeds
+    # chosen by DATA-DEPENDENT scalar subqueries in the replay (the
+    # BPE merge-choice pattern) — hierarchical trained clustering with
+    # a bit-exact gate. Sweep-only: the family's window row is
+    # cluster_kmeans_exact_embeddings
+    "cluster_bisecting_kmeans_embeddings",
+    lambda spark, sf: km_op.bisecting_kmeans_assign(
+        load_table(spark, sf, "embeddings")
+    ),
+    km_op.bisecting_kmeans_oracle_sql("embeddings"),
+)
+_register(
     # the trained-quantizer IVF the module above unlocks: cell
     # assignment/probing on the integer comparable, final ranking by
     # exact cosine — k6_ivf_kmeans_ann's production shape WITH the

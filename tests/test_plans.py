@@ -661,7 +661,7 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
     # suite's single most expensive item (144s; round-8 verdict item
     # 4). Build-time fit memos may double-fit under a race, which is
     # deterministic-identical wasted work, never a wrong result.
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=12) as pool:
         for name, eager, bad in pool.map(_check, todo):
             if eager is not None:
                 unmarked_eager[name] = eager
