@@ -933,15 +933,29 @@ def _bisect_asg_over_bits(splits: list) -> F.Column:
     return asg
 
 
+def _bisect_bit_expr(ma: list[int], mb: list[int]) -> F.Column:
+    """The split decision bit as ONE delta dot: B(ma) <= B(mb) ⟺
+    2·(qv·(mb−ma)) <= mb·mb − ma·ma — integer-exactly equivalent to
+    comparing the two comparables but half the interpreted HOF work
+    per row (round-8 review finding). Same tie rule as the 2-cell
+    when-chain argmin (tie → TRUE → parent = smaller cell id)."""
+    delta = [b - a for a, b in zip(ma, mb)]
+    rhs = sum(b * b for b in mb) - sum(a * a for a in ma)
+    arr = ", ".join(f"cast({v} as bigint)" for v in delta)
+    dot = (
+        f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return F.expr(f"2 * ({dot}) <= cast({rhs} as bigint)")
+
+
 def _bisect_proj(q: DataFrame, splits: list) -> DataFrame:
-    """(id, qv, d1..dS): one decision bit per split — B(parent
-    centroid) <= B(new centroid), the same tie rule as the 2-cell
-    when-chain argmin (tie → parent = smaller cell id)."""
+    """(id, qv, d1..dS): one decision bit per split."""
     return q.select(
         "id",
         "qv",
         *[
-            (_b_expr(ma) <= _b_expr(mb)).alias(f"d{s}")
+            _bisect_bit_expr(ma, mb).alias(f"d{s}")
             for s, (_p, _n, ma, mb) in enumerate(splits, 1)
         ],
     )
@@ -960,6 +974,8 @@ def _bisect_fit(
     Memoized like _fit. Raises when no cluster of size >= 2 remains
     before reaching k (the oracle would silently emit fewer clusters
     there — the loud side of the asymmetry is ours)."""
+    if k < 1:
+        raise ValueError("bisecting k-means needs k >= 1")
     key = (emb._jdf.semanticHash(), id_col, vec_col, k, iters, dim, SCALE)
     hit = _BISECT_MEMO.get(key)
     if hit is not None:
@@ -1036,6 +1052,10 @@ def bisecting_kmeans_oracle_sql(
     id), the two smallest-id in-cluster seeds, the 2-cell Lloyd rounds
     (the retargeted _kmeans_ctes body — one copy of the round SQL),
     and the assignment update."""
+    if k < 1:
+        # symmetric degenerate contract (the rounds/epochs=0 rule):
+        # k=0 would emit `FROM bsg-1` — a binder crash, not a gate
+        raise ValueError("bisecting k-means needs k >= 1")
     ctes = _base_ctes(table, dim)
     ctes.append("bsg0 AS MATERIALIZED (SELECT id, 0 AS a FROM pts)")
     for s in range(1, k):

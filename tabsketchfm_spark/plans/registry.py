@@ -1857,9 +1857,10 @@ _register(
     # + pocket selection, all integer): the registered gate trains on
     # length terciles because the testdata's lang labels are synthetic
     # decorations with no text signal (documented in classifier.py);
-    # pocket accuracy 0.76 vs 0.34 majority at sf0.01 — the model
-    # demonstrably LEARNS, and every epoch + the pocket pick replay
-    # bit-exactly as DuckDB weight CTEs
+    # pocket accuracy 0.66 vs 0.34 majority at sf0.01 (epochs=10 —
+    # halved from 20 in round 8; re-measured) — the model demonstrably
+    # LEARNS, and every epoch + the pocket pick replay bit-exactly as
+    # DuckDB weight CTEs
     "multiclass_perceptron_lenclass_documents",
     lambda spark, sf: qclf.lenclass_perceptron_scores(
         load_table(spark, sf, "documents")
