@@ -176,6 +176,223 @@ def quality_perceptron_scores(
     )
 
 
+# --- persisted weight store: incremental cross-batch training --------------
+#
+# The store-family's SUPERVISED member (signature store → dedup,
+# centroid store → clustering, weight store → classification): the
+# perceptron's integer weight vector lives in a manifest-guarded
+# parquet store, so each arriving batch WARM-STARTS from weights
+# trained on every previous batch — batch-sequential training across
+# process boundaries, the daily-crawl quality-model shape. Every
+# update is the exact integer epoch sum, so the whole multi-batch
+# trajectory replays bit-exactly in DuckDB (chained weight CTEs with
+# an arithmetic-bucket feed — the kmeans-store pattern).
+
+_PERC_STORE_FORMAT = "perceptron-int-weights-v1"
+
+
+def _perc_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifest.json")
+
+
+def perceptron_store_read(spark, path: str) -> tuple[list[int], int]:
+    """Manifest-guarded read → (weights, n_updates); loud on
+    format/feature-space mismatch (weights over a different bucket
+    hash would silently mis-score everything)."""
+    import json
+
+    with open(_perc_manifest_path(path), encoding="utf-8") as f:
+        m = json.load(f)
+    if m["format"] != _PERC_STORE_FORMAT or m["n_buckets"] != N_BUCKETS:
+        raise IOError(
+            f"perceptron store at {path} is {m['format']} with "
+            f"n_buckets={m['n_buckets']}; caller runs {_PERC_STORE_FORMAT} "
+            f"n_buckets={N_BUCKETS}"
+        )
+    rows = spark.read.parquet(f"{path}/{m['state_dir']}").collect()
+    dim = N_BUCKETS + 1
+    w = [0] * dim
+    for r in rows:
+        w[int(r["j"])] = int(r["w"])
+    if len(rows) != dim:
+        raise IOError(f"perceptron store at {path} holds {len(rows)} weights, not {dim}")
+    return w, int(m["n_updates"])
+
+
+def perceptron_store_write(
+    spark, path: str, w: list[int], n_updates: int
+) -> None:
+    """Commit: fresh state_<n> subdir first, then an atomic manifest
+    pointer flip (temp + os.replace — the kmeans-store contract)."""
+    import json
+    import os
+
+    state_dir = f"state_{n_updates:06d}"
+    spark.createDataFrame(
+        [(j, int(wj)) for j, wj in enumerate(w)], "j int, w bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{state_dir}")
+    manifest = {
+        "format": _PERC_STORE_FORMAT,
+        "n_buckets": N_BUCKETS,
+        "n_updates": n_updates,
+        "state_dir": state_dir,
+    }
+    tmp = _perc_manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _perc_manifest_path(path))
+
+
+def _perceptron_epochs_from(
+    feat: DataFrame, w: list[int], epochs: int
+) -> list[int]:
+    """``epochs`` batch-perceptron epochs starting FROM ``w`` (the
+    warm-start form of train_quality_perceptron's loop — one
+    map-side-combined aggregate per epoch)."""
+    dim = N_BUCKETS + 1
+    for _ in range(epochs):
+        margin = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+        mis = F.col("y") * margin <= 0
+        sums = feat.agg(
+            *[
+                F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
+    return w
+
+
+def perceptron_store_update(
+    spark,
+    batch: DataFrame,
+    path: str,
+    epochs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """One arriving batch refines the PERSISTED weights: read the
+    store (cold start = the zero vector — the canonical perceptron
+    init, no seed data needed), run ``epochs`` epochs on the batch
+    warm-started from them, commit. Returns the new weights."""
+    import os
+
+    feat = quality_features(batch, id_col, text_col).persist()
+    try:
+        if os.path.exists(_perc_manifest_path(path)):
+            w, n_updates = perceptron_store_read(spark, path)
+        else:
+            os.makedirs(path, exist_ok=True)
+            w, n_updates = [0] * (N_BUCKETS + 1), 0
+        w = _perceptron_epochs_from(feat, w, epochs)
+        perceptron_store_write(spark, path, w, n_updates + 1)
+        return w
+    finally:
+        feat.unpersist()
+
+
+def perceptron_store_run(
+    spark,
+    sf_dir: str,
+    n_batches: int = 3,
+    epochs: int = 2,
+) -> DataFrame:
+    """The registered multi-day lifecycle: split documents into
+    arithmetic doc_id buckets (floor(id/W), W = max_id//n + 1 —
+    closed-form membership the oracle replays), push each bucket
+    through perceptron_store_update against a fresh store (every
+    update re-READS the weights from disk), and emit the full weight
+    trajectory: (batch, j, w) per bucket. Bit-exact vs
+    perceptron_store_run_oracle_sql."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="tsfm_perc_store_")
+    try:
+        max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        width = max_id // n_batches + 1
+        rows = []
+        for b in range(n_batches):
+            batch = docs.where(F.floor(F.col("doc_id") / width) == b)
+            w = perceptron_store_update(spark, batch, store, epochs)
+            rows.extend((b, j, int(wj)) for j, wj in enumerate(w))
+        return spark.createDataFrame(rows, "batch bigint, j int, w bigint")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def perceptron_store_run_oracle_sql(
+    table: str,
+    n_batches: int = 3,
+    epochs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Chained replay of the whole batch-sequential run: the feature
+    CTE carries the arithmetic bucket, every (bucket, epoch) is one
+    MATERIALIZED weight CTE folding the misclassified-sum update over
+    THAT bucket's rows, warm-started from the previous bucket's final
+    weights; the emission unpivots each bucket's final vector."""
+    toks = _toks_duckdb(text_col)
+    dim = N_BUCKETS + 1
+    xdefs = feat_xdefs_duckdb()
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
+        f"CAST(1 AS BIGINT) AS x0, {xdefs} FROM t)",
+        # the arithmetic bucket width, from the same whole-table max
+        f"wd AS (SELECT (max(id) // {n_batches}) + 1 AS w FROM feat)",
+        "pw0_0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
+        + ")",
+    ]
+    prev = "pw0_0"
+    emits = []
+    for b in range(n_batches):
+        for e in range(epochs):
+            # gradient CTE: a no-GROUP-BY aggregate always yields ONE
+            # row even over an EMPTY bucket (sums NULL → coalesce 0),
+            # so the weight chain carries through unchanged exactly
+            # like Spark's `int(sums[...] or 0)` — a cross-join-with-
+            # GROUP-BY form would yield an empty CTE there and LOSE
+            # the weights (empty-CTE NULL-poisoning lesson)
+            margin = " + ".join(
+                f"(SELECT w{j} FROM {prev}) * f.x{j}" for j in range(dim)
+            )
+            gdefs = ", ".join(
+                f"coalesce(sum(CASE WHEN f.y * ({margin}) <= 0 "
+                f"THEN f.y * f.x{j} END), 0) AS g{j}"
+                for j in range(dim)
+            )
+            cur = f"pw{b}_{e + 1}"
+            ctes.append(
+                f"gr{b}_{e + 1} AS MATERIALIZED (SELECT {gdefs} FROM feat f "
+                f"WHERE f.id // (SELECT w FROM wd) = {b})"
+            )
+            ctes.append(
+                f"{cur} AS MATERIALIZED (SELECT "
+                + ", ".join(
+                    f"CAST(w.w{j} + g.g{j} AS BIGINT) AS w{j}" for j in range(dim)
+                )
+                + f" FROM {prev} w, gr{b}_{e + 1} g)"
+            )
+            prev = cur
+        emits.append(
+            " UNION ALL ".join(
+                f"SELECT CAST({b} AS BIGINT) AS batch, CAST({j} AS INTEGER) AS j, "
+                f"CAST((SELECT w{j} FROM {prev}) AS BIGINT) AS w"
+                for j in range(dim)
+            )
+        )
+        # next bucket warm-starts from this bucket's final CTE
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(emits)
+
+
 def train_quality_perceptron_margin(
     df: DataFrame,
     epochs: int = 6,

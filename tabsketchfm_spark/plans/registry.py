@@ -1895,6 +1895,18 @@ _register(
     ),
     qclf.quality_perceptron_cv_oracle_sql("documents"),
 )
+_register(
+    # the store family's SUPERVISED member (signature → dedup,
+    # centroid → clustering, weight → classification): each doc_id
+    # bucket WARM-STARTS the perceptron from a manifest-guarded
+    # parquet weight store and commits back — batch-sequential
+    # training across process boundaries, the daily-crawl quality-
+    # model shape; the whole weight trajectory replays bit-exactly as
+    # chained per-(bucket, epoch) DuckDB weight CTEs
+    "store_perceptron_update_documents",
+    lambda spark, sf: qclf.perceptron_store_run(spark, sf),
+    qclf.perceptron_store_run_oracle_sql("documents"),
+)
 
 from tabsketchfm_spark.operators import tree as qtree
 

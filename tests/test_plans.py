@@ -558,9 +558,10 @@ _PLAN_GUARD_SKIP = {
     "quality_boost_cv_documents",
     "quality_model_selection_documents",
     "cluster_kmeans_k_selection_embeddings",
-    # round-8: the store-backed mini-batch learner loops buckets and
-    # reads/writes its centroid store at build
+    # round-8: the store-backed learners loop buckets and read/write
+    # their persisted state at build
     "store_kmeans_update_embeddings",
+    "store_perceptron_update_documents",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found

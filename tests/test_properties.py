@@ -268,6 +268,76 @@ def test_kmeans_store_lifecycle(spark, sf001):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_perceptron_store_lifecycle(spark, sf001):
+    """The persisted-weight learner: (1) the store-backed bucket run
+    reproduces an independent python fold of the SAME batch-sequential
+    algebra (warm-started epochs per arithmetic bucket); (2) cold
+    start is the zero vector; (3) the manifest guards mismatch; (4) a
+    second update warm-starts from the committed weights."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.operators.classifier import (
+        perceptron_store_read,
+        perceptron_store_run,
+        perceptron_store_update,
+    )
+
+    docs = load_table(spark, sf001, "documents").select("doc_id", "text")
+    feat_rows = [
+        r.asDict() for r in qc.quality_features(docs).collect()
+    ]
+    dim = qc.N_BUCKETS + 1
+    n_batches, epochs = 3, 2
+    width = max(r["id"] for r in feat_rows) // n_batches + 1
+
+    def fold(rows, w, n_epochs):
+        for _ in range(n_epochs):
+            g = [0] * dim
+            for r in rows:
+                x = [r[f"x{j}"] for j in range(dim)]
+                if r["y"] * sum(w[j] * x[j] for j in range(dim)) <= 0:
+                    for j in range(dim):
+                        g[j] += r["y"] * x[j]
+            w = [w[j] + g[j] for j in range(dim)]
+        return w
+
+    w = [0] * dim
+    expect = []
+    for b in range(n_batches):
+        w = fold([r for r in feat_rows if r["id"] // width == b], w, epochs)
+        expect.extend((b, j, w[j]) for j in range(dim))
+    got = sorted(map(tuple, perceptron_store_run(spark, sf001).collect()))
+    assert got == sorted(expect)
+
+    d = tempfile.mkdtemp(prefix="tsfm_pstore_test_")
+    try:
+        shutil.rmtree(d)  # cold start requires an absent store
+        w1 = perceptron_store_update(spark, docs, d, epochs=1)
+        assert w1 == fold(feat_rows, [0] * dim, 1)
+        r1, n1 = perceptron_store_read(spark, d)
+        assert (r1, n1) == (w1, 1)
+        with pytest.raises(IOError):
+            import json
+            import os
+
+            mp = os.path.join(d, "_manifest.json")
+            m = json.load(open(mp))
+            m["n_buckets"] = qc.N_BUCKETS + 5
+            json.dump(m, open(mp, "w"))
+            perceptron_store_read(spark, d)
+        # restore and warm-start a second update
+        m["n_buckets"] = qc.N_BUCKETS
+        json.dump(m, open(mp, "w"))
+        w2 = perceptron_store_update(spark, docs, d, epochs=1)
+        assert w2 == fold(feat_rows, w1, 1)
+        _, n2 = perceptron_store_read(spark, d)
+        assert n2 == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_bisecting_kmeans_partitions_valid_population(spark, sf01):
     """The divisive clustering must partition exactly the
     degenerate-filtered population into ids from the split-creation
