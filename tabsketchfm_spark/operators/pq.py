@@ -336,7 +336,16 @@ def ivfpq_adc_topk(
     the exact integer ADC (residual self-dot + per-subspace codebook
     terms). Output: (q_id, rank, cand_id, adc)."""
     mc, cb = ivfpq_fit(emb, id_col, vec_col)
-    cands = (
+    cands = _ivfpq_cands(emb, mc, cb, id_col, vec_col)
+    return _ivfpq_search_tail(
+        cands, emb, mc, cb, query_ids_max, k, n_probe, id_col, vec_col
+    )
+
+
+def _ivfpq_cands(emb, mc, cb, id_col, vec_col) -> DataFrame:
+    """The INDEX DATA: every corpus vector encoded as (cand_id, cell,
+    c0..c{S-1}) — coarse cell + residual PQ codes, expression-only."""
+    return (
         _cell_qv_cols(emb, mc, id_col, vec_col)
         .select(
             F.col("id").alias("cand_id"),
@@ -350,6 +359,14 @@ def ivfpq_adc_topk(
             *[F.col(f"code{s}").alias(f"c{s}") for s in range(S_SUB)],
         )
     )
+
+
+def _ivfpq_search_tail(
+    cands, emb, mc, cb, query_ids_max, k, n_probe, id_col, vec_col
+) -> DataFrame:
+    """The serve-time plan over an encoded candidate frame — shared by
+    the fit-and-search query and the stored-index serve (identical
+    algebra, so one oracle gates both)."""
     probes = _nearest_cells_int(
         _quantized(emb, id_col, vec_col).where(F.col("id") < query_ids_max),
         _cents_frame(emb.sparkSession, mc),
@@ -382,6 +399,118 @@ def ivfpq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "cand_id", "adc")
+    )
+
+
+# --- persisted IVF-PQ index: build → persist → serve ------------------------
+#
+# The compressed-ANN index as a real ARTIFACT (the FAISS write_index /
+# read_index lifecycle): coarse centroids, residual codebooks AND the
+# encoded corpus land in a manifest-guarded parquet store; serving
+# reads codes back and never touches the raw corpus vectors again
+# (only the query side scans embeddings). The stored artifacts are
+# exact integers, so served search == fit-and-search bit-for-bit and
+# the SAME DuckDB oracle gates both.
+
+_ANN_INDEX_FORMAT = "ivfpq-int-index-v1"
+
+
+def _index_manifest_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_manifest.json")
+
+
+def _index_params() -> dict:
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    return {
+        "n_cells": N_CELLS,
+        "n_iters": N_ITERS,
+        "s_sub": S_SUB,
+        "d_sub": D_SUB,
+        "k_pq": K_PQ,
+        "iters_pq": ITERS_PQ,
+        "scale": SCALE,
+    }
+
+
+def save_ivfpq_index(
+    spark,
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist: fit (memo-shared with the in-memory queries),
+    write centroids (cid, m), codebooks (s, c, m) and the encoded
+    corpus codes (cand_id, cell, c0..c{S-1} — executor-side write, the
+    index's data plane), then the manifest (temp + os.replace)."""
+    import json
+    import os
+
+    mc, cb = ivfpq_fit(emb, id_col, vec_col)
+    os.makedirs(path, exist_ok=True)
+    _ivfpq_cands(emb, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    spark.createDataFrame(
+        [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
+        "s int, c int, m array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    manifest = {"format": _ANN_INDEX_FORMAT, **_index_params()}
+    tmp = _index_manifest_path(path) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _index_manifest_path(path))
+
+
+def load_ivfpq_index(spark, path: str):
+    """(mc, cb, codes_frame) from a saved index; loud on any parameter
+    mismatch — centroids trained under another grid/codebook geometry
+    would silently mis-rank every query."""
+    import json
+
+    with open(_index_manifest_path(path), encoding="utf-8") as f:
+        m = json.load(f)
+    want = {"format": _ANN_INDEX_FORMAT, **_index_params()}
+    if m != want:
+        raise IOError(
+            f"ivfpq index at {path} was built as {m}; this build expects {want}"
+        )
+    mc = {
+        int(r["cid"]): [int(v) for v in r["m"]]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    cb = {
+        (int(r["s"]), int(r["c"])): [int(v) for v in r["m"]]
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    }
+    codes = spark.read.parquet(f"{path}/codes")
+    return mc, cb, codes
+
+
+def ivfpq_stored_topk(
+    spark,
+    store_path: str,
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int = 10,
+    n_probe: int = N_PROBE_IVFPQ,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve from the PERSISTED index: candidate codes come off the
+    store's parquet scan (the corpus vectors are never read), queries
+    quantize from ``emb`` and probe as usual. Identical algebra to
+    ivfpq_adc_topk — the stored integers ARE the fitted ones — so
+    ivfpq_adc_topk_oracle_sql gates this bit-exactly too."""
+    mc, cb, codes = load_ivfpq_index(spark, store_path)
+    return _ivfpq_search_tail(
+        codes, emb, mc, cb, query_ids_max, k, n_probe, id_col, vec_col
     )
 
 

@@ -1287,6 +1287,36 @@ _register(
     ),
     pq_op.ivfpq_adc_topk_oracle_sql("embeddings", 20, k=5),
 )
+
+
+def _ann_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
+    # the FAISS write_index/read_index lifecycle: build + persist the
+    # index (centroids, codebooks, encoded corpus), serve the SAME
+    # search from the store's parquet (corpus vectors never re-read),
+    # materialize the bounded top-k, drop the store (the sink
+    # lifecycle rule: never return a lazy frame over a dir we delete)
+    import shutil
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_idx_")
+    try:
+        emb = load_table(spark, sf, "embeddings")
+        pq_op.save_ivfpq_index(spark, emb, store)
+        out = pq_op.ivfpq_stored_topk(spark, store, emb, 20, k=5)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    # stored integers ARE the fitted ones, so the build→persist→serve
+    # loop shares ann_ivfpq_adc_topk's oracle bit-exactly
+    "ann_ivfpq_stored_topk",
+    _ann_ivfpq_stored,
+    pq_op.ivfpq_adc_topk_oracle_sql("embeddings", 20, k=5),
+)
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is

@@ -559,9 +559,11 @@ _PLAN_GUARD_SKIP = {
     "quality_model_selection_documents",
     "cluster_kmeans_k_selection_embeddings",
     # round-8: the store-backed learners loop buckets and read/write
-    # their persisted state at build
+    # their persisted state at build; the stored-index serve
+    # materializes its bounded top-k before dropping the store dir
     "store_kmeans_update_embeddings",
     "store_perceptron_update_documents",
+    "ann_ivfpq_stored_topk",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found

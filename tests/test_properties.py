@@ -268,6 +268,41 @@ def test_kmeans_store_lifecycle(spark, sf001):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_ivfpq_index_store_roundtrip(spark, sf001):
+    """The persisted ANN index: (1) served-from-store search equals the
+    fit-and-search query row for row (the stored integers ARE the
+    fitted ones); (2) loaded centroids/codebooks round-trip exactly;
+    (3) a parameter-mismatched manifest refuses to load."""
+    import json
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import pq as pq_op
+
+    emb = load_table(spark, sf001, "embeddings")
+    d = tempfile.mkdtemp(prefix="tsfm_idx_test_")
+    try:
+        pq_op.save_ivfpq_index(spark, emb, d)
+        mc0, cb0 = pq_op.ivfpq_fit(emb)
+        mc, cb, codes = pq_op.load_ivfpq_index(spark, d)
+        assert mc == mc0 and cb == cb0
+        direct = sorted(
+            map(tuple, pq_op.ivfpq_adc_topk(emb, 10, k=5).collect())
+        )
+        served = sorted(
+            map(tuple, pq_op.ivfpq_stored_topk(spark, d, emb, 10, k=5).collect())
+        )
+        assert served == direct and len(served) > 0
+        mp = d + "/_manifest.json"
+        m = json.load(open(mp))
+        m["k_pq"] = 999
+        json.dump(m, open(mp, "w"))
+        with pytest.raises(IOError):
+            pq_op.load_ivfpq_index(spark, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_perceptron_store_lifecycle(spark, sf001):
     """The persisted-weight learner: (1) the store-backed bucket run
     reproduces an independent python fold of the SAME batch-sequential
