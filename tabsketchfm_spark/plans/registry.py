@@ -1938,6 +1938,24 @@ _register(
     qclf.perceptron_store_run_oracle_sql("documents"),
 )
 
+
+def _stream_perceptron_minibatch(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    return ps2.streaming_perceptron_minibatch(spark, sf)
+
+
+_register(
+    # the first stateful streaming SUPERVISED learner with a bit-exact
+    # gate: the kmeans mini-batch harness (mtime-ordered arithmetic
+    # buckets + loud order assert) driving warm-started integer
+    # perceptron epochs — batch store, stream, and the DuckDB replay
+    # all land on identical weight trajectories (shared oracle)
+    "stream_perceptron_minibatch_documents",
+    _stream_perceptron_minibatch,
+    qclf.perceptron_store_run_oracle_sql("documents"),
+)
+
 from tabsketchfm_spark.operators import tree as qtree
 
 _register(
@@ -2420,7 +2438,10 @@ _DRIVER_WINDOW = [
     "text_bm25_topk_documents",
     "stream_funnel_events",
     "cdc_latest_state_events",
-    "stream_windowed_counts_append",
+    # stream_windowed_counts_append moved to sweep (stream_funnel keeps
+    # the §2.11 window row) to seat the round-8 verdict-item-5
+    # flagship: the persisted-centroid-store incremental learner
+    "store_kmeans_update_embeddings",
     "multiclass_perceptron_lenclass_documents",
 ]
 

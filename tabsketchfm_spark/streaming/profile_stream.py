@@ -706,6 +706,64 @@ def streaming_kmeans_assign(
         shutil.rmtree(feed_dir, ignore_errors=True)
 
 
+def _ordered_bucket_feed(
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    n_batches: int,
+    width: int,
+    prefix: str,
+):
+    """The order-sensitive learners' shared harness plumbing: write
+    each arithmetic bucket (floor(id/W)) as ONE parquet file with
+    ASCENDING mtimes, so the file source's (timestamp, path) ordering
+    delivers bucket b at trigger b deterministically under
+    maxFilesPerTrigger=1 + availableNow. Returns (feed, feed_dir,
+    stage_dir); the caller owns cleanup of both dirs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    feed_dir = tempfile.mkdtemp(prefix=prefix + "feed_")
+    stage_dir = tempfile.mkdtemp(prefix=prefix + "stage_")
+    # ONE write job: repartition on the bucket key puts each bucket in
+    # exactly one task, so each b=X dir holds one file
+    t0 = time.time()
+    df.withColumn(
+        "b", F.floor(F.col(id_col) / width).cast("int")
+    ).repartition(n_batches, "b").write.mode("overwrite").partitionBy(
+        "b"
+    ).parquet(stage_dir)
+    for b in range(n_batches):
+        (src,) = glob.glob(f"{stage_dir}/b={b}/part-*.parquet")
+        dst = f"{feed_dir}/{b:05d}.parquet"
+        shutil.move(src, dst)
+        os.utime(dst, (t0 + b, t0 + b))
+    # partitionBy keeps "b" in the dir name, not the file — the moved
+    # files carry exactly the original schema
+    feed = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    return feed, feed_dir, stage_dir
+
+
+def _assert_bucket_order(batch_df, id_col, width, batch_id) -> None:
+    """The mtime-ordering contract is load-bearing for an
+    order-sensitive learner — fail LOUD if the source ever delivers a
+    bucket out of sequence, instead of letting state evolve in the
+    wrong order and surfacing as an opaque parity mismatch."""
+    lo, hi = batch_df.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    if lo is not None and not (lo // width == hi // width == int(batch_id)):
+        raise AssertionError(
+            f"micro-batch {batch_id} delivered ids [{lo}, {hi}] "
+            f"outside bucket {batch_id} (width {width})"
+        )
+
+
 def streaming_kmeans_minibatch(
     spark: SparkSession,
     sf_dir: str,
@@ -727,11 +785,7 @@ def streaming_kmeans_minibatch(
     delivers batch b at trigger b deterministically under
     maxFilesPerTrigger=1 + availableNow. Output: one row per
     (batch, cell) — (batch, cell, n_batch, n_cum)."""
-    import glob
-    import os
     import shutil
-    import tempfile
-    import time
 
     from tabsketchfm_spark.operators import kmeans as km
     from tabsketchfm_spark.sources.tables import load_table
@@ -748,55 +802,22 @@ def streaming_kmeans_minibatch(
     # moment the max-id row is NULL or zero-norm (round-8 advisory).
     raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb = km.valid_rows(raw, "vec_id", "embedding").persist()
-    feed_dir = tempfile.mkdtemp(prefix="tsfm_kmb_feed_")
-    stage_dir = tempfile.mkdtemp(prefix="tsfm_kmb_stage_")
+    feed_dir = stage_dir = None
     try:
         state = km.minibatch_seed_state(
             km._quantized(emb, "vec_id", "embedding"), km.N_CELLS
         )
         max_id = int(emb.agg(F.max("vec_id")).collect()[0][0])
         width = max_id // n_batches + 1
-
-        # ONE write job: repartition on the bucket key puts each
-        # bucket in exactly one task, so each b=X dir holds one file
-        t0 = time.time()
-        emb.withColumn(
-            "b", F.floor(F.col("vec_id") / width).cast("int")
-        ).repartition(n_batches, "b").write.mode("overwrite").partitionBy(
-            "b"
-        ).parquet(stage_dir)
-        for b in range(n_batches):
-            (src,) = glob.glob(f"{stage_dir}/b={b}/part-*.parquet")
-            dst = f"{feed_dir}/{b:05d}.parquet"
-            shutil.move(src, dst)
-            os.utime(dst, (t0 + b, t0 + b))
-        # partitionBy keeps "b" in the dir name, not the file — the
-        # moved files carry exactly the original embedding schema
-        feed = (
-            spark.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed_dir)
+        feed, feed_dir, stage_dir = _ordered_bucket_feed(
+            spark, emb, "vec_id", n_batches, width, "tsfm_kmb_"
         )
 
         rows: list[tuple] = []
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             nonlocal state
-            # the mtime-ordering contract is load-bearing for an
-            # order-sensitive learner — fail LOUD if the source ever
-            # delivers a bucket out of sequence, instead of letting
-            # centroids evolve in the wrong order and surfacing as an
-            # opaque parity mismatch
-            lo, hi = batch_df.agg(
-                F.min("vec_id"), F.max("vec_id")
-            ).collect()[0]
-            if lo is not None and not (
-                lo // width == hi // width == int(batch_id)
-            ):
-                raise AssertionError(
-                    f"micro-batch {batch_id} delivered ids [{lo}, {hi}] "
-                    f"outside bucket {batch_id} (width {width})"
-                )
+            _assert_bucket_order(batch_df, "vec_id", width, batch_id)
             sums = km.cell_aggregate(
                 km._quantized(batch_df, "vec_id", "embedding"),
                 km.state_centroids(state),
@@ -825,8 +846,68 @@ def streaming_kmeans_minibatch(
         )
     finally:
         emb.unpersist()
-        shutil.rmtree(feed_dir, ignore_errors=True)
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        for d in (feed_dir, stage_dir):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+
+
+def streaming_perceptron_minibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    epochs: int = 2,
+) -> DataFrame:
+    """Stateful streaming SUPERVISED learning: the integer batch
+    perceptron's weights evolve across ORDERED micro-batches —
+    each arriving doc bucket warm-starts ``epochs`` epochs from the
+    in-stream state (the kmeans mini-batch pattern applied to a
+    classifier). Batches are the same arithmetic doc_id buckets the
+    store-backed run uses, and every update is an exact integer sum,
+    so classifier.perceptron_store_run_oracle_sql replays the whole
+    weight trajectory bit-for-bit — batch store, stream, and DuckDB
+    all land on identical weights. Output: (batch, j, w)."""
+    import shutil
+
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    feed_dir = stage_dir = None
+    try:
+        max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        width = max_id // n_batches + 1
+        feed, feed_dir, stage_dir = _ordered_bucket_feed(
+            spark, docs, "doc_id", n_batches, width, "tsfm_pmb_"
+        )
+
+        w = [0] * (qc.N_BUCKETS + 1)
+        rows: list[tuple] = []
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            nonlocal w
+            _assert_bucket_order(batch_df, "doc_id", width, batch_id)
+            feat = qc.quality_features(batch_df).persist()
+            try:
+                w = qc._perceptron_epochs_from(feat, w, epochs)
+            finally:
+                feat.unpersist()
+            rows.extend(
+                (int(batch_id), j, int(wj)) for j, wj in enumerate(w)
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(rows, "batch bigint, j int, w bigint")
+    finally:
+        docs.unpersist()
+        for d in (feed_dir, stage_dir):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
 
 
 def streaming_dedup_incremental(
