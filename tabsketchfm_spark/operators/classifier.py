@@ -136,22 +136,13 @@ def train_quality_perceptron(
     callers unpersist). Weights memoized per (frame plan, params)."""
     feat = quality_features(df, id_col, text_col).persist()
     dim = N_BUCKETS + 1
-
-    def _loop():
-        w = [0] * dim
-        for _ in range(epochs):
-            margin = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
-            mis = F.col("y") * margin <= 0
-            sums = feat.agg(
-                *[
-                    F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))).alias(f"g{j}")
-                    for j in range(dim)
-                ]
-            ).collect()[0]
-            w = [w[j] + int(sums[f"g{j}"] or 0) for j in range(dim)]
-        return w
-
-    w = _memo_train(feat, ("perceptron", epochs, N_BUCKETS), _loop)
+    # ONE copy of the update rule: the zero-start batch trainer IS the
+    # warm-start loop started from zeros (round-8 review dedup)
+    w = _memo_train(
+        feat,
+        ("perceptron", epochs, N_BUCKETS),
+        lambda: _perceptron_epochs_from(feat, [0] * dim, epochs),
+    )
     return w, feat
 
 
@@ -192,19 +183,18 @@ _PERC_STORE_FORMAT = "perceptron-int-weights-v1"
 
 
 def _perc_manifest_path(path: str) -> str:
-    import os
+    from tabsketchfm_spark.sources.store_util import manifest_path
 
-    return os.path.join(path, "_manifest.json")
+    return manifest_path(path)
 
 
 def perceptron_store_read(spark, path: str) -> tuple[list[int], int]:
     """Manifest-guarded read → (weights, n_updates); loud on
     format/feature-space mismatch (weights over a different bucket
     hash would silently mis-score everything)."""
-    import json
+    from tabsketchfm_spark.sources.store_util import read_manifest
 
-    with open(_perc_manifest_path(path), encoding="utf-8") as f:
-        m = json.load(f)
+    m = read_manifest(path)
     if m["format"] != _PERC_STORE_FORMAT or m["n_buckets"] != N_BUCKETS:
         raise IOError(
             f"perceptron store at {path} is {m['format']} with "
@@ -213,36 +203,39 @@ def perceptron_store_read(spark, path: str) -> tuple[list[int], int]:
         )
     rows = spark.read.parquet(f"{path}/{m['state_dir']}").collect()
     dim = N_BUCKETS + 1
-    w = [0] * dim
-    for r in rows:
-        w[int(r["j"])] = int(r["w"])
-    if len(rows) != dim:
-        raise IOError(f"perceptron store at {path} holds {len(rows)} weights, not {dim}")
-    return w, int(m["n_updates"])
+    got = {int(r["j"]): int(r["w"]) for r in rows}
+    # bijection check BEFORE any indexing: a duplicate-plus-missing j
+    # has the right row count but a silently zeroed coordinate, and an
+    # out-of-range j must be the loud IOError, not a bare IndexError
+    # (round-8 review finding)
+    if len(rows) != dim or set(got) != set(range(dim)):
+        raise IOError(
+            f"perceptron store at {path} state is not a bijection over "
+            f"weight indices 0..{dim - 1}: {sorted(int(r['j']) for r in rows)}"
+        )
+    return [got[j] for j in range(dim)], int(m["n_updates"])
 
 
 def perceptron_store_write(
     spark, path: str, w: list[int], n_updates: int
 ) -> None:
     """Commit: fresh state_<n> subdir first, then an atomic manifest
-    pointer flip (temp + os.replace — the kmeans-store contract)."""
-    import json
-    import os
-
+    pointer flip (store_util.write_manifest — the shared contract)."""
     state_dir = f"state_{n_updates:06d}"
     spark.createDataFrame(
         [(j, int(wj)) for j, wj in enumerate(w)], "j int, w bigint"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{state_dir}")
-    manifest = {
-        "format": _PERC_STORE_FORMAT,
-        "n_buckets": N_BUCKETS,
-        "n_updates": n_updates,
-        "state_dir": state_dir,
-    }
-    tmp = _perc_manifest_path(path) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, _perc_manifest_path(path))
+    from tabsketchfm_spark.sources.store_util import write_manifest
+
+    write_manifest(
+        path,
+        {
+            "format": _PERC_STORE_FORMAT,
+            "n_buckets": N_BUCKETS,
+            "n_updates": n_updates,
+            "state_dir": state_dir,
+        },
+    )
 
 
 def _perceptron_epochs_from(
@@ -346,7 +339,9 @@ def perceptron_store_run_oracle_sql(
         f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
         f"CAST(1 AS BIGINT) AS x0, {xdefs} FROM t)",
         # the arithmetic bucket width, from the same whole-table max
-        f"wd AS (SELECT (max(id) // {n_batches}) + 1 AS w FROM feat)",
+        # (MATERIALIZED: referenced by every gradient CTE — a plain
+        # CTE re-evaluates per reference, the pagerank lesson)
+        f"wd AS MATERIALIZED (SELECT (max(id) // {n_batches}) + 1 AS w FROM feat)",
         "pw0_0 AS MATERIALIZED (SELECT "
         + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
         + ")",

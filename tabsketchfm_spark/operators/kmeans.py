@@ -716,9 +716,9 @@ _KMEANS_STORE_FORMAT = "kmeans-int-state-v1"
 
 
 def _store_manifest_path(path: str) -> str:
-    import os
+    from tabsketchfm_spark.sources.store_util import manifest_path
 
-    return os.path.join(path, "_manifest.json")
+    return manifest_path(path)
 
 
 def kmeans_store_read(
@@ -728,10 +728,9 @@ def kmeans_store_read(
     LOUD on format/k/dim/scale mismatch (a state trained on another
     grid would silently mis-assign every vector) and on a missing
     store (callers decide whether cold start is allowed)."""
-    import json
+    from tabsketchfm_spark.sources.store_util import read_manifest
 
-    with open(_store_manifest_path(path), encoding="utf-8") as f:
-        m = json.load(f)
+    m = read_manifest(path)
     if (
         m["format"] != _KMEANS_STORE_FORMAT
         or m["k"] != k
@@ -768,23 +767,19 @@ def kmeans_store_write(
         [(cid, s, c) for cid, (s, c) in sorted(state.items())],
         "cid int, s array<bigint>, c bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{state_dir}")
-    manifest = {
-        "format": _KMEANS_STORE_FORMAT,
-        "k": len(state),
-        "dim": dim,
-        "scale": SCALE,
-        "n_updates": n_updates,
-        "state_dir": state_dir,
-    }
-    # temp + rename: an in-place open('w') TRUNCATES the live manifest
-    # before writing, so a crash mid-dump bricks the store (round-8
-    # review finding); os.replace is atomic on POSIX
-    import os
+    from tabsketchfm_spark.sources.store_util import write_manifest
 
-    tmp = _store_manifest_path(path) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, _store_manifest_path(path))
+    write_manifest(
+        path,
+        {
+            "format": _KMEANS_STORE_FORMAT,
+            "k": len(state),
+            "dim": dim,
+            "scale": SCALE,
+            "n_updates": n_updates,
+            "state_dir": state_dir,
+        },
+    )
 
 
 def kmeans_store_init(

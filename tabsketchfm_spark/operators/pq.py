@@ -416,9 +416,9 @@ _ANN_INDEX_FORMAT = "ivfpq-int-index-v1"
 
 
 def _index_manifest_path(path: str) -> str:
-    import os
+    from tabsketchfm_spark.sources.store_util import manifest_path
 
-    return os.path.join(path, "_manifest.json")
+    return manifest_path(path)
 
 
 def _index_params() -> dict:
@@ -445,51 +445,57 @@ def save_ivfpq_index(
     """Build + persist: fit (memo-shared with the in-memory queries),
     write centroids (cid, m), codebooks (s, c, m) and the encoded
     corpus codes (cand_id, cell, c0..c{S-1} — executor-side write, the
-    index's data plane), then the manifest (temp + os.replace)."""
-    import json
+    index's data plane) into a FRESH generation subdir, then flip the
+    manifest pointer atomically. A rebuild into an existing path that
+    crashes mid-write must leave the previous generation live — an
+    in-place rewrite under a constant manifest would serve torn
+    mixed-generation artifacts that still pass the guard (round-8
+    review finding)."""
     import os
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import write_manifest
 
     mc, cb = ivfpq_fit(emb, id_col, vec_col)
+    gen = f"gen_{uuid.uuid4().hex[:12]}"
     os.makedirs(path, exist_ok=True)
     _ivfpq_cands(emb, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/codes"
+        f"{path}/{gen}/codes"
     )
     spark.createDataFrame(
         [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/centroids")
     spark.createDataFrame(
         [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
         "s int, c int, m array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    manifest = {"format": _ANN_INDEX_FORMAT, **_index_params()}
-    tmp = _index_manifest_path(path) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, _index_manifest_path(path))
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
+    write_manifest(path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()})
 
 
 def load_ivfpq_index(spark, path: str):
     """(mc, cb, codes_frame) from a saved index; loud on any parameter
     mismatch — centroids trained under another grid/codebook geometry
-    would silently mis-rank every query."""
-    import json
+    would silently mis-rank every query. All three artifact reads go
+    through the manifest's generation pointer."""
+    from tabsketchfm_spark.sources.store_util import read_manifest
 
-    with open(_index_manifest_path(path), encoding="utf-8") as f:
-        m = json.load(f)
+    m = read_manifest(path)
+    gen = m.pop("data_dir", None)
     want = {"format": _ANN_INDEX_FORMAT, **_index_params()}
-    if m != want:
+    if m != want or not gen:
         raise IOError(
-            f"ivfpq index at {path} was built as {m}; this build expects {want}"
+            f"ivfpq index at {path} was built as {m} (data_dir={gen}); "
+            f"this build expects {want}"
         )
     mc = {
         int(r["cid"]): [int(v) for v in r["m"]]
-        for r in spark.read.parquet(f"{path}/centroids").collect()
+        for r in spark.read.parquet(f"{path}/{gen}/centroids").collect()
     }
     cb = {
         (int(r["s"]), int(r["c"])): [int(v) for v in r["m"]]
-        for r in spark.read.parquet(f"{path}/codebooks").collect()
+        for r in spark.read.parquet(f"{path}/{gen}/codebooks").collect()
     }
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = spark.read.parquet(f"{path}/{gen}/codes")
     return mc, cb, codes
 
 

@@ -736,10 +736,27 @@ def _ordered_bucket_feed(
     ).repartition(n_batches, "b").write.mode("overwrite").partitionBy(
         "b"
     ).parquet(stage_dir)
+    empty_src = None
     for b in range(n_batches):
-        (src,) = glob.glob(f"{stage_dir}/b={b}/part-*.parquet")
+        hits = glob.glob(f"{stage_dir}/b={b}/part-*.parquet")
         dst = f"{feed_dir}/{b:05d}.parquet"
-        shutil.move(src, dst)
+        if hits:
+            (src,) = hits
+            shutil.move(src, dst)
+        else:
+            # an EMPTY bucket (id gap) still needs its slot in the
+            # ordered feed: later files' batch_ids must keep equaling
+            # their bucket index, and the learners' state must tick
+            # through a zero-row micro-batch exactly like the batch
+            # store run and the oracle replay do (round-8 review
+            # finding — the bare glob unpack crashed here)
+            if empty_src is None:
+                empty_src = os.path.join(stage_dir, "_empty")
+                spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(empty_src)
+                (empty_part,) = glob.glob(f"{empty_src}/part-*.parquet")
+            shutil.copy(empty_part, dst)
         os.utime(dst, (t0 + b, t0 + b))
     # partitionBy keeps "b" in the dir name, not the file — the moved
     # files carry exactly the original schema

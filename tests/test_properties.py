@@ -268,6 +268,47 @@ def test_kmeans_store_lifecycle(spark, sf001):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_ordered_bucket_feed_delivers_empty_buckets(spark):
+    """An id GAP must deliver a zero-row micro-batch in its slot —
+    later batches' ids must keep equaling their bucket index, and the
+    order-sensitive learners' state must tick through the empty batch
+    exactly like the batch store run and the oracle replay do (the
+    bare glob unpack used to crash here)."""
+    import shutil
+
+    from tabsketchfm_spark.streaming.profile_stream import (
+        _assert_bucket_order,
+        _ordered_bucket_feed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in list(range(5)) + list(range(20, 25))],
+        "doc_id bigint, text string",
+    )
+    n, width = 3, 24 // 3 + 1  # bucket 1 ([9, 18)) is empty
+    feed, feed_dir, stage_dir = _ordered_bucket_feed(
+        spark, df, "doc_id", n, width, "tsfm_gap_test_"
+    )
+    seen = []
+
+    def sink(batch_df, batch_id):
+        _assert_bucket_order(batch_df, "doc_id", width, batch_id)
+        seen.append((int(batch_id), batch_df.count()))
+
+    try:
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    assert sorted(seen) == [(0, 5), (1, 0), (2, 5)]
+
+
 def test_ivfpq_index_store_roundtrip(spark, sf001):
     """The persisted ANN index: (1) served-from-store search equals the
     fit-and-search query row for row (the stored integers ARE the
@@ -353,14 +394,17 @@ def test_perceptron_store_lifecycle(spark, sf001):
         assert w1 == fold(feat_rows, [0] * dim, 1)
         r1, n1 = perceptron_store_read(spark, d)
         assert (r1, n1) == (w1, 1)
-        with pytest.raises(IOError):
-            import json
-            import os
+        # tamper setup OUTSIDE the raises block: an environmental
+        # failure in the mutation must fail the test, not satisfy it
+        # (round-8 review finding)
+        import json
+        import os
 
-            mp = os.path.join(d, "_manifest.json")
-            m = json.load(open(mp))
-            m["n_buckets"] = qc.N_BUCKETS + 5
-            json.dump(m, open(mp, "w"))
+        mp = os.path.join(d, "_manifest.json")
+        m = json.load(open(mp))
+        m["n_buckets"] = qc.N_BUCKETS + 5
+        json.dump(m, open(mp, "w"))
+        with pytest.raises(IOError):
             perceptron_store_read(spark, d)
         # restore and warm-start a second update
         m["n_buckets"] = qc.N_BUCKETS
