@@ -386,8 +386,8 @@ def minhash_lsh_oracle_sql(
     return f"""
 WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
 perms AS ({perms_cte_duckdb(num_perm)}),
-sig AS (SELECT id, i, min((a * {h} + b) % {MINHASH_PRIME}) AS s
-        FROM sh, perms GROUP BY id, i),
+sig AS (SELECT id, i, min((a * hv + b) % {MINHASH_PRIME}) AS s
+        FROM (SELECT id, {h} AS hv FROM sh) hsh, perms GROUP BY id, i),
 banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
                   md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
            FROM sig GROUP BY id, i // {rows}),
@@ -709,8 +709,8 @@ def dedup_incremental_lsh_oracle_sql(
     return f"""
 WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
 perms AS ({perms_cte_duckdb(num_perm)}),
-sig AS (SELECT id, i, min((a * {h} + b) % {MINHASH_PRIME}) AS s
-        FROM sh, perms GROUP BY id, i),
+sig AS (SELECT id, i, min((a * hv + b) % {MINHASH_PRIME}) AS s
+        FROM (SELECT id, {h} AS hv FROM sh) hsh, perms GROUP BY id, i),
 banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
                   md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
            FROM sig GROUP BY id, i // {rows}),

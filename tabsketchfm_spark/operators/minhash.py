@@ -79,11 +79,13 @@ def minhash_signatures_oracle_sql(
                 f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {table} "
                 f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
             )
+        # md5 is perm-INVARIANT: hash once per value, then cross the
+        # 100 perms over the precomputed hv (was 100x the md5 work)
         h = h32_sql("v", "duckdb")
         parts.append(
             f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
-                CAST(i AS INTEGER) AS perm, min((a * {h} + b) % {MINHASH_PRIME}) AS sig
-            FROM ({vals}) vals, perms GROUP BY i"""
+                CAST(i AS INTEGER) AS perm, min((a * hv + b) % {MINHASH_PRIME}) AS sig
+            FROM (SELECT {h} AS hv FROM ({vals}) vals) hvals, perms GROUP BY i"""
         )
     body = "\nUNION ALL\n".join(parts)
     return f"WITH perms AS ({perms_cte_duckdb(num_perm)})\n{body}"
@@ -713,10 +715,11 @@ def joinability_oracle_sql(
                 f"SELECT nullif(CAST({c} AS VARCHAR), '') AS v FROM {t} "
                 f"WHERE nullif(CAST({c} AS VARCHAR), '') IS NOT NULL"
             )
+            # hash hoisted out of the perm cross-join (perm-invariant)
             cand_parts.append(
                 f"""SELECT '{t}' AS cand_table, '{c}' AS cand_column,
-                    i AS perm, min((a * {h} + b) % {MINHASH_PRIME}) AS sig
-                FROM ({vals}) vals, perms GROUP BY i"""
+                    i AS perm, min((a * hv + b) % {MINHASH_PRIME}) AS sig
+                FROM (SELECT {h} AS hv FROM ({vals}) vals) hvals, perms GROUP BY i"""
             )
     hq = h32_sql("v", "duckdb")
     qvals = (
@@ -726,8 +729,8 @@ def joinability_oracle_sql(
     cand_body = "\nUNION ALL\n".join(cand_parts)
     return f"""
 WITH perms AS ({perms_cte_duckdb(num_perm)}),
-qsig AS (SELECT i AS perm, min((a * {hq} + b) % {MINHASH_PRIME}) AS sig
-         FROM ({qvals}) vals, perms GROUP BY i),
+qsig AS (SELECT i AS perm, min((a * hv + b) % {MINHASH_PRIME}) AS sig
+         FROM (SELECT {hq} AS hv FROM ({qvals}) vals) hvals, perms GROUP BY i),
 csig AS ({cand_body}),
 est AS (SELECT cand_table, cand_column,
                avg(CASE WHEN c.sig = q.sig THEN CAST(1.0 AS DOUBLE)

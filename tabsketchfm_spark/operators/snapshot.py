@@ -57,8 +57,8 @@ def content_snapshot_oracle_sql(
 WITH perms AS ({perms_cte_duckdb(num_perm)}),
 rows_ AS (SELECT concat_ws(' ', {cols}) AS row_str FROM {table})
 SELECT '{table}' AS table_name, CAST(i AS INTEGER) AS perm,
-       min((a * {h} + b) % {MINHASH_PRIME}) AS sig
-FROM rows_, perms GROUP BY i
+       min((a * hv + b) % {MINHASH_PRIME}) AS sig
+FROM (SELECT {h} AS hv FROM rows_) hrows, perms GROUP BY i
 """
 
 
@@ -102,9 +102,9 @@ def snapshot_similarity_oracle_sql(
     for vname, predicate in variant_filters.items():
         snaps.append(
             f"""SELECT '{vname}' AS table_name, i AS perm,
-                   min((a * {h} + b) % {MINHASH_PRIME}) AS sig
-            FROM (SELECT concat_ws(' ', {cols}) AS row_str FROM {table}
-                  WHERE {predicate}) rows_, perms GROUP BY i"""
+                   min((a * hv + b) % {MINHASH_PRIME}) AS sig
+            FROM (SELECT {h} AS hv FROM (SELECT concat_ws(' ', {cols}) AS row_str
+                  FROM {table} WHERE {predicate}) rows_) hrows, perms GROUP BY i"""
         )
     body = "\nUNION ALL\n".join(snaps)
     return f"""
