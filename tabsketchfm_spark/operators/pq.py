@@ -520,6 +520,97 @@ def ivfpq_stored_topk(
     )
 
 
+def ivfpq_index_drift(
+    spark,
+    store_path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index MAINTENANCE: the retrain trigger. Encode an arriving
+    delta batch with the STORED quantizers and compare its coarse-cell
+    and per-subspace code distributions against the stored corpus
+    codes — a delta that no longer falls where the index was trained
+    (cells emptying/ballooning, codewords going cold) is the signal to
+    rebuild. Output: one integer-count row per (s, code) —
+    s = -1 carries the coarse-cell distribution, s in [0, S) the
+    subspace codebooks — (s, code, corpus_cnt, delta_cnt); exact
+    integers, so the whole diagnostic is oracle-gated. Scale shape:
+    the corpus side is an aggregate over the stored codes parquet
+    (never the corpus vectors), the delta side an expression-only
+    encode + the same bounded aggregate."""
+    mc, cb, codes = load_ivfpq_index(spark, store_path)
+    dcands = _ivfpq_cands(delta, mc, cb, id_col, vec_col)
+
+    def dist(frame, alias):
+        ex = frame.select(
+            F.posexplode(
+                F.array(*[F.col(f"c{s}") for s in range(S_SUB)])
+            ).alias("s", "code")
+        ).unionByName(
+            frame.select(F.lit(-1).alias("s"), F.col("cell").alias("code"))
+        )
+        return ex.groupBy("s", "code").agg(
+            F.count("*").cast("bigint").alias(alias)
+        )
+
+    z = F.lit(0).cast("bigint")
+    return (
+        dist(codes, "corpus_cnt")
+        .join(dist(dcands, "delta_cnt"), ["s", "code"], "full_outer")
+        .select(
+            F.col("s").cast("int").alias("s"),
+            F.col("code").cast("int").alias("code"),
+            F.coalesce("corpus_cnt", z).alias("corpus_cnt"),
+            F.coalesce("delta_cnt", z).alias("delta_cnt"),
+        )
+    )
+
+
+def ivfpq_index_drift_oracle_sql(
+    table: str, delta_pred: str = "id % 5 = 0"
+) -> str:
+    """Replay: the full IVF-PQ encode of the corpus (coarse fit,
+    residuals, 8 codebooks — the shared scaffolds), then conditional
+    counts with the delta predicate over the SAME ids (the registered
+    query's delta is a corpus subset, so every (s, code) group is
+    already present on the corpus side)."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes, cfinal = _kmeans_ctes(table, N_CELLS, N_ITERS, dim)
+    ctes.append(
+        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
+    )
+    ctes.append(
+        "rpts AS MATERIALIZED (SELECT p.id, "
+        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
+        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
+    )
+    pctes, _rcents, rcodes = _pq_ctes(table, src="rpts", tag="r", base=False)
+    ctes.extend(pctes)
+    ctes.append(
+        f"dlt AS MATERIALIZED (SELECT id FROM pts WHERE {delta_pred})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(-1 AS INTEGER) AS s, CAST(a.cell AS INTEGER) AS code,
+       CAST(count(*) AS BIGINT) AS corpus_cnt,
+       CAST(coalesce(sum(CASE WHEN d.id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         AS delta_cnt
+FROM acell a LEFT JOIN dlt d USING (id) GROUP BY a.cell
+UNION ALL
+SELECT CAST(r.s AS INTEGER), CAST(r.cid AS INTEGER),
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN d.id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+FROM {rcodes} r LEFT JOIN dlt d USING (id) GROUP BY r.s, r.cid
+"""
+    )
+
+
 # --- DuckDB replay -----------------------------------------------------------
 
 

@@ -1317,6 +1317,36 @@ _register(
     _ann_ivfpq_stored,
     pq_op.ivfpq_adc_topk_oracle_sql("embeddings", 20, k=5),
 )
+
+
+def _ann_ivfpq_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # index MAINTENANCE: build + persist, then diagnose an arriving
+    # delta (every 5th vector plays today's crawl) against the stored
+    # code distributions — the integer counts that decide a rebuild
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_drift_")
+    try:
+        emb = load_table(spark, sf, "embeddings")
+        pq_op.save_ivfpq_index(spark, emb, store)
+        out = pq_op.ivfpq_index_drift(
+            spark, store, emb.where(F.col("vec_id") % 5 == 0)
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "ann_ivfpq_index_drift",
+    _ann_ivfpq_drift,
+    pq_op.ivfpq_index_drift_oracle_sql("embeddings", "id % 5 = 0"),
+)
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is

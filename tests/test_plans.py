@@ -564,6 +564,7 @@ _PLAN_GUARD_SKIP = {
     "store_kmeans_update_embeddings",
     "store_perceptron_update_documents",
     "ann_ivfpq_stored_topk",
+    "ann_ivfpq_index_drift",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found

@@ -344,6 +344,37 @@ def test_ivfpq_index_store_roundtrip(spark, sf001):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_ivfpq_drift_counts_are_consistent(spark, sf001):
+    """The drift diagnostic's integer contract: a delta that IS a
+    corpus subset has delta_cnt <= corpus_cnt everywhere; every
+    subspace's corpus counts (and the coarse-cell row group) sum to
+    the valid population, and the delta sums to the subset size."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import kmeans as km
+    from tabsketchfm_spark.operators import pq as pq_op
+
+    emb = load_table(spark, sf001, "embeddings")
+    d = tempfile.mkdtemp(prefix="tsfm_drift_test_")
+    try:
+        pq_op.save_ivfpq_index(spark, emb, d)
+        delta = emb.where(F.col("vec_id") % 5 == 0)
+        rows = pq_op.ivfpq_index_drift(spark, d, delta).collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    n_corpus = km.valid_rows(emb).count()
+    n_delta = km.valid_rows(delta).count()
+    assert all(r["delta_cnt"] <= r["corpus_cnt"] for r in rows)
+    groups = sorted({r["s"] for r in rows})
+    assert groups == [-1] + list(range(pq_op.S_SUB))
+    for s in groups:
+        assert sum(r["corpus_cnt"] for r in rows if r["s"] == s) == n_corpus
+        assert sum(r["delta_cnt"] for r in rows if r["s"] == s) == n_delta
+
+
 def test_perceptron_store_lifecycle(spark, sf001):
     """The persisted-weight learner: (1) the store-backed bucket run
     reproduces an independent python fold of the SAME batch-sequential
