@@ -2,10 +2,22 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "fingerprints": {...}, "sf": ...}
 
 Each query is materialized with the no-op sink (full execution, no
 driver collect). Timings exclude session startup, include planning.
+
+``fingerprints`` carries each query's executed-stage fingerprint from
+the FIRST (cold-cache) timed run — stage count + shuffle read/write +
+input bytes off the Spark UI REST API. These are PLAN properties,
+byte-identical across runs of the same code and data, so the bench
+artifact itself proves plan-identity round-over-round: a wall-time
+swing with matching fingerprints is environment drift, not a code
+regression (VERDICT r8 item 3 — the adjudication lives in-band now).
+Fingerprint capture happens OUTSIDE the timed sections; timing
+semantics (median of 3, clearCache after each query) are unchanged
+from prior rounds.
 """
 
 from __future__ import annotations
@@ -45,12 +57,24 @@ HEADLINE = [
     "text_pack_sequences",
 ]
 
+# scale_check runs HEADLINE + these: ops with a known blowup CLASS that
+# the headline set does not cover (round-8 advice: the bucket-colliding
+# candidate set of the MLlib BRP join can approach O(q*n) on clustered
+# vectors — a 10x data step catches it)
+SCALE_EXTRA = [
+    "k6_mllib_brp_ann",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark("bench")
+    spark = get_spark("bench", ui=True)
+    from tabsketchfm_spark.plans import stagefp
+
+    ui_base = "http://localhost:" + spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+    app_id = spark.sparkContext.applicationId
 
     qs = registry.queries()
     # warm up the real execution paths once, untimed: parquet vectorized
@@ -72,12 +96,21 @@ def main() -> None:
     # best-of-N hides sustained slowdowns; the median is robust to a
     # single outlier in either direction (local timings swing ±20%)
     timings: dict[str, float] = {}
+    fingerprints: dict[str, dict] = {}
     for name in HEADLINE:
         runs = []
-        for _ in range(3):
+        for i in range(3):
+            before = stagefp.stages(ui_base, app_id) if i == 0 else None
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
+            if i == 0:
+                # fingerprint the FIRST (cold-cache) run only: runs 2-3
+                # may hit blocks run 1 persisted, which legitimately
+                # changes their stage shape; run 1's stage set is the
+                # deterministic plan property. Capture is outside the
+                # timed section.
+                fingerprints[name] = stagefp.fingerprint(ui_base, app_id, before)
         # drop cached blocks the query persisted: leaked caches from
         # earlier queries add eviction pressure and timing variance
         spark.catalog.clearCache()
@@ -91,6 +124,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "fingerprints": fingerprints,
                 "sf": sf,
             }
         )

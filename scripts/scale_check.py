@@ -48,9 +48,9 @@ def _time(qs, name, spark, sf_dir, runs: int = 2) -> float:
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    from bench import HEADLINE
+    from bench import HEADLINE, SCALE_EXTRA
 
-    names = sys.argv[3:] or HEADLINE
+    names = sys.argv[3:] or HEADLINE + SCALE_EXTRA
     ratio = _sf_of(big) / _sf_of(small)
 
     from pyspark.sql import functions as F

@@ -10,7 +10,10 @@ Stage count / shuffle bytes / input bytes are *plan* properties — they
 are identical run-to-run for the same code and data. If those match
 across runs (and across rounds) while wall time swings, the wall-time
 delta is environment (CPU contention, GC, page cache), not a plan
-change. That is the evidence contract from VERDICT r5 next-round #1.
+change. That is the evidence contract from VERDICT r5 next-round #1;
+since round 9 bench.py embeds the same fingerprint per headline query
+in BENCH_r*.json itself (tabsketchfm_spark/plans/stagefp.py is the
+shared probe).
 
 Usage: python scripts/stage_profile.py [query ...]
 Prints one JSON line per query.
@@ -22,11 +25,11 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tabsketchfm_spark.plans import registry
+from tabsketchfm_spark.plans.stagefp import METRIC_KEYS, stages, stages_stable
 from tabsketchfm_spark.session import get_spark
 
 DRIFTED = [
@@ -34,55 +37,6 @@ DRIFTED = [
     "text_pack_sequences",
     "scale_salted_join_revenue",
 ]
-
-METRIC_KEYS = {
-    "shuffle_read_mb": "shuffleReadBytes",
-    "shuffle_write_mb": "shuffleWriteBytes",
-    "input_mb": "inputBytes",
-    "executor_run_ms": "executorRunTime",
-    "gc_ms": "jvmGcTime",
-}
-
-
-def _api(base: str, path: str):
-    with urllib.request.urlopen(base + path, timeout=10) as r:
-        return json.loads(r.read())
-
-
-def _stages(base: str, app_id: str) -> dict[tuple[int, int], dict]:
-    out = {}
-    # skipped stages too: a reused exchange changes the fingerprint and
-    # must show up as such, not vanish
-    for status in ("complete", "skipped"):
-        for s in _api(
-            base, f"/api/v1/applications/{app_id}/stages?status={status}"
-        ):
-            out[(s["stageId"], s["attemptId"])] = s
-    return out
-
-
-def _stages_stable(base: str, app_id: str, before: dict, timeout_s: float = 15.0):
-    """Poll until the snapshot is stable AND contains at least one
-    stage beyond ``before`` — completion events can land in the UI
-    store noticeably after the job returns, so agreement alone could
-    be two pre-run snapshots (silently truncating the fingerprint on
-    the loaded host this script exists to diagnose). Warns on
-    timeout instead of returning a quietly short fingerprint."""
-    prev = _stages(base, app_id)
-    deadline = time.time() + timeout_s
-    while time.time() < deadline:
-        time.sleep(0.3)
-        cur = _stages(base, app_id)
-        if set(cur) == set(prev) and any(k not in before for k in cur):
-            return cur
-        prev = cur
-    print(
-        json.dumps({"warning": "stage snapshot did not stabilize with "
-                    f"new stages within {timeout_s}s; fingerprint may "
-                    "be truncated"}),
-        file=sys.stderr,
-    )
-    return prev
 
 
 def profile(names: list[str], runs: int = 3) -> None:
@@ -99,12 +53,12 @@ def profile(names: list[str], runs: int = 3) -> None:
         spark.catalog.clearCache()
         results = []
         for _ in range(runs):
-            before = _stages(base, app_id)
+            before = stages(base, app_id)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             wall = time.perf_counter() - t0
             spark.catalog.clearCache()
-            after = _stages_stable(base, app_id, before)
+            after = stages_stable(base, app_id, before)
             new = [s for k, s in after.items() if k not in before]
             rec = {"wall_sec": round(wall, 3), "n_stages": len(new)}
             for out_key, api_key in METRIC_KEYS.items():

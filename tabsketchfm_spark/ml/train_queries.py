@@ -592,7 +592,7 @@ def trained_pair_scores(
                 F.round(logit1 - logit0, 8).alias("margin"),
                 (logit1 > logit0).alias("pred_similar"),
             )
-            .collect()  # one row per pair — bounded by |cand_tables|+1
+            .collect()  # one row per pair — bounded by |cand_tables|
         )
     finally:
         for c in caches:

@@ -1046,7 +1046,14 @@ def bisecting_kmeans_oracle_sql(
     scalar-subquery target choice (largest cluster, tie → smallest
     id), the two smallest-id in-cluster seeds, the 2-cell Lloyd rounds
     (the retargeted _kmeans_ctes body — one copy of the round SQL),
-    and the assignment update."""
+    and the assignment update.
+
+    DEGENERATE-DATA ASYMMETRY (intentional, loud-side-ours): when no
+    cluster of size >= 2 remains before reaching k, _bisect_fit RAISES
+    while this replay's tgt{s} subquery goes empty and the run
+    silently emits fewer than k clusters. The parity row crashes on
+    the Spark side only — a loud signal on data this operator was not
+    meant for, never a silent hash mismatch."""
     if k < 1:
         # symmetric degenerate contract (the rounds/epochs=0 rule):
         # k=0 would emit `FROM bsg-1` — a binder crash, not a gate

@@ -452,13 +452,18 @@ def save_ivfpq_index(
     mixed-generation artifacts that still pass the guard (round-8
     review finding)."""
     import os
+    import shutil
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import write_manifest
+    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
 
     mc, cb = ivfpq_fit(emb, id_col, vec_col)
     gen = f"gen_{uuid.uuid4().hex[:12]}"
     os.makedirs(path, exist_ok=True)
+    try:
+        prev_gen = read_manifest(path).get("data_dir")
+    except Exception:
+        prev_gen = None
     _ivfpq_cands(emb, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
         f"{path}/{gen}/codes"
     )
@@ -470,6 +475,15 @@ def save_ivfpq_index(
         "s int, c int, m array<bigint>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
     write_manifest(path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()})
+    # GC superseded generations AFTER the flip succeeds (round-8 advice:
+    # repeated rebuilds into a long-lived store leaked every old gen dir).
+    # The immediately previous generation is kept for crash recovery —
+    # a reader that resolved the old manifest just before the flip may
+    # still be scanning it; everything older is unreachable.
+    keep = {gen, prev_gen}
+    for d in os.listdir(path):
+        if d.startswith("gen_") and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def load_ivfpq_index(spark, path: str):
@@ -572,9 +586,17 @@ def ivfpq_index_drift_oracle_sql(
 ) -> str:
     """Replay: the full IVF-PQ encode of the corpus (coarse fit,
     residuals, 8 codebooks — the shared scaffolds), then conditional
-    counts with the delta predicate over the SAME ids (the registered
-    query's delta is a corpus subset, so every (s, code) group is
-    already present on the corpus side)."""
+    counts with the delta predicate over the SAME ids.
+
+    GATE CONTRACT (round-8 advice): this oracle covers ONLY deltas
+    that are a subset of the stored corpus — ``delta_pred`` selects
+    from the corpus ids, so every (s, code) group the delta produces
+    is already present on the corpus side and the LEFT JOIN replay is
+    complete. The Spark operator is more general: its full_outer join
+    also emits (s, code, corpus_cnt=0, delta_cnt>0) rows for an
+    EXTERNAL delta whose codes never occur in the corpus. Gating a
+    non-subset delta with this oracle would silently miss those rows;
+    such a run needs a delta-side branch added here first."""
     from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
 
     dim = S_SUB * D_SUB
