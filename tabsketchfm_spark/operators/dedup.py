@@ -449,12 +449,12 @@ def _read_signature_store(
     commit_<uuid>/ subdirectories; `_`-prefixed files are ignored by
     the parquet reader, so the manifest rides inside the store dir."""
     import json
-    import os
 
     from pyspark.sql.types import StructType
 
-    with open(os.path.join(path, "_manifest.json"), encoding="utf-8") as f:
-        m = json.load(f)
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    m = read_manifest(path)
     if m["format"] != _SIG_STORE_FORMAT or m["n"] != n or m["num_perm"] != num_perm:
         raise IOError(
             f"signature store at {path} was built as {m['format']} with "
@@ -465,12 +465,21 @@ def _read_signature_store(
     sig_c = (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")
-        .parquet(path)
+        .parquet(_sig_data_root(path, m))
         .persist()
     )
     if caches is not None:
         caches.append(sig_c)
     return sig_c
+
+
+def _sig_data_root(path: str, manifest: dict) -> str:
+    """The directory reads/commits target: the manifest's generation
+    subdir when present (post-compaction layout), else the store root
+    (legacy flat layout — build + commits at top level). The manifest
+    file itself is `_`-prefixed, ignored by the parquet reader."""
+    gen = manifest.get("data_dir")
+    return f"{path}/{gen}" if gen else path
 
 
 def build_signature_store(
@@ -489,8 +498,7 @@ def build_signature_store(
     records the build parameters and schema (see
     _read_signature_store). Works for an EMPTY corpus — the manifest
     schema bootstraps reads, so the ingest loop can start cold."""
-    import json
-    import os
+    from tabsketchfm_spark.sources.store_util import write_manifest
 
     sigs = _lsh_sigs(corpus, id_col, text_col, n, num_perm)
     try:
@@ -502,8 +510,8 @@ def build_signature_store(
             "id_col": id_col,
             "schema": sigs.schema.json(),
         }
-        with open(os.path.join(path, "_manifest.json"), "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=1)
+        # atomic temp+replace flip (store_util contract), AFTER the data
+        write_manifest(path, manifest)
     finally:
         sigs.unpersist()
 
@@ -598,15 +606,84 @@ def ingest_dedup_commit(
             "id",
         )
         # fresh subdir per commit: parquet append without touching
-        # existing files, and a crashed write never corrupts the store
+        # existing files, and a crashed write never corrupts the store;
+        # commits land inside the LIVE generation so compaction's
+        # manifest flip atomically retires them with the old data
+        from tabsketchfm_spark.sources.store_util import read_manifest
+
+        root = _sig_data_root(store_path, read_manifest(store_path))
         survivors.write.mode("overwrite").parquet(
-            f"{store_path}/commit_{uuid.uuid4().hex[:12]}"
+            f"{root}/commit_{uuid.uuid4().hex[:12]}"
         )
         rows = verdict.collect()  # one row per delta doc — bounded
         return spark.createDataFrame(rows, verdict.schema)
     finally:
         for c in caches:
             c.unpersist()
+
+
+def compact_signature_store(
+    spark,
+    path: str,
+    keep_pred: str = "true",
+    n: int = 3,
+    num_perm: int = 100,
+) -> None:
+    """TTL/compaction for the signature store — the maintenance op the
+    daily-crawl loop needs: commit subdirs accumulate one per batch
+    forever, and expired docs (``keep_pred`` is a SQL predicate over
+    ``id``; with monotonic ingest ids, ``id >= horizon`` IS the TTL
+    rule) keep matching new deltas long after their content left the
+    lake.
+
+    Shape: read the live generation (base + every commit), apply the
+    keep rule, collapse any duplicate ids deterministically (per-column
+    MIN — duplicate rows carry identical signatures unless ids were
+    reused across different content, where any deterministic pick is
+    equally honest), write ONE fresh ``gen_<uuid>`` subdir, flip the
+    manifest's data_dir pointer atomically, then GC the retired
+    generation (or the legacy flat layout's root files). A crash
+    before the flip leaves the store serving the old generation
+    intact; readers resolve the generation at read time.
+
+    One shuffle on id; the rewrite is executor-side parquet, no
+    driver collect."""
+    import os
+    import shutil
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
+
+    m = read_manifest(path)
+    sigs = _read_signature_store(spark, path, n, num_perm)
+    try:
+        mh_cols = [c for c in sigs.columns if c != "id"]
+        compacted = (
+            sigs.where(F.expr(keep_pred))
+            .groupBy("id")
+            .agg(*[F.min(c).alias(c) for c in mh_cols])
+            .select("id", *mh_cols)  # pin the manifest schema's order
+        )
+        old_root = _sig_data_root(path, m)
+        gen = f"gen_{uuid.uuid4().hex[:12]}"
+        compacted.write.mode("overwrite").parquet(f"{path}/{gen}")
+        write_manifest(path, {**m, "data_dir": gen})
+        # GC AFTER the flip: the retired generation dir, or — for a
+        # store still on the legacy flat layout — the root-level
+        # parquet files and commit dirs the new generation replaces
+        if old_root != path:
+            shutil.rmtree(old_root, ignore_errors=True)
+        else:
+            for entry in os.listdir(path):
+                full = os.path.join(path, entry)
+                if entry == gen or entry.startswith("_"):
+                    continue
+                if entry.startswith("commit_") and os.path.isdir(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                elif os.path.isfile(full):
+                    os.remove(full)
+    finally:
+        sigs.unpersist()
 
 
 def _lsh_sigs(
@@ -698,14 +775,18 @@ def dedup_incremental_lsh_oracle_sql(
     num_perm: int = 100,
     bands: int = 20,
     threshold: float = 0.5,
+    corpus_pred: str | None = None,
 ) -> str:
     """DuckDB twin for a delta/corpus split of one table by
     ``delta_pred`` (a boolean SQL expression over ``id``): signatures
     are computed once for every doc — a doc's signature is the same
     whether built from the subset or the full table — and the bucket
-    join keeps only delta×corpus cross pairs."""
+    join keeps only delta×corpus cross pairs. ``corpus_pred`` narrows
+    the corpus side beyond the default complement (the compacted-store
+    gate: a TTL rule removed part of the corpus)."""
     rows = num_perm // bands
     h = h32_sql("shingle", "duckdb")
+    cpred = corpus_pred or f"NOT ({delta_pred})"
     return f"""
 WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
 perms AS ({perms_cte_duckdb(num_perm)}),
@@ -717,7 +798,7 @@ banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
 cand AS (SELECT DISTINCT x.id AS delta_id, y.id AS corpus_id
          FROM banded x JOIN banded y USING (band, bkey)
          WHERE ({delta_pred.format(id="x.id")})
-           AND NOT ({delta_pred.format(id="y.id")})),
+           AND ({cpred.format(id="y.id")})),
 est AS (SELECT delta_id, corpus_id,
                sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / CAST({num_perm} AS DOUBLE)
                  AS est_jaccard

@@ -489,12 +489,14 @@ def save_ivfpq_index(
 def load_ivfpq_index(spark, path: str):
     """(mc, cb, codes_frame) from a saved index; loud on any parameter
     mismatch — centroids trained under another grid/codebook geometry
-    would silently mis-rank every query. All three artifact reads go
-    through the manifest's generation pointer."""
+    would silently mis-rank every query. All artifact reads go through
+    the manifest's generation pointer; the codes frame is the UNION of
+    the base build and every appended delta dir (``code_dirs``)."""
     from tabsketchfm_spark.sources.store_util import read_manifest
 
     m = read_manifest(path)
     gen = m.pop("data_dir", None)
+    code_dirs = m.pop("code_dirs", ["codes"])
     want = {"format": _ANN_INDEX_FORMAT, **_index_params()}
     if m != want or not gen:
         raise IOError(
@@ -509,8 +511,40 @@ def load_ivfpq_index(spark, path: str):
         (int(r["s"]), int(r["c"])): [int(v) for v in r["m"]]
         for r in spark.read.parquet(f"{path}/{gen}/codebooks").collect()
     }
-    codes = spark.read.parquet(f"{path}/{gen}/codes")
+    codes = spark.read.parquet(*[f"{path}/{gen}/{d}" for d in code_dirs])
     return mc, cb, codes
+
+
+def ivfpq_store_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index MAINTENANCE: absorb a delta batch WITHOUT retraining —
+    the other half of the drift story (ivfpq_index_drift decides WHEN
+    to rebuild; until then, appends keep the index serving the full
+    lake). Append = encode with the STORED quantizers (exact, no
+    approximation is introduced beyond the quantizers themselves):
+    delta codes land in a fresh ``codes_delta_<uuid>`` dir inside the
+    live generation, then the manifest's ``code_dirs`` list flips
+    atomically. A crash before the flip leaves an unreferenced dir,
+    never a torn read; serving scans the code-dir union and still
+    never touches corpus vectors. Work scales with the delta only."""
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
+
+    mc, cb, _codes = load_ivfpq_index(spark, path)  # validates params
+    m = read_manifest(path)
+    gen = m["data_dir"]
+    sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
+    _ivfpq_cands(delta, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/{gen}/{sub}"
+    )
+    m["code_dirs"] = m.get("code_dirs", ["codes"]) + [sub]
+    write_manifest(path, m)
 
 
 def ivfpq_stored_topk(
@@ -637,15 +671,22 @@ FROM {rcodes} r LEFT JOIN dlt d USING (id) GROUP BY r.s, r.cid
 
 
 def _pq_ctes(
-    table: str, src: str = "pts", tag: str = "", base: bool = True
+    table: str,
+    src: str = "pts",
+    tag: str = "",
+    base: bool = True,
+    encode_src: str | None = None,
 ) -> tuple[list[str], str, str]:
     """Shared oracle scaffolding: the exploded (id, s, qs) frame, one
     prefixed fit replay per subspace, and the unioned
     codebook/assignment CTEs — ONE copy of the PQ-encode replay,
     retargetable at any (id, qv) source (``src='pts'`` for plain PQ,
     ``src='rpts'``/``tag='r'`` for IVF-PQ's residual domain; ``tag``
-    prefixes every emitted CTE name). Returns (ctes, cents, codes) —
-    cents: (s, cid, m); codes: (id, s, cid)."""
+    prefixes every emitted CTE name). ``encode_src`` splits the two
+    roles when they differ (the store-append gate: codebooks FIT on
+    the corpus that built the index, codes assigned to corpus AND
+    delta). Returns (ctes, cents, codes) — cents: (s, cid, m);
+    codes: (id, s, cid)."""
     dim = S_SUB * D_SUB
     ctes = _base_ctes(table, dim) if base else []
     ex, cents, codes = f"{tag}ex", f"{tag}cents_long", f"{tag}codes_long"
@@ -657,6 +698,16 @@ def _pq_ctes(
         f"FROM {src} p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
         " AS s) sub)"
     )
+    enc = ex
+    if encode_src is not None:
+        enc = f"{tag}exq"
+        ctes.append(
+            f"{enc} AS MATERIALIZED (SELECT p.id, sub.s, "
+            f"list_transform(generate_series(1, {D_SUB}), "
+            f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
+            f"FROM {encode_src} p CROSS JOIN "
+            f"(SELECT unnest(generate_series(0, {S_SUB - 1})) AS s) sub)"
+        )
     ctes.append(
         f"{tag}sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
     )
@@ -689,9 +740,62 @@ def _pq_ctes(
         "SELECT p.id, p.s, c.cid, row_number() OVER (PARTITION BY p.id, p.s "
         "ORDER BY list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
         " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[]), c.cid) AS rn "
-        f"FROM {ex} p JOIN {cents} c ON c.s = p.s) z WHERE rn = 1)"
+        f"FROM {enc} p JOIN {cents} c ON c.s = p.s) z WHERE rn = 1)"
     )
     return ctes, cents, codes
+
+
+def ivfpq_store_append_oracle_sql(table: str, boundary: int) -> str:
+    """Replay of the appended store's FULL code set: coarse fit +
+    residual codebooks trained on the BUILD corpus only
+    (id < ``boundary`` — new vectors arrive with new ids, so the
+    realistic delta is an id suffix and the dense 0..k-1 init ids stay
+    on the corpus side), every vector — corpus and delta — assigned a
+    cell and residual-encoded against those FROZEN quantizers. Gates
+    both halves of the append: the delta encode used the stored
+    quantizers, and serving reads the code-dir union."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes = _base_ctes(table, dim)
+    ctes.append(
+        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})"
+    )
+    kctes, cfinal = _kmeans_ctes(
+        table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
+    )
+    ctes.extend(kctes)
+    # assignment + residuals for ALL vectors against the frozen fit
+    ctes.append(
+        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
+    )
+    ctes.append(
+        "rpts AS MATERIALIZED (SELECT p.id, "
+        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
+        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
+    )
+    ctes.append(
+        f"rfit AS MATERIALIZED (SELECT * FROM rpts WHERE id < {boundary})"
+    )
+    pctes, _rcents, rcodes = _pq_ctes(
+        table, src="rfit", tag="r", base=False, encode_src="rpts"
+    )
+    ctes.extend(pctes)
+    code_cols = ",\n  ".join(
+        f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
+        for s in range(S_SUB)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.id AS cand_id, CAST(a.cell AS INTEGER) AS cell,
+  {code_cols}
+FROM {rcodes} r JOIN acell a USING (id)
+GROUP BY r.id, a.cell
+"""
+    )
 
 
 def pq_codes_oracle_sql(table: str) -> str:

@@ -690,6 +690,46 @@ _register(
     _stream_dedup_incremental,
     dedup.dedup_incremental_lsh_oracle_sql("documents", "{id} % 7 = 0"),
 )
+
+
+def _sig_store_compact(spark: SparkSession, sf: str) -> DataFrame:
+    # store MAINTENANCE: build the corpus signature store, expire the
+    # old half with the TTL rule (monotonic ingest ids: id >= horizon),
+    # then serve a delta dedup from the COMPACTED store — the oracle's
+    # narrowed corpus side proves exactly the TTL'd docs stopped
+    # matching, and the untouched ones still match bit-exactly
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    store = tempfile.mkdtemp(prefix="tsfm_sig_compact_")
+    caches: list = []
+    try:
+        dedup.build_signature_store(docs.where(F.col("doc_id") % 7 != 0), store)
+        dedup.compact_signature_store(spark, store, keep_pred="id >= 100")
+        out = dedup.dedup_incremental_lsh_stored(
+            docs.where(F.col("doc_id") % 7 == 0), spark, store, caches=caches
+        )
+        rows = out.collect()  # bounded: threshold-bounded pair set
+        schema = out.schema
+    finally:
+        for c in caches:
+            c.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "sig_store_compact_documents",
+    _sig_store_compact,
+    dedup.dedup_incremental_lsh_oracle_sql(
+        "documents",
+        "{id} % 7 = 0",
+        corpus_pred="(({id} % 7 <> 0) AND {id} >= 100)",
+    ),
+)
 def _stream_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.streaming import profile_stream as ps2
 
@@ -1346,6 +1386,42 @@ _register(
     "ann_ivfpq_index_drift",
     _ann_ivfpq_drift,
     pq_op.ivfpq_index_drift_oracle_sql("embeddings", "id % 5 = 0"),
+)
+
+
+def _ann_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
+    # index maintenance, the ABSORB half (drift decides when to stop
+    # absorbing and rebuild): build+persist on the existing lake
+    # (id < 400 — new vectors arrive with new ids, so the realistic
+    # delta is an id suffix), append today's delta WITHOUT retraining,
+    # then read the full stored code set back. Output = every stored
+    # (cand_id, cell, c0..c7): gates that the delta was encoded with
+    # the FROZEN stored quantizers and that serving reads the
+    # code-dir union.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_app_")
+    try:
+        emb = load_table(spark, sf, "embeddings")
+        pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+        pq_op.ivfpq_store_append(
+            spark, store, emb.where(F.col("vec_id") >= 400)
+        )
+        _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
+        rows = codes.collect()  # bounded: one row per vector
+        schema = codes.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "ann_ivfpq_store_append",
+    _ann_ivfpq_append,
+    pq_op.ivfpq_store_append_oracle_sql("embeddings", 400),
 )
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's

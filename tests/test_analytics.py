@@ -393,6 +393,118 @@ def test_ingest_dedup_commit_loop(spark, sf01, tmp_path):
         assert replay[i]["est_jaccard"] == 1.0
 
 
+def test_compact_signature_store_ttl(spark, sf01, tmp_path):
+    """Store maintenance: after commits accumulate, compaction must
+    (1) keep exactly the TTL-surviving ids, one signature row each,
+    bit-equal to freshly built signatures; (2) flip to a generation
+    dir and GC the legacy root files + commit dirs; (3) be repeatable
+    (gen -> gen compaction GCs the retired generation)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        _lsh_sigs,
+        build_signature_store,
+        compact_signature_store,
+        _read_signature_store,
+        ingest_dedup_commit,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    docs = load_table(spark, sf01, "documents")
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    store = str(tmp_path / "sig_store")
+    build_signature_store(corpus, store)
+    # grow the store: one committed batch (accepted docs append sigs)
+    ingest_dedup_commit(docs.where(F.col("doc_id") % 7 == 0), spark, store)
+    assert any(e.startswith("commit_") for e in os.listdir(store))
+
+    compact_signature_store(spark, store, keep_pred="id >= 100")
+    m = read_manifest(store)
+    assert m["data_dir"].startswith("gen_")
+    # legacy root files and commit dirs are gone; only gen + manifest
+    left = [e for e in os.listdir(store) if not e.startswith("_")]
+    assert left == [m["data_dir"]], left
+
+    caches: list = []
+    try:
+        got = _read_signature_store(spark, store, 3, 100, caches)
+        got_rows = {r["id"]: tuple(r)[1:] for r in got.collect()}
+        committed = docs.where(
+            (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 7 != 0)
+        ).where(F.col("doc_id") >= 100)
+        want = _lsh_sigs(committed, "doc_id", "text", 3, 100, caches)
+        want_rows = {r["id"]: tuple(r)[1:] for r in want.collect()}
+    finally:
+        for c in caches:
+            c.unpersist()
+    # every kept id has exactly one row with the recompute's signature;
+    # ingest-rejected docs never entered the store, so got ⊆ want and
+    # every id the store holds is >= the horizon with exact sigs
+    assert got_rows
+    assert all(i >= 100 for i in got_rows)
+    for i, sig in got_rows.items():
+        assert sig == want_rows[i], f"signature drift for id {i}"
+
+    # repeat: gen -> gen compaction retires the old generation dir
+    old_gen = m["data_dir"]
+    compact_signature_store(spark, store, keep_pred="id >= 200")
+    m2 = read_manifest(store)
+    assert m2["data_dir"] != old_gen
+    assert not os.path.exists(os.path.join(store, old_gen))
+
+
+def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
+    """Append absorbs a delta without retraining: corpus codes are
+    byte-identical before and after, appended codes equal an encode
+    with the loaded (frozen) quantizers, repeat appends accumulate,
+    and rebuilding into the same path GCs superseded generations."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings")
+    store = str(tmp_path / "ivfpq_store")
+    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+    mc, cb, codes0 = pq_op.load_ivfpq_index(spark, store)
+    base = {r["cand_id"]: tuple(r) for r in codes0.collect()}
+
+    d1 = emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    pq_op.ivfpq_store_append(spark, store, d1)
+    _mc1, _cb1, codes1 = pq_op.load_ivfpq_index(spark, store)
+    after1 = {r["cand_id"]: tuple(r) for r in codes1.collect()}
+    assert {i: v for i, v in after1.items() if i < 400} == base
+    want_d1 = {
+        r["cand_id"]: tuple(r)
+        for r in pq_op._ivfpq_cands(d1, mc, cb, "vec_id", "embedding").collect()
+    }
+    assert {i: v for i, v in after1.items() if i >= 400} == want_d1
+
+    d2 = emb.where(F.col("vec_id") >= 450)
+    pq_op.ivfpq_store_append(spark, store, d2)
+    _mc2, _cb2, codes2 = pq_op.load_ivfpq_index(spark, store)
+    assert codes2.count() == emb.count()
+
+    # rebuild into the same path: superseded generations are GC'd
+    # (previous kept for crash recovery), and the append dirs of the
+    # retired generation go with it
+    pq_op.clear_pq_memo()
+    from tabsketchfm_spark.operators.kmeans import clear_fit_memo
+
+    clear_fit_memo()
+    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+    gens = [e for e in os.listdir(store) if e.startswith("gen_")]
+    assert len(gens) <= 2, gens
+    _mc3, _cb3, codes3 = pq_op.load_ivfpq_index(spark, store)
+    assert codes3.count() == 400  # fresh build, appends retired
+
+
 def test_bpe_merge_artifact_roundtrip_drives_tokenization(spark, sf01, tmp_path):
     """Tokenizer learn→save→serve loop: merges saved to the hashed
     artifact and loaded back tokenize identically to the in-memory

@@ -565,6 +565,12 @@ _PLAN_GUARD_SKIP = {
     "store_perceptron_update_documents",
     "ann_ivfpq_stored_topk",
     "ann_ivfpq_index_drift",
+    # round-9 store maintenance: append encodes + collects the stored
+    # codes, compaction rewrites the store, both before dropping the
+    # temp store dir — eager by lifecycle, window hygiene covered by
+    # their operator tests and the shared search/dedup plans
+    "ann_ivfpq_store_append",
+    "sig_store_compact_documents",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found
