@@ -871,6 +871,89 @@ SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= {k}
     )
 
 
+def pipeline_rag_topk_oracle_sql(
+    emb_table: str,
+    surv_sql: str,
+    boundary: int,
+    query_ids_max: int,
+    k: int = 10,
+    n_probe: int = N_PROBE_IVFPQ,
+) -> str:
+    """The RAG-corpus composite's replay: quantizers fit on the
+    EXISTING lake (id < ``boundary`` — the persisted base index), the
+    serving corpus = base ∪ (curated ∩ id >= boundary) where curation
+    survivors come from ``surv_sql`` (a self-contained id subquery —
+    text.curation_survivor_ids_sql), every candidate encoded against
+    the FROZEN quantizers, queries probing as usual. This is
+    ivfpq_adc_topk's replay with a corpus-subset fit and a
+    curation-restricted candidate set."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes = _base_ctes(emb_table, dim)
+    ctes.append(
+        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})"
+    )
+    kctes, cfinal = _kmeans_ctes(
+        emb_table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
+    )
+    ctes.extend(kctes)
+    ctes.append(f"surv AS MATERIALIZED (SELECT id FROM {surv_sql} sv)")
+    ctes.append(
+        "cand0 AS MATERIALIZED (SELECT p.* FROM pts p LEFT JOIN surv v "
+        f"USING (id) WHERE p.id < {boundary} OR v.id IS NOT NULL)"
+    )
+    ctes.append(
+        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cfinal, pts='cand0')}) z WHERE rn = 1)"
+    )
+    ctes.append(
+        "rpts AS MATERIALIZED (SELECT p.id, "
+        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
+        f"FROM cand0 p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
+    )
+    ctes.append(
+        f"rfit AS MATERIALIZED (SELECT * FROM rpts WHERE id < {boundary})"
+    )
+    pctes, rcents, rcodes = _pq_ctes(
+        emb_table, src="rfit", tag="r", base=False, encode_src="rpts"
+    )
+    ctes.extend(pctes)
+    ctes.append(
+        "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
+        f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "
+        "FROM (SELECT p.id, p.qv, c.cid, c.m, row_number() OVER ("
+        f"PARTITION BY p.id ORDER BY {_B_SQL}, c.cid) AS rn "
+        f"FROM pts p CROSS JOIN {cfinal} c WHERE p.id < {query_ids_max}) z "
+        f"WHERE rn <= {n_probe})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+scored AS (
+  SELECT q.q_id, a.id AS cand_id,
+         CAST(min(list_dot_product(q.rq::DOUBLE[], q.rq::DOUBLE[]))
+              + sum(list_dot_product(ct.m::DOUBLE[], ct.m::DOUBLE[])
+                    - 2 * list_dot_product(
+                        list_transform(generate_series(1, {D_SUB}),
+                                       i -> q.rq[cl.s * {D_SUB} + i])::DOUBLE[],
+                        ct.m::DOUBLE[])) AS BIGINT) AS adc
+  FROM qprobe q
+  JOIN acell a ON a.cell = q.cell AND a.id <> q.q_id
+  JOIN {rcodes} cl ON cl.id = a.id
+  JOIN {rcents} ct ON ct.s = cl.s AND ct.cid = cl.cid
+  GROUP BY q.q_id, a.id),
+ranked AS (
+  SELECT q_id, cand_id, adc,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id)
+              AS INTEGER) AS rank
+  FROM scored)
+SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
 def pq_adc_topk_oracle_sql(table: str, query_ids_max: int, k: int = 10) -> str:
     ctes, cents, codes = _pq_ctes(table)
     return (

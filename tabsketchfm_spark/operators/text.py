@@ -1700,6 +1700,21 @@ def curation_pipeline(
     CTEs, so the full pipeline is bit-exact end to end.
     Output: pack_sequences' (doc_id, n_tokens, seq_id, seq_offset)
     over the curated survivors."""
+    ids = curation_survivors(df, id_col, text_col, min_score)
+    survivors = df.join(ids, df[id_col] == ids["id"], "left_semi")
+    return pack_sequences(survivors, id_col, text_col, budget)
+
+
+def curation_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float = 0.5,
+) -> DataFrame:
+    """The curation pipeline's SURVIVOR-ID stage (one column: id) —
+    shared by the packing flagship and the RAG-corpus composite
+    (curate → embed → index → serve): Gopher hard gates ∧ quality
+    score ≥ τ ∧ exact-dedup keeper (keep-lowest-id)."""
     g = gopher_rules(df, id_col, text_col).where(F.col("pass_all")).select("id")
     q = (
         quality_score(df, id_col, text_col)
@@ -1713,11 +1728,31 @@ def curation_pipeline(
     keep = keyed.join(
         keyed.groupBy("ck").agg(F.min("id").alias("keep_id")), "ck"
     ).where(F.col("id") == F.col("keep_id")).select("id")
-    ids = g.join(q, "id").join(keep, "id")
-    survivors = df.join(
-        ids, df[id_col] == ids["id"], "left_semi"
-    )
-    return pack_sequences(survivors, id_col, text_col, budget)
+    return g.join(q, "id").join(keep, "id")
+
+
+def curation_survivor_ids_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_score: float = 0.5,
+) -> str:
+    """DuckDB twin of curation_survivors: a self-contained subquery
+    yielding the survivor ``id`` set (the same stage composition the
+    packing oracle inlines)."""
+    g = gopher_rules_oracle_sql(table, id_col, text_col)
+    q = quality_score_oracle_sql(table, id_col, text_col)
+    key = h64_sql("content", "duckdb")
+    return f"""(
+WITH gq AS (SELECT id FROM ({g}) gg WHERE pass_all),
+qq AS (SELECT id FROM ({q}) qs WHERE score >= {min_score}),
+keyed AS (SELECT {id_col} AS id, {key} AS ck
+          FROM (SELECT {id_col}, nullif(CAST({text_col} AS VARCHAR), '') AS content
+                FROM {table}) t),
+keep AS (SELECT keyed.id FROM keyed
+         JOIN (SELECT ck, min(id) AS keep_id FROM keyed GROUP BY 1) m USING (ck)
+         WHERE keyed.id = m.keep_id)
+SELECT gq.id FROM gq JOIN qq USING (id) JOIN keep USING (id))"""
 
 
 def curation_pipeline_oracle_sql(
@@ -1727,22 +1762,13 @@ def curation_pipeline_oracle_sql(
     min_score: float = 0.5,
     budget: int = 256,
 ) -> str:
-    g = gopher_rules_oracle_sql(table, id_col, text_col)
-    q = quality_score_oracle_sql(table, id_col, text_col)
-    key = h64_sql("content", "duckdb")
-    survivors = f"""(
-WITH gq AS (SELECT id FROM ({g}) gg WHERE pass_all),
-qq AS (SELECT id FROM ({q}) qs WHERE score >= {min_score}),
-keyed AS (SELECT {id_col} AS id, {key} AS ck
-          FROM (SELECT {id_col}, nullif(CAST({text_col} AS VARCHAR), '') AS content
-                FROM {table}) t),
-keep AS (SELECT keyed.id FROM keyed
-         JOIN (SELECT ck, min(id) AS keep_id FROM keyed GROUP BY 1) m USING (ck)
-         WHERE keyed.id = m.keep_id)
-SELECT d.* FROM {table} d
-JOIN gq ON d.{id_col} = gq.id
-JOIN qq ON d.{id_col} = qq.id
-JOIN keep ON d.{id_col} = keep.id)"""
+    # ONE copy of the survivor SQL (curation_survivor_ids_sql) — a
+    # drift between this twin and the RAG composite's would silently
+    # split the curation contract
+    ids = curation_survivor_ids_sql(table, id_col, text_col, min_score)
+    survivors = (
+        f"(SELECT d.* FROM {table} d JOIN {ids} s ON d.{id_col} = s.id)"
+    )
     return pack_sequences_oracle_sql(survivors, id_col, text_col, budget)
 
 

@@ -1423,6 +1423,53 @@ _register(
     _ann_ivfpq_append,
     pq_op.ivfpq_store_append_oracle_sql("embeddings", 400),
 )
+
+
+def _pipeline_rag(spark: SparkSession, sf: str) -> DataFrame:
+    # END-TO-END RAG-corpus build (round-8 verdict item 7): curate the
+    # document lake (gopher ∧ quality ∧ exact-dedup — the certified
+    # survivor stage), embed = join survivors to their vectors, absorb
+    # the curated delta into the PERSISTED index with the frozen
+    # quantizers trained on the existing lake (id < 400 — the
+    # incremental production shape: new docs arrive with new ids and
+    # are appended, not retrained), then SERVE top-k from the store.
+    # Every stage oracle-replayed in one SQL program.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    store = tempfile.mkdtemp(prefix="tsfm_rag_idx_")
+    try:
+        surv = txt.curation_survivors(docs).select(
+            F.col("id").alias("vec_id")
+        )
+        cur_delta = emb.where(F.col("vec_id") >= 400).join(
+            surv, "vec_id", "left_semi"
+        )
+        pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+        pq_op.ivfpq_store_append(spark, store, cur_delta)
+        out = pq_op.ivfpq_stored_topk(spark, store, emb, 20, k=5)
+        rows = out.collect()  # bounded: 20 queries × k
+        schema = out.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "pipeline_rag_topk_documents",
+    _pipeline_rag,
+    pq_op.pipeline_rag_topk_oracle_sql(
+        "embeddings",
+        txt.curation_survivor_ids_sql("documents"),
+        400,
+        20,
+        k=5,
+    ),
+)
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is
@@ -2541,7 +2588,10 @@ _DRIVER_WINDOW = [
     "pipeline_curate_documents",
     "k3c_join_cardinality_estimate",
     "w2_sessionize_events_batch",
-    "asof_event_hourly_snapshot",
+    # asof_event_hourly_snapshot moved to sweep (the temporal family
+    # keeps w2/w5/funnel/cdc window rows) to seat the round-9
+    # verdict-item-7 flagship: the end-to-end RAG-corpus composite
+    "pipeline_rag_topk_documents",
     "dedup_exact_substrings_chars_documents",
     "m8_mask_plan_customer",
     "m9_token_features_subword_customer",

@@ -571,6 +571,7 @@ _PLAN_GUARD_SKIP = {
     # their operator tests and the shared search/dedup plans
     "ann_ivfpq_store_append",
     "sig_store_compact_documents",
+    "pipeline_rag_topk_documents",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found
