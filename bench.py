@@ -100,7 +100,10 @@ def main() -> None:
     for name in HEADLINE:
         runs = []
         for i in range(3):
-            before = stagefp.stages(ui_base, app_id) if i == 0 else None
+            # settled snapshot: completion events from the previous
+            # query's runs can land in the UI store after its jobs
+            # return; a raw snapshot would misattribute them here
+            before = stagefp.stages_settled(ui_base, app_id) if i == 0 else None
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)

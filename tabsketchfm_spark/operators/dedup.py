@@ -637,10 +637,11 @@ def compact_signature_store(
     lake.
 
     Shape: read the live generation (base + every commit), apply the
-    keep rule, collapse any duplicate ids deterministically (per-column
-    MIN — duplicate rows carry identical signatures unless ids were
-    reused across different content, where any deterministic pick is
-    equally honest), write ONE fresh ``gen_<uuid>`` subdir, flip the
+    keep rule, collapse any duplicate ids deterministically (row-wise
+    lexicographic MIN over the whole signature struct — the kept row
+    is always one REAL signature; a per-column min would blend two
+    different-content rows into a chimera vector belonging to
+    neither), write ONE fresh ``gen_<uuid>`` subdir, flip the
     manifest's data_dir pointer atomically, then GC the retired
     generation (or the legacy flat layout's root files). A crash
     before the flip leaves the store serving the old generation
@@ -661,8 +662,8 @@ def compact_signature_store(
         compacted = (
             sigs.where(F.expr(keep_pred))
             .groupBy("id")
-            .agg(*[F.min(c).alias(c) for c in mh_cols])
-            .select("id", *mh_cols)  # pin the manifest schema's order
+            .agg(F.min(F.struct(*mh_cols)).alias("m"))
+            .select("id", *[F.col(f"m.{c}").alias(c) for c in mh_cols])
         )
         old_root = _sig_data_root(path, m)
         gen = f"gen_{uuid.uuid4().hex[:12]}"

@@ -96,6 +96,13 @@ def _decode_media(media_type: str, raw: bytes) -> dict:
         if bpp != 24 or comp != 0 or h_ <= 0 or w_ <= 0:
             raise ValueError("only uncompressed 24bpp bottom-up BMP supported")
         rowsize = (w_ * 3 + 3) // 4 * 4
+        if len(raw) < off + h_ * rowsize:
+            # loud on truncation: a short slice would silently produce
+            # wrong stats (the WAV path's struct.unpack raises; match it)
+            raise ValueError(
+                f"truncated BMP: header declares {off + h_ * rowsize} "
+                f"bytes, file has {len(raw)}"
+            )
         vals: list[int] = []
         for r in range(h_):  # file rows are bottom-up; stats are order-free
             start = off + r * rowsize

@@ -531,18 +531,23 @@ def ivfpq_store_append(
     live generation, then the manifest's ``code_dirs`` list flips
     atomically. A crash before the flip leaves an unreferenced dir,
     never a torn read; serving scans the code-dir union and still
-    never touches corpus vectors. Work scales with the delta only."""
+    never touches corpus vectors. Work scales with the delta (plus one
+    single-column scan of the stored ids for the already-present
+    guard: a RETRIED batch — crash between the parquet write and the
+    manifest flip, then re-append — must not double-encode an id, or
+    the serving union scores it twice and drift double-counts it)."""
     import uuid
 
     from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
 
-    mc, cb, _codes = load_ivfpq_index(spark, path)  # validates params
+    mc, cb, codes = load_ivfpq_index(spark, path)  # validates params
     m = read_manifest(path)
     gen = m["data_dir"]
     sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
-    _ivfpq_cands(delta, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/{gen}/{sub}"
+    fresh = _ivfpq_cands(delta, mc, cb, id_col, vec_col).join(
+        codes.select("cand_id"), "cand_id", "left_anti"
     )
+    fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
     m["code_dirs"] = m.get("code_dirs", ["codes"]) + [sub]
     write_manifest(path, m)
 
@@ -745,15 +750,21 @@ def _pq_ctes(
     return ctes, cents, codes
 
 
-def ivfpq_store_append_oracle_sql(table: str, boundary: int) -> str:
-    """Replay of the appended store's FULL code set: coarse fit +
-    residual codebooks trained on the BUILD corpus only
+def _frozen_fit_ctes(
+    table: str,
+    boundary: int,
+    cand_pts: str = "pts",
+    extra_ctes: list[str] | None = None,
+) -> tuple[list[str], str, str, str]:
+    """ONE copy of the frozen-quantizer replay shared by the append
+    and RAG-composite gates (the round-7 SQL-copy-paste lesson):
+    coarse fit + residual codebooks trained on the BUILD corpus only
     (id < ``boundary`` — new vectors arrive with new ids, so the
-    realistic delta is an id suffix and the dense 0..k-1 init ids stay
-    on the corpus side), every vector — corpus and delta — assigned a
-    cell and residual-encoded against those FROZEN quantizers. Gates
-    both halves of the append: the delta encode used the stored
-    quantizers, and serving reads the code-dir union."""
+    dense 0..k-1 init ids stay on the corpus side), then every row of
+    ``cand_pts`` (default: all vectors) assigned a cell and
+    residual-encoded against those FROZEN quantizers. ``extra_ctes``
+    are spliced in before the assignment so callers can define the
+    candidate source. Returns (ctes, cfinal, rcents, rcodes)."""
     from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
 
     dim = S_SUB * D_SUB
@@ -765,23 +776,33 @@ def ivfpq_store_append_oracle_sql(table: str, boundary: int) -> str:
         table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
     )
     ctes.extend(kctes)
-    # assignment + residuals for ALL vectors against the frozen fit
+    ctes.extend(extra_ctes or [])
     ctes.append(
         "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
-        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
+        f"{_ranked_cells_sql(cfinal, pts=cand_pts)}) z WHERE rn = 1)"
     )
     ctes.append(
         "rpts AS MATERIALIZED (SELECT p.id, "
         f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
-        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
+        f"FROM {cand_pts} p JOIN acell a ON a.id = p.id "
+        f"JOIN {cfinal} c ON c.cid = a.cell)"
     )
     ctes.append(
         f"rfit AS MATERIALIZED (SELECT * FROM rpts WHERE id < {boundary})"
     )
-    pctes, _rcents, rcodes = _pq_ctes(
+    pctes, rcents, rcodes = _pq_ctes(
         table, src="rfit", tag="r", base=False, encode_src="rpts"
     )
     ctes.extend(pctes)
+    return ctes, cfinal, rcents, rcodes
+
+
+def ivfpq_store_append_oracle_sql(table: str, boundary: int) -> str:
+    """Replay of the appended store's FULL code set via the shared
+    frozen-fit scaffold. Gates both halves of the append: the delta
+    encode used the stored quantizers, and serving reads the code-dir
+    union."""
+    ctes, _cfinal, _rcents, rcodes = _frozen_fit_ctes(table, boundary)
     code_cols = ",\n  ".join(
         f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
         for s in range(S_SUB)
@@ -879,46 +900,23 @@ def pipeline_rag_topk_oracle_sql(
     k: int = 10,
     n_probe: int = N_PROBE_IVFPQ,
 ) -> str:
-    """The RAG-corpus composite's replay: quantizers fit on the
-    EXISTING lake (id < ``boundary`` — the persisted base index), the
-    serving corpus = base ∪ (curated ∩ id >= boundary) where curation
-    survivors come from ``surv_sql`` (a self-contained id subquery —
-    text.curation_survivor_ids_sql), every candidate encoded against
-    the FROZEN quantizers, queries probing as usual. This is
-    ivfpq_adc_topk's replay with a corpus-subset fit and a
-    curation-restricted candidate set."""
-    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
-
+    """The RAG-corpus composite's replay: the shared frozen-fit
+    scaffold (quantizers fit on the existing lake, id < ``boundary``)
+    with a curation-restricted candidate set — serving corpus = base ∪
+    (curated ∩ id >= boundary), survivors from ``surv_sql`` (a
+    self-contained id subquery — text.curation_survivor_ids_sql) —
+    plus ivfpq_adc_topk's query probing and ADC ranking."""
     dim = S_SUB * D_SUB
-    ctes = _base_ctes(emb_table, dim)
-    ctes.append(
-        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})"
+    ctes, cfinal, rcents, rcodes = _frozen_fit_ctes(
+        emb_table,
+        boundary,
+        cand_pts="cand0",
+        extra_ctes=[
+            f"surv AS MATERIALIZED (SELECT id FROM {surv_sql} sv)",
+            "cand0 AS MATERIALIZED (SELECT p.* FROM pts p LEFT JOIN surv v "
+            f"USING (id) WHERE p.id < {boundary} OR v.id IS NOT NULL)",
+        ],
     )
-    kctes, cfinal = _kmeans_ctes(
-        emb_table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
-    )
-    ctes.extend(kctes)
-    ctes.append(f"surv AS MATERIALIZED (SELECT id FROM {surv_sql} sv)")
-    ctes.append(
-        "cand0 AS MATERIALIZED (SELECT p.* FROM pts p LEFT JOIN surv v "
-        f"USING (id) WHERE p.id < {boundary} OR v.id IS NOT NULL)"
-    )
-    ctes.append(
-        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
-        f"{_ranked_cells_sql(cfinal, pts='cand0')}) z WHERE rn = 1)"
-    )
-    ctes.append(
-        "rpts AS MATERIALIZED (SELECT p.id, "
-        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
-        f"FROM cand0 p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
-    )
-    ctes.append(
-        f"rfit AS MATERIALIZED (SELECT * FROM rpts WHERE id < {boundary})"
-    )
-    pctes, rcents, rcodes = _pq_ctes(
-        emb_table, src="rfit", tag="r", base=False, encode_src="rpts"
-    )
-    ctes.extend(pctes)
     ctes.append(
         "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
         f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "

@@ -73,6 +73,23 @@ def stages_stable(
     return prev
 
 
+def stages_settled(base: str, app_id: str, timeout_s: float = 10.0) -> dict:
+    """A 'before' snapshot that is safe to diff against: poll until two
+    consecutive snapshots agree, so completion events still landing
+    from PRIOR activity (warm-up, a previous query's runs 2-3 — UI
+    store writes lag job completion on a loaded host) cannot be
+    misattributed to the next query's fingerprint."""
+    prev = stages(base, app_id)
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        time.sleep(0.2)
+        cur = stages(base, app_id)
+        if set(cur) == set(prev):
+            return cur
+        prev = cur
+    return prev
+
+
 def fingerprint(base: str, app_id: str, before: dict) -> dict:
     """Plan-fingerprint of the stages executed since ``before``:
     {"n_stages": N, "shuffle_read_mb": X, "shuffle_write_mb": X,

@@ -14,15 +14,24 @@ import duckdb
 import pandas as pd
 
 
+# one connection per sf_dir for the whole session (VERDICT r8 item 4):
+# every oracle is a read-only WITH/SELECT over the same immutable
+# parquet views, so sharing is safe and skips ~220 connect+view setups
+_CONS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    con = _CONS.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        _CONS[sf_dir] = con
     return con.execute(sql).fetchdf()
 
 

@@ -432,9 +432,9 @@ def test_compact_signature_store_ttl(spark, sf01, tmp_path):
     try:
         got = _read_signature_store(spark, store, 3, 100, caches)
         got_rows = {r["id"]: tuple(r)[1:] for r in got.collect()}
-        committed = docs.where(
-            (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 7 != 0)
-        ).where(F.col("doc_id") >= 100)
+        # superset recompute: ALL docs past the horizon (the store holds
+        # corpus + accepted-delta ids only, so got ⊆ want below)
+        committed = docs.where(F.col("doc_id") >= 100)
         want = _lsh_sigs(committed, "doc_id", "text", 3, 100, caches)
         want_rows = {r["id"]: tuple(r)[1:] for r in want.collect()}
     finally:
@@ -454,6 +454,54 @@ def test_compact_signature_store_ttl(spark, sf01, tmp_path):
     m2 = read_manifest(store)
     assert m2["data_dir"] != old_gen
     assert not os.path.exists(os.path.join(store, old_gen))
+
+
+def test_compact_signature_store_no_chimera_rows(spark, sf01, tmp_path):
+    """An id re-ingested with CHANGED content leaves two different
+    signature rows; compaction must keep one REAL row (lexicographic
+    min over the whole struct), never a per-column blend belonging to
+    neither content."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        _lsh_sigs,
+        _read_signature_store,
+        _sig_data_root,
+        build_signature_store,
+        compact_signature_store,
+    )
+    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 20")
+    store = str(tmp_path / "sig_store")
+    build_signature_store(docs, store)
+    # same ids, different content -> genuinely different signatures
+    altered = docs.select(
+        "doc_id", F.concat(F.lit("changed prefix "), F.col("text")).alias("text")
+    )
+    caches: list = []
+    try:
+        alt_sigs = _lsh_sigs(altered, "doc_id", "text", 3, 100, caches)
+        root = _sig_data_root(store, read_manifest(store))
+        alt_sigs.write.mode("overwrite").parquet(f"{root}/commit_altered")
+        orig_rows = {
+            r["id"]: tuple(r)[1:]
+            for r in _lsh_sigs(docs, "doc_id", "text", 3, 100, caches).collect()
+        }
+        alt_rows = {r["id"]: tuple(r)[1:] for r in alt_sigs.collect()}
+        compact_signature_store(spark, store)
+        got = {
+            r["id"]: tuple(r)[1:]
+            for r in _read_signature_store(spark, store, 3, 100, caches).collect()
+        }
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert set(got) == set(orig_rows)
+    for i, sig in got.items():
+        assert sig in (orig_rows[i], alt_rows[i]), f"chimera signature for {i}"
+        assert sig == min(orig_rows[i], alt_rows[i])  # deterministic pick
 
 
 def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
@@ -489,6 +537,14 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     pq_op.ivfpq_store_append(spark, store, d2)
     _mc2, _cb2, codes2 = pq_op.load_ivfpq_index(spark, store)
     assert codes2.count() == emb.count()
+
+    # retried-batch guard: re-appending an already-absorbed delta must
+    # not double-encode any id (duplicate cand_id rows would score
+    # twice in the serving union and double-count in drift)
+    pq_op.ivfpq_store_append(spark, store, d1)
+    _mc2b, _cb2b, codes2b = pq_op.load_ivfpq_index(spark, store)
+    assert codes2b.count() == emb.count()
+    assert codes2b.select("cand_id").distinct().count() == emb.count()
 
     # rebuild into the same path: superseded generations are GC'd
     # (previous kept for crash recovery), and the append dirs of the

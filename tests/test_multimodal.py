@@ -58,6 +58,14 @@ def test_env_blocked_formats_raise():
         mm._decode_media("image/bmp", b"XX not a bmp")
 
 
+def test_truncated_bmp_raises():
+    # header declares more pixel data than the file carries: loud, not
+    # silently-short stats (matches the WAV path's struct.unpack)
+    full = mm._bmp_bytes("some text", 9)
+    with pytest.raises(ValueError, match="truncated"):
+        mm._decode_media("image/bmp", full[:-4])
+
+
 def test_synth_roundtrip_matches_formulas():
     # generation formulas and parsed-container fields must agree for
     # every (n_chars % lcm) residue incl. the nonzero-padding widths
