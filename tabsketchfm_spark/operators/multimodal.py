@@ -506,6 +506,161 @@ FROM px GROUP BY doc_id
 """
 
 
+ENERGY_SCHEMA = (
+    "doc_id bigint, frame_idx int, energy bigint, is_silence boolean"
+)
+
+
+def audio_energy_frames(
+    media: DataFrame, frame: int = 8, silence_below: int = 2**28
+) -> DataFrame:
+    """Windowed audio energy over DECODED samples — the segmentation
+    primitive (silence detection / clip trimming) an audio training
+    pipeline runs right after decode. WAV rows only; each consecutive
+    ``frame``-sample window emits its exact integer energy
+    (sum of squares) and a silence flag. One narrow mapInPandas pass;
+    the fan-out (doc → frames) happens inside the batch like
+    sample_frames."""
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, energies = [], [], []
+            for doc_id, raw, mt in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                vals = _decode_media(mt, bytes(raw))["vals"]
+                for fi in range(len(vals) // frame):
+                    w = vals[fi * frame : (fi + 1) * frame]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    energies.append(int(sum(v * v for v in w)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                    "is_silence": pd.Series(
+                        [e < silence_below for e in energies], dtype="bool"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(frames, schema=ENERGY_SCHEMA)
+
+
+def audio_energy_frames_oracle_sql(
+    table: str = "documents", frame: int = 8, silence_below: int = 2**28
+) -> str:
+    """Replay off the WAV generation chain (synth_real_media's odd
+    doc_ids), windows of ``frame`` samples grouped by j // frame."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, n_chars FROM {table}
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 1),
+wj AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, ((n_chars % 4) + 2) * 8 - 1)) AS j
+  FROM docs),
+wv AS (
+  SELECT doc_id, j, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM (
+    SELECT doc_id, j,
+      ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
+                         CAST((j % 8) * 4 + 1 AS BIGINT), 2))::BIGINT
+      + 256 * ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
+                                 CAST((j % 8) * 4 + 3 AS BIGINT), 2))::BIGINT
+        AS u
+    FROM wj) z)
+SELECT doc_id, CAST(j // {frame} AS INTEGER) AS frame_idx,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       sum(v * v) < {silence_below} AS is_silence
+FROM wv GROUP BY doc_id, j // {frame}
+"""
+
+
+CHANNEL_SCHEMA = (
+    "doc_id bigint, channel int, ch_sum bigint, ch_min int, ch_max int, "
+    "n_px bigint"
+)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-channel pixel statistics over DECODED images (channel 0/1/2
+    = B/G/R in BMP pixel order) — the normalization-constant pass an
+    image pipeline runs corpus-wide before training. Exercises the
+    decoder's channel semantics: a padding or offset slip shifts every
+    later byte into the wrong channel and lands here as a mismatch."""
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw, mt in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                if mt != "image/bmp":
+                    continue
+                vals = _decode_media(mt, bytes(raw))["vals"]
+                for ch in range(3):
+                    cv = vals[ch::3]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            ch,
+                            int(sum(cv)),
+                            int(min(cv)),
+                            int(max(cv)),
+                            len(cv),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "channel",
+                    "ch_sum",
+                    "ch_min",
+                    "ch_max",
+                    "n_px",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema=CHANNEL_SCHEMA)
+
+
+def image_channel_stats_oracle_sql(table: str = "documents") -> str:
+    """Replay off the BMP generation chain (even doc_ids): pixel byte
+    p belongs to channel p % 3."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, n_chars FROM {table}
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 0),
+bp AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           ((n_chars % 5) + 2) * ((n_chars % 3) + 2) * 3 - 1)) AS p
+  FROM docs),
+bv AS (
+  SELECT doc_id, p,
+    ('0x' || substring(md5(text || '#' || CAST(p // 16 AS VARCHAR)),
+                       CAST((p % 16) * 2 + 1 AS BIGINT), 2))::BIGINT AS v
+  FROM bp)
+SELECT doc_id, CAST(p % 3 AS INTEGER) AS channel,
+       CAST(sum(v) AS BIGINT) AS ch_sum,
+       CAST(min(v) AS INTEGER) AS ch_min,
+       CAST(max(v) AS INTEGER) AS ch_max,
+       CAST(count(*) AS BIGINT) AS n_px
+FROM bv GROUP BY doc_id, p % 3
+"""
+
+
 def media_dedup(media_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact dedup over BINARY media content — SK6 for blobs: group on
     the lowercase hex digest of the bytes (hex() case differs between

@@ -1526,6 +1526,25 @@ _register(
     mm.media_decode_stats_oracle_sql("documents"),
 )
 _register(
+    # windowed energy over DECODED samples — audio segmentation
+    # (silence detection) on real parsed frames, exact integer gate
+    "mm_audio_energy_frames",
+    lambda spark, sf: mm.audio_energy_frames(
+        mm.synth_real_media(load_table(spark, sf, "documents"))
+    ),
+    mm.audio_energy_frames_oracle_sql("documents"),
+)
+_register(
+    # per-channel pixel stats over DECODED images — the corpus-wide
+    # normalization pass; a padding/offset slip in the parser shifts
+    # bytes across channels and fails the hash
+    "mm_image_channel_stats",
+    lambda spark, sf: mm.image_channel_stats(
+        mm.synth_real_media(load_table(spark, sf, "documents"))
+    ),
+    mm.image_channel_stats_oracle_sql("documents"),
+)
+_register(
     "k1_embeddings_customer",
     lambda spark, sf: ml_embed.extract_embeddings(
         prof.profile_table(load_table(spark, sf, "customer"), "customer", round_digits=4)
