@@ -291,6 +291,48 @@ def media_decode_stats(documents: DataFrame) -> DataFrame:
     return decode_media_features(synth_real_media(documents))
 
 
+def _wav_sample_ctes(table: str) -> str:
+    """ONE copy of the WAV generation-chain replay (the round-7
+    SQL-copy-paste lesson): CTEs ending in ``wv(doc_id, ns, j, v)`` —
+    every little-endian int16 sample of every odd-doc_id synth WAV,
+    reconstructed from the md5(text:block) hex chain."""
+    return f"""wdoc AS (
+  SELECT doc_id, text, ((n_chars % 4) + 2) * 8 AS ns FROM {table}
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 1),
+wj AS (
+  SELECT doc_id, text, ns, unnest(generate_series(0, ns - 1)) AS j
+  FROM wdoc),
+wv AS (
+  SELECT doc_id, ns, j, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM (
+    SELECT doc_id, ns, j,
+      ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
+                         CAST((j % 8) * 4 + 1 AS BIGINT), 2))::BIGINT
+      + 256 * ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
+                                 CAST((j % 8) * 4 + 3 AS BIGINT), 2))::BIGINT
+        AS u
+    FROM wj) z)"""
+
+
+def _bmp_pixel_ctes(table: str) -> str:
+    """ONE copy of the BMP generation-chain replay: CTEs ending in
+    ``bv(doc_id, w, h, p, v)`` — every pixel byte of every even-doc_id
+    synth BMP off the md5(text#block) chain (p is the top-down stream
+    position; channel = p % 3)."""
+    return f"""bdoc AS (
+  SELECT doc_id, text, (n_chars % 5) + 2 AS w, (n_chars % 3) + 2 AS h
+  FROM {table}
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 0),
+bp AS (
+  SELECT doc_id, text, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS p
+  FROM bdoc),
+bv AS (
+  SELECT doc_id, w, h, p,
+    ('0x' || substring(md5(text || '#' || CAST(p // 16 AS VARCHAR)),
+                       CAST((p % 16) * 2 + 1 AS BIGINT), 2))::BIGINT AS v
+  FROM bp)"""
+
+
 def media_decode_stats_oracle_sql(table: str = "documents") -> str:
     """DuckDB replay of the synth formulas (never of the parser):
     WAV samples from the md5(text:block) hex chain as little-endian
@@ -298,40 +340,12 @@ def media_decode_stats_oracle_sql(table: str = "documents") -> str:
     byte sizes from the format layout (44-byte PCM WAV header; 54-byte
     BMP headers + padded rows)."""
     return f"""
-WITH docs AS MATERIALIZED (
-  SELECT doc_id, text, n_chars FROM {table}
-  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
-wdoc AS (
-  SELECT doc_id, text, ((n_chars % 4) + 2) * 8 AS ns
-  FROM docs WHERE doc_id % 2 = 1),
-wj AS (
-  SELECT doc_id, text, ns, unnest(generate_series(0, ns - 1)) AS j
-  FROM wdoc),
-wv AS (
-  SELECT doc_id, ns, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
-  FROM (
-    SELECT doc_id, ns,
-      ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
-                         CAST((j % 8) * 4 + 1 AS BIGINT), 2))::BIGINT
-      + 256 * ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
-                                 CAST((j % 8) * 4 + 3 AS BIGINT), 2))::BIGINT
-        AS u
-    FROM wj) z),
+WITH {_wav_sample_ctes(table)},
 wstat AS (
   SELECT doc_id, min(ns) AS ns, sum(v) AS vsum, sum(v * v) AS vsq,
          min(v) AS vmin, max(v) AS vmax
   FROM wv GROUP BY doc_id),
-bdoc AS (
-  SELECT doc_id, text, (n_chars % 5) + 2 AS w, (n_chars % 3) + 2 AS h
-  FROM docs WHERE doc_id % 2 = 0),
-bp AS (
-  SELECT doc_id, text, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS p
-  FROM bdoc),
-bv AS (
-  SELECT doc_id, w, h,
-    ('0x' || substring(md5(text || '#' || CAST(p // 16 AS VARCHAR)),
-                       CAST((p % 16) * 2 + 1 AS BIGINT), 2))::BIGINT AS v
-  FROM bp),
+{_bmp_pixel_ctes(table)},
 bstat AS (
   SELECT doc_id, min(w) AS w, min(h) AS h, count(*) AS nv,
          sum(v) AS vsum, sum(v * v) AS vsq, min(v) AS vmin, max(v) AS vmax
@@ -512,13 +526,18 @@ ENERGY_SCHEMA = (
 
 
 def audio_energy_frames(
-    media: DataFrame, frame: int = 8, silence_below: int = 2**28
+    media: DataFrame, frame: int = 8, silence_below: int = 2**31
 ) -> DataFrame:
     """Windowed audio energy over DECODED samples — the segmentation
     primitive (silence detection / clip trimming) an audio training
     pipeline runs right after decode. WAV rows only; each consecutive
     ``frame``-sample window emits its exact integer energy
-    (sum of squares) and a silence flag. One narrow mapInPandas pass;
+    (sum of squares) and a silence flag; a trailing partial window is
+    DROPPED (range(len // frame)) — the oracle mirrors the truncation.
+    The default threshold 2**31 sits near the md5-uniform frame-energy
+    median (~2.9e9), so the registered gate sees BOTH flag values (a
+    vacuously-constant flag would let an inverted comparison pass —
+    the round-3 empty-threshold lesson). One narrow mapInPandas pass;
     the fan-out (doc → frames) happens inside the batch like
     sample_frames."""
     from tabsketchfm_spark.session import ensure_package_on_workers
@@ -554,32 +573,20 @@ def audio_energy_frames(
 
 
 def audio_energy_frames_oracle_sql(
-    table: str = "documents", frame: int = 8, silence_below: int = 2**28
+    table: str = "documents", frame: int = 8, silence_below: int = 2**31
 ) -> str:
-    """Replay off the WAV generation chain (synth_real_media's odd
-    doc_ids), windows of ``frame`` samples grouped by j // frame."""
+    """Replay off the shared WAV generation chain, windows of
+    ``frame`` samples grouped by j // frame; the j < (ns // frame) *
+    frame filter mirrors the operator's dropped partial trailing
+    window for ANY frame value, not just divisors of the sample
+    counts."""
     return f"""
-WITH docs AS (
-  SELECT doc_id, text, n_chars FROM {table}
-  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 1),
-wj AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, ((n_chars % 4) + 2) * 8 - 1)) AS j
-  FROM docs),
-wv AS (
-  SELECT doc_id, j, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
-  FROM (
-    SELECT doc_id, j,
-      ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
-                         CAST((j % 8) * 4 + 1 AS BIGINT), 2))::BIGINT
-      + 256 * ('0x' || substring(md5(text || ':' || CAST(j // 8 AS VARCHAR)),
-                                 CAST((j % 8) * 4 + 3 AS BIGINT), 2))::BIGINT
-        AS u
-    FROM wj) z)
+WITH {_wav_sample_ctes(table)}
 SELECT doc_id, CAST(j // {frame} AS INTEGER) AS frame_idx,
        CAST(sum(v * v) AS BIGINT) AS energy,
        sum(v * v) < {silence_below} AS is_silence
-FROM wv GROUP BY doc_id, j // {frame}
+FROM wv WHERE j < (ns // {frame}) * {frame}
+GROUP BY doc_id, j // {frame}
 """
 
 
@@ -636,22 +643,10 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
 
 
 def image_channel_stats_oracle_sql(table: str = "documents") -> str:
-    """Replay off the BMP generation chain (even doc_ids): pixel byte
-    p belongs to channel p % 3."""
+    """Replay off the shared BMP generation chain: pixel byte p
+    belongs to channel p % 3."""
     return f"""
-WITH docs AS (
-  SELECT doc_id, text, n_chars FROM {table}
-  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 0),
-bp AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0,
-           ((n_chars % 5) + 2) * ((n_chars % 3) + 2) * 3 - 1)) AS p
-  FROM docs),
-bv AS (
-  SELECT doc_id, p,
-    ('0x' || substring(md5(text || '#' || CAST(p // 16 AS VARCHAR)),
-                       CAST((p % 16) * 2 + 1 AS BIGINT), 2))::BIGINT AS v
-  FROM bp)
+WITH {_bmp_pixel_ctes(table)}
 SELECT doc_id, CAST(p % 3 AS INTEGER) AS channel,
        CAST(sum(v) AS BIGINT) AS ch_sum,
        CAST(min(v) AS INTEGER) AS ch_min,

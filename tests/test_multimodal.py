@@ -84,6 +84,32 @@ def test_synth_roundtrip_matches_formulas():
         assert len(b["vals"]) == w * h * 3
 
 
+def test_audio_energy_nondivisor_frame_matches_oracle(spark, sf001):
+    # frame=5 does not divide any synth sample count {16,24,32,40}:
+    # the operator drops the partial trailing window and the oracle
+    # must mirror that truncation (round-9 review finding)
+    from tabsketchfm_spark.sources.tables import load_table
+    from tests.oracle_util import assert_match, run_oracle
+
+    media = mm.synth_real_media(load_table(spark, sf001, "documents"))
+    got = mm.audio_energy_frames(media, frame=5)
+    want = run_oracle(mm.audio_energy_frames_oracle_sql("documents", frame=5), sf001)
+    assert_match(got, want, "audio_energy frame=5")
+
+
+def test_audio_silence_flag_sees_both_values(spark, sf001):
+    # the default threshold must split the frames — a constant flag
+    # would let an inverted comparison pass the parity gate
+    from tabsketchfm_spark.sources.tables import load_table
+
+    media = mm.synth_real_media(load_table(spark, sf001, "documents"))
+    flags = {
+        r["is_silence"]
+        for r in mm.audio_energy_frames(media).select("is_silence").distinct().collect()
+    }
+    assert flags == {True, False}
+
+
 def test_media_decode_stats_spark(spark, sf001):
     from tabsketchfm_spark.sources.tables import load_table
 
