@@ -552,6 +552,35 @@ def ivfpq_store_append(
     write_manifest(path, m)
 
 
+def ivfpq_store_compact(spark, path: str) -> None:
+    """Merge the appended code dirs into ONE: a store absorbing a
+    daily delta grows a code_dirs entry per batch, and every serve
+    scans the whole list — compaction reads the union, rewrites it
+    into a fresh dir inside the live generation, flips
+    code_dirs=[new] atomically, then GCs the retired dirs (the
+    signature-store compaction's sibling; no TTL rule here — codes
+    never expire, they are superseded by retrain). The stored integers
+    are copied verbatim, so every serve/drift oracle is unaffected.
+    No-op on an uncompacted store."""
+    import shutil
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
+
+    m = read_manifest(path)
+    gen = m["data_dir"]
+    dirs = m.get("code_dirs", ["codes"])
+    if len(dirs) <= 1:
+        return
+    codes = spark.read.parquet(*[f"{path}/{gen}/{d}" for d in dirs])
+    sub = f"codes_{uuid.uuid4().hex[:12]}"
+    codes.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
+    m["code_dirs"] = [sub]
+    write_manifest(path, m)
+    for d in dirs:
+        shutil.rmtree(f"{path}/{gen}/{d}", ignore_errors=True)
+
+
 def ivfpq_stored_topk(
     spark,
     store_path: str,

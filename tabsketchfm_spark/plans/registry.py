@@ -1470,6 +1470,23 @@ _register(
         k=5,
     ),
 )
+
+
+def _stream_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    return ps2.streaming_ivfpq_append(spark, sf)
+
+
+_register(
+    # STREAMING index maintenance: per-micro-batch appends with frozen
+    # quantizers are append-form (immutable per-vector codes), so the
+    # batch append oracle gates the stream; the closing compaction is
+    # certified by the same hash (codes copied verbatim)
+    "stream_ivfpq_append_embeddings",
+    _stream_ivfpq_append,
+    pq_op.ivfpq_store_append_oracle_sql("embeddings", 400),
+)
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
     # docstring names but MLlib's RNG kept rows-only; the pair join is

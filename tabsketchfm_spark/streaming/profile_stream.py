@@ -1028,3 +1028,69 @@ def streaming_dedup_incremental(
         for c in caches:
             c.unpersist()
         shutil.rmtree(feed_dir, ignore_errors=True)
+
+
+def streaming_ivfpq_append(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    boundary: int = 400,
+    compact: bool = True,
+) -> DataFrame:
+    """STREAMING index maintenance — today's crawl absorbed into the
+    persisted IVF-PQ index as it arrives: build + persist the base
+    index on the existing lake (id < ``boundary``), then stream the
+    delta (id >= ``boundary``) and absorb each micro-batch via
+    ivfpq_store_append (FROZEN stored quantizers; the left_anti guard
+    makes a replayed batch a no-op, so the stream is idempotent under
+    redelivery). An encoded code row is an immutable per-vector fact —
+    append form — so the union of per-batch appends == the batch
+    append of the whole delta and ivfpq_store_append_oracle_sql gates
+    the stream bit-exactly. With ``compact`` the run finishes with
+    ivfpq_store_compact (one code dir again), so the SAME oracle also
+    certifies compaction copied every code verbatim.
+    Output: the full stored (cand_id, cell, c0..c{S-1}) set."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_stream_")
+    feed_dir = tempfile.mkdtemp(prefix="tsfm_ivfpq_feed_")
+    try:
+        pq_op.save_ivfpq_index(
+            spark, emb.where(F.col("vec_id") < boundary), store
+        )
+        delta = emb.where(F.col("vec_id") >= boundary).select(
+            "vec_id", "embedding"
+        )
+        delta.repartitionByRange(n_batches, "vec_id").write.mode(
+            "overwrite"
+        ).parquet(feed_dir)
+        feed = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            pq_op.ivfpq_store_append(spark, store, batch_df)
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if compact:
+            pq_op.ivfpq_store_compact(spark, store)
+        _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
+        rows = codes.collect()  # bounded: one row per vector
+        schema = codes.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        shutil.rmtree(feed_dir, ignore_errors=True)

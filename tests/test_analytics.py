@@ -546,6 +546,22 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     assert codes2b.count() == emb.count()
     assert codes2b.select("cand_id").distinct().count() == emb.count()
 
+    # compaction: the code-dir list collapses to one, retired dirs are
+    # GC'd, and the code SET is byte-identical
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    before = {tuple(r) for r in codes2b.collect()}
+    pq_op.ivfpq_store_compact(spark, store)
+    m_after = read_manifest(store)
+    assert len(m_after["code_dirs"]) == 1
+    gen_dir = os.path.join(store, m_after["data_dir"])
+    code_like = [
+        e for e in os.listdir(gen_dir) if e.startswith("codes")
+    ]
+    assert code_like == m_after["code_dirs"]
+    _mc2c, _cb2c, codes2c = pq_op.load_ivfpq_index(spark, store)
+    assert {tuple(r) for r in codes2c.collect()} == before
+
     # rebuild into the same path: superseded generations are GC'd
     # (previous kept for crash recovery), and the append dirs of the
     # retired generation go with it
