@@ -602,6 +602,95 @@ def ivfpq_stored_topk(
     )
 
 
+def ivfpq_reconstruction_error(
+    spark,
+    store_path: str,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index QUALITY: per-subspace total squared quantization error of
+    ``emb`` against the STORED quantizers and STORED codes — the
+    standard ANN index-staleness metric (drift counts how the
+    distribution moved; this measures how badly the frozen codebooks
+    now fit the vectors, which can degrade even when cell counts look
+    stable). err(id, s) = |rq_s|² − 2·rq_s·m(code_s) + |m(code_s)|²,
+    all integers on the grid → oracle-exact. One pass over the vectors
+    joined to the stored codes (an offline maintenance scan — serving
+    still never reads vectors). Output: (s, n, err_sum)."""
+    mc, cb, codes = load_ivfpq_index(spark, store_path)
+    rv = _cell_qv_cols(emb, mc, id_col, vec_col).select(
+        "id", _residual_col(mc).alias("rq")
+    )
+    j = rv.join(codes, rv["id"] == codes["cand_id"])
+    terms = []
+    for s in range(S_SUB):
+        self_dot = (
+            f"aggregate(zip_with(slice(rq, {s * D_SUB + 1}, {D_SUB}), "
+            f"slice(rq, {s * D_SUB + 1}, {D_SUB}), (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+        branches = " ".join(
+            f"WHEN {c} THEN cast({sum(v * v for v in cb[(s, c)])} as bigint)"
+            f" - 2 * ({_dot_lit('rq', s * D_SUB, cb[(s, c)])})"
+            for c in range(K_PQ)
+        )
+        terms.append(
+            F.expr(f"({self_dot}) + (CASE c{s} {branches} END)").alias(f"e{s}")
+        )
+    errs = j.select(*terms).select(
+        F.posexplode(F.array(*[F.col(f"e{s}") for s in range(S_SUB)])).alias(
+            "s", "err"
+        )
+    )
+    return errs.groupBy("s").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("err").cast("bigint").alias("err_sum"),
+    ).select(F.col("s").cast("int").alias("s"), "n", "err_sum")
+
+
+def ivfpq_reconstruction_error_oracle_sql(table: str) -> str:
+    """Replay: the plain full-corpus IVF-PQ encode (shared scaffolds),
+    then the same integer error algebra per (id, subspace) summed per
+    subspace."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes, cfinal = _kmeans_ctes(table, N_CELLS, N_ITERS, dim)
+    ctes.append(
+        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
+    )
+    ctes.append(
+        "rpts AS MATERIALIZED (SELECT p.id, "
+        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
+        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
+    )
+    pctes, rcents, rcodes = _pq_ctes(table, src="rpts", tag="r", base=False)
+    ctes.extend(pctes)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(cl.s AS INTEGER) AS s, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(
+         list_dot_product(sub.rs::DOUBLE[], sub.rs::DOUBLE[])
+         - 2 * list_dot_product(sub.rs::DOUBLE[], ct.m::DOUBLE[])
+         + list_dot_product(ct.m::DOUBLE[], ct.m::DOUBLE[])
+       ) AS BIGINT) AS err_sum
+FROM {rcodes} cl
+JOIN {rcents} ct ON ct.s = cl.s AND ct.cid = cl.cid
+JOIN (SELECT p.id, q.s,
+             list_transform(generate_series(1, {D_SUB}),
+                            i -> p.qv[q.s * {D_SUB} + i]) AS rs
+      FROM rpts p CROSS JOIN
+           (SELECT unnest(generate_series(0, {S_SUB - 1})) AS s) q) sub
+  ON sub.id = cl.id AND sub.s = cl.s
+GROUP BY cl.s
+"""
+    )
+
+
 def ivfpq_index_drift(
     spark,
     store_path: str,

@@ -1389,6 +1389,31 @@ _register(
 )
 
 
+def _ann_ivfpq_recon(spark: SparkSession, sf: str) -> DataFrame:
+    # index QUALITY: the quantization-error metric over the stored
+    # quantizers/codes — drift's sibling (distribution vs fit quality)
+    import shutil
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_rec_")
+    try:
+        emb = load_table(spark, sf, "embeddings")
+        pq_op.save_ivfpq_index(spark, emb, store)
+        out = pq_op.ivfpq_reconstruction_error(spark, store, emb)
+        rows = out.collect()  # bounded: one row per subspace
+        schema = out.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "ann_ivfpq_recon_error",
+    _ann_ivfpq_recon,
+    pq_op.ivfpq_reconstruction_error_oracle_sql("embeddings"),
+)
+
+
 def _ann_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
     # index maintenance, the ABSORB half (drift decides when to stop
     # absorbing and rebuild): build+persist on the existing lake

@@ -573,6 +573,7 @@ _PLAN_GUARD_SKIP = {
     "sig_store_compact_documents",
     "pipeline_rag_topk_documents",
     "stream_ivfpq_append_embeddings",
+    "ann_ivfpq_recon_error",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
     # of literal rows): no data computation, nothing to guard. Found
