@@ -564,17 +564,15 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
 
     # rebuild into the same path: superseded generations are GC'd
     # (previous kept for crash recovery), and the append dirs of the
-    # retired generation go with it
-    pq_op.clear_pq_memo()
-    from tabsketchfm_spark.operators.kmeans import clear_fit_memo
-
-    clear_fit_memo()
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+    # retired generation go with it. A 50-vector corpus exercises the
+    # identical generation lifecycle at a fraction of the fit cost
+    # (ids 0..7 still dense for the deterministic init).
+    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 50), store)
+    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 50), store)
     gens = [e for e in os.listdir(store) if e.startswith("gen_")]
     assert len(gens) <= 2, gens
     _mc3, _cb3, codes3 = pq_op.load_ivfpq_index(spark, store)
-    assert codes3.count() == 400  # fresh build, appends retired
+    assert codes3.count() == 50  # fresh build, appends retired
 
 
 def test_bpe_merge_artifact_roundtrip_drives_tokenization(spark, sf01, tmp_path):
