@@ -87,11 +87,27 @@ def _dot_lit(col: str, base: int, vec: list[int]) -> str:
     )
 
 
-def _b_lit(s: int, vec: list[int]) -> str:
+def _b_lit(s: int, vec: list[int], col: str = "qv") -> str:
     """The comparable B = m·m − 2·(q_s·m) for subspace ``s`` against a
-    literal codeword, read off the FULL qv column."""
+    literal codeword, read off the FULL ``col`` vector column."""
     mm = sum(v * v for v in vec)
-    return f"cast({mm} as bigint) - 2 * ({_dot_lit('qv', s * D_SUB, vec)})"
+    return f"cast({mm} as bigint) - 2 * ({_dot_lit(col, s * D_SUB, vec)})"
+
+
+def _cb_case_terms(
+    cb: dict[tuple[int, int], list[int]], col: str, code_prefix: str = "c"
+) -> list[str]:
+    """ONE copy of the per-subspace ADC codebook lookup (shared by the
+    search tail and the reconstruction-error scan): for each subspace
+    s, a CASE over the stored code column ``{code_prefix}{s}`` yielding
+    |m|² − 2·(col_s·m) for that code's codeword."""
+    terms = []
+    for s in range(S_SUB):
+        branches = " ".join(
+            f"WHEN {c} THEN {_b_lit(s, cb[(s, c)], col)}" for c in range(K_PQ)
+        )
+        terms.append(f"(CASE {code_prefix}{s} {branches} END)")
+    return terms
 
 
 def pq_fit(
@@ -381,15 +397,7 @@ def _ivfpq_search_tail(
         "aggregate(zip_with(rq, rq, (x, y) -> x * y), cast(0 as bigint),"
         " (acc, x) -> acc + x)"
     )
-    terms = []
-    for s in range(S_SUB):
-        branches = " ".join(
-            f"WHEN {c} THEN cast({sum(v * v for v in cb[(s, c)])} as bigint)"
-            f" - 2 * ({_dot_lit('rq', s * D_SUB, cb[(s, c)])})"
-            for c in range(K_PQ)
-        )
-        terms.append(f"(CASE c{s} {branches} END)")
-    adc = F.expr(f"({rr}) + " + " + ".join(terms))
+    adc = F.expr(f"({rr}) + " + " + ".join(_cb_case_terms(cb, "rq")))
     pairs = cands.join(F.broadcast(probes), "cell").where(
         F.col("cand_id") != F.col("q_id")
     )
@@ -486,23 +494,35 @@ def save_ivfpq_index(
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
+def _read_index_manifest(path: str) -> tuple[dict, str, list[str], list[str]]:
+    """Validated manifest read shared by EVERY store entry point (load,
+    append, compact): loud IOError on a format/parameter mismatch —
+    pointing any of them at a different store_util store or a
+    geometry-mismatched index must never silently no-op. Returns
+    (manifest, gen, code_dirs, retired_code_dirs)."""
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    m = read_manifest(path)
+    chk = dict(m)
+    gen = chk.pop("data_dir", None)
+    code_dirs = chk.pop("code_dirs", ["codes"])
+    retired = chk.pop("retired_code_dirs", [])
+    want = {"format": _ANN_INDEX_FORMAT, **_index_params()}
+    if chk != want or not gen:
+        raise IOError(
+            f"ivfpq index at {path} was built as {chk} (data_dir={gen}); "
+            f"this build expects {want}"
+        )
+    return m, gen, code_dirs, retired
+
+
 def load_ivfpq_index(spark, path: str):
     """(mc, cb, codes_frame) from a saved index; loud on any parameter
     mismatch — centroids trained under another grid/codebook geometry
     would silently mis-rank every query. All artifact reads go through
     the manifest's generation pointer; the codes frame is the UNION of
     the base build and every appended delta dir (``code_dirs``)."""
-    from tabsketchfm_spark.sources.store_util import read_manifest
-
-    m = read_manifest(path)
-    gen = m.pop("data_dir", None)
-    code_dirs = m.pop("code_dirs", ["codes"])
-    want = {"format": _ANN_INDEX_FORMAT, **_index_params()}
-    if m != want or not gen:
-        raise IOError(
-            f"ivfpq index at {path} was built as {m} (data_dir={gen}); "
-            f"this build expects {want}"
-        )
+    _m, gen, code_dirs, _retired = _read_index_manifest(path)
     mc = {
         int(r["cid"]): [int(v) for v in r["m"]]
         for r in spark.read.parquet(f"{path}/{gen}/centroids").collect()
@@ -538,17 +558,16 @@ def ivfpq_store_append(
     the serving union scores it twice and drift double-counts it)."""
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
+    from tabsketchfm_spark.sources.store_util import write_manifest
 
     mc, cb, codes = load_ivfpq_index(spark, path)  # validates params
-    m = read_manifest(path)
-    gen = m["data_dir"]
+    m, gen, code_dirs, _retired = _read_index_manifest(path)
     sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
     fresh = _ivfpq_cands(delta, mc, cb, id_col, vec_col).join(
         codes.select("cand_id"), "cand_id", "left_anti"
     )
     fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
-    m["code_dirs"] = m.get("code_dirs", ["codes"]) + [sub]
+    m["code_dirs"] = code_dirs + [sub]
     write_manifest(path, m)
 
 
@@ -557,28 +576,49 @@ def ivfpq_store_compact(spark, path: str) -> None:
     daily delta grows a code_dirs entry per batch, and every serve
     scans the whole list — compaction reads the union, rewrites it
     into a fresh dir inside the live generation, flips
-    code_dirs=[new] atomically, then GCs the retired dirs (the
-    signature-store compaction's sibling; no TTL rule here — codes
-    never expire, they are superseded by retrain). The stored integers
-    are copied verbatim, so every serve/drift oracle is unaffected.
-    No-op on an uncompacted store."""
+    code_dirs=[new] atomically (the signature-store compaction's
+    sibling; no TTL rule here — codes never expire, they are
+    superseded by retrain). The stored integers are copied verbatim,
+    so every serve/drift oracle is unaffected.
+
+    GC is DEFERRED one cycle (the store family's concurrent-reader
+    invariant, same as save_ivfpq_index keeping the previous
+    generation): the retired dirs are recorded in the manifest as
+    ``retired_code_dirs`` and deleted on the NEXT maintenance call —
+    a serve that resolved the old list just before the flip can
+    finish its scan. Every call also sweeps unreferenced code dirs
+    (orphans from a compaction that crashed before its flip), so no
+    crash window leaks permanently."""
+    import os
     import shutil
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
+    from tabsketchfm_spark.sources.store_util import write_manifest
 
-    m = read_manifest(path)
-    gen = m["data_dir"]
-    dirs = m.get("code_dirs", ["codes"])
+    m, gen, dirs, retired = _read_index_manifest(path)
+    gen_dir = f"{path}/{gen}"
+    # sweep: previous cycle's retired dirs (their readers are gone) and
+    # any code dir referenced by NEITHER list (crashed pre-flip write)
+    referenced = set(dirs)
+    for d in retired:
+        shutil.rmtree(f"{gen_dir}/{d}", ignore_errors=True)
+    for e in os.listdir(gen_dir):
+        if (
+            e.startswith("codes")
+            and e not in referenced
+            and os.path.isdir(f"{gen_dir}/{e}")
+        ):
+            shutil.rmtree(f"{gen_dir}/{e}", ignore_errors=True)
     if len(dirs) <= 1:
+        if retired:
+            write_manifest(path, {**m, "retired_code_dirs": []})
         return
-    codes = spark.read.parquet(*[f"{path}/{gen}/{d}" for d in dirs])
+    codes = spark.read.parquet(*[f"{gen_dir}/{d}" for d in dirs])
     sub = f"codes_{uuid.uuid4().hex[:12]}"
-    codes.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
-    m["code_dirs"] = [sub]
-    write_manifest(path, m)
-    for d in dirs:
-        shutil.rmtree(f"{path}/{gen}/{d}", ignore_errors=True)
+    codes.write.mode("overwrite").parquet(f"{gen_dir}/{sub}")
+    write_manifest(
+        path, {**m, "code_dirs": [sub], "retired_code_dirs": dirs}
+    )
 
 
 def ivfpq_stored_topk(
@@ -616,28 +656,41 @@ def ivfpq_reconstruction_error(
     now fit the vectors, which can degrade even when cell counts look
     stable). err(id, s) = |rq_s|² − 2·rq_s·m(code_s) + |m(code_s)|²,
     all integers on the grid → oracle-exact. One pass over the vectors
-    joined to the stored codes (an offline maintenance scan — serving
-    still never reads vectors). Output: (s, n, err_sum)."""
+    LEFT-joined to the stored codes (an offline maintenance scan —
+    serving still never reads vectors); a vector NOT in the index is
+    encoded on the fly with the frozen codebooks instead of being
+    silently dropped — the un-indexed lake is exactly where staleness
+    shows first, and a fresh frozen-quantizer encode equals what an
+    append would store (round-9 review finding; pinned by the
+    append-equivalence test). Output: (s, n, err_sum)."""
     mc, cb, codes = load_ivfpq_index(spark, store_path)
+    fresh = [
+        _bk_col(
+            K_PQ, [F.expr(_b_lit(s, cb[(s, c)], "rq")) for c in range(K_PQ)]
+        )
+        .cast("int")
+        .alias(f"f{s}")
+        for s in range(S_SUB)
+    ]
     rv = _cell_qv_cols(emb, mc, id_col, vec_col).select(
         "id", _residual_col(mc).alias("rq")
+    ).select("id", "rq", *fresh)
+    j = rv.join(codes, rv["id"] == codes["cand_id"], "left").select(
+        "rq",
+        *[
+            F.coalesce(F.col(f"c{s}"), F.col(f"f{s}")).alias(f"k{s}")
+            for s in range(S_SUB)
+        ],
     )
-    j = rv.join(codes, rv["id"] == codes["cand_id"])
     terms = []
+    cases = _cb_case_terms(cb, "rq", code_prefix="k")
     for s in range(S_SUB):
         self_dot = (
             f"aggregate(zip_with(slice(rq, {s * D_SUB + 1}, {D_SUB}), "
             f"slice(rq, {s * D_SUB + 1}, {D_SUB}), (x, y) -> x * y), "
             "cast(0 as bigint), (acc, x) -> acc + x)"
         )
-        branches = " ".join(
-            f"WHEN {c} THEN cast({sum(v * v for v in cb[(s, c)])} as bigint)"
-            f" - 2 * ({_dot_lit('rq', s * D_SUB, cb[(s, c)])})"
-            for c in range(K_PQ)
-        )
-        terms.append(
-            F.expr(f"({self_dot}) + (CASE c{s} {branches} END)").alias(f"e{s}")
-        )
+        terms.append(F.expr(f"({self_dot}) + {cases[s]}").alias(f"e{s}"))
     errs = j.select(*terms).select(
         F.posexplode(F.array(*[F.col(f"e{s}") for s in range(S_SUB)])).alias(
             "s", "err"
@@ -650,34 +703,29 @@ def ivfpq_reconstruction_error(
 
 
 def ivfpq_reconstruction_error_oracle_sql(table: str) -> str:
-    """Replay: the plain full-corpus IVF-PQ encode (shared scaffolds),
-    then the same integer error algebra per (id, subspace) summed per
-    subspace."""
-    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+    """Replay: the shared full-corpus encode scaffold, then the same
+    integer error algebra per (id, subspace) summed per subspace.
 
-    dim = S_SUB * D_SUB
-    ctes, cfinal = _kmeans_ctes(table, N_CELLS, N_ITERS, dim)
-    ctes.append(
-        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
-        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
-    )
-    ctes.append(
-        "rpts AS MATERIALIZED (SELECT p.id, "
-        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
-        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
-    )
-    pctes, rcents, rcodes = _pq_ctes(table, src="rpts", tag="r", base=False)
-    ctes.extend(pctes)
+    GATE CONTRACT: this replay fits AND encodes on the full ``table``,
+    so it covers the registered case (store built on the same corpus
+    it measures); for a store built on a subset, the operator's
+    on-the-fly encode branch is gated by the append-equivalence test
+    (stored-after-append == fresh-encode by construction), not by this
+    SQL. The per-term BIGINT cast matters: DuckDB sums DOUBLEs in
+    DOUBLE and rounds past 2^53 on a large corpus, while the
+    cast-per-term sum promotes to HUGEINT and stays exact (the
+    kmeans SSE oracle's documented rule)."""
+    ctes, _cfinal, rcents, rcodes = _corpus_encode_ctes(table)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
 SELECT CAST(cl.s AS INTEGER) AS s, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(
+       CAST(sum(CAST(
          list_dot_product(sub.rs::DOUBLE[], sub.rs::DOUBLE[])
          - 2 * list_dot_product(sub.rs::DOUBLE[], ct.m::DOUBLE[])
          + list_dot_product(ct.m::DOUBLE[], ct.m::DOUBLE[])
-       ) AS BIGINT) AS err_sum
+       AS BIGINT)) AS BIGINT) AS err_sum
 FROM {rcodes} cl
 JOIN {rcents} ct ON ct.s = cl.s AND ct.cid = cl.cid
 JOIN (SELECT p.id, q.s,
@@ -754,21 +802,7 @@ def ivfpq_index_drift_oracle_sql(
     EXTERNAL delta whose codes never occur in the corpus. Gating a
     non-subset delta with this oracle would silently miss those rows;
     such a run needs a delta-side branch added here first."""
-    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
-
-    dim = S_SUB * D_SUB
-    ctes, cfinal = _kmeans_ctes(table, N_CELLS, N_ITERS, dim)
-    ctes.append(
-        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
-        f"{_ranked_cells_sql(cfinal)}) z WHERE rn = 1)"
-    )
-    ctes.append(
-        "rpts AS MATERIALIZED (SELECT p.id, "
-        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
-        f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
-    )
-    pctes, _rcents, rcodes = _pq_ctes(table, src="rpts", tag="r", base=False)
-    ctes.extend(pctes)
+    ctes, _cfinal, _rcents, rcodes = _corpus_encode_ctes(table)
     ctes.append(
         f"dlt AS MATERIALIZED (SELECT id FROM pts WHERE {delta_pred})"
     )
@@ -949,16 +983,13 @@ FROM {codes} GROUP BY id
     )
 
 
-def ivfpq_adc_topk_oracle_sql(
-    table: str,
-    query_ids_max: int,
-    k: int = 10,
-    n_probe: int = N_PROBE_IVFPQ,
-) -> str:
-    """Full IVF-PQ replay: the coarse kmeans fit, per-vector integer
-    residuals, the 8 residual-codebook fits, candidate (cell, code)
-    assignment, query cell-probing with per-cell residuals, and the
-    ADC ranking — one WITH, every quantity integer."""
+def _corpus_encode_ctes(table: str) -> tuple[list[str], str, str, str]:
+    """ONE copy of the FULL-corpus IVF-PQ encode replay (coarse fit,
+    per-vector integer residuals, the residual-codebook fits, every
+    vector's (cell, code) assignment) — shared by the search, drift
+    and reconstruction-error oracles; _frozen_fit_ctes is the
+    corpus-subset-fit sibling. Returns (ctes, cfinal, rcents,
+    rcodes)."""
     from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
 
     dim = S_SUB * D_SUB
@@ -972,9 +1003,22 @@ def ivfpq_adc_topk_oracle_sql(
         f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
         f"FROM pts p JOIN acell a ON a.id = p.id JOIN {cfinal} c ON c.cid = a.cell)"
     )
-    # the SAME PQ-encode replay, retargeted at the residual domain
     pctes, rcents, rcodes = _pq_ctes(table, src="rpts", tag="r", base=False)
     ctes.extend(pctes)
+    return ctes, cfinal, rcents, rcodes
+
+
+def ivfpq_adc_topk_oracle_sql(
+    table: str,
+    query_ids_max: int,
+    k: int = 10,
+    n_probe: int = N_PROBE_IVFPQ,
+) -> str:
+    """Full IVF-PQ replay: the shared full-corpus encode scaffold plus
+    query cell-probing with per-cell residuals and the ADC ranking —
+    one WITH, every quantity integer."""
+    dim = S_SUB * D_SUB
+    ctes, cfinal, rcents, rcodes = _corpus_encode_ctes(table)
     ctes.append(
         "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
         f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "

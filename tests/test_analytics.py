@@ -546,21 +546,33 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     assert codes2b.count() == emb.count()
     assert codes2b.select("cand_id").distinct().count() == emb.count()
 
-    # compaction: the code-dir list collapses to one, retired dirs are
-    # GC'd, and the code SET is byte-identical
+    # compaction: the code-dir list collapses to one with the code SET
+    # byte-identical; retired dirs are kept ONE cycle (a serve that
+    # resolved the old list mid-flip may still be scanning them) and
+    # swept by the next maintenance call
     from tabsketchfm_spark.sources.store_util import read_manifest
 
     before = {tuple(r) for r in codes2b.collect()}
     pq_op.ivfpq_store_compact(spark, store)
     m_after = read_manifest(store)
     assert len(m_after["code_dirs"]) == 1
+    assert sorted(m_after["retired_code_dirs"]) != m_after["code_dirs"]
     gen_dir = os.path.join(store, m_after["data_dir"])
-    code_like = [
-        e for e in os.listdir(gen_dir) if e.startswith("codes")
-    ]
-    assert code_like == m_after["code_dirs"]
+    for d in m_after["retired_code_dirs"]:  # deferred, not deleted yet
+        assert os.path.isdir(os.path.join(gen_dir, d))
     _mc2c, _cb2c, codes2c = pq_op.load_ivfpq_index(spark, store)
     assert {tuple(r) for r in codes2c.collect()} == before
+
+    # next maintenance call sweeps the retired dirs (and any orphan)
+    pq_op.ivfpq_store_compact(spark, store)
+    m_swept = read_manifest(store)
+    assert m_swept["code_dirs"] == m_after["code_dirs"]
+    assert m_swept["retired_code_dirs"] == []
+    code_like = [e for e in os.listdir(gen_dir) if e.startswith("codes")]
+    assert code_like == m_after["code_dirs"]
+    assert {
+        tuple(r) for r in pq_op.load_ivfpq_index(spark, store)[2].collect()
+    } == before
 
     # rebuild into the same path: superseded generations are GC'd
     # (previous kept for crash recovery), and the append dirs of the
@@ -573,6 +585,33 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     assert len(gens) <= 2, gens
     _mc3, _cb3, codes3 = pq_op.load_ivfpq_index(spark, store)
     assert codes3.count() == 50  # fresh build, appends retired
+
+
+def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
+    """The staleness metric must not silently drop vectors absent from
+    the index (round-9 review finding): recon over a subset store with
+    on-the-fly encode of the rest == recon after APPENDING the rest
+    (an append stores exactly the frozen-quantizer encode), and every
+    vector is counted."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings")
+    s1 = str(tmp_path / "subset_store")
+    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), s1)
+    r_subset = {
+        r["s"]: (r["n"], r["err_sum"])
+        for r in pq_op.ivfpq_reconstruction_error(spark, s1, emb).collect()
+    }
+    assert all(n == emb.count() for n, _ in r_subset.values())
+    pq_op.ivfpq_store_append(spark, s1, emb.where(F.col("vec_id") >= 400))
+    r_appended = {
+        r["s"]: (r["n"], r["err_sum"])
+        for r in pq_op.ivfpq_reconstruction_error(spark, s1, emb).collect()
+    }
+    assert r_subset == r_appended
 
 
 def test_bpe_merge_artifact_roundtrip_drives_tokenization(spark, sf01, tmp_path):
