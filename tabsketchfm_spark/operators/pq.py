@@ -555,7 +555,9 @@ def ivfpq_store_append(
     single-column scan of the stored ids for the already-present
     guard: a RETRIED batch — crash between the parquet write and the
     manifest flip, then re-append — must not double-encode an id, or
-    the serving union scores it twice and drift double-counts it)."""
+    the serving union scores it twice and drift double-counts it).
+    Single-writer contract: see ivfpq_store_compact — one maintenance
+    call at a time per store; concurrent readers are safe."""
     import uuid
 
     from tabsketchfm_spark.sources.store_util import write_manifest
@@ -587,8 +589,15 @@ def ivfpq_store_compact(spark, path: str) -> None:
     ``retired_code_dirs`` and deleted on the NEXT maintenance call —
     a serve that resolved the old list just before the flip can
     finish its scan. Every call also sweeps unreferenced code dirs
-    (orphans from a compaction that crashed before its flip), so no
-    crash window leaks permanently."""
+    (orphans from a maintenance call that crashed before its flip),
+    so no crash window leaks permanently.
+
+    SINGLE-WRITER CONTRACT (the whole store family's: manifest flips
+    are read-modify-write, so two concurrent appends would already
+    lose one delta): run at most ONE maintenance call (append or
+    compact) at a time per store. Concurrent READERS are safe — the
+    deferred GC exists exactly for them — but the orphan sweep would
+    delete a concurrent append's not-yet-flipped delta dir."""
     import os
     import shutil
     import uuid
@@ -662,23 +671,37 @@ def ivfpq_reconstruction_error(
     silently dropped — the un-indexed lake is exactly where staleness
     shows first, and a fresh frozen-quantizer encode equals what an
     append would store (round-9 review finding; pinned by the
-    append-equivalence test). Output: (s, n, err_sum)."""
+    append-equivalence test). For INDEXED vectors both the residual
+    cell and the codes are the STORED ones (coalesce(stored, fresh)),
+    so the metric measures the stored representation even if a
+    vector was mutated since indexing; the fresh-cell/fresh-code
+    expressions sit in coalesce's second slot and only evaluate on
+    rows the stored side left null — no per-row double encode on the
+    common path. Output: (s, n, err_sum)."""
     mc, cb, codes = load_ivfpq_index(spark, store_path)
-    fresh = [
-        _bk_col(
-            K_PQ, [F.expr(_b_lit(s, cb[(s, c)], "rq")) for c in range(K_PQ)]
-        )
-        .cast("int")
-        .alias(f"f{s}")
-        for s in range(S_SUB)
-    ]
-    rv = _cell_qv_cols(emb, mc, id_col, vec_col).select(
-        "id", _residual_col(mc).alias("rq")
-    ).select("id", "rq", *fresh)
-    j = rv.join(codes, rv["id"] == codes["cand_id"], "left").select(
+    base = _cell_qv_cols(emb, mc, id_col, vec_col)  # id, qv, cell (fresh)
+    j0 = base.join(
+        codes.withColumnRenamed("cell", "stored_cell"),
+        base["id"] == codes["cand_id"],
+        "left",
+    ).select(
+        "qv",
+        F.coalesce(F.col("stored_cell"), F.col("cell")).alias("cell"),
+        *[F.col(f"c{s}") for s in range(S_SUB)],
+    )
+    j = j0.select(
+        _residual_col(mc).alias("rq"),
+        *[F.col(f"c{s}") for s in range(S_SUB)],
+    ).select(
         "rq",
         *[
-            F.coalesce(F.col(f"c{s}"), F.col(f"f{s}")).alias(f"k{s}")
+            F.coalesce(
+                F.col(f"c{s}"),
+                _bk_col(
+                    K_PQ,
+                    [F.expr(_b_lit(s, cb[(s, c)], "rq")) for c in range(K_PQ)],
+                ).cast("int"),
+            ).alias(f"k{s}")
             for s in range(S_SUB)
         ],
     )
@@ -1008,17 +1031,20 @@ def _corpus_encode_ctes(table: str) -> tuple[list[str], str, str, str]:
     return ctes, cfinal, rcents, rcodes
 
 
-def ivfpq_adc_topk_oracle_sql(
-    table: str,
+def _adc_tail_sql(
+    ctes: list[str],
+    cfinal: str,
+    rcents: str,
+    rcodes: str,
     query_ids_max: int,
-    k: int = 10,
-    n_probe: int = N_PROBE_IVFPQ,
+    k: int,
+    n_probe: int,
 ) -> str:
-    """Full IVF-PQ replay: the shared full-corpus encode scaffold plus
-    query cell-probing with per-cell residuals and the ADC ranking —
-    one WITH, every quantity integer."""
+    """ONE copy of the serve-side replay tail (query cell-probing with
+    per-cell residuals + the ADC scored/ranked SELECT) — shared by the
+    fit-and-search and RAG-composite oracles, mirroring how the Spark
+    side shares _ivfpq_search_tail."""
     dim = S_SUB * D_SUB
-    ctes, cfinal, rcents, rcodes = _corpus_encode_ctes(table)
     ctes.append(
         "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
         f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "
@@ -1052,6 +1078,18 @@ ranked AS (
 SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= {k}
 """
     )
+
+
+def ivfpq_adc_topk_oracle_sql(
+    table: str,
+    query_ids_max: int,
+    k: int = 10,
+    n_probe: int = N_PROBE_IVFPQ,
+) -> str:
+    """Full IVF-PQ replay: the shared full-corpus encode scaffold plus
+    the shared probe/ADC tail — one WITH, every quantity integer."""
+    ctes, cfinal, rcents, rcodes = _corpus_encode_ctes(table)
+    return _adc_tail_sql(ctes, cfinal, rcents, rcodes, query_ids_max, k, n_probe)
 
 
 def pipeline_rag_topk_oracle_sql(
@@ -1067,8 +1105,7 @@ def pipeline_rag_topk_oracle_sql(
     with a curation-restricted candidate set — serving corpus = base ∪
     (curated ∩ id >= boundary), survivors from ``surv_sql`` (a
     self-contained id subquery — text.curation_survivor_ids_sql) —
-    plus ivfpq_adc_topk's query probing and ADC ranking."""
-    dim = S_SUB * D_SUB
+    plus the shared probe/ADC tail."""
     ctes, cfinal, rcents, rcodes = _frozen_fit_ctes(
         emb_table,
         boundary,
@@ -1079,39 +1116,7 @@ def pipeline_rag_topk_oracle_sql(
             f"USING (id) WHERE p.id < {boundary} OR v.id IS NOT NULL)",
         ],
     )
-    ctes.append(
-        "qprobe AS MATERIALIZED (SELECT id AS q_id, cid AS cell, "
-        f"list_transform(generate_series(1, {dim}), i -> qv[i] - m[i]) AS rq "
-        "FROM (SELECT p.id, p.qv, c.cid, c.m, row_number() OVER ("
-        f"PARTITION BY p.id ORDER BY {_B_SQL}, c.cid) AS rn "
-        f"FROM pts p CROSS JOIN {cfinal} c WHERE p.id < {query_ids_max}) z "
-        f"WHERE rn <= {n_probe})"
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-scored AS (
-  SELECT q.q_id, a.id AS cand_id,
-         CAST(min(list_dot_product(q.rq::DOUBLE[], q.rq::DOUBLE[]))
-              + sum(list_dot_product(ct.m::DOUBLE[], ct.m::DOUBLE[])
-                    - 2 * list_dot_product(
-                        list_transform(generate_series(1, {D_SUB}),
-                                       i -> q.rq[cl.s * {D_SUB} + i])::DOUBLE[],
-                        ct.m::DOUBLE[])) AS BIGINT) AS adc
-  FROM qprobe q
-  JOIN acell a ON a.cell = q.cell AND a.id <> q.q_id
-  JOIN {rcodes} cl ON cl.id = a.id
-  JOIN {rcents} ct ON ct.s = cl.s AND ct.cid = cl.cid
-  GROUP BY q.q_id, a.id),
-ranked AS (
-  SELECT q_id, cand_id, adc,
-         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id)
-              AS INTEGER) AS rank
-  FROM scored)
-SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= {k}
-"""
-    )
+    return _adc_tail_sql(ctes, cfinal, rcents, rcodes, query_ids_max, k, n_probe)
 
 
 def pq_adc_topk_oracle_sql(table: str, query_ids_max: int, k: int = 10) -> str:

@@ -553,10 +553,15 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     from tabsketchfm_spark.sources.store_util import read_manifest
 
     before = {tuple(r) for r in codes2b.collect()}
+    m_pre = read_manifest(store)
     pq_op.ivfpq_store_compact(spark, store)
     m_after = read_manifest(store)
     assert len(m_after["code_dirs"]) == 1
-    assert sorted(m_after["retired_code_dirs"]) != m_after["code_dirs"]
+    # the LIVE dir must never be in the retired list (the next sweep
+    # deletes retired dirs — this would destroy all codes), and the
+    # retired set is exactly the pre-compact code dirs
+    assert m_after["code_dirs"][0] not in m_after["retired_code_dirs"]
+    assert sorted(m_after["retired_code_dirs"]) == sorted(m_pre["code_dirs"])
     gen_dir = os.path.join(store, m_after["data_dir"])
     for d in m_after["retired_code_dirs"]:  # deferred, not deleted yet
         assert os.path.isdir(os.path.join(gen_dir, d))
