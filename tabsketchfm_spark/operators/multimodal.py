@@ -116,10 +116,63 @@ def _decode_media(media_type: str, raw: bytes) -> dict:
             "duration_us": None,
             "vals": vals,
         }
+    if media_type == "image/x-portable-pixmap":
+        # binary PPM (P6): "P6\n<w> <h>\n<maxval>\n" + w*h RGB triples,
+        # whitespace/comment-tolerant header per the netpbm spec
+        if raw[:2] != b"P6":
+            raise ValueError("not a binary PPM (P6) file")
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(raw) and raw[pos : pos + 1].isspace():
+                pos += 1
+            if raw[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(raw) and raw[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(raw) and not raw[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(raw[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+        w_, h_, maxval = fields
+        if maxval != 255 or w_ <= 0 or h_ <= 0:
+            raise ValueError("only maxval-255 P6 PPM supported")
+        need = w_ * h_ * 3
+        if len(raw) < pos + need:
+            raise ValueError(
+                f"truncated PPM: header declares {pos + need} bytes, "
+                f"file has {len(raw)}"
+            )
+        return {
+            "width": w_,
+            "height": h_,
+            "n_channels": 3,
+            "sample_rate": None,
+            "n_frames": w_ * h_,
+            "duration_us": None,
+            "vals": list(raw[pos : pos + need]),
+        }
     raise NotImplementedError(
         f"decode of {media_type} requires image/audio libraries not "
         "present in this container (PIL / torchaudio / pyav plug in here)"
     )
+
+
+def _ppm_bytes(text: str, n_chars: int) -> bytes:
+    """Deterministic REAL binary PPM (P6), same md5(text#block) pixel
+    chain and dimensions as _bmp_bytes — the raster is top-down RGB
+    with no padding, so the stream maps 1:1 (the third stdlib format
+    the decoder family parses; pytest-gated, not in the registered
+    query's parity split)."""
+    w = (n_chars % 5) + 2
+    h = (n_chars % 3) + 2
+    npx = w * h * 3
+    n_blocks = (npx + 15) // 16
+    stream = b"".join(
+        hashlib.md5(f"{text}#{b}".encode("utf-8")).digest()
+        for b in range(n_blocks)
+    )[:npx]
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + stream
 
 
 def _wav_bytes(text: str, n_chars: int) -> bytes:

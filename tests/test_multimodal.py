@@ -58,6 +58,55 @@ def test_env_blocked_formats_raise():
         mm._decode_media("image/bmp", b"XX not a bmp")
 
 
+def test_ppm_decode_matches_bmp_pixels():
+    # PPM carries the SAME md5 pixel chain as BMP with no row padding
+    # and top-down order: channel-invariant stats must agree, and the
+    # PPM raster equals the generation stream byte-for-byte
+    for n_chars in (0, 7, 11, 29):
+        text = "x" * max(n_chars, 1)
+        p = mm._decode_media(
+            "image/x-portable-pixmap", mm._ppm_bytes(text, n_chars)
+        )
+        b = mm._decode_media("image/bmp", mm._bmp_bytes(text, n_chars))
+        assert (p["width"], p["height"], p["n_frames"]) == (
+            b["width"],
+            b["height"],
+            b["n_frames"],
+        )
+        assert sorted(p["vals"]) == sorted(b["vals"])
+        for ch in range(3):  # channel alignment too, not just the bag
+            assert sorted(p["vals"][ch::3]) == sorted(b["vals"][ch::3])
+
+
+def test_ppm_header_comments_and_truncation():
+    raw = mm._ppm_bytes("some text", 9)
+    # inject a comment line into the header — the parser must skip it
+    commented = b"P6\n# a comment\n" + raw[3:]
+    d = mm._decode_media("image/x-portable-pixmap", commented)
+    assert d["n_frames"] == ((9 % 5) + 2) * ((9 % 3) + 2)
+    with pytest.raises(ValueError, match="truncated"):
+        mm._decode_media("image/x-portable-pixmap", raw[:-3])
+
+
+def test_stereo_wav_decode():
+    # the decoder must take channel count from the CONTAINER: 2-channel
+    # frames interleave L/R int16 samples
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<6h", 1, -1, 2, -2, 3, -3))
+    d = mm._decode_media("audio/wav", buf.getvalue())
+    assert d["n_channels"] == 2
+    assert d["n_frames"] == 3
+    assert list(d["vals"]) == [1, -1, 2, -2, 3, -3]
+    assert d["duration_us"] == 3 * 1_000_000 // 8000
+
+
 def test_truncated_bmp_raises():
     # header declares more pixel data than the file carries: loud, not
     # silently-short stats (matches the WAV path's struct.unpack)
