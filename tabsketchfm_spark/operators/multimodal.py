@@ -3,11 +3,13 @@ typed metadata, decoded/feature-extracted via Arrow-batched pandas.
 
 Media bytes are opaque ``binary`` columns; metadata travels in a typed
 struct. REAL decode exists for the stdlib-decodable container formats
-(PCM WAV via the ``wave`` module, 24bpp BMP via hand-parsed headers —
-round-8 verdict item 1); formats that require image/audio libraries
-absent in this environment (PNG/JPEG/OGG/MP4) raise NotImplementedError
-with the PIL/torchaudio upgrade path documented. Everything Spark-side
-is real either way: schema, partitioning, mapInPandas batch shape.
+(PCM WAV via the ``wave`` module, 24bpp BMP + binary PPM via
+hand-parsed headers, and PNG via chunk-walk + zlib inflate + full
+filter reconstruction — round-8 verdict item 1); formats that require
+image/audio libraries absent in this environment (JPEG/OGG/MP4) raise
+NotImplementedError with the PIL/torchaudio upgrade path documented.
+Everything Spark-side is real either way: schema, partitioning,
+mapInPandas batch shape.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -64,9 +67,10 @@ def _decode_media(media_type: str, raw: bytes) -> dict:
 
     Returns {width, height, n_channels, sample_rate, n_frames,
     duration_us, vals} where ``vals`` is the flat sample/pixel-byte
-    sequence. Other formats (PNG/JPEG/OGG/MP4) raise
-    NotImplementedError: the production build plugs PIL / torchaudio /
-    pyav into this exact seam; the Spark plumbing is unchanged."""
+    sequence. image/png routes to _decode_png (stdlib zlib). Other
+    formats (JPEG/OGG/MP4) raise NotImplementedError: the production
+    build plugs PIL / torchaudio / pyav into this exact seam; the
+    Spark plumbing is unchanged."""
     if media_type == "audio/wav":
         with wave.open(io.BytesIO(raw), "rb") as w:
             nch = w.getnchannels()
@@ -152,10 +156,99 @@ def _decode_media(media_type: str, raw: bytes) -> dict:
             "duration_us": None,
             "vals": list(raw[pos : pos + need]),
         }
+    if media_type == "image/png":
+        return _decode_png(raw)
     raise NotImplementedError(
         f"decode of {media_type} requires image/audio libraries not "
         "present in this container (PIL / torchaudio / pyav plug in here)"
     )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(raw: bytes) -> dict:
+    """REAL PNG decode with stdlib zlib only: chunk walk with CRC32
+    verification on EVERY chunk, IHDR field checks, IDAT concat +
+    DEFLATE decompress, then per-scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth — the full spec set, Paeth with the
+    standard predictor tie-break order a,b,c). Supports the 8-bit
+    truecolor non-interlaced profile the synth writer emits; anything
+    else raises loudly rather than guessing."""
+    if raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG file")
+    pos, ihdr, idat, saw_iend = len(_PNG_SIG), None, [], False
+    while pos + 8 <= len(raw):
+        ln = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(raw):
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(raw[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat or not saw_iend:
+        # IEND is mandatory: without this check a trailing truncation
+        # (lost IEND / partial final chunk header) would decode silently
+        raise ValueError("truncated PNG: missing IHDR/IDAT/IEND chunk")
+    w_, h_ = int.from_bytes(ihdr[0:4], "big"), int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, inter = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if (depth, color, comp, filt, inter) != (8, 2, 0, 0, 0):
+        raise ValueError("only 8-bit truecolor non-interlaced PNG supported")
+    stream = zlib.decompress(b"".join(idat))
+    stride = w_ * 3
+    if len(stream) != h_ * (1 + stride):
+        raise ValueError(
+            f"PNG pixel stream: expected {h_ * (1 + stride)} bytes, "
+            f"got {len(stream)}"
+        )
+    vals: list[int] = []
+    prev = bytes(stride)
+    for r in range(h_):
+        base = r * (1 + stride)
+        ftype = stream[base]
+        line = stream[base + 1 : base + 1 + stride]
+        recon = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = recon[i - 3] if i >= 3 else 0  # left, same channel
+            b = prev[i]  # up
+            c = prev[i - 3] if i >= 3 else 0  # upper-left
+            if ftype == 0:
+                rec = x
+            elif ftype == 1:
+                rec = x + a
+            elif ftype == 2:
+                rec = x + b
+            elif ftype == 3:
+                rec = x + (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec = x + pred
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            recon[i] = rec & 0xFF
+        vals.extend(recon)
+        prev = bytes(recon)
+    return {
+        "width": w_,
+        "height": h_,
+        "n_channels": 3,
+        "sample_rate": None,
+        "n_frames": w_ * h_,
+        "duration_us": None,
+        "vals": vals,
+    }
 
 
 def _ppm_bytes(text: str, n_chars: int) -> bytes:
@@ -173,6 +266,67 @@ def _ppm_bytes(text: str, n_chars: int) -> bytes:
         for b in range(n_blocks)
     )[:npx]
     return f"P6\n{w} {h}\n255\n".encode("ascii") + stream
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(text: str, n_chars: int) -> bytes:
+    """Deterministic REAL PNG (8-bit truecolor, non-interlaced), same
+    md5(text#block) pixel chain and dimensions as _bmp_bytes — so the
+    PNG decode can be pinned channel-aligned equal to the BMP decode.
+    Scanline r is written with filter type (r + n_chars) % 5: corpus-
+    wide, every filter in the spec (None/Sub/Up/Average/Paeth) gets
+    exercised through real DEFLATE compression, and any writer/decoder
+    filter-math defect lands in the replayed pixel stats."""
+    w = (n_chars % 5) + 2
+    h = (n_chars % 3) + 2
+    npx = w * h * 3
+    n_blocks = (npx + 15) // 16
+    stream = b"".join(
+        hashlib.md5(f"{text}#{b}".encode("utf-8")).digest()
+        for b in range(n_blocks)
+    )[:npx]
+    stride = w * 3
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        line = stream[r * stride : (r + 1) * stride]
+        ftype = (r + n_chars) % 5
+        out.append(ftype)
+        for i in range(stride):
+            x = line[i]
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                f = x
+            elif ftype == 1:
+                f = x - a
+            elif ftype == 2:
+                f = x - b
+            elif ftype == 3:
+                f = x - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = x - pred
+            out.append(f & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def _wav_bytes(text: str, n_chars: int) -> bytes:
@@ -367,15 +521,18 @@ wv AS (
     FROM wj) z)"""
 
 
-def _bmp_pixel_ctes(table: str) -> str:
-    """ONE copy of the BMP generation-chain replay: CTEs ending in
-    ``bv(doc_id, w, h, p, v)`` — every pixel byte of every even-doc_id
-    synth BMP off the md5(text#block) chain (p is the top-down stream
-    position; channel = p % 3)."""
+def _bmp_pixel_ctes(table: str, doc_filter: str = "doc_id % 2 = 0") -> str:
+    """ONE copy of the image generation-chain replay: CTEs ending in
+    ``bv(doc_id, w, h, p, v)`` — every pixel byte of every selected
+    document's synth image off the md5(text#block) chain (p is the
+    top-down stream position; channel = p % 3). The BMP split keeps
+    the default even-doc_id filter; the PNG variant replays the SAME
+    chain over every document (``doc_filter='TRUE'``) — BMP and PNG
+    writers share the pixel formula, only the container differs."""
     return f"""bdoc AS (
   SELECT doc_id, text, (n_chars % 5) + 2 AS w, (n_chars % 3) + 2 AS h
   FROM {table}
-  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND doc_id % 2 = 0),
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL AND {doc_filter}),
 bp AS (
   SELECT doc_id, text, w, h, unnest(generate_series(0, w * h * 3 - 1)) AS p
   FROM bdoc),
@@ -422,6 +579,80 @@ SELECT doc_id, 'image/bmp',
   CAST(vsq AS BIGINT), CAST(vmin AS INTEGER),
   CAST(vmax AS INTEGER), CAST(vsum AS DOUBLE) / nv
 FROM bstat
+"""
+
+
+def synth_real_media_png(documents: DataFrame) -> DataFrame:
+    """Real PNG container bytes for EVERY document (one narrow
+    mapInPandas pass): 8-bit truecolor with per-scanline filters and
+    real DEFLATE — the compressed-container end of the stdlib media
+    family (WAV/BMP/PPM are stored-size formats; PNG round-trips
+    through zlib)."""
+    from tabsketchfm_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(documents.sparkSession)
+    src = documents.where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select("doc_id", "text", "n_chars")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media": pd.Series(
+                        [
+                            _png_bytes(t, int(n))
+                            for t, n in zip(pdf["text"], pdf["n_chars"])
+                        ],
+                        dtype="object",
+                    ),
+                    "media_type": "image/png",
+                }
+            )
+
+    return src.mapInPandas(
+        gen, schema="doc_id bigint, media binary, media_type string"
+    )
+
+
+_PNG_STAT_COLS = [
+    "doc_id", "media_type", "width", "height", "n_channels", "n_frames",
+    "n_vals", "val_sum", "val_sqsum", "val_min", "val_max", "val_mean",
+]
+
+
+def media_decode_png_stats(documents: DataFrame) -> DataFrame:
+    """Compressed-container decode flagship: generate honest PNGs
+    (per-scanline filters, real DEFLATE), parse them back through the
+    chunk-walk/CRC/inflate/unfilter pipeline, emit exact per-document
+    pixel stats. n_bytes is deliberately NOT emitted — a DEFLATE
+    output size has no closed form for the SQL oracle; every emitted
+    field is decode-derived and replayable from the generation chain,
+    so a defect anywhere in compress/filter/unfilter/CRC lands as a
+    val_sum/val_min hash mismatch."""
+    stats = decode_media_features(synth_real_media_png(documents))
+    return stats.select(*_PNG_STAT_COLS)
+
+
+def media_decode_png_stats_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of the PNG pixel-generation chain (never of the
+    parser): same md5(text#block) stream as the BMP oracle, over ALL
+    documents. The container layer (filters + DEFLATE + CRC) must
+    reconstruct exactly this stream for the gate to pass."""
+    return f"""
+WITH {_bmp_pixel_ctes(table, doc_filter="TRUE")},
+pstat AS (
+  SELECT doc_id, min(w) AS w, min(h) AS h, count(*) AS nv,
+         sum(v) AS vsum, sum(v * v) AS vsq, min(v) AS vmin, max(v) AS vmax
+  FROM bv GROUP BY doc_id)
+SELECT doc_id, 'image/png' AS media_type,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(3 AS INTEGER) AS n_channels, CAST(w * h AS BIGINT) AS n_frames,
+  CAST(nv AS BIGINT) AS n_vals, CAST(vsum AS BIGINT) AS val_sum,
+  CAST(vsq AS BIGINT) AS val_sqsum, CAST(vmin AS INTEGER) AS val_min,
+  CAST(vmax AS INTEGER) AS val_max, CAST(vsum AS DOUBLE) / nv AS val_mean
+FROM pstat
 """
 
 

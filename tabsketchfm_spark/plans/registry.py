@@ -1568,6 +1568,18 @@ _register(
     mm.media_decode_stats_oracle_sql("documents"),
 )
 _register(
+    # COMPRESSED-container decode: honest PNGs (per-scanline filters
+    # incl. Paeth, real DEFLATE, CRC-verified chunks) parsed back via
+    # stdlib zlib; the oracle replays the pixel-generation chain, so
+    # any compress/filter/unfilter defect fails the hash. n_bytes is
+    # deliberately absent (DEFLATE size has no SQL closed form).
+    "mm_decode_png_stats_documents",
+    lambda spark, sf: mm.media_decode_png_stats(
+        load_table(spark, sf, "documents")
+    ),
+    mm.media_decode_png_stats_oracle_sql("documents"),
+)
+_register(
     # windowed energy over DECODED samples — audio segmentation
     # (silence detection) on real parsed frames, exact integer gate
     "mm_audio_energy_frames",

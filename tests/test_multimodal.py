@@ -53,9 +53,11 @@ def test_bmp_decode_skips_row_padding():
 
 def test_env_blocked_formats_raise():
     with pytest.raises(NotImplementedError):
-        mm._decode_media("image/png", b"\x89PNG")
+        mm._decode_media("image/jpeg", b"\xff\xd8\xff")
     with pytest.raises(ValueError):
         mm._decode_media("image/bmp", b"XX not a bmp")
+    with pytest.raises(ValueError):
+        mm._decode_media("image/png", b"\x89PNG")  # short/garbled sig
 
 
 def test_ppm_decode_matches_bmp_pixels():
@@ -157,6 +159,79 @@ def test_audio_silence_flag_sees_both_values(spark, sf001):
         for r in mm.audio_energy_frames(media).select("is_silence").distinct().collect()
     }
     assert flags == {True, False}
+
+
+def test_png_decode_matches_bmp_pixels():
+    # PNG shares the md5 pixel chain with BMP; the decode must recover
+    # it EXACTLY through real DEFLATE + filter reconstruction. n_chars
+    # 5..9 puts (r + n_chars) % 5 through every residue, so all five
+    # filter types (None/Sub/Up/Average/Paeth) are exercised
+    for n_chars in (0, 5, 6, 7, 8, 9, 29):
+        text = "x" * max(n_chars, 1)
+        p = mm._decode_media("image/png", mm._png_bytes(text, n_chars))
+        b = mm._decode_media("image/bmp", mm._bmp_bytes(text, n_chars))
+        assert (p["width"], p["height"], p["n_frames"]) == (
+            b["width"], b["height"], b["n_frames"],
+        )
+        # BMP decode emits file-order rows (bottom-up); reorder to the
+        # top-down stream for an EXACT byte-for-byte comparison
+        stride = b["width"] * 3
+        rows = [
+            b["vals"][r * stride : (r + 1) * stride]
+            for r in range(b["height"] - 1, -1, -1)
+        ]
+        b_topdown = [v for row in rows for v in row]
+        assert list(p["vals"]) == b_topdown
+
+
+def test_png_decode_recovers_generation_chain():
+    # independent reference: the decoded pixel stream must equal the
+    # raw md5 chain itself (no BMP in the loop) — the same equality the
+    # SQL oracle asserts per-document via sum/min/max
+    import hashlib
+
+    raw = mm._png_bytes("tall-doc", 13)  # w=(13%5)+2=5, h=(13%3)+2=3
+    d = mm._decode_media("image/png", raw)
+    assert (d["width"], d["height"]) == (5, 3)
+    ref = b"".join(
+        hashlib.md5(f"tall-doc#{b}".encode()).digest()
+        for b in range((5 * 3 * 3 + 15) // 16)
+    )[: 5 * 3 * 3]
+    assert bytes(d["vals"]) == ref
+
+
+def test_png_crc_and_truncation_loud():
+    raw = bytearray(mm._png_bytes("crc text", 9))
+    # flip one byte inside the IDAT payload: CRC must catch it
+    idat_at = raw.find(b"IDAT")
+    raw[idat_at + 6] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mm._decode_media("image/png", bytes(raw))
+    full = mm._png_bytes("crc text", 9)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        mm._decode_media("image/png", full[:-6])
+    # unsupported profile: 16-bit depth IHDR
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", _z.compress(b"\x00" * 26))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        mm._decode_media("image/png", bad)
+
+
+def test_png_stats_match_oracle(spark, sf001):
+    from tabsketchfm_spark.sources.tables import load_table
+    from tests.oracle_util import assert_match, run_oracle
+
+    got = mm.media_decode_png_stats(load_table(spark, sf001, "documents"))
+    want = run_oracle(mm.media_decode_png_stats_oracle_sql("documents"), sf001)
+    assert_match(got, want, "media_decode_png_stats")
 
 
 def test_media_decode_stats_spark(spark, sf001):
