@@ -482,6 +482,38 @@ def _sig_data_root(path: str, manifest: dict) -> str:
     return f"{path}/{gen}" if gen else path
 
 
+def _store_has_ingest_ts(manifest: dict) -> bool:
+    """Whether the store's recorded schema carries the ingest_ts
+    column (timestamp-TTL stores; legacy stores are id-TTL only)."""
+    import json
+
+    return any(
+        f["name"] == "ingest_ts"
+        for f in json.loads(manifest["schema"])["fields"]
+    )
+
+
+def _check_ingest_ts_contract(manifest: dict, ingest_ts: int | None, op: str) -> bool:
+    """SYMMETRIC loud contract (the round-7 rule) between a store's
+    schema and a writer's ingest_ts argument: a ts written into a
+    legacy store would silently vanish on read (schema-from-manifest
+    drops it), and a ts-less commit into a ts store would read back
+    NULL and escape every TTL horizon. Returns has_ts for the caller."""
+    has_ts = _store_has_ingest_ts(manifest)
+    if has_ts and ingest_ts is None:
+        raise IOError(
+            f"{op}: store carries ingest_ts (timestamp-TTL layout) — "
+            "pass ingest_ts so the committed rows stay expirable"
+        )
+    if not has_ts and ingest_ts is not None:
+        raise IOError(
+            f"{op}: store has no ingest_ts column (legacy id-TTL "
+            "layout) — the timestamp would be dropped on read; rebuild "
+            "the store with build_signature_store(..., ingest_ts=...)"
+        )
+    return has_ts
+
+
 def build_signature_store(
     corpus: DataFrame,
     path: str,
@@ -489,6 +521,7 @@ def build_signature_store(
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 100,
+    ingest_ts: int | None = None,
 ) -> None:
     """Materialize the corpus' MinHash signatures as a parquet store —
     the S7-style sink that makes incremental dedup truly incremental:
@@ -497,10 +530,21 @@ def build_signature_store(
     Executor-side write (no driver collect); the `_manifest.json`
     records the build parameters and schema (see
     _read_signature_store). Works for an EMPTY corpus — the manifest
-    schema bootstraps reads, so the ingest loop can start cold."""
+    schema bootstraps reads, so the ingest loop can start cold.
+
+    ``ingest_ts`` (a caller-supplied LOGICAL timestamp — batch
+    sequence number or epoch day; never a wall clock, so every run is
+    replayable) opts the store into the timestamp-TTL layout: each row
+    carries the ingest_ts of the commit that wrote it, and
+    compact_signature_store can expire by age (``ingest_ts >= h``)
+    instead of by id. Writers into a ts store MUST pass ingest_ts
+    (enforced loudly); legacy stores reject it symmetrically."""
     from tabsketchfm_spark.sources.store_util import write_manifest
 
-    sigs = _lsh_sigs(corpus, id_col, text_col, n, num_perm)
+    cached = _lsh_sigs(corpus, id_col, text_col, n, num_perm)
+    sigs = cached
+    if ingest_ts is not None:
+        sigs = sigs.withColumn("ingest_ts", F.lit(int(ingest_ts)).cast("bigint"))
     try:
         sigs.write.mode("overwrite").parquet(path)
         manifest = {
@@ -513,7 +557,7 @@ def build_signature_store(
         # atomic temp+replace flip (store_util contract), AFTER the data
         write_manifest(path, manifest)
     finally:
-        sigs.unpersist()
+        cached.unpersist()  # the _lsh_sigs cache, not the derived frame
 
 
 def dedup_incremental_lsh_stored(
@@ -541,6 +585,53 @@ def dedup_incremental_lsh_stored(
     return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
 
 
+def append_signatures(
+    corpus_delta: DataFrame,
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    ingest_ts: int | None = None,
+) -> None:
+    """Bulk signature append WITHOUT a dedup verdict — the backfill /
+    migration primitive (e.g. registering a pre-vetted corpus slice
+    into the store so later deltas dedup against it). Same commit
+    shape as ingest_dedup_commit: executor-side parquet into a fresh
+    commit subdir inside the live generation; parameter + ingest_ts
+    contracts enforced against the manifest before any work runs.
+
+    SINGLE-WRITER contract (store family): concurrent writers race
+    the manifest read-modify-write in compaction, not here — appends
+    into the live generation are additive and crash-safe."""
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    m = read_manifest(store_path)
+    if m["format"] != _SIG_STORE_FORMAT or m["n"] != n or m["num_perm"] != num_perm:
+        raise IOError(
+            f"signature store at {store_path} was built with n={m['n']}, "
+            f"num_perm={m['num_perm']}; append requested n={n}, "
+            f"num_perm={num_perm}"
+        )
+    has_ts = _check_ingest_ts_contract(m, ingest_ts, "append_signatures")
+    sigs = _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm)
+    try:
+        out = sigs
+        if has_ts:
+            out = out.withColumn(
+                "ingest_ts", F.lit(int(ingest_ts)).cast("bigint")
+            )
+        root = _sig_data_root(store_path, m)
+        out.write.mode("overwrite").parquet(
+            f"{root}/commit_{uuid.uuid4().hex[:12]}"
+        )
+    finally:
+        sigs.unpersist()
+
+
 def ingest_dedup_commit(
     delta: DataFrame,
     spark,
@@ -551,6 +642,7 @@ def ingest_dedup_commit(
     num_perm: int = 100,
     bands: int = 20,
     threshold: float = 0.5,
+    ingest_ts: int | None = None,
 ) -> DataFrame:
     """The full incremental-ingest loop, one call per arriving batch:
     (1) dedup the delta against the signature store AND against the
@@ -570,9 +662,18 @@ def ingest_dedup_commit(
     EXACTLY one row per delta doc (docs too short to shingle — under
     ``n`` tokens — carry no signature, so LSH cannot reject them:
     accepted, nothing committed; pair exact_dedup upstream for those).
-    ``matched_corpus_id`` may name an earlier doc of the same batch."""
+    ``matched_corpus_id`` may name an earlier doc of the same batch.
+
+    ``ingest_ts``: required (and only allowed) for timestamp-TTL
+    stores — the committed survivors carry it so compaction can
+    expire them by age; a logical clock (batch seq / epoch day), not
+    wall time."""
     import uuid
 
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    manifest = read_manifest(store_path)
+    has_ts = _check_ingest_ts_contract(manifest, ingest_ts, "ingest_dedup_commit")
     caches: list = []
     try:
         sig_c = _read_signature_store(spark, store_path, n, num_perm, caches)
@@ -605,13 +706,15 @@ def ingest_dedup_commit(
             verdict.where("accepted").select(F.col("delta_id").alias("id")),
             "id",
         )
+        if has_ts:
+            survivors = survivors.withColumn(
+                "ingest_ts", F.lit(int(ingest_ts)).cast("bigint")
+            )
         # fresh subdir per commit: parquet append without touching
         # existing files, and a crashed write never corrupts the store;
         # commits land inside the LIVE generation so compaction's
         # manifest flip atomically retires them with the old data
-        from tabsketchfm_spark.sources.store_util import read_manifest
-
-        root = _sig_data_root(store_path, read_manifest(store_path))
+        root = _sig_data_root(store_path, manifest)
         survivors.write.mode("overwrite").parquet(
             f"{root}/commit_{uuid.uuid4().hex[:12]}"
         )
@@ -631,10 +734,12 @@ def compact_signature_store(
 ) -> None:
     """TTL/compaction for the signature store — the maintenance op the
     daily-crawl loop needs: commit subdirs accumulate one per batch
-    forever, and expired docs (``keep_pred`` is a SQL predicate over
-    ``id``; with monotonic ingest ids, ``id >= horizon`` IS the TTL
-    rule) keep matching new deltas long after their content left the
-    lake.
+    forever, and expired docs keep matching new deltas long after
+    their content left the lake. ``keep_pred`` is a SQL predicate over
+    the signature row: with monotonic ingest ids, ``id >= horizon`` IS
+    the TTL rule; a store built with ``ingest_ts`` (timestamp-TTL
+    layout) expires by age instead — ``ingest_ts >= horizon`` — which
+    survives non-monotonic / externally-assigned doc ids.
 
     Shape: read the live generation (base + every commit), apply the
     keep rule, collapse any duplicate ids deterministically (row-wise
@@ -658,12 +763,22 @@ def compact_signature_store(
     m = read_manifest(path)
     sigs = _read_signature_store(spark, path, n, num_perm)
     try:
-        mh_cols = [c for c in sigs.columns if c != "id"]
+        other_cols = [c for c in sigs.columns if c != "id"]
+        if "ingest_ts" in sigs.columns:
+            # timestamp-TTL layout: a re-ingested id keeps its LATEST
+            # row (last-seen-wins — the freshness the TTL horizon is
+            # about; the kept row is still one real signature). The
+            # struct leads with ingest_ts so max() orders on it; mh
+            # columns only break exact-ts ties deterministically.
+            lead = ["ingest_ts"] + [c for c in other_cols if c != "ingest_ts"]
+            agg = F.max(F.struct(*lead)).alias("m")
+        else:
+            agg = F.min(F.struct(*other_cols)).alias("m")
         compacted = (
             sigs.where(F.expr(keep_pred))
             .groupBy("id")
-            .agg(F.min(F.struct(*mh_cols)).alias("m"))
-            .select("id", *[F.col(f"m.{c}").alias(c) for c in mh_cols])
+            .agg(agg)
+            .select("id", *[F.col(f"m.{c}").alias(c) for c in other_cols])
         )
         old_root = _sig_data_root(path, m)
         gen = f"gen_{uuid.uuid4().hex[:12]}"

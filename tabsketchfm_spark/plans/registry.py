@@ -730,6 +730,52 @@ _register(
         corpus_pred="(({id} % 7 <> 0) AND {id} >= 100)",
     ),
 )
+
+
+def _sig_store_ttl_ts(spark: SparkSession, sf: str) -> DataFrame:
+    # timestamp-TTL layout: the store is built at logical ts=0, a
+    # later slice is bulk-appended at ts=1, then compaction expires by
+    # AGE (ingest_ts >= 1) — the rule that survives non-monotonic doc
+    # ids. The oracle's corpus side is exactly the ts=1 slice: proof
+    # that expiry keyed on the commit clock, not on id order.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    store = tempfile.mkdtemp(prefix="tsfm_sig_ttl_")
+    caches: list = []
+    try:
+        corpus = docs.where(F.col("doc_id") % 7 != 0)
+        dedup.build_signature_store(
+            corpus.where(F.col("doc_id") < 150), store, ingest_ts=0
+        )
+        dedup.append_signatures(
+            corpus.where(F.col("doc_id") >= 150), spark, store, ingest_ts=1
+        )
+        dedup.compact_signature_store(spark, store, keep_pred="ingest_ts >= 1")
+        out = dedup.dedup_incremental_lsh_stored(
+            docs.where(F.col("doc_id") % 7 == 0), spark, store, caches=caches
+        )
+        rows = out.collect()  # bounded: threshold-bounded pair set
+        schema = out.schema
+    finally:
+        for c in caches:
+            c.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "sig_store_ttl_ts_documents",
+    _sig_store_ttl_ts,
+    dedup.dedup_incremental_lsh_oracle_sql(
+        "documents",
+        "{id} % 7 = 0",
+        corpus_pred="(({id} % 7 <> 0) AND {id} >= 150)",
+    ),
+)
 def _stream_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.streaming import profile_stream as ps2
 

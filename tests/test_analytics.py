@@ -504,6 +504,99 @@ def test_compact_signature_store_no_chimera_rows(spark, sf01, tmp_path):
         assert sig == min(orig_rows[i], alt_rows[i])  # deterministic pick
 
 
+def test_signature_store_ttl_ts_lifecycle(spark, sf01, tmp_path):
+    """Timestamp-TTL store layout: rows carry a caller-supplied
+    LOGICAL ingest_ts; (1) the writer/store contract is symmetric and
+    loud in all four mismatch directions; (2) compaction by age keeps
+    exactly the fresh rows with signatures bit-equal to a recompute;
+    (3) a re-ingested id keeps its LATEST row (last-seen-wins), not
+    the lexicographic-min chimera-avoidance rule of legacy stores."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        _lsh_sigs,
+        _read_signature_store,
+        append_signatures,
+        build_signature_store,
+        compact_signature_store,
+        ingest_dedup_commit,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 120")
+    store = str(tmp_path / "sig_ts_store")
+    build_signature_store(docs.where("doc_id < 40"), store, ingest_ts=0)
+
+    # contract: ts store refuses ts-less writers; legacy refuses ts
+    with _pytest.raises(IOError, match="ingest_ts"):
+        append_signatures(docs.where("doc_id >= 40"), spark, store)
+    with _pytest.raises(IOError, match="ingest_ts"):
+        ingest_dedup_commit(docs.where("doc_id >= 40"), spark, store)
+    legacy = str(tmp_path / "sig_legacy")
+    build_signature_store(docs.where("doc_id < 40"), legacy)
+    with _pytest.raises(IOError, match="legacy"):
+        append_signatures(docs.where("doc_id >= 40"), spark, legacy, ingest_ts=1)
+    with _pytest.raises(IOError, match="legacy"):
+        ingest_dedup_commit(
+            docs.where("doc_id >= 40"), spark, legacy, ingest_ts=1
+        )
+
+    # grow: bulk append at ts=1, a dedup commit at ts=2
+    append_signatures(
+        docs.where("doc_id >= 40 AND doc_id < 80"), spark, store, ingest_ts=1
+    )
+    ingest_dedup_commit(docs.where("doc_id >= 80"), spark, store, ingest_ts=2)
+
+    # expire by AGE: everything from ts=0 goes, ts>=1 survives
+    compact_signature_store(spark, store, keep_pred="ingest_ts >= 1")
+    caches: list = []
+    try:
+        got = _read_signature_store(spark, store, 3, 100, caches)
+        got_rows = {
+            r["id"]: (r["ingest_ts"], tuple(r)[1:-1]) for r in got.collect()
+        }
+        want = _lsh_sigs(
+            docs.where("doc_id >= 40"), "doc_id", "text", 3, 100, caches
+        )
+        want_rows = {r["id"]: tuple(r)[1:] for r in want.collect()}
+    finally:
+        for c in caches:
+            c.unpersist()
+    assert got_rows and all(i >= 40 for i in got_rows)
+    # appended slice is complete (commit-accepted ids are a subset of
+    # the >=80 slice, dependent on dedup verdicts — sig equality only)
+    assert set(range(40, 80)) & set(got_rows), "ts=1 slice must survive"
+    for i, (ts, sig) in got_rows.items():
+        assert ts == (1 if i < 80 else 2)
+        assert sig == want_rows[i], f"signature drift for id {i}"
+
+    # last-seen-wins: re-append id<60 with CHANGED content at ts=5
+    altered = docs.where("doc_id >= 40 AND doc_id < 60").select(
+        "doc_id", F.concat(F.lit("changed "), F.col("text")).alias("text")
+    )
+    append_signatures(altered, spark, store, ingest_ts=5)
+    compact_signature_store(spark, store, keep_pred="ingest_ts >= 1")
+    caches2: list = []
+    try:
+        got2 = {
+            r["id"]: (r["ingest_ts"], tuple(r)[1:-1])
+            for r in _read_signature_store(spark, store, 3, 100, caches2).collect()
+        }
+        alt_rows = {
+            r["id"]: tuple(r)[1:]
+            for r in _lsh_sigs(altered, "doc_id", "text", 3, 100, caches2).collect()
+        }
+    finally:
+        for c in caches2:
+            c.unpersist()
+    for i in range(40, 60):
+        if i in got2:
+            ts, sig = got2[i]
+            assert ts == 5, f"id {i}: last-seen row must win, got ts={ts}"
+            assert sig == alt_rows[i]
+
+
 def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     """Append absorbs a delta without retraining: corpus codes are
     byte-identical before and after, appended codes equal an encode

@@ -571,6 +571,7 @@ _PLAN_GUARD_SKIP = {
     # their operator tests and the shared search/dedup plans
     "ann_ivfpq_store_append",
     "sig_store_compact_documents",
+    "sig_store_ttl_ts_documents",
     "pipeline_rag_topk_documents",
     "stream_ivfpq_append_embeddings",
     "ann_ivfpq_recon_error",
