@@ -269,20 +269,26 @@ def perceptron_store_update(
     """One arriving batch refines the PERSISTED weights: read the
     store (cold start = the zero vector — the canonical perceptron
     init, no seed data needed), run ``epochs`` epochs on the batch
-    warm-started from them, commit. Returns the new weights."""
+    warm-started from them, commit. Returns the new weights. The
+    store's writer lease covers read→train→commit: a concurrent
+    update folding from the same base weights would be silently
+    dropped by whichever flip lands second."""
     import os
 
+    from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
+
     feat = quality_features(batch, id_col, text_col).persist()
+    acquire_lease(path, owner="perceptron_store_update")
     try:
         if os.path.exists(_perc_manifest_path(path)):
             w, n_updates = perceptron_store_read(spark, path)
         else:
-            os.makedirs(path, exist_ok=True)
             w, n_updates = [0] * (N_BUCKETS + 1), 0
         w = _perceptron_epochs_from(feat, w, epochs)
         perceptron_store_write(spark, path, w, n_updates + 1)
         return w
     finally:
+        release_lease(path)
         feat.unpersist()
 
 

@@ -602,34 +602,40 @@ def append_signatures(
     commit subdir inside the live generation; parameter + ingest_ts
     contracts enforced against the manifest before any work runs.
 
-    SINGLE-WRITER contract (store family): concurrent writers race
-    the manifest read-modify-write in compaction, not here — appends
-    into the live generation are additive and crash-safe."""
+    Takes the store's writer lease for its whole run: the write lands
+    inside the generation the manifest pointed at under the lease, so
+    a concurrent compaction can neither retire that generation nor
+    orphan-sweep the half-written commit dir."""
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.store_util import read_manifest, writer_lease
 
-    m = read_manifest(store_path)
-    if m["format"] != _SIG_STORE_FORMAT or m["n"] != n or m["num_perm"] != num_perm:
-        raise IOError(
-            f"signature store at {store_path} was built with n={m['n']}, "
-            f"num_perm={m['num_perm']}; append requested n={n}, "
-            f"num_perm={num_perm}"
-        )
-    has_ts = _check_ingest_ts_contract(m, ingest_ts, "append_signatures")
-    sigs = _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm)
-    try:
-        out = sigs
-        if has_ts:
-            out = out.withColumn(
-                "ingest_ts", F.lit(int(ingest_ts)).cast("bigint")
+    with writer_lease(store_path, owner="append_signatures"):
+        m = read_manifest(store_path)
+        if (
+            m["format"] != _SIG_STORE_FORMAT
+            or m["n"] != n
+            or m["num_perm"] != num_perm
+        ):
+            raise IOError(
+                f"signature store at {store_path} was built with n={m['n']}, "
+                f"num_perm={m['num_perm']}; append requested n={n}, "
+                f"num_perm={num_perm}"
             )
-        root = _sig_data_root(store_path, m)
-        out.write.mode("overwrite").parquet(
-            f"{root}/commit_{uuid.uuid4().hex[:12]}"
-        )
-    finally:
-        sigs.unpersist()
+        has_ts = _check_ingest_ts_contract(m, ingest_ts, "append_signatures")
+        sigs = _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm)
+        try:
+            out = sigs
+            if has_ts:
+                out = out.withColumn(
+                    "ingest_ts", F.lit(int(ingest_ts)).cast("bigint")
+                )
+            root = _sig_data_root(store_path, m)
+            out.write.mode("overwrite").parquet(
+                f"{root}/commit_{uuid.uuid4().hex[:12]}"
+            )
+        finally:
+            sigs.unpersist()
 
 
 def ingest_dedup_commit(
@@ -670,12 +676,22 @@ def ingest_dedup_commit(
     wall time."""
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.store_util import (
+        acquire_lease,
+        read_manifest,
+        release_lease,
+    )
 
-    manifest = read_manifest(store_path)
-    has_ts = _check_ingest_ts_contract(manifest, ingest_ts, "ingest_dedup_commit")
+    # writer lease across the whole read→verdict→commit: the resolved
+    # generation must stay live until the commit dir lands (and two
+    # concurrent ingests against one store would race keep-first order)
+    acquire_lease(store_path, owner="ingest_dedup_commit")
     caches: list = []
     try:
+        manifest = read_manifest(store_path)
+        has_ts = _check_ingest_ts_contract(
+            manifest, ingest_ts, "ingest_dedup_commit"
+        )
         sig_c = _read_signature_store(spark, store_path, n, num_perm, caches)
         sig_d = _lsh_sigs(delta, id_col, text_col, n, num_perm, caches)
         pairs = _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
@@ -721,6 +737,7 @@ def ingest_dedup_commit(
         rows = verdict.collect()  # one row per delta doc — bounded
         return spark.createDataFrame(rows, verdict.schema)
     finally:
+        release_lease(store_path)
         for c in caches:
             c.unpersist()
 
@@ -754,6 +771,15 @@ def compact_signature_store(
 
     One shuffle on id; the rewrite is executor-side parquet, no
     driver collect."""
+    from tabsketchfm_spark.sources.store_util import writer_lease
+
+    with writer_lease(path, owner="compact_signature_store"):
+        _compact_signature_store_locked(spark, path, keep_pred, n, num_perm)
+
+
+def _compact_signature_store_locked(
+    spark, path: str, keep_pred: str, n: int, num_perm: int
+) -> None:
     import os
     import shutil
     import uuid

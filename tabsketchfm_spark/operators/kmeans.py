@@ -821,15 +821,20 @@ def kmeans_store_update(
     aggregate), fold the per-cell integer sums, commit. Returns one
     (cell, n_batch, n_cum) tuple per cell — the streaming twin's
     per-batch emission, so a sequence of store updates over the same
-    batches is bit-equal to streaming_kmeans_minibatch."""
+    batches is bit-equal to streaming_kmeans_minibatch. The store's
+    writer lease covers the whole read→fold→commit: two concurrent
+    updates would each fold from the same base state and the second
+    flip would silently drop the first batch's contribution."""
     import os
 
+    from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
+
     q = _quantized(batch, id_col, vec_col).persist()
+    acquire_lease(path, owner="kmeans_store_update")
     try:
         if os.path.exists(_store_manifest_path(path)):
             state, n_updates = kmeans_store_read(spark, path, k, dim)
         else:
-            os.makedirs(path, exist_ok=True)
             state, n_updates = minibatch_seed_state(q, k), 0
         sums = cell_aggregate(q, state_centroids(state), dim)
         state = minibatch_update(state, sums)
@@ -839,6 +844,7 @@ def kmeans_store_update(
             for cid in sorted(state)
         ]
     finally:
+        release_lease(path)
         q.unpersist()
 
 

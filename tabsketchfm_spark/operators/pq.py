@@ -463,35 +463,41 @@ def save_ivfpq_index(
     import shutil
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
-
-    mc, cb = ivfpq_fit(emb, id_col, vec_col)
-    gen = f"gen_{uuid.uuid4().hex[:12]}"
-    os.makedirs(path, exist_ok=True)
-    try:
-        prev_gen = read_manifest(path).get("data_dir")
-    except Exception:
-        prev_gen = None
-    _ivfpq_cands(emb, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
-        f"{path}/{gen}/codes"
+    from tabsketchfm_spark.sources.store_util import (
+        read_manifest,
+        write_manifest,
+        writer_lease,
     )
-    spark.createDataFrame(
-        [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/centroids")
-    spark.createDataFrame(
-        [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
-        "s int, c int, m array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
-    write_manifest(path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()})
-    # GC superseded generations AFTER the flip succeeds (round-8 advice:
-    # repeated rebuilds into a long-lived store leaked every old gen dir).
-    # The immediately previous generation is kept for crash recovery —
-    # a reader that resolved the old manifest just before the flip may
-    # still be scanning it; everything older is unreachable.
-    keep = {gen, prev_gen}
-    for d in os.listdir(path):
-        if d.startswith("gen_") and d not in keep:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    # the fit is store-independent; only the write/flip/GC section is
+    # the writer-exclusive critical region
+    mc, cb = ivfpq_fit(emb, id_col, vec_col)
+    with writer_lease(path, owner="save_ivfpq_index"):
+        gen = f"gen_{uuid.uuid4().hex[:12]}"
+        try:
+            prev_gen = read_manifest(path).get("data_dir")
+        except Exception:
+            prev_gen = None
+        _ivfpq_cands(emb, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
+            f"{path}/{gen}/codes"
+        )
+        spark.createDataFrame(
+            [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/centroids")
+        spark.createDataFrame(
+            [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
+            "s int, c int, m array<bigint>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
+        write_manifest(path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()})
+        # GC superseded generations AFTER the flip succeeds (round-8 advice:
+        # repeated rebuilds into a long-lived store leaked every old gen dir).
+        # The immediately previous generation is kept for crash recovery —
+        # a reader that resolved the old manifest just before the flip may
+        # still be scanning it; everything older is unreachable.
+        keep = {gen, prev_gen}
+        for d in os.listdir(path):
+            if d.startswith("gen_") and d not in keep:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _read_index_manifest(path: str) -> tuple[dict, str, list[str], list[str]]:
@@ -556,21 +562,22 @@ def ivfpq_store_append(
     guard: a RETRIED batch — crash between the parquet write and the
     manifest flip, then re-append — must not double-encode an id, or
     the serving union scores it twice and drift double-counts it).
-    Single-writer contract: see ivfpq_store_compact — one maintenance
-    call at a time per store; concurrent readers are safe."""
+    Writer-exclusive via the store lease: the manifest code_dirs RMW
+    is where two concurrent appends would lose one delta."""
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import write_manifest
+    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
 
-    mc, cb, codes = load_ivfpq_index(spark, path)  # validates params
-    m, gen, code_dirs, _retired = _read_index_manifest(path)
-    sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
-    fresh = _ivfpq_cands(delta, mc, cb, id_col, vec_col).join(
-        codes.select("cand_id"), "cand_id", "left_anti"
-    )
-    fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
-    m["code_dirs"] = code_dirs + [sub]
-    write_manifest(path, m)
+    with writer_lease(path, owner="ivfpq_store_append"):
+        mc, cb, codes = load_ivfpq_index(spark, path)  # validates params
+        m, gen, code_dirs, _retired = _read_index_manifest(path)
+        sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
+        fresh = _ivfpq_cands(delta, mc, cb, id_col, vec_col).join(
+            codes.select("cand_id"), "cand_id", "left_anti"
+        )
+        fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
+        m["code_dirs"] = code_dirs + [sub]
+        write_manifest(path, m)
 
 
 def ivfpq_store_compact(spark, path: str) -> None:
@@ -592,42 +599,43 @@ def ivfpq_store_compact(spark, path: str) -> None:
     (orphans from a maintenance call that crashed before its flip),
     so no crash window leaks permanently.
 
-    SINGLE-WRITER CONTRACT (the whole store family's: manifest flips
-    are read-modify-write, so two concurrent appends would already
-    lose one delta): run at most ONE maintenance call (append or
-    compact) at a time per store. Concurrent READERS are safe — the
-    deferred GC exists exactly for them — but the orphan sweep would
-    delete a concurrent append's not-yet-flipped delta dir."""
+    WRITER-EXCLUSIVE via the store lease (manifest flips are
+    read-modify-write, and the orphan sweep would delete a concurrent
+    append's not-yet-flipped delta dir — the lease serializes both).
+    Concurrent READERS remain safe without any lease — the deferred
+    GC exists exactly for them."""
     import os
     import shutil
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import write_manifest
+    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
 
-    m, gen, dirs, retired = _read_index_manifest(path)
-    gen_dir = f"{path}/{gen}"
-    # sweep: previous cycle's retired dirs (their readers are gone) and
-    # any code dir referenced by NEITHER list (crashed pre-flip write)
-    referenced = set(dirs)
-    for d in retired:
-        shutil.rmtree(f"{gen_dir}/{d}", ignore_errors=True)
-    for e in os.listdir(gen_dir):
-        if (
-            e.startswith("codes")
-            and e not in referenced
-            and os.path.isdir(f"{gen_dir}/{e}")
-        ):
-            shutil.rmtree(f"{gen_dir}/{e}", ignore_errors=True)
-    if len(dirs) <= 1:
-        if retired:
-            write_manifest(path, {**m, "retired_code_dirs": []})
-        return
-    codes = spark.read.parquet(*[f"{gen_dir}/{d}" for d in dirs])
-    sub = f"codes_{uuid.uuid4().hex[:12]}"
-    codes.write.mode("overwrite").parquet(f"{gen_dir}/{sub}")
-    write_manifest(
-        path, {**m, "code_dirs": [sub], "retired_code_dirs": dirs}
-    )
+    with writer_lease(path, owner="ivfpq_store_compact"):
+        m, gen, dirs, retired = _read_index_manifest(path)
+        gen_dir = f"{path}/{gen}"
+        # sweep: previous cycle's retired dirs (their readers are gone)
+        # and any code dir referenced by NEITHER list (crashed pre-flip
+        # write — under the lease, never a live concurrent append)
+        referenced = set(dirs)
+        for d in retired:
+            shutil.rmtree(f"{gen_dir}/{d}", ignore_errors=True)
+        for e in os.listdir(gen_dir):
+            if (
+                e.startswith("codes")
+                and e not in referenced
+                and os.path.isdir(f"{gen_dir}/{e}")
+            ):
+                shutil.rmtree(f"{gen_dir}/{e}", ignore_errors=True)
+        if len(dirs) <= 1:
+            if retired:
+                write_manifest(path, {**m, "retired_code_dirs": []})
+            return
+        codes = spark.read.parquet(*[f"{gen_dir}/{d}" for d in dirs])
+        sub = f"codes_{uuid.uuid4().hex[:12]}"
+        codes.write.mode("overwrite").parquet(f"{gen_dir}/{sub}")
+        write_manifest(
+            path, {**m, "code_dirs": [sub], "retired_code_dirs": dirs}
+        )
 
 
 def ivfpq_stored_topk(

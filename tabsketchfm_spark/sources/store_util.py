@@ -12,10 +12,12 @@ mixed-generation artifacts that still pass the guard.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
 MANIFEST_NAME = "_manifest.json"
+LEASE_NAME = "_writer.lease"
 
 
 def manifest_path(path: str) -> str:
@@ -40,3 +42,76 @@ def read_manifest(path: str) -> dict:
 
 def manifest_exists(path: str) -> bool:
     return os.path.exists(manifest_path(path))
+
+
+def lease_path(path: str) -> str:
+    return os.path.join(path, LEASE_NAME)
+
+
+def acquire_lease(path: str, owner: str = "writer") -> None:
+    """Non-contextmanager acquire, for bodies whose release lives in
+    an existing ``finally`` (pair with release_lease). Semantics as
+    writer_lease."""
+    os.makedirs(path, exist_ok=True)
+    lp = lease_path(path)
+    try:
+        fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            with open(lp, encoding="utf-8") as f:
+                holder = json.load(f)
+        except (OSError, ValueError):
+            holder = {"owner": "unknown"}
+        raise IOError(
+            f"store at {path} is write-leased by "
+            f"{holder.get('owner')!r} (pid {holder.get('pid')}); if that "
+            "writer crashed, recover with "
+            "store_util.force_break_lease(path)"
+        ) from None
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        json.dump({"owner": owner, "pid": os.getpid()}, f)
+
+
+def release_lease(path: str) -> None:
+    try:
+        os.remove(lease_path(path))
+    except FileNotFoundError:
+        pass  # force-broken mid-write: nothing left to release
+
+
+@contextlib.contextmanager
+def writer_lease(path: str, owner: str = "writer"):
+    """Mutual exclusion for store WRITERS (round-9 hazard, closed):
+    without it, two concurrent appends lose one delta at the manifest
+    read-modify-write, and a compaction's orphan sweep can GC a
+    concurrent append's not-yet-committed subdir. Readers never take
+    the lease — manifest flips are atomic, so reads are always
+    consistent without coordination.
+
+    The lease is an O_CREAT|O_EXCL exclusive create (POSIX-atomic on
+    local and NFS-v4 filesystems; on object stores substitute a
+    conditional PUT at this seam) holding {owner, pid} for the loud
+    conflict message. NO wall-clock expiry — auto-expiring leases
+    trade a deterministic loud failure for a silent double-writer
+    window. A crashed writer leaves the lease behind by design:
+    recovery is the operator's explicit force_break_lease(path) after
+    confirming the holder is dead, mirroring the crash-recovery story
+    of the generation dirs (a crash before the manifest flip already
+    leaves the store serving the old generation intact)."""
+    acquire_lease(path, owner)
+    try:
+        yield
+    finally:
+        release_lease(path)
+
+
+def force_break_lease(path: str) -> bool:
+    """Operator-initiated recovery from a crashed writer's leftover
+    lease. Returns whether a lease existed. ONLY safe after confirming
+    the holder process is gone — breaking a LIVE writer's lease
+    re-opens the double-writer window the lease exists to close."""
+    try:
+        os.remove(lease_path(path))
+        return True
+    except FileNotFoundError:
+        return False

@@ -597,6 +597,100 @@ def test_signature_store_ttl_ts_lifecycle(spark, sf01, tmp_path):
             assert sig == alt_rows[i]
 
 
+def test_store_writer_lease_semantics(tmp_path):
+    """The store family's multi-writer guard: exclusive create, loud
+    conflict naming the holder, release on exit (incl. exceptions),
+    and crashed-writer recovery only via explicit force_break."""
+    import os
+
+    import pytest as _pytest
+
+    from tabsketchfm_spark.sources import store_util as su
+
+    store = str(tmp_path / "anystore")
+    with su.writer_lease(store, owner="writer-a"):
+        assert os.path.exists(su.lease_path(store))
+        with _pytest.raises(IOError, match="writer-a"):
+            su.acquire_lease(store, owner="writer-b")
+    assert not os.path.exists(su.lease_path(store))  # released
+
+    # exception inside the context still releases
+    with _pytest.raises(RuntimeError):
+        with su.writer_lease(store):
+            raise RuntimeError("writer crashed cleanly")
+    assert not os.path.exists(su.lease_path(store))
+
+    # crashed writer (process death): lease file left behind blocks
+    # every writer until the operator breaks it explicitly
+    su.acquire_lease(store, owner="dead-writer")
+    with _pytest.raises(IOError, match="dead-writer"):
+        su.acquire_lease(store, owner="writer-c")
+    assert su.force_break_lease(store) is True
+    assert su.force_break_lease(store) is False  # idempotent
+    su.acquire_lease(store, owner="writer-c")  # now free
+    su.release_lease(store)
+
+    # a corrupt/unreadable lease file still blocks, loudly
+    with open(su.lease_path(store), "w", encoding="utf-8") as f:
+        f.write("not json")
+    with _pytest.raises(IOError, match="unknown"):
+        su.acquire_lease(store)
+    su.force_break_lease(store)
+
+
+def test_store_ops_respect_writer_lease(spark, sf01, tmp_path):
+    """Every RMW maintenance op takes the lease: a concurrent holder
+    makes them fail loudly instead of silently dropping a delta or
+    orphan-sweeping a half-written commit."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.operators.dedup import (
+        append_signatures,
+        build_signature_store,
+        compact_signature_store,
+        ingest_dedup_commit,
+    )
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 40")
+    sig_store = str(tmp_path / "sig")
+    build_signature_store(docs.where("doc_id < 20"), sig_store)
+    su.acquire_lease(sig_store, owner="other-writer")
+    for op in (
+        lambda: ingest_dedup_commit(docs.where("doc_id >= 20"), spark, sig_store),
+        lambda: append_signatures(docs.where("doc_id >= 20"), spark, sig_store),
+        lambda: compact_signature_store(spark, sig_store),
+    ):
+        with _pytest.raises(IOError, match="other-writer"):
+            op()
+    su.release_lease(sig_store)
+    # released: the same ops run clean (and release their own lease)
+    ingest_dedup_commit(docs.where("doc_id >= 20"), spark, sig_store)
+    compact_signature_store(spark, sig_store)
+    assert not _os_exists(su.lease_path(sig_store))
+
+    emb = load_table(spark, sf01, "embeddings").where("vec_id < 100")
+    idx = str(tmp_path / "ivfpq")
+    pq_op.save_ivfpq_index(spark, emb, idx)
+    su.acquire_lease(idx, owner="other-writer")
+    with _pytest.raises(IOError, match="other-writer"):
+        pq_op.ivfpq_store_append(spark, idx, emb)
+    with _pytest.raises(IOError, match="other-writer"):
+        pq_op.ivfpq_store_compact(spark, idx)
+    su.release_lease(idx)
+    pq_op.ivfpq_store_compact(spark, idx)
+    assert not _os_exists(su.lease_path(idx))
+
+
+def _os_exists(p):
+    import os
+
+    return os.path.exists(p)
+
+
 def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     """Append absorbs a delta without retraining: corpus codes are
     byte-identical before and after, appended codes equal an encode
