@@ -11,10 +11,18 @@ cardinalities and distributions, not on which seed produced them);
 it is NOT a correctness corpus — oracle gates keep running on the
 driver's sf0.01.
 
-Usage: python scripts/gen_sf.py <sf> <out_dir>   e.g. 1 /tmp/sf1
+Usage: python scripts/gen_sf.py <sf> <out_dir> [--nanos]   e.g. 1 /tmp/sf1
 DuckDB generates and writes one parquet per table (row-group-split
 files — unlike the driver's single-row-group files, so pre-shuffle
 parallelism is realistic at this scale).
+
+--nanos writes events.ts as parquet TIMESTAMP(NANOS) (via pyarrow;
+DuckDB's COPY always downcasts to micros) — the driver testdata's
+quirk, so the sources/tables.py nanosAsLong + micros-conversion path
+gets exercised at scale too, not only at sf0.01. The nanos variant is
+the HIGHER-fidelity one for events queries: after conversion it loads
+as ``timestamp`` exactly like the driver's files, whereas the micros
+default loads as ``timestamp_ntz`` (verified row-equal either way).
 """
 
 from __future__ import annotations
@@ -40,6 +48,7 @@ LANGS = ["en", "en", "en", "en", "de", "fr", "zh"]  # en-heavy like sf0.1
 def main() -> None:
     sf = float(sys.argv[1])
     out = sys.argv[2]
+    nanos = "--nanos" in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     m = sf / 0.1  # multiplier vs the sf0.1 base counts
     n_li = int(600_000 * m)
@@ -132,17 +141,34 @@ def main() -> None:
         FROM (SELECT unnest(generate_series(0, {n_li - 1})) i)""",
         "lineitem",
     )
-    write(
-        f"""SELECT i AS event_id,
+    events_sql = f"""SELECT i AS event_id,
         TIMESTAMP '2024-01-01' + INTERVAL (CAST(floor(random() * 2591999)
           AS INTEGER)) SECOND AS ts,
         CAST(floor(random() * {n_users}) AS BIGINT) AS user_id,
         ([{el}])[CAST(floor(random() * 5) + 1 AS INTEGER)] AS event_type,
         round(random() * 560, 2) AS value,
         '{{"k": ' || CAST(floor(random() * 100) AS INTEGER) || '}}' AS props
-        FROM (SELECT unnest(generate_series(0, {n_ev - 1})) i)""",
-        "events",
-    )
+        FROM (SELECT unnest(generate_series(0, {n_ev - 1})) i)"""
+    if nanos:
+        # driver-testdata fidelity: parquet TIMESTAMP(NANOS). DuckDB's
+        # COPY downcasts TIMESTAMP_NS to micros, so route through arrow
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = con.execute(events_sql).fetch_arrow_table()
+        fields = [
+            pa.field("ts", pa.timestamp("ns")) if f.name == "ts" else f
+            for f in tbl.schema
+        ]
+        pq.write_table(
+            tbl.cast(pa.schema(fields)),
+            f"{out}/events.parquet",
+            version="2.6",
+            coerce_timestamps=None,
+        )
+        print("events written (TIMESTAMP_NS)", flush=True)
+    else:
+        write(events_sql, "events")
     # documents: 8-110 words off the shared vocabulary (n_chars matches
     # the text — several operators derive media/features from it)
     write(
