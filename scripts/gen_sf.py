@@ -165,6 +165,10 @@ def main() -> None:
             f"{out}/events.parquet",
             version="2.6",
             coerce_timestamps=None,
+            # match DuckDB COPY's row-group granularity: pyarrow's ~1Mi
+            # default would emit ONE row group at sf1 — the unsplittable
+            # single-task-scan pathology this generator exists to avoid
+            row_group_size=122_880,
         )
         print("events written (TIMESTAMP_NS)", flush=True)
     else:

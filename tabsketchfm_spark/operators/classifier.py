@@ -277,9 +277,12 @@ def perceptron_store_update(
 
     from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
 
-    feat = quality_features(batch, id_col, text_col).persist()
+    # lease BEFORE the persist: a lease-conflict raise must not leak
+    # an eagerly-registered cache entry (review finding)
     acquire_lease(path, owner="perceptron_store_update")
+    feat = None
     try:
+        feat = quality_features(batch, id_col, text_col).persist()
         if os.path.exists(_perc_manifest_path(path)):
             w, n_updates = perceptron_store_read(spark, path)
         else:
@@ -289,7 +292,8 @@ def perceptron_store_update(
         return w
     finally:
         release_lease(path)
-        feat.unpersist()
+        if feat is not None:
+            feat.unpersist()
 
 
 def perceptron_store_run(

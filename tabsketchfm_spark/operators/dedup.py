@@ -538,26 +538,73 @@ def build_signature_store(
     carries the ingest_ts of the commit that wrote it, and
     compact_signature_store can expire by age (``ingest_ts >= h``)
     instead of by id. Writers into a ts store MUST pass ingest_ts
-    (enforced loudly); legacy stores reject it symmetrically."""
-    from tabsketchfm_spark.sources.store_util import write_manifest
+    (enforced loudly); legacy stores reject it symmetrically.
+
+    Writes a FRESH ``gen_<uuid>`` subdir under the store's writer
+    lease, then flips the manifest (review finding: the previous
+    root-level mode('overwrite') write both destroyed a concurrent
+    writer's lease file — Spark's overwrite clears the whole dir — and
+    bypassed the lease protocol entirely; a rebuild racing a live
+    append could silently lose the commit). A rebuild into an existing
+    path GCs the superseded data after the flip, exactly like
+    compaction."""
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import (
+        read_manifest,
+        write_manifest,
+        writer_lease,
+    )
 
     cached = _lsh_sigs(corpus, id_col, text_col, n, num_perm)
     sigs = cached
     if ingest_ts is not None:
         sigs = sigs.withColumn("ingest_ts", F.lit(int(ingest_ts)).cast("bigint"))
     try:
-        sigs.write.mode("overwrite").parquet(path)
-        manifest = {
-            "format": _SIG_STORE_FORMAT,
-            "n": n,
-            "num_perm": num_perm,
-            "id_col": id_col,
-            "schema": sigs.schema.json(),
-        }
-        # atomic temp+replace flip (store_util contract), AFTER the data
-        write_manifest(path, manifest)
+        with writer_lease(path, owner="build_signature_store"):
+            try:
+                old_root = _sig_data_root(path, read_manifest(path))
+            except Exception:
+                old_root = None  # fresh path: nothing to supersede
+            gen = f"gen_{uuid.uuid4().hex[:12]}"
+            sigs.write.mode("overwrite").parquet(f"{path}/{gen}")
+            manifest = {
+                "format": _SIG_STORE_FORMAT,
+                "n": n,
+                "num_perm": num_perm,
+                "id_col": id_col,
+                "schema": sigs.schema.json(),
+                "data_dir": gen,
+            }
+            # atomic temp+replace flip (store_util contract), AFTER the data
+            write_manifest(path, manifest)
+            if old_root is not None:
+                _gc_superseded_sig_data(path, gen, old_root)
     finally:
         cached.unpersist()  # the _lsh_sigs cache, not the derived frame
+
+
+def _gc_superseded_sig_data(path: str, gen: str, old_root: str) -> None:
+    """Post-flip GC shared by rebuild and compaction: remove the
+    retired generation dir, or — for a store that was on the legacy
+    flat layout — the root-level parquet files and commit dirs the new
+    generation replaces. `_`-prefixed entries (manifest, lease) are
+    never touched."""
+    import os
+    import shutil
+
+    if old_root != path:
+        if os.path.basename(old_root) != gen:
+            shutil.rmtree(old_root, ignore_errors=True)
+        return
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if entry == gen or entry.startswith("_"):
+            continue
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        elif os.path.isfile(full):
+            os.remove(full)
 
 
 def dedup_incremental_lsh_stored(
@@ -610,7 +657,7 @@ def append_signatures(
 
     from tabsketchfm_spark.sources.store_util import read_manifest, writer_lease
 
-    with writer_lease(store_path, owner="append_signatures"):
+    with writer_lease(store_path, owner="append_signatures", require_store=True):
         m = read_manifest(store_path)
         if (
             m["format"] != _SIG_STORE_FORMAT
@@ -623,19 +670,32 @@ def append_signatures(
                 f"num_perm={num_perm}"
             )
         has_ts = _check_ingest_ts_contract(m, ingest_ts, "append_signatures")
-        sigs = _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm)
+        caches: list = []
         try:
+            # FULL-ROW left_anti against the store (the store family's
+            # retried-batch rule): a crash between the parquet job and
+            # the caller's return, then a retry, must not double-commit
+            # — duplicate rows would fan out the slot-agreement join
+            # until the next compaction. The anti join is on EVERY
+            # column (not id alone): an id re-ingested with changed
+            # content or a fresher ingest_ts is a legitimate refresh
+            # row that compaction's last-seen-wins rule resolves; only
+            # a byte-identical replay is a retry to drop.
+            stored = _read_signature_store(spark, store_path, n, num_perm, caches)
+            sigs = _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm, caches)
             out = sigs
             if has_ts:
                 out = out.withColumn(
                     "ingest_ts", F.lit(int(ingest_ts)).cast("bigint")
                 )
+            out = out.join(stored, list(out.columns), "left_anti")
             root = _sig_data_root(store_path, m)
             out.write.mode("overwrite").parquet(
                 f"{root}/commit_{uuid.uuid4().hex[:12]}"
             )
         finally:
-            sigs.unpersist()
+            for c in caches:
+                c.unpersist()
 
 
 def ingest_dedup_commit(
@@ -685,7 +745,7 @@ def ingest_dedup_commit(
     # writer lease across the whole read→verdict→commit: the resolved
     # generation must stay live until the commit dir lands (and two
     # concurrent ingests against one store would race keep-first order)
-    acquire_lease(store_path, owner="ingest_dedup_commit")
+    acquire_lease(store_path, owner="ingest_dedup_commit", require_store=True)
     caches: list = []
     try:
         manifest = read_manifest(store_path)
@@ -773,15 +833,13 @@ def compact_signature_store(
     driver collect."""
     from tabsketchfm_spark.sources.store_util import writer_lease
 
-    with writer_lease(path, owner="compact_signature_store"):
+    with writer_lease(path, owner="compact_signature_store", require_store=True):
         _compact_signature_store_locked(spark, path, keep_pred, n, num_perm)
 
 
 def _compact_signature_store_locked(
     spark, path: str, keep_pred: str, n: int, num_perm: int
 ) -> None:
-    import os
-    import shutil
     import uuid
 
     from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
@@ -810,20 +868,9 @@ def _compact_signature_store_locked(
         gen = f"gen_{uuid.uuid4().hex[:12]}"
         compacted.write.mode("overwrite").parquet(f"{path}/{gen}")
         write_manifest(path, {**m, "data_dir": gen})
-        # GC AFTER the flip: the retired generation dir, or — for a
-        # store still on the legacy flat layout — the root-level
-        # parquet files and commit dirs the new generation replaces
-        if old_root != path:
-            shutil.rmtree(old_root, ignore_errors=True)
-        else:
-            for entry in os.listdir(path):
-                full = os.path.join(path, entry)
-                if entry == gen or entry.startswith("_"):
-                    continue
-                if entry.startswith("commit_") and os.path.isdir(full):
-                    shutil.rmtree(full, ignore_errors=True)
-                elif os.path.isfile(full):
-                    os.remove(full)
+        # GC AFTER the flip (shared with rebuild): the retired
+        # generation dir, or the legacy flat layout's root files
+        _gc_superseded_sig_data(path, gen, old_root)
     finally:
         sigs.unpersist()
 

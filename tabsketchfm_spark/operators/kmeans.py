@@ -829,9 +829,12 @@ def kmeans_store_update(
 
     from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
 
-    q = _quantized(batch, id_col, vec_col).persist()
+    # lease BEFORE the persist: a lease-conflict raise must not leak
+    # an eagerly-registered cache entry (review finding)
     acquire_lease(path, owner="kmeans_store_update")
+    q = None
     try:
+        q = _quantized(batch, id_col, vec_col).persist()
         if os.path.exists(_store_manifest_path(path)):
             state, n_updates = kmeans_store_read(spark, path, k, dim)
         else:
@@ -845,7 +848,8 @@ def kmeans_store_update(
         ]
     finally:
         release_lease(path)
-        q.unpersist()
+        if q is not None:
+            q.unpersist()
 
 
 def kmeans_store_run(

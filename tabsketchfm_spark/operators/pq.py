@@ -568,7 +568,7 @@ def ivfpq_store_append(
 
     from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
 
-    with writer_lease(path, owner="ivfpq_store_append"):
+    with writer_lease(path, owner="ivfpq_store_append", require_store=True):
         mc, cb, codes = load_ivfpq_index(spark, path)  # validates params
         m, gen, code_dirs, _retired = _read_index_manifest(path)
         sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
@@ -610,7 +610,7 @@ def ivfpq_store_compact(spark, path: str) -> None:
 
     from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
 
-    with writer_lease(path, owner="ivfpq_store_compact"):
+    with writer_lease(path, owner="ivfpq_store_compact", require_store=True):
         m, gen, dirs, retired = _read_index_manifest(path)
         gen_dir = f"{path}/{gen}"
         # sweep: previous cycle's retired dirs (their readers are gone)

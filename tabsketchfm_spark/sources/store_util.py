@@ -48,10 +48,21 @@ def lease_path(path: str) -> str:
     return os.path.join(path, LEASE_NAME)
 
 
-def acquire_lease(path: str, owner: str = "writer") -> None:
+def acquire_lease(path: str, owner: str = "writer", require_store: bool = False) -> None:
     """Non-contextmanager acquire, for bodies whose release lives in
     an existing ``finally`` (pair with release_lease). Semantics as
-    writer_lease."""
+    writer_lease.
+
+    ``require_store=True`` is for pure-MAINTENANCE entry points (ops
+    that only make sense against an existing store): it refuses to
+    mkdir a wrong/mistyped path — without it, a typo'd maintenance
+    call would leave a stray empty directory tree behind before the
+    manifest read even fails."""
+    if require_store and not manifest_exists(path):
+        raise IOError(
+            f"no store manifest at {path} — maintenance ops do not "
+            "bootstrap stores (check the path, or build the store first)"
+        )
     os.makedirs(path, exist_ok=True)
     lp = lease_path(path)
     try:
@@ -80,7 +91,7 @@ def release_lease(path: str) -> None:
 
 
 @contextlib.contextmanager
-def writer_lease(path: str, owner: str = "writer"):
+def writer_lease(path: str, owner: str = "writer", require_store: bool = False):
     """Mutual exclusion for store WRITERS (round-9 hazard, closed):
     without it, two concurrent appends lose one delta at the manifest
     read-modify-write, and a compaction's orphan sweep can GC a
@@ -98,7 +109,7 @@ def writer_lease(path: str, owner: str = "writer"):
     confirming the holder is dead, mirroring the crash-recovery story
     of the generation dirs (a crash before the manifest flip already
     leaves the store serving the old generation intact)."""
-    acquire_lease(path, owner)
+    acquire_lease(path, owner, require_store=require_store)
     try:
         yield
     finally:

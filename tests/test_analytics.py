@@ -419,7 +419,11 @@ def test_compact_signature_store_ttl(spark, sf01, tmp_path):
     build_signature_store(corpus, store)
     # grow the store: one committed batch (accepted docs append sigs)
     ingest_dedup_commit(docs.where(F.col("doc_id") % 7 == 0), spark, store)
-    assert any(e.startswith("commit_") for e in os.listdir(store))
+    from tabsketchfm_spark.operators.dedup import _sig_data_root
+    from tabsketchfm_spark.sources.store_util import read_manifest as _rm
+
+    data_root = _sig_data_root(store, _rm(store))
+    assert any(e.startswith("commit_") for e in os.listdir(data_root))
 
     compact_signature_store(spark, store, keep_pred="id >= 100")
     m = read_manifest(store)
@@ -597,6 +601,53 @@ def test_signature_store_ttl_ts_lifecycle(spark, sf01, tmp_path):
             assert sig == alt_rows[i]
 
 
+def test_append_signatures_retry_is_idempotent(spark, sf01, tmp_path):
+    """The store family's retried-batch rule on the signature store:
+    re-running an append with identical inputs commits ZERO new rows
+    (full-row anti join), while a genuine refresh — same ids at a
+    fresher ingest_ts — still lands and is resolved by compaction's
+    last-seen-wins."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        _read_signature_store,
+        append_signatures,
+        build_signature_store,
+    )
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 60")
+
+    def _count(store):
+        caches: list = []
+        try:
+            return _read_signature_store(spark, store, 3, 100, caches).count()
+        finally:
+            for c in caches:
+                c.unpersist()
+
+    # ts layout
+    store = str(tmp_path / "sig_ts")
+    build_signature_store(docs.where("doc_id < 40"), store, ingest_ts=0)
+    base = _count(store)
+    delta = docs.where("doc_id >= 40")
+    append_signatures(delta, spark, store, ingest_ts=1)
+    n1 = _count(store)
+    assert n1 > base
+    append_signatures(delta, spark, store, ingest_ts=1)  # retry
+    assert _count(store) == n1, "byte-identical retry must commit nothing"
+    append_signatures(delta, spark, store, ingest_ts=2)  # refresh
+    assert _count(store) == n1 + (n1 - base), "fresh-ts refresh must land"
+
+    # legacy layout
+    legacy = str(tmp_path / "sig_legacy")
+    build_signature_store(docs.where("doc_id < 40"), legacy)
+    append_signatures(delta, spark, legacy)
+    n1 = _count(legacy)
+    append_signatures(delta, spark, legacy)  # retry
+    assert _count(legacy) == n1
+
+
 def test_store_writer_lease_semantics(tmp_path):
     """The store family's multi-writer guard: exclusive create, loud
     conflict naming the holder, release on exit (incl. exceptions),
@@ -683,6 +734,15 @@ def test_store_ops_respect_writer_lease(spark, sf01, tmp_path):
     su.release_lease(idx)
     pq_op.ivfpq_store_compact(spark, idx)
     assert not _os_exists(su.lease_path(idx))
+
+    # maintenance ops on a mistyped path refuse BEFORE any mkdir —
+    # no stray directory tree, no lease file left behind
+    ghost = str(tmp_path / "no" / "such" / "store")
+    with _pytest.raises(IOError, match="no store manifest"):
+        compact_signature_store(spark, ghost)
+    with _pytest.raises(IOError, match="no store manifest"):
+        pq_op.ivfpq_store_append(spark, ghost, emb)
+    assert not _os_exists(ghost)
 
 
 def _os_exists(p):
