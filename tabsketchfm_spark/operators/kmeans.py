@@ -796,13 +796,15 @@ def kmeans_store_init(
     0..k-1) and commit it at version 0. Matches the streaming twin's
     whole-table seeding — kmeans_store_run must init this way or a
     small table whose bucket 0 lacks ids 0..k-1 would crash where the
-    oracle succeeds (round-8 review finding)."""
-    import os
+    oracle succeeds (round-8 review finding). Leased like every other
+    manifest writer: an init racing a live update would otherwise
+    silently discard whichever flip lands first."""
+    from tabsketchfm_spark.sources.store_util import writer_lease
 
     q = _quantized(corpus, id_col, vec_col)
     state = minibatch_seed_state(q, k)
-    os.makedirs(path, exist_ok=True)
-    kmeans_store_write(spark, path, state, 0, dim)
+    with writer_lease(path, owner="kmeans_store_init"):
+        kmeans_store_write(spark, path, state, 0, dim)
 
 
 def kmeans_store_update(
