@@ -760,8 +760,6 @@ def kmeans_store_write(
     flip the manifest pointer — no in-place rewrite of live files
     (object-store-friendly; a crashed write leaves the previous
     manifest pointing at intact state)."""
-    import json
-
     state_dir = f"state_{n_updates:06d}"
     spark.createDataFrame(
         [(cid, s, c) for cid, (s, c) in sorted(state.items())],
