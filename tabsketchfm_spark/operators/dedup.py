@@ -563,9 +563,13 @@ def build_signature_store(
     try:
         with writer_lease(path, owner="build_signature_store"):
             try:
-                old_root = _sig_data_root(path, read_manifest(path))
+                m_old = read_manifest(path)
             except Exception:
-                old_root = None  # fresh path: nothing to supersede
+                m_old = None  # fresh path: nothing to supersede
+            if m_old is not None:
+                # deferred GC: the PREVIOUS cycle's retired data (its
+                # readers are gone) + any crashed-write orphan gen dir
+                _sweep_retired_sig_data(path, m_old)
             gen = f"gen_{uuid.uuid4().hex[:12]}"
             sigs.write.mode("overwrite").parquet(f"{path}/{gen}")
             manifest = {
@@ -576,35 +580,52 @@ def build_signature_store(
                 "schema": sigs.schema.json(),
                 "data_dir": gen,
             }
+            if m_old is not None:
+                # retire (don't delete) the superseded generation for
+                # ONE cycle: a lazy frame built against it can still
+                # finish its scan ('.' = the legacy flat root's files)
+                manifest["retired_data_dir"] = m_old.get("data_dir") or "."
             # atomic temp+replace flip (store_util contract), AFTER the data
             write_manifest(path, manifest)
-            if old_root is not None:
-                _gc_superseded_sig_data(path, gen, old_root)
     finally:
         cached.unpersist()  # the _lsh_sigs cache, not the derived frame
 
 
-def _gc_superseded_sig_data(path: str, gen: str, old_root: str) -> None:
-    """Post-flip GC shared by rebuild and compaction: remove the
-    retired generation dir, or — for a store that was on the legacy
-    flat layout — the root-level parquet files and commit dirs the new
-    generation replaces. `_`-prefixed entries (manifest, lease) are
-    never touched."""
+def _sweep_retired_sig_data(path: str, manifest: dict) -> None:
+    """DEFERRED one-cycle GC for the signature store (the ivfpq-twin
+    pattern, review finding: an immediate post-flip rmtree breaks a
+    concurrent reader's lazy frame still pinned to the old generation
+    — e.g. a dedup_incremental_lsh_stored result collected after a
+    rebuild). Runs at the START of the next rebuild/compaction, under
+    the writer lease: (1) the generation the PREVIOUS flip retired
+    (its readers are gone by now — `'.'` marks the legacy flat root's
+    files), and (2) any unreferenced gen_ dir (a write that crashed
+    before its flip — under the lease, never a live writer's).
+    `_`-prefixed entries (manifest, lease) are never touched."""
     import os
     import shutil
 
-    if old_root != path:
-        if os.path.basename(old_root) != gen:
-            shutil.rmtree(old_root, ignore_errors=True)
-        return
+    live = manifest.get("data_dir")
+    retired = manifest.get("retired_data_dir")
+    if retired == ".":
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if entry.startswith(("_", "gen_")):
+                continue
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif os.path.isfile(full):
+                os.remove(full)
+    elif retired:
+        shutil.rmtree(os.path.join(path, retired), ignore_errors=True)
     for entry in os.listdir(path):
-        full = os.path.join(path, entry)
-        if entry == gen or entry.startswith("_"):
-            continue
-        if os.path.isdir(full):
-            shutil.rmtree(full, ignore_errors=True)
-        elif os.path.isfile(full):
-            os.remove(full)
+        if (
+            entry.startswith("gen_")
+            and entry != live
+            and entry != retired
+            and os.path.isdir(os.path.join(path, entry))
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
 
 def dedup_incremental_lsh_stored(
@@ -659,19 +680,11 @@ def append_signatures(
 
     with writer_lease(store_path, owner="append_signatures", require_store=True):
         m = read_manifest(store_path)
-        if (
-            m["format"] != _SIG_STORE_FORMAT
-            or m["n"] != n
-            or m["num_perm"] != num_perm
-        ):
-            raise IOError(
-                f"signature store at {store_path} was built with n={m['n']}, "
-                f"num_perm={m['num_perm']}; append requested n={n}, "
-                f"num_perm={num_perm}"
-            )
         has_ts = _check_ingest_ts_contract(m, ingest_ts, "append_signatures")
         caches: list = []
         try:
+            # format/params validated by _read_signature_store below
+            # (the ONE validation seam) before any Spark job runs.
             # FULL-ROW left_anti against the store (the store family's
             # retried-batch rule): a crash between the parquet job and
             # the caller's return, then a retry, must not double-commit
@@ -823,11 +836,16 @@ def compact_signature_store(
     lexicographic MIN over the whole signature struct — the kept row
     is always one REAL signature; a per-column min would blend two
     different-content rows into a chimera vector belonging to
-    neither), write ONE fresh ``gen_<uuid>`` subdir, flip the
-    manifest's data_dir pointer atomically, then GC the retired
-    generation (or the legacy flat layout's root files). A crash
-    before the flip leaves the store serving the old generation
-    intact; readers resolve the generation at read time.
+    neither; timestamp-TTL stores instead keep the LATEST row via a
+    max over (ingest_ts, …) — last-seen-wins), write ONE fresh
+    ``gen_<uuid>`` subdir, flip the manifest's data_dir pointer
+    atomically, and RETIRE (not delete) the superseded generation: GC
+    is deferred one maintenance cycle so a concurrent reader's lazy
+    frame pinned to the old generation can finish its scan (the
+    store-family invariant; the sweep also collects crashed-write
+    orphan gen dirs). A crash before the flip leaves the store serving
+    the old generation intact; readers resolve the generation at read
+    time.
 
     One shuffle on id; the rewrite is executor-side parquet, no
     driver collect."""
@@ -845,6 +863,9 @@ def _compact_signature_store_locked(
     from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
 
     m = read_manifest(path)
+    # deferred GC first: the previous cycle's retired generation (its
+    # readers are gone by now) + any crashed-write orphan gen dirs
+    _sweep_retired_sig_data(path, m)
     sigs = _read_signature_store(spark, path, n, num_perm)
     try:
         other_cols = [c for c in sigs.columns if c != "id"]
@@ -864,13 +885,14 @@ def _compact_signature_store_locked(
             .agg(agg)
             .select("id", *[F.col(f"m.{c}").alias(c) for c in other_cols])
         )
-        old_root = _sig_data_root(path, m)
         gen = f"gen_{uuid.uuid4().hex[:12]}"
         compacted.write.mode("overwrite").parquet(f"{path}/{gen}")
-        write_manifest(path, {**m, "data_dir": gen})
-        # GC AFTER the flip (shared with rebuild): the retired
-        # generation dir, or the legacy flat layout's root files
-        _gc_superseded_sig_data(path, gen, old_root)
+        # retire the superseded generation for ONE cycle (deferred GC,
+        # shared with rebuild — swept at the next maintenance call)
+        write_manifest(
+            path,
+            {**m, "data_dir": gen, "retired_data_dir": m.get("data_dir") or "."},
+        )
     finally:
         sigs.unpersist()
 

@@ -425,12 +425,16 @@ def test_compact_signature_store_ttl(spark, sf01, tmp_path):
     data_root = _sig_data_root(store, _rm(store))
     assert any(e.startswith("commit_") for e in os.listdir(data_root))
 
+    build_gen = _rm(store)["data_dir"]
     compact_signature_store(spark, store, keep_pred="id >= 100")
     m = read_manifest(store)
     assert m["data_dir"].startswith("gen_")
-    # legacy root files and commit dirs are gone; only gen + manifest
-    left = [e for e in os.listdir(store) if not e.startswith("_")]
-    assert left == [m["data_dir"]], left
+    # DEFERRED GC: the superseded build generation is RETIRED, not
+    # deleted — a concurrent reader's lazy frame pinned to it can
+    # finish; only the new gen + the retired one remain
+    assert m["retired_data_dir"] == build_gen
+    left = {e for e in os.listdir(store) if not e.startswith("_")}
+    assert left == {m["data_dir"], build_gen}, left
 
     caches: list = []
     try:
@@ -452,11 +456,23 @@ def test_compact_signature_store_ttl(spark, sf01, tmp_path):
     for i, sig in got_rows.items():
         assert sig == want_rows[i], f"signature drift for id {i}"
 
-    # repeat: gen -> gen compaction retires the old generation dir
+    # repeat: the NEXT maintenance cycle sweeps the previously retired
+    # generation (its readers are gone), retires the current one
     old_gen = m["data_dir"]
     compact_signature_store(spark, store, keep_pred="id >= 200")
     m2 = read_manifest(store)
     assert m2["data_dir"] != old_gen
+    assert m2["retired_data_dir"] == old_gen
+    assert not os.path.exists(os.path.join(store, build_gen)), (
+        "first cycle's retired generation must be swept on the second"
+    )
+    assert os.path.exists(os.path.join(store, old_gen)), (
+        "the just-retired generation must survive one cycle"
+    )
+    # a crashed-write orphan gen dir is collected by the next sweep
+    os.makedirs(os.path.join(store, "gen_orphan_crash"))
+    compact_signature_store(spark, store, keep_pred="id >= 200")
+    assert not os.path.exists(os.path.join(store, "gen_orphan_crash"))
     assert not os.path.exists(os.path.join(store, old_gen))
 
 
@@ -568,9 +584,15 @@ def test_signature_store_ttl_ts_lifecycle(spark, sf01, tmp_path):
         for c in caches:
             c.unpersist()
     assert got_rows and all(i >= 40 for i in got_rows)
-    # appended slice is complete (commit-accepted ids are a subset of
-    # the >=80 slice, dependent on dedup verdicts — sig equality only)
-    assert set(range(40, 80)) & set(got_rows), "ts=1 slice must survive"
+    # the bulk-appended ts=1 slice must survive COMPLETELY: every
+    # shingle-eligible id in 40..79 (the recompute's own key set) is
+    # present — a partial commit or wrong keep_pred that drops most of
+    # the slice fails here, not just an empty-slice check. The >=80
+    # ingest commit is verdict-dependent (subset), sig equality only.
+    eligible_ts1 = {i for i in want_rows if 40 <= i < 80}
+    assert eligible_ts1, "vacuous: no shingle-eligible docs in 40..79"
+    missing = eligible_ts1 - set(got_rows)
+    assert not missing, f"ts=1 rows lost by compaction: {sorted(missing)}"
     for i, (ts, sig) in got_rows.items():
         assert ts == (1 if i < 80 else 2)
         assert sig == want_rows[i], f"signature drift for id {i}"
