@@ -607,6 +607,11 @@ def _sweep_retired_sig_data(path: str, manifest: dict) -> None:
 
     live = manifest.get("data_dir")
     retired = manifest.get("retired_data_dir")
+    if retired == live or not live:
+        # belt-and-braces: a corrupt manifest must never make the
+        # sweep delete the LIVE generation (or, with no data_dir at
+        # all, the flat root files a '.' retirement would target)
+        retired = None
     if retired == ".":
         for entry in os.listdir(path):
             full = os.path.join(path, entry)
@@ -618,6 +623,8 @@ def _sweep_retired_sig_data(path: str, manifest: dict) -> None:
                 os.remove(full)
     elif retired:
         shutil.rmtree(os.path.join(path, retired), ignore_errors=True)
+    if not live:
+        return  # no generation pointer: nothing safe to classify as orphan
     for entry in os.listdir(path):
         if (
             entry.startswith("gen_")
