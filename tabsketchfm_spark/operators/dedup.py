@@ -1474,6 +1474,119 @@ FROM clusters
 # semantic dedup (cluster-bounded embedding near-dup — SemDeDup shape)
 
 
+def dedup_clusters_incremental(
+    labels_old: DataFrame,
+    delta_pairs: DataFrame,
+    delta_nodes: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """INCREMENTAL connected components — fold a delta batch's
+    near-dup pairs into an EXISTING clustering without recomputing the
+    corpus graph (the daily-crawl clustering shape: the incremental
+    LSH store yields delta-vs-corpus pairs; this op folds them into
+    yesterday's labels). Work scales with the DELTA: the corpus
+    contributes one label row per node, never its edges.
+
+    Correctness (the reason a bit-exact full-recompute gate exists):
+    stored labels are component-MIN ids, so contracting every old
+    component to its label node preserves connectivity classes, and
+    the merged component's min over {old label ids, delta node ids}
+    IS the global min id — the composed labels equal
+    connected_components(all_pairs) exactly. The oracle for any
+    registered consumer is therefore the UNCHANGED full-recompute
+    recursive CTE (dedup_clusters_oracle_sql).
+
+    Precondition (validated loudly, O(1) aggregates): ``labels_old``
+    is closed under its own labels — every cluster_id appears as a
+    node labelled by itself. A label table violating that (e.g. from
+    a source whose ids were remapped) would silently mis-merge.
+
+    Inputs: labels_old (id_col, cluster_id), delta_pairs (id_a, id_b
+    — each pair touches at least one delta node; old-old pairs are
+    already represented by the labels), delta_nodes (id_col — the
+    arriving batch, so isolated new docs get singleton clusters).
+    Output: (id_col, cluster_id, cluster_size) over old ∪ delta
+    nodes — same contract as dedup_clusters."""
+    from pyspark.sql import Window
+
+    lbl = labels_old.select(
+        F.col(id_col).alias("node"), F.col("cluster_id").alias("lbl")
+    ).persist()
+    try:
+        n_self, n_lbls = lbl.agg(
+            F.sum((F.col("node") == F.col("lbl")).cast("long")),
+            F.countDistinct("lbl"),
+        ).first()
+        if (n_self or 0) != (n_lbls or 0):
+            raise ValueError(
+                "labels_old is not label-closed: every cluster_id must "
+                f"be a node labelled by itself ({n_lbls} labels, "
+                f"{n_self} self-labelled nodes)"
+            )
+        # contract delta pair endpoints through the old labels
+        # (unknown endpoints — new docs — map to themselves)
+        pe = delta_pairs.select(
+            F.col(id_a).alias("pa"), F.col(id_b).alias("pb")
+        )
+        pe = (
+            pe.join(
+                lbl.select(F.col("node").alias("pa"), F.col("lbl").alias("la")),
+                "pa",
+                "left",
+            )
+            .join(
+                lbl.select(F.col("node").alias("pb"), F.col("lbl").alias("lb")),
+                "pb",
+                "left",
+            )
+            .select(
+                F.coalesce("la", "pa").alias("id_a"),
+                F.coalesce("lb", "pb").alias("id_b"),
+            )
+        )
+        # the contracted universe: one node per old component + the
+        # arriving batch (so isolated delta docs keep singleton labels)
+        delta_n = delta_nodes.select(F.col(id_col).alias("node"))
+        contracted_nodes = (
+            lbl.select(F.col("lbl").alias("node"))
+            .unionByName(
+                # delta ids mapped through old labels too: a re-crawled
+                # known doc contributes its component's label node
+                delta_n.join(lbl, "node", "left")
+                .select(F.coalesce("lbl", "node").alias("node"))
+            )
+            .distinct()
+        )
+        roots = connected_components_star(
+            pe,
+            contracted_nodes,
+            node_col="node",
+            max_iter=max_iter,
+        ).select(F.col("node").alias("lbl"), F.col("cluster_id").alias("root"))
+        # compose: every old or delta node → root(label(node))
+        universe = (
+            lbl.select("node", "lbl")
+            .unionByName(
+                delta_n.join(lbl, "node", "left")
+                .select("node", F.coalesce("lbl", "node").alias("lbl"))
+            )
+            .distinct()
+        )
+        out = universe.join(roots, "lbl").select(
+            F.col("node").alias(id_col), F.col("root").alias("cluster_id")
+        )
+        size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        # materialize before releasing the label cache the plan reads
+        final = out.select(id_col, "cluster_id", size_w.alias("cluster_size"))
+        final = final.localCheckpoint()
+        return final
+    finally:
+        lbl.unpersist()
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_cells: int = 16,

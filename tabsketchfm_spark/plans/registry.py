@@ -854,6 +854,30 @@ _register(
     ),
     dedup.dedup_clusters_oracle_sql("documents"),
 )
+def _dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # the daily-crawl clustering shape: yesterday's labels (CC over the
+    # OLD corpus only) + today's delta-touching pairs fold into the
+    # full clustering WITHOUT recomputing the corpus graph. The oracle
+    # is the UNCHANGED full-recompute recursive CTE — the composition
+    # is provably exact because labels are component-min ids.
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    labels_old = dedup.dedup_clusters(old).select("doc_id", "cluster_id")
+    pairs_all = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    delta_pairs = pairs_all.where(
+        (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
+    )
+    return dedup.dedup_clusters_incremental(labels_old, delta_pairs, delta)
+
+
+_register(
+    "dedup_clusters_incremental_documents",
+    _dedup_clusters_incremental,
+    dedup.dedup_clusters_oracle_sql("documents"),
+)
 _register(
     "dedup_minhash_lsh_documents",
     lambda spark, sf: dedup.minhash_lsh_pairs(

@@ -91,6 +91,54 @@ def test_connected_components_raises_past_max_iter(spark):
     assert got == {i: 0 for i in range(17)}
 
 
+def test_dedup_clusters_incremental_composition(spark):
+    """Incremental CC folds delta pairs into stored labels and must
+    equal the full recompute — exercised on the interesting paths: a
+    delta pair MERGING two old components, a new node attaching to an
+    old component, re-crawled old-old pairs, isolated old and new
+    nodes. Plus the label-closure contract is loud."""
+    import pytest as _pytest
+
+    from tabsketchfm_spark.operators.dedup import (
+        connected_components_star,
+        dedup_clusters_incremental,
+    )
+
+    # old graph: {1,2,3} (min 1), {5,6} (min 5), isolated 7, 8
+    old_nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 7, 8)], "doc_id bigint"
+    )
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    labels_old = connected_components_star(
+        old_pairs, old_nodes, node_col="doc_id"
+    ).select("doc_id", "cluster_id")
+    # delta: new node 9 attaches to comp1 via node 2; a re-crawled
+    # old-old pair (3,5) merges the two old components; 10 is isolated
+    delta_nodes = spark.createDataFrame([(9,), (10,)], "doc_id bigint")
+    delta_pairs = spark.createDataFrame(
+        [(9, 2), (3, 5)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters_incremental(
+            labels_old, delta_pairs, delta_nodes
+        ).collect()
+    }
+    want_cluster = {1: 1, 2: 1, 3: 1, 5: 1, 6: 1, 9: 1, 7: 7, 8: 8, 10: 10}
+    assert {k: v[0] for k, v in got.items()} == want_cluster
+    assert got[1][1] == 6 and got[7][1] == 1 and got[10][1] == 1
+
+    # label-closure contract: a label table whose cluster_id is not a
+    # self-labelled node (e.g. remapped ids) must be rejected loudly
+    bad = spark.createDataFrame(
+        [(2, 1), (3, 1)], "doc_id bigint, cluster_id bigint"  # 1 missing
+    )
+    with _pytest.raises(ValueError, match="label-closed"):
+        dedup_clusters_incremental(bad, delta_pairs, delta_nodes)
+
+
 def test_connected_components_star_matches_label_prop(spark):
     """Star contraction (O(log n) rounds) and min-label propagation
     must produce IDENTICAL clusters: random multi-component graphs, a
@@ -541,6 +589,7 @@ _PLAN_GUARD_SKIP = {
     "k3h_table_communities",
     "dedup_clusters_documents",
     "dedup_clusters_labelprop_documents",
+    "dedup_clusters_incremental_documents",
     # round-7 eager additions: perceptron training runs its epoch
     # collects at build; the cluster split runs the full star-
     # contraction clustering (checkpoint jobs) at build
