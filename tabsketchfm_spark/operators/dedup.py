@@ -1531,6 +1531,28 @@ def dedup_clusters_incremental(
         pe = delta_pairs.select(
             F.col(id_a).alias("pa"), F.col(id_b).alias("pb")
         )
+        # arrival discipline, checked LOUDLY in this call (one
+        # delta-sized count): every pair endpoint must be a known old
+        # node or part of the arriving batch. A pair naming a
+        # not-yet-arrived doc would contract to an id with no label
+        # row — it can become a component's min label and poison the
+        # closure invariant the NEXT update depends on.
+        known = lbl.select("node").unionByName(
+            delta_nodes.select(F.col(id_col).alias("node"))
+        )
+        n_unknown = (
+            pe.select(F.col("pa").alias("node"))
+            .unionByName(pe.select(F.col("pb").alias("node")))
+            .distinct()
+            .join(known, "node", "left_anti")
+            .count()
+        )
+        if n_unknown:
+            raise ValueError(
+                f"delta_pairs reference {n_unknown} node(s) that are "
+                "neither labelled nor in delta_nodes — pairs may only "
+                "name arrived docs (old corpus ∪ this batch)"
+            )
         pe = (
             pe.join(
                 lbl.select(F.col("node").alias("pa"), F.col("lbl").alias("la")),
@@ -1585,6 +1607,99 @@ def dedup_clusters_incremental(
         return final
     finally:
         lbl.unpersist()
+
+
+_CLUSTER_STORE_FORMAT = "tsfm-cluster-store-v1"
+
+
+def _cluster_manifest(path: str) -> dict:
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    m = read_manifest(path)
+    if m.get("format") != _CLUSTER_STORE_FORMAT:
+        raise IOError(
+            f"store at {path} is {m.get('format')!r}, not a cluster store"
+        )
+    return m
+
+
+def cluster_store_init(spark, labels: DataFrame, path: str) -> None:
+    """Bootstrap the persisted clustering state: (doc_id, cluster_id)
+    labels land in a fresh ``state_000000`` subdir (executor-side
+    parquet — labels are ROW-scale, never a driver collect), then the
+    manifest commits atomically. The store-family contract throughout:
+    writer lease, pointer flip, deferred GC on update."""
+    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
+
+    with writer_lease(path, owner="cluster_store_init"):
+        labels.select("doc_id", "cluster_id").write.mode("overwrite").parquet(
+            f"{path}/state_000000"
+        )
+        write_manifest(
+            path,
+            {
+                "format": _CLUSTER_STORE_FORMAT,
+                "n_updates": 0,
+                "state_dir": "state_000000",
+            },
+        )
+
+
+def cluster_store_read(spark, path: str) -> DataFrame:
+    """(doc_id, cluster_id) from the live state generation."""
+    m = _cluster_manifest(path)
+    return spark.read.parquet(f"{path}/{m['state_dir']}")
+
+
+def cluster_store_update(
+    spark,
+    delta_pairs: DataFrame,
+    delta_nodes: DataFrame,
+    path: str,
+    max_iter: int = 12,
+) -> DataFrame:
+    """One arriving batch folds into the PERSISTED clustering: read
+    the stored labels, run dedup_clusters_incremental (work scales
+    with the delta — the corpus contributes one label row per node),
+    commit the composed labels as a fresh ``state_<n>`` subdir, flip
+    the manifest. Completes the daily-crawl loop the signature store
+    begins: ingest → delta-vs-corpus pairs → cluster-state update.
+
+    GC is the DEFERRED one-cycle rule (store-family invariant): the
+    superseded state dir is retired in the manifest and swept on the
+    NEXT update, so a reader's lazy frame pinned to it can finish its
+    scan. Returns the composed (doc_id, cluster_id, cluster_size) —
+    already materialized (localCheckpoint) by the incremental op, so
+    the returned frame never depends on a sweepable state dir."""
+    import os
+    import shutil
+
+    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
+
+    with writer_lease(path, owner="cluster_store_update", require_store=True):
+        m = _cluster_manifest(path)
+        retired = m.get("retired_state_dir")
+        if retired and retired not in (m["state_dir"],):
+            shutil.rmtree(os.path.join(path, retired), ignore_errors=True)
+        labels_old = cluster_store_read(spark, path)
+        out = dedup_clusters_incremental(
+            labels_old, delta_pairs, delta_nodes, max_iter=max_iter
+        )
+        n = int(m["n_updates"]) + 1
+        state_dir = f"state_{n:06d}"
+        out.select("doc_id", "cluster_id").write.mode("overwrite").parquet(
+            f"{path}/{state_dir}"
+        )
+        write_manifest(
+            path,
+            {
+                **m,
+                "n_updates": n,
+                "state_dir": state_dir,
+                "retired_state_dir": m["state_dir"],
+            },
+        )
+        return out
 
 
 def semantic_dedup(

@@ -878,6 +878,54 @@ _register(
     _dedup_clusters_incremental,
     dedup.dedup_clusters_oracle_sql("documents"),
 )
+
+
+def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
+    # the PERSISTED clustering state across TWO arriving batches:
+    # init from the old corpus' labels, fold batch 1 (doc_id%8==0),
+    # then batch 2 (doc_id%8==4) — each update re-reads the state from
+    # disk, so the evolution crosses process-state boundaries for
+    # real. Arrival discipline: each batch's pairs name only arrived
+    # docs (old ∪ batches so far) — the op checks this loudly. After
+    # both batches every document has arrived, so the final state
+    # equals the full recompute: the UNCHANGED recursive-CTE oracle.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    labels_old = dedup.dedup_clusters(old).select("doc_id", "cluster_id")
+    pairs_all = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    a, b = F.col("id_a"), F.col("id_b")
+    p1 = pairs_all.where(
+        ((a % 8 == 0) | (b % 8 == 0))
+        & ((a % 4 != 0) | (a % 8 == 0))
+        & ((b % 4 != 0) | (b % 8 == 0))
+    )
+    p2 = pairs_all.where((a % 8 == 4) | (b % 8 == 4))
+    store = tempfile.mkdtemp(prefix="tsfm_cluster_store_")
+    try:
+        dedup.cluster_store_init(spark, labels_old, store)
+        dedup.cluster_store_update(
+            spark, p1, docs.where(F.col("doc_id") % 8 == 0), store
+        )
+        out = dedup.cluster_store_update(
+            spark, p2, docs.where(F.col("doc_id") % 8 == 4), store
+        )
+        rows = out.collect()  # one row per document — bounded
+        schema = out.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "store_clusters_update_documents",
+    _store_clusters_update,
+    dedup.dedup_clusters_oracle_sql("documents"),
+)
 _register(
     "dedup_minhash_lsh_documents",
     lambda spark, sf: dedup.minhash_lsh_pairs(

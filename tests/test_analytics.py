@@ -670,6 +670,82 @@ def test_append_signatures_retry_is_idempotent(spark, sf01, tmp_path):
     assert _count(legacy) == n1
 
 
+def test_cluster_store_lifecycle(spark, sf01, tmp_path):
+    """Persisted clustering state: init → two updates (each re-reads
+    from disk), deferred one-cycle state GC, lease respected, final
+    labels equal the one-shot incremental composition."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    labels_old = dedup.dedup_clusters(old).select("doc_id", "cluster_id")
+    pairs_all = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    a, b = F.col("id_a"), F.col("id_b")
+    p1 = pairs_all.where(
+        ((a % 8 == 0) | (b % 8 == 0))
+        & ((a % 4 != 0) | (a % 8 == 0))
+        & ((b % 4 != 0) | (b % 8 == 0))
+    )
+    p2 = pairs_all.where((a % 8 == 4) | (b % 8 == 4))
+
+    store = str(tmp_path / "cluster_store")
+    dedup.cluster_store_init(spark, labels_old, store)
+    state0 = su.read_manifest(store)["state_dir"]
+
+    # lease respected
+    su.acquire_lease(store, owner="other-writer")
+    with _pytest.raises(IOError, match="other-writer"):
+        dedup.cluster_store_update(
+            spark, p1, docs.where(F.col("doc_id") % 8 == 0), store
+        )
+    su.release_lease(store)
+
+    dedup.cluster_store_update(
+        spark, p1, docs.where(F.col("doc_id") % 8 == 0), store
+    )
+    m1 = su.read_manifest(store)
+    assert m1["n_updates"] == 1 and m1["retired_state_dir"] == state0
+    assert os.path.exists(os.path.join(store, state0)), (
+        "superseded state must survive one cycle for in-flight readers"
+    )
+    out = dedup.cluster_store_update(
+        spark, p2, docs.where(F.col("doc_id") % 8 == 4), store
+    )
+    m2 = su.read_manifest(store)
+    assert m2["n_updates"] == 2
+    assert not os.path.exists(os.path.join(store, state0)), (
+        "first cycle's retired state must be swept on the second"
+    )
+    # final state == stored state == full clustering of the corpus
+    got_store = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_store_read(spark, store).collect()
+    }
+    got_out = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+    want = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.dedup_clusters(docs).collect()
+    }
+    assert got_store == got_out == want
+
+    # arrival-discipline contract: a pair naming a never-arrived doc
+    # is rejected loudly in the SAME call
+    ghost_pair = spark.createDataFrame(
+        [(1, 10**9)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(ValueError, match="arrived"):
+        dedup.cluster_store_update(
+            spark, ghost_pair, docs.where(F.lit(False)), store
+        )
+
+
 def test_store_writer_lease_semantics(tmp_path):
     """The store family's multi-writer guard: exclusive create, loud
     conflict naming the holder, release on exit (incl. exceptions),
