@@ -605,6 +605,8 @@ def _sweep_retired_sig_data(path: str, manifest: dict) -> None:
     import os
     import shutil
 
+    from tabsketchfm_spark.sources.store_util import safe_subdir
+
     live = manifest.get("data_dir")
     retired = manifest.get("retired_data_dir")
     if retired == live or not live:
@@ -622,7 +624,12 @@ def _sweep_retired_sig_data(path: str, manifest: dict) -> None:
             elif os.path.isfile(full):
                 os.remove(full)
     elif retired:
-        shutil.rmtree(os.path.join(path, retired), ignore_errors=True)
+        # path-validated: '..', absolute paths, or nested values in a
+        # corrupt manifest must never steer the rmtree outside the
+        # store (safe_subdir returns None for anything suspicious)
+        target = safe_subdir(path, retired, "gen_")
+        if target is not None:
+            shutil.rmtree(target, ignore_errors=True)
     if not live:
         return  # no generation pointer: nothing safe to classify as orphan
     for entry in os.listdir(path):
@@ -1418,6 +1425,7 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.8,
     cc: str = "star",
+    df_cap: int | None = 1000,
 ) -> DataFrame:
     """North-star dedup clustering: n-gram-Jaccard near-dup pairs →
     connected components → (doc_id, cluster_id, cluster_size). A
@@ -1436,7 +1444,7 @@ def dedup_clusters(
 
     if cc not in ("label", "star"):
         raise ValueError(f"cc must be 'label' or 'star', got {cc!r}")
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, df_cap)
     ccf = connected_components_star if cc == "star" else connected_components
     labels = ccf(pairs, df, node_col=id_col)
     size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
@@ -1449,10 +1457,11 @@ def dedup_clusters_oracle_sql(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    df_cap: int | None = 1000,
 ) -> str:
     """DuckDB twin: transitive closure by recursive CTE (UNION dedups,
     so the fixpoint terminates), then min-reachable-id per node."""
-    pairs = ngram_jaccard_oracle_sql(table, id_col, text_col, n, threshold)
+    pairs = ngram_jaccard_oracle_sql(table, id_col, text_col, n, threshold, df_cap)
     return f"""
 WITH RECURSIVE pairs AS ({pairs}),
 edges AS (
@@ -1499,10 +1508,17 @@ def dedup_clusters_incremental(
     registered consumer is therefore the UNCHANGED full-recompute
     recursive CTE (dedup_clusters_oracle_sql).
 
-    Precondition (validated loudly, O(1) aggregates): ``labels_old``
-    is closed under its own labels — every cluster_id appears as a
-    node labelled by itself. A label table violating that (e.g. from
-    a source whose ids were remapped) would silently mis-merge.
+    Preconditions (validated loudly, one O(1)-output aggregate):
+    ``labels_old`` has unique nodes, is closed under its own labels
+    (every cluster_id appears as a node labelled by itself) and has
+    ``cluster_id <= node`` on every row — necessary for the
+    component-MIN property the proof rests on (full min-ness is the
+    producing CC op's guarantee). Additionally the PAIR RELATION must
+    be corpus-independent for the full-recompute equality to hold:
+    ``ngram_jaccard_pairs``' DF prune (``df_cap``) computes document
+    frequency over whatever corpus it is given, so labels built from
+    old-corpus pairs compose exactly only with ``df_cap=None`` (or a
+    DF computed against one fixed reference corpus).
 
     Inputs: labels_old (id_col, cluster_id), delta_pairs (id_a, id_b
     — each pair touches at least one delta node; old-old pairs are
@@ -1516,15 +1532,40 @@ def dedup_clusters_incremental(
         F.col(id_col).alias("node"), F.col("cluster_id").alias("lbl")
     ).persist()
     try:
-        n_self, n_lbls = lbl.agg(
-            F.sum((F.col("node") == F.col("lbl")).cast("long")),
+        # ONE aggregate validates three invariants (review finding:
+        # a plain row-count closure check was bypassable by duplicate
+        # or multi-labelled rows): (a) node uniqueness — duplicates
+        # would emit conflicting cluster rows with wrong sizes;
+        # (b) closure over DISTINCT labels — every cluster_id is a
+        # node labelled by itself; (c) lbl <= node on every row — a
+        # necessary condition for labels being component-MIN ids (the
+        # property the composition proof rests on; full min-ness is
+        # the producing CC op's guarantee).
+        n_rows, n_nodes, n_lbls, n_self_lbls, n_minviol = lbl.agg(
+            F.count(F.lit(1)),
+            F.countDistinct("node"),
             F.countDistinct("lbl"),
+            F.countDistinct(
+                F.when(F.col("node") == F.col("lbl"), F.col("lbl"))
+            ),
+            F.sum((F.col("lbl") > F.col("node")).cast("long")),
         ).first()
-        if (n_self or 0) != (n_lbls or 0):
+        if n_rows != n_nodes:
+            raise ValueError(
+                f"labels_old has duplicate node rows ({n_rows} rows, "
+                f"{n_nodes} distinct nodes)"
+            )
+        if (n_self_lbls or 0) != (n_lbls or 0):
             raise ValueError(
                 "labels_old is not label-closed: every cluster_id must "
                 f"be a node labelled by itself ({n_lbls} labels, "
-                f"{n_self} self-labelled nodes)"
+                f"{n_self_lbls} self-labelled)"
+            )
+        if (n_minviol or 0) != 0:
+            raise ValueError(
+                f"labels_old has {n_minviol} row(s) with cluster_id > "
+                "node id — labels must be component-MIN ids for the "
+                "incremental composition to equal the full recompute"
             )
         # contract delta pair endpoints through the old labels
         # (unknown endpoints — new docs — map to themselves)
@@ -1569,17 +1610,19 @@ def dedup_clusters_incremental(
                 F.coalesce("lb", "pb").alias("id_b"),
             )
         )
+        # delta ids mapped through old labels — built ONCE (a
+        # re-crawled known doc contributes its component's label node;
+        # a new doc maps to itself); feeds both the contracted node
+        # set and the final universe
+        delta_n = delta_nodes.select(F.col(id_col).alias("node"))
+        mapped = delta_n.join(lbl, "node", "left").select(
+            "node", F.coalesce("lbl", "node").alias("lbl")
+        )
         # the contracted universe: one node per old component + the
         # arriving batch (so isolated delta docs keep singleton labels)
-        delta_n = delta_nodes.select(F.col(id_col).alias("node"))
         contracted_nodes = (
             lbl.select(F.col("lbl").alias("node"))
-            .unionByName(
-                # delta ids mapped through old labels too: a re-crawled
-                # known doc contributes its component's label node
-                delta_n.join(lbl, "node", "left")
-                .select(F.coalesce("lbl", "node").alias("node"))
-            )
+            .unionByName(mapped.select(F.col("lbl").alias("node")))
             .distinct()
         )
         roots = connected_components_star(
@@ -1590,12 +1633,7 @@ def dedup_clusters_incremental(
         ).select(F.col("node").alias("lbl"), F.col("cluster_id").alias("root"))
         # compose: every old or delta node → root(label(node))
         universe = (
-            lbl.select("node", "lbl")
-            .unionByName(
-                delta_n.join(lbl, "node", "left")
-                .select("node", F.coalesce("lbl", "node").alias("lbl"))
-            )
-            .distinct()
+            lbl.select("node", "lbl").unionByName(mapped).distinct()
         )
         out = universe.join(roots, "lbl").select(
             F.col("node").alias(id_col), F.col("root").alias("cluster_id")
@@ -1676,11 +1714,17 @@ def cluster_store_update(
 
     from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
 
+    from tabsketchfm_spark.sources.store_util import safe_subdir
+
     with writer_lease(path, owner="cluster_store_update", require_store=True):
         m = _cluster_manifest(path)
         retired = m.get("retired_state_dir")
-        if retired and retired not in (m["state_dir"],):
-            shutil.rmtree(os.path.join(path, retired), ignore_errors=True)
+        if retired and retired != m["state_dir"]:
+            # path-validated (corrupt-manifest hardening, shared rule):
+            # never rmtree the live state, the store root, or beyond
+            target = safe_subdir(path, retired, "state_")
+            if target is not None:
+                shutil.rmtree(target, ignore_errors=True)
         labels_old = cluster_store_read(spark, path)
         out = dedup_clusters_incremental(
             labels_old, delta_pairs, delta_nodes, max_iter=max_iter

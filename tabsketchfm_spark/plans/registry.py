@@ -865,8 +865,17 @@ def _dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     old = docs.where(F.col("doc_id") % 4 != 0)
     delta = docs.where(F.col("doc_id") % 4 == 0)
-    labels_old = dedup.dedup_clusters(old).select("doc_id", "cluster_id")
-    pairs_all = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    # df_cap=None THROUGHOUT (review finding): the DF prune makes the
+    # pair relation corpus-DEPENDENT — labels from old-corpus DF plus
+    # pairs from full-corpus DF would not compose to the oracle's full
+    # recompute once a shingle's DF crosses the cap between the two.
+    # Exactness needs corpus-independent pair semantics.
+    labels_old = dedup.dedup_clusters(old, df_cap=None).select(
+        "doc_id", "cluster_id"
+    )
+    pairs_all = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.8, df_cap=None
+    )
     delta_pairs = pairs_all.where(
         (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
     )
@@ -876,7 +885,7 @@ def _dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "dedup_clusters_incremental_documents",
     _dedup_clusters_incremental,
-    dedup.dedup_clusters_oracle_sql("documents"),
+    dedup.dedup_clusters_oracle_sql("documents", df_cap=None),
 )
 
 
@@ -896,8 +905,16 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     old = docs.where(F.col("doc_id") % 4 != 0)
-    labels_old = dedup.dedup_clusters(old).select("doc_id", "cluster_id")
-    pairs_all = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    # df_cap=None for corpus-independent pair semantics (see
+    # _dedup_clusters_incremental); pairs_all persisted — BOTH update
+    # batches filter it (the shingle self-join is the builder's
+    # dominant cost, round rule: persist 2+-consumer subtrees)
+    labels_old = dedup.dedup_clusters(old, df_cap=None).select(
+        "doc_id", "cluster_id"
+    )
+    pairs_all = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.8, df_cap=None
+    ).persist()
     a, b = F.col("id_a"), F.col("id_b")
     p1 = pairs_all.where(
         ((a % 8 == 0) | (b % 8 == 0))
@@ -917,6 +934,7 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()  # one row per document — bounded
         schema = out.schema
     finally:
+        pairs_all.unpersist()
         shutil.rmtree(store, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
@@ -924,7 +942,7 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "store_clusters_update_documents",
     _store_clusters_update,
-    dedup.dedup_clusters_oracle_sql("documents"),
+    dedup.dedup_clusters_oracle_sql("documents", df_cap=None),
 )
 _register(
     "dedup_minhash_lsh_documents",

@@ -116,6 +116,25 @@ def writer_lease(path: str, owner: str = "writer", require_store: bool = False):
         release_lease(path)
 
 
+def safe_subdir(path: str, name, prefix: str) -> str | None:
+    """Validate a manifest-recorded subdirectory name before any
+    destructive use: must be a bare child name (no separators, no
+    '..', not absolute) with the expected prefix. Returns the joined
+    path, or None if the value is unusable — a corrupt or hand-edited
+    manifest must never steer an rmtree at the live store, its parent,
+    or anywhere outside the store (review finding: '..' or an absolute
+    path in retired_* would pass a naive join)."""
+    if (
+        not isinstance(name, str)
+        or not name.startswith(prefix)
+        or name != os.path.basename(name)
+        or os.path.isabs(name)
+        or name in (".", "..")
+    ):
+        return None
+    return os.path.join(path, name)
+
+
 def force_break_lease(path: str) -> bool:
     """Operator-initiated recovery from a crashed writer's leftover
     lease. Returns whether a lease existed. ONLY safe after confirming

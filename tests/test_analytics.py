@@ -685,8 +685,12 @@ def test_cluster_store_lifecycle(spark, sf01, tmp_path):
 
     docs = load_table(spark, sf01, "documents")
     old = docs.where(F.col("doc_id") % 4 != 0)
-    labels_old = dedup.dedup_clusters(old).select("doc_id", "cluster_id")
-    pairs_all = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    labels_old = dedup.dedup_clusters(old, df_cap=None).select(
+        "doc_id", "cluster_id"
+    )
+    pairs_all = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", 3, 0.8, df_cap=None
+    )
     a, b = F.col("id_a"), F.col("id_b")
     p1 = pairs_all.where(
         ((a % 8 == 0) | (b % 8 == 0))
@@ -731,7 +735,7 @@ def test_cluster_store_lifecycle(spark, sf01, tmp_path):
     got_out = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
     want = {
         (r["doc_id"], r["cluster_id"])
-        for r in dedup.dedup_clusters(docs).collect()
+        for r in dedup.dedup_clusters(docs, df_cap=None).collect()
     }
     assert got_store == got_out == want
 

@@ -137,6 +137,20 @@ def test_dedup_clusters_incremental_composition(spark):
     )
     with _pytest.raises(ValueError, match="label-closed"):
         dedup_clusters_incremental(bad, delta_pairs, delta_nodes)
+    # a duplicated self-row must not mask the missing closure row
+    # (review finding: a row-count check was bypassable)
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 3)], "doc_id bigint, cluster_id bigint"
+    )
+    with _pytest.raises(ValueError, match="duplicate node"):
+        dedup_clusters_incremental(dup, delta_pairs, delta_nodes)
+    # max-labelled components (closed, but not component-MIN) are the
+    # unprovable-composition case — rejected by the lbl<=node check
+    maxlbl = spark.createDataFrame(
+        [(1, 2), (2, 2)], "doc_id bigint, cluster_id bigint"
+    )
+    with _pytest.raises(ValueError, match="component-MIN"):
+        dedup_clusters_incremental(maxlbl, delta_pairs, delta_nodes)
 
 
 def test_connected_components_star_matches_label_prop(spark):
