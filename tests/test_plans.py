@@ -153,6 +153,60 @@ def test_dedup_clusters_incremental_composition(spark):
         dedup_clusters_incremental(maxlbl, delta_pairs, delta_nodes)
 
 
+def test_dedup_clusters_incremental_random_graphs(spark):
+    """Randomized composition property: for seeded random graphs and
+    random old/delta node splits, incremental CC over (labels(old),
+    delta-touching edges) equals the one-shot CC over the full graph —
+    clusters AND sizes. Catches composition bugs the hand-built case
+    misses (multi-way merges, delta-delta chains, old components
+    absorbed through several hops)."""
+    import random
+
+    from tabsketchfm_spark.operators.dedup import (
+        connected_components_star,
+        dedup_clusters_incremental,
+    )
+
+    rng = random.Random(427)
+    for trial in range(4):
+        n = rng.randint(12, 28)
+        nodes = list(range(n))
+        edges = {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(rng.randint(n // 2, 2 * n))
+        }
+        old_set = set(rng.sample(nodes, rng.randint(n // 3, 2 * n // 3)))
+        delta_set = [v for v in nodes if v not in old_set]
+        old_edges = [(a, b) for a, b in edges if a in old_set and b in old_set]
+        delta_edges = [
+            (a, b) for a, b in edges if a not in old_set or b not in old_set
+        ]
+        nodes_df = lambda ids: spark.createDataFrame(  # noqa: E731
+            [(i,) for i in ids] or [(None,)], "doc_id bigint"
+        ).where("doc_id IS NOT NULL")
+        pairs_df = lambda ps: spark.createDataFrame(  # noqa: E731
+            ps or [(None, None)], "id_a bigint, id_b bigint"
+        ).where("id_a IS NOT NULL")
+        labels_old = connected_components_star(
+            pairs_df(old_edges), nodes_df(sorted(old_set)), node_col="doc_id"
+        ).select("doc_id", "cluster_id")
+        got = {
+            (r["doc_id"], r["cluster_id"], r["cluster_size"])
+            for r in dedup_clusters_incremental(
+                labels_old, pairs_df(delta_edges), nodes_df(delta_set)
+            ).collect()
+        }
+        full = connected_components_star(
+            pairs_df(sorted(edges)), nodes_df(nodes), node_col="doc_id"
+        )
+        sizes: dict = {}
+        rows = [(r["doc_id"], r["cluster_id"]) for r in full.collect()]
+        for _, c in rows:
+            sizes[c] = sizes.get(c, 0) + 1
+        want = {(d, c, sizes[c]) for d, c in rows}
+        assert got == want, f"trial {trial}: composition != one-shot CC"
+
+
 def test_connected_components_star_matches_label_prop(spark):
     """Star contraction (O(log n) rounds) and min-label propagation
     must produce IDENTICAL clusters: random multi-component graphs, a
