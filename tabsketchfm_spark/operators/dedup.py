@@ -1531,6 +1531,7 @@ def dedup_clusters_incremental(
     lbl = labels_old.select(
         F.col(id_col).alias("node"), F.col("cluster_id").alias("lbl")
     ).persist()
+    extra_caches: list = []
     try:
         # ONE aggregate validates three invariants (review finding:
         # a plain row-count closure check was bypassable by duplicate
@@ -1541,8 +1542,16 @@ def dedup_clusters_incremental(
         # necessary condition for labels being component-MIN ids (the
         # property the composition proof rests on; full min-ness is
         # the producing CC op's guarantee).
-        n_rows, n_nodes, n_lbls, n_self_lbls, n_minviol = lbl.agg(
+        n_rows, n_nonnull, n_nodes, n_lbls, n_self_lbls, n_minviol = lbl.agg(
             F.count(F.lit(1)),
+            # count("node")+count("lbl") over the same rows: a NULL in
+            # either column would otherwise pass every check below and
+            # silently DROP the node at the inner compose join
+            F.sum(
+                (F.col("node").isNotNull() & F.col("lbl").isNotNull()).cast(
+                    "long"
+                )
+            ),
             F.countDistinct("node"),
             F.countDistinct("lbl"),
             F.countDistinct(
@@ -1550,6 +1559,11 @@ def dedup_clusters_incremental(
             ),
             F.sum((F.col("lbl") > F.col("node")).cast("long")),
         ).first()
+        if (n_nonnull or 0) != n_rows:
+            raise ValueError(
+                f"labels_old has {n_rows - (n_nonnull or 0)} row(s) with "
+                "NULL node or cluster_id"
+            )
         if n_rows != n_nodes:
             raise ValueError(
                 f"labels_old has duplicate node rows ({n_rows} rows, "
@@ -1610,14 +1624,18 @@ def dedup_clusters_incremental(
                 F.coalesce("lb", "pb").alias("id_b"),
             )
         )
-        # delta ids mapped through old labels — built ONCE (a
-        # re-crawled known doc contributes its component's label node;
-        # a new doc maps to itself); feeds both the contracted node
-        # set and the final universe
+        # delta ids mapped through old labels — defined once and
+        # PERSISTED (a re-crawled known doc contributes its
+        # component's label node; a new doc maps to itself); two
+        # consumers — the contracted node set and the final universe —
+        # would otherwise each re-run the delta-sized join
         delta_n = delta_nodes.select(F.col(id_col).alias("node"))
-        mapped = delta_n.join(lbl, "node", "left").select(
-            "node", F.coalesce("lbl", "node").alias("lbl")
+        mapped = (
+            delta_n.join(lbl, "node", "left")
+            .select("node", F.coalesce("lbl", "node").alias("lbl"))
+            .persist()
         )
+        extra_caches.append(mapped)
         # the contracted universe: one node per old component + the
         # arriving batch (so isolated delta docs keep singleton labels)
         contracted_nodes = (
@@ -1645,6 +1663,8 @@ def dedup_clusters_incremental(
         return final
     finally:
         lbl.unpersist()
+        for c in extra_caches:
+            c.unpersist()
 
 
 _CLUSTER_STORE_FORMAT = "tsfm-cluster-store-v1"
@@ -1712,9 +1732,11 @@ def cluster_store_update(
     import os
     import shutil
 
-    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
-
-    from tabsketchfm_spark.sources.store_util import safe_subdir
+    from tabsketchfm_spark.sources.store_util import (
+        safe_subdir,
+        write_manifest,
+        writer_lease,
+    )
 
     with writer_lease(path, owner="cluster_store_update", require_store=True):
         m = _cluster_manifest(path)

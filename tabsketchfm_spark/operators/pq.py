@@ -608,17 +608,32 @@ def ivfpq_store_compact(spark, path: str) -> None:
     import shutil
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
+    from tabsketchfm_spark.sources.store_util import (
+        safe_subdir,
+        write_manifest,
+        writer_lease,
+    )
 
     with writer_lease(path, owner="ivfpq_store_compact", require_store=True):
         m, gen, dirs, retired = _read_index_manifest(path)
-        gen_dir = f"{path}/{gen}"
+        gen_dir = safe_subdir(path, gen, "gen_")
+        if gen_dir is None:
+            raise IOError(
+                f"index store at {path} has a malformed data_dir "
+                f"{gen!r} in its manifest — refusing maintenance"
+            )
         # sweep: previous cycle's retired dirs (their readers are gone)
         # and any code dir referenced by NEITHER list (crashed pre-flip
-        # write — under the lease, never a live concurrent append)
+        # write — under the lease, never a live concurrent append).
+        # Every manifest-recorded name is PATH-VALIDATED and checked
+        # against the live list before the rmtree — a corrupt manifest
+        # ('..', absolute, nested, or a retired entry aliasing a live
+        # dir) must never delete live data or escape the store.
         referenced = set(dirs)
         for d in retired:
-            shutil.rmtree(f"{gen_dir}/{d}", ignore_errors=True)
+            target = safe_subdir(gen_dir, d, "codes")
+            if target is not None and d not in referenced:
+                shutil.rmtree(target, ignore_errors=True)
         for e in os.listdir(gen_dir):
             if (
                 e.startswith("codes")

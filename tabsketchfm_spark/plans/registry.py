@@ -873,13 +873,21 @@ def _dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     labels_old = dedup.dedup_clusters(old, df_cap=None).select(
         "doc_id", "cluster_id"
     )
+    # persisted: the op consumes delta_pairs in TWO actions (the
+    # arrival-discipline count and the CC seed checkpoint) — without
+    # this the dominant full-corpus shingle self-join runs twice
     pairs_all = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", 3, 0.8, df_cap=None
-    )
-    delta_pairs = pairs_all.where(
-        (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
-    )
-    return dedup.dedup_clusters_incremental(labels_old, delta_pairs, delta)
+    ).persist()
+    try:
+        delta_pairs = pairs_all.where(
+            (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
+        )
+        # the returned frame is localCheckpoint-materialized by the op,
+        # so releasing the pair cache here is safe
+        return dedup.dedup_clusters_incremental(labels_old, delta_pairs, delta)
+    finally:
+        pairs_all.unpersist()
 
 
 _register(

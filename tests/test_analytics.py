@@ -750,6 +750,65 @@ def test_cluster_store_lifecycle(spark, sf01, tmp_path):
         )
 
 
+def test_safe_subdir_blocks_store_escapes(tmp_path):
+    """The destructive-path guard every manifest-recorded dir passes
+    through before rmtree: only bare child names with the expected
+    prefix resolve; traversal/absolute/nested/non-string values — the
+    corrupt-manifest escape class — return None."""
+    import os
+
+    from tabsketchfm_spark.sources.store_util import safe_subdir
+
+    p = str(tmp_path)
+    assert safe_subdir(p, "gen_abc", "gen_") == os.path.join(p, "gen_abc")
+    assert safe_subdir(p, "state_000001", "state_") == os.path.join(
+        p, "state_000001"
+    )
+    for bad in (
+        "..",
+        ".",
+        "/gen_abs",
+        "gen_x/..",
+        "gen_x/nested",
+        "../gen_x",
+        "wrongprefix",
+        "",
+        None,
+        7,
+    ):
+        assert safe_subdir(p, bad, "gen_") is None, bad
+
+
+def test_sig_store_sweep_survives_corrupt_manifest(spark, sf01, tmp_path):
+    """A hand-corrupted retired pointer ('..') must be ignored by the
+    maintenance sweep: the store's PARENT tree and the live generation
+    survive, and the compaction still completes."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import (
+        build_signature_store,
+        compact_signature_store,
+    )
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 30")
+    sibling = tmp_path / "sibling_data"
+    sibling.mkdir()
+    (sibling / "keep.txt").write_text("must survive")
+    store = str(tmp_path / "sig_store")
+    build_signature_store(docs, store)
+    m = su.read_manifest(store)
+    su.write_manifest(store, {**m, "retired_data_dir": ".."})
+    compact_signature_store(spark, store, keep_pred="id >= 0")
+    assert (sibling / "keep.txt").exists(), "sweep escaped the store"
+    m2 = su.read_manifest(store)
+    assert os.path.isdir(os.path.join(store, m2["data_dir"]))
+
+
 def test_store_writer_lease_semantics(tmp_path):
     """The store family's multi-writer guard: exclusive create, loud
     conflict naming the holder, release on exit (incl. exceptions),

@@ -151,6 +151,13 @@ def test_dedup_clusters_incremental_composition(spark):
     )
     with _pytest.raises(ValueError, match="component-MIN"):
         dedup_clusters_incremental(maxlbl, delta_pairs, delta_nodes)
+    # a NULL cluster_id would silently DROP its node at the compose
+    # join — rejected up front (review finding)
+    nulllbl = spark.createDataFrame(
+        [(1, 1), (2, None)], "doc_id bigint, cluster_id bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        dedup_clusters_incremental(nulllbl, delta_pairs, delta_nodes)
 
 
 def test_dedup_clusters_incremental_random_graphs(spark):
