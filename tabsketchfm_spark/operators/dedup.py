@@ -499,6 +499,16 @@ def _check_ingest_ts_contract(manifest: dict, ingest_ts: int | None, op: str) ->
     legacy store would silently vanish on read (schema-from-manifest
     drops it), and a ts-less commit into a ts store would read back
     NULL and escape every TTL horizon. Returns has_ts for the caller."""
+    # this contract check runs BEFORE _read_signature_store's param
+    # validation in the append/ingest paths — validate the store TYPE
+    # here too, or a cluster/ivfpq manifest (no 'schema' key) raises a
+    # raw KeyError instead of the loud wrong-store-type error
+    if manifest.get("format") != _SIG_STORE_FORMAT or "schema" not in manifest:
+        raise IOError(
+            f"{op}: store manifest has format "
+            f"{manifest.get('format')!r} — not a signature store "
+            f"(expected {_SIG_STORE_FORMAT!r})"
+        )
     has_ts = _store_has_ingest_ts(manifest)
     if has_ts and ingest_ts is None:
         raise IOError(
@@ -632,6 +642,12 @@ def _sweep_retired_sig_data(path: str, manifest: dict) -> None:
             shutil.rmtree(target, ignore_errors=True)
     if not live:
         return  # no generation pointer: nothing safe to classify as orphan
+    if safe_subdir(path, live, "gen_") is None:
+        # a corrupt live pointer ('gen_x/sub', '..', absolute) would
+        # never string-equal a listdir entry, so the orphan loop below
+        # would classify the ACTUAL live generation as an orphan and
+        # delete it — refuse to sweep instead (the ivfpq twin's rule)
+        return
     for entry in os.listdir(path):
         if (
             entry.startswith("gen_")
@@ -1592,9 +1608,16 @@ def dedup_clusters_incremental(
         # not-yet-arrived doc would contract to an id with no label
         # row — it can become a component's min label and poison the
         # closure invariant the NEXT update depends on.
-        known = lbl.select("node").unionByName(
-            delta_nodes.select(F.col(id_col).alias("node"))
-        )
+        delta_n = delta_nodes.select(F.col(id_col).alias("node"))
+        # same loudness as the labels_old NULL check: a NULL id here
+        # would ride coalesce(lbl, node) into a NULL lbl and silently
+        # vanish at the inner compose join on roots
+        n_null_delta = delta_n.where(F.col("node").isNull()).count()
+        if n_null_delta:
+            raise ValueError(
+                f"delta_nodes has {n_null_delta} row(s) with NULL id"
+            )
+        known = lbl.select("node").unionByName(delta_n)
         n_unknown = (
             pe.select(F.col("pa").alias("node"))
             .unionByName(pe.select(F.col("pb").alias("node")))
@@ -1629,7 +1652,6 @@ def dedup_clusters_incremental(
         # component's label node; a new doc maps to itself); two
         # consumers — the contracted node set and the final universe —
         # would otherwise each re-run the delta-sized join
-        delta_n = delta_nodes.select(F.col(id_col).alias("node"))
         mapped = (
             delta_n.join(lbl, "node", "left")
             .select("node", F.coalesce("lbl", "node").alias("lbl"))
@@ -1687,20 +1709,52 @@ def cluster_store_init(spark, labels: DataFrame, path: str) -> None:
     parquet — labels are ROW-scale, never a driver collect), then the
     manifest commits atomically. The store-family contract throughout:
     writer lease, pointer flip, deferred GC on update."""
-    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
+    import os
+    import shutil
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import (
+        read_manifest,
+        write_manifest,
+        writer_lease,
+    )
 
     with writer_lease(path, owner="cluster_store_init"):
+        # re-init over an existing store must not overwrite the live
+        # state dir IN PLACE (torn mixed-generation reads; a crashed
+        # write leaves the manifest pointing at garbage) — write a
+        # fresh unique dir, the build_signature_store pattern
+        try:
+            old_live = read_manifest(path).get("state_dir")
+        except (OSError, ValueError):
+            old_live = None  # fresh store, or corrupt manifest being reset
+        state_dir = f"state_init_{uuid.uuid4().hex[:8]}"
         labels.select("doc_id", "cluster_id").write.mode("overwrite").parquet(
-            f"{path}/state_000000"
+            f"{path}/{state_dir}"
         )
-        write_manifest(
-            path,
-            {
-                "format": _CLUSTER_STORE_FORMAT,
-                "n_updates": 0,
-                "state_dir": "state_000000",
-            },
-        )
+        manifest = {
+            "format": _CLUSTER_STORE_FORMAT,
+            "n_updates": 0,
+            "state_dir": state_dir,
+        }
+        if old_live:
+            # deferred one-cycle GC: a reader's lazy frame pinned to
+            # the superseded state can finish; the NEXT update sweeps it
+            manifest["retired_state_dir"] = old_live
+        write_manifest(path, manifest)
+        # prior state_* generations other than the new live and the
+        # just-retired one are orphans a fresh manifest would otherwise
+        # strand FOREVER (no later update ever names them) — under the
+        # lease, with the manifest committed, they are provably dead
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if (
+                entry.startswith("state_")
+                and entry != state_dir
+                and entry != old_live
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
 
 def cluster_store_read(spark, path: str) -> DataFrame:

@@ -749,6 +749,28 @@ def test_cluster_store_lifecycle(spark, sf01, tmp_path):
             spark, ghost_pair, docs.where(F.lit(False)), store
         )
 
+    # re-init over the existing store: fresh unique state dir (never an
+    # in-place overwrite of the live one), the superseded live state
+    # survives one cycle (deferred GC), and every OLDER state_* dir is
+    # swept — a fresh manifest would otherwise strand them forever
+    live_before = su.read_manifest(store)["state_dir"]
+    # plant a stranded generation (a crashed writer's leftover): the
+    # re-init sweep must collect it
+    os.makedirs(os.path.join(store, "state_000099"))
+    dedup.cluster_store_init(spark, labels_old, store)
+    m3 = su.read_manifest(store)
+    assert m3["state_dir"] != live_before
+    assert m3["retired_state_dir"] == live_before
+    left = {e for e in os.listdir(store) if e.startswith("state_")}
+    assert left == {m3["state_dir"], live_before}
+    got_reinit = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_store_read(spark, store).collect()
+    }
+    assert got_reinit == {
+        (r["doc_id"], r["cluster_id"]) for r in labels_old.collect()
+    }
+
 
 def test_safe_subdir_blocks_store_escapes(tmp_path):
     """The destructive-path guard every manifest-recorded dir passes
@@ -807,6 +829,70 @@ def test_sig_store_sweep_survives_corrupt_manifest(spark, sf01, tmp_path):
     assert (sibling / "keep.txt").exists(), "sweep escaped the store"
     m2 = su.read_manifest(store)
     assert os.path.isdir(os.path.join(store, m2["data_dir"]))
+
+
+def test_sig_sweep_refuses_corrupt_live_pointer(spark, sf01, tmp_path):
+    """A corrupt LIVE pointer (nested 'gen_x/sub') never string-equals
+    a listdir entry, so the orphan loop would classify the ACTUAL live
+    generation as an orphan and delete it — the sweep must refuse
+    instead (ADVICE r9)."""
+    import os
+
+    from tabsketchfm_spark.operators.dedup import (
+        _sweep_retired_sig_data,
+        build_signature_store,
+    )
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 20")
+    store = str(tmp_path / "sig_store")
+    build_signature_store(docs, store)
+    m = su.read_manifest(store)
+    live = m["data_dir"]
+    _sweep_retired_sig_data(store, {**m, "data_dir": f"{live}/nested"})
+    assert os.path.isdir(os.path.join(store, live)), (
+        "corrupt live pointer must not let the sweep delete the live gen"
+    )
+
+
+def test_ingest_ts_contract_rejects_wrong_store_type(spark, sf01, tmp_path):
+    """append_signatures pointed at a NON-signature store (e.g. a
+    cluster store manifest with no 'schema' key) must raise the loud
+    wrong-store-type IOError, not a raw KeyError (ADVICE r9)."""
+    import pytest as _pytest
+
+    from tabsketchfm_spark.operators.dedup import append_signatures
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 5")
+    store = str(tmp_path / "not_a_sig_store")
+    su.write_manifest(
+        store,
+        {"format": "tsfm-cluster-store-v1", "n_updates": 0,
+         "state_dir": "state_000000"},
+    )
+    with _pytest.raises(IOError, match="not a signature store"):
+        append_signatures(docs, spark, store, ingest_ts=1)
+
+
+def test_incremental_cc_rejects_null_delta_node(spark):
+    """A NULL id in delta_nodes would ride coalesce into a NULL label
+    and silently vanish at the compose join — must raise (ADVICE r9)."""
+    import pytest as _pytest
+
+    from tabsketchfm_spark.operators.dedup import dedup_clusters_incremental
+
+    labels_old = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id bigint, cluster_id bigint"
+    )
+    pairs = spark.createDataFrame([(1, 3)], "id_a bigint, id_b bigint")
+    delta = spark.createDataFrame(
+        [(3,), (None,)], "doc_id bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL id"):
+        dedup_clusters_incremental(labels_old, pairs, delta)
 
 
 def test_store_writer_lease_semantics(tmp_path):
