@@ -1495,6 +1495,50 @@ FROM clusters
 """
 
 
+def bounded_labels_gate(
+    labels: DataFrame, id_col: str = "doc_id", mod: int = 13
+) -> DataFrame:
+    """Corpus-size-independent gate projection over a full label set
+    (round-9 verdict item 4): a deterministic sampled id slice of
+    (id, cluster_id, cluster_size) rows, each carrying GLOBAL integer
+    checksums — row count, sum of cluster ids, sum of cluster sizes.
+    Any mislabeled node perturbs sum_cid (labels are component-min
+    ids) and usually sum_size, even when the node is outside the
+    slice; the slice itself keeps row-level exactness on ~1/mod of
+    the corpus."""
+    tot = labels.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("cluster_id").alias("sum_cid"),
+        F.sum("cluster_size").alias("sum_size"),
+    )
+    return labels.where(F.col(id_col) % mod == 0).crossJoin(F.broadcast(tot))
+
+
+def dedup_clusters_bounded_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = 1000,
+    mod: int = 13,
+) -> str:
+    """bounded_labels_gate's DuckDB twin over the UNCHANGED
+    full-recompute recursive CTE (sums cast to BIGINT — DuckDB integer
+    sums are HUGEINT)."""
+    full = dedup_clusters_oracle_sql(
+        table, id_col, text_col, n, threshold, df_cap
+    )
+    return f"""
+WITH labels AS MATERIALIZED ({full}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(cluster_id) AS BIGINT) AS sum_cid,
+               CAST(sum(cluster_size) AS BIGINT) AS sum_size FROM labels)
+SELECT l.*, t.n_total, t.sum_cid, t.sum_size
+FROM labels l, tot t WHERE l.{id_col} % {mod} = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # semantic dedup (cluster-bounded embedding near-dup — SemDeDup shape)
 

@@ -376,17 +376,48 @@ def _kmeans_ctes(
     return ctes, f"{p}c{iters}"
 
 
+def bounded_assign_gate(asg: DataFrame, mod: int = 17) -> DataFrame:
+    """Corpus-size-independent gate projection over a full
+    (vec_id, cluster) assignment set (round-9 verdict item 4): a
+    deterministic sampled id slice where every row carries global
+    integer checksums — count, sum of ids, sum of clusters. A wrong
+    assignment anywhere perturbs sum_cluster even when the row is
+    outside the slice."""
+    tot = asg.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("vec_id").alias("sum_id"),
+        F.sum(F.col("cluster").cast("long")).alias("sum_cluster"),
+    )
+    return asg.where(F.col("vec_id") % mod == 0).crossJoin(F.broadcast(tot))
+
+
 def kmeans_assign_exact_oracle_sql(
-    table: str, k: int = N_CELLS, iters: int = N_ITERS, dim: int = DIM
+    table: str,
+    k: int = N_CELLS,
+    iters: int = N_ITERS,
+    dim: int = DIM,
+    bounded_mod: int | None = None,
 ) -> str:
     ctes, cfinal = _kmeans_ctes(table, k, iters, dim)
+    full = f"""SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
+FROM ({_ranked_cells_sql(cfinal)}) z
+WHERE rn = 1"""
+    if bounded_mod is None:
+        return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
+    # bounded_assign_gate's twin (sums cast to BIGINT — DuckDB integer
+    # sums are HUGEINT)
+    ctes.append(f"fullasg AS MATERIALIZED ({full})")
+    ctes.append(
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(vec_id) AS BIGINT) AS sum_id, "
+        "CAST(sum(cluster) AS BIGINT) AS sum_cluster FROM fullasg)"
+    )
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
-FROM ({_ranked_cells_sql(cfinal)}) z
-WHERE rn = 1
+SELECT f.*, t.n_total, t.sum_id, t.sum_cluster
+FROM fullasg f, tot t WHERE f.vec_id % {bounded_mod} = 0
 """
     )
 

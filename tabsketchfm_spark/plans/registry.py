@@ -793,7 +793,7 @@ _register(
     # projection it trains from)
     "stream_kmeans_assign_embeddings",
     _stream_kmeans_assign,
-    kmeans_assign_exact_oracle_sql("embeddings"),
+    kmeans_assign_exact_oracle_sql("embeddings", bounded_mod=17),
 )
 
 
@@ -939,7 +939,11 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
         out = dedup.cluster_store_update(
             spark, p2, docs.where(F.col("doc_id") % 8 == 4), store
         )
-        rows = out.collect()  # one row per document — bounded
+        # CORPUS-SIZE-INDEPENDENT driver materialization (r9 verdict
+        # item 4): sampled label slice + global integer checksums —
+        # never one row per document on the driver
+        out = dedup.bounded_labels_gate(out)
+        rows = out.collect()
         schema = out.schema
     finally:
         pairs_all.unpersist()
@@ -950,7 +954,7 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "store_clusters_update_documents",
     _store_clusters_update,
-    dedup.dedup_clusters_oracle_sql("documents", df_cap=None),
+    dedup.dedup_clusters_bounded_oracle_sql("documents", df_cap=None),
 )
 _register(
     "dedup_minhash_lsh_documents",
@@ -1580,8 +1584,12 @@ def _ann_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
             spark, store, emb.where(F.col("vec_id") >= 400)
         )
         _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
-        rows = codes.collect()  # bounded: one row per vector
-        schema = codes.schema
+        # CORPUS-SIZE-INDEPENDENT driver materialization (r9 verdict
+        # item 4): sampled code slice + global integer checksums —
+        # never one row per vector on the driver
+        out = pq_op.bounded_codes_gate(codes)
+        rows = out.collect()
+        schema = out.schema
     finally:
         shutil.rmtree(store, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
@@ -1590,7 +1598,7 @@ def _ann_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "ann_ivfpq_store_append",
     _ann_ivfpq_append,
-    pq_op.ivfpq_store_append_oracle_sql("embeddings", 400),
+    pq_op.ivfpq_store_append_oracle_sql("embeddings", 400, bounded_mod=17),
 )
 
 
@@ -1654,7 +1662,7 @@ _register(
     # certified by the same hash (codes copied verbatim)
     "stream_ivfpq_append_embeddings",
     _stream_ivfpq_append,
-    pq_op.ivfpq_store_append_oracle_sql("embeddings", 400),
+    pq_op.ivfpq_store_append_oracle_sql("embeddings", 400, bounded_mod=17),
 )
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's

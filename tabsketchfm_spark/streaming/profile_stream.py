@@ -649,7 +649,10 @@ def streaming_kmeans_assign(
     their union over the full feed is bit-equal to the batch operator
     — kmeans_assign_exact's DuckDB replay gates the stream exactly
     (the append-form contract, vs complete-mode last-batch-wins state
-    ops). Output: (vec_id, cluster)."""
+    ops). Per-batch assignments land in a sink parquet (the production
+    sink pattern — never one driver row per vector, r9 verdict item
+    4); the return is bounded_assign_gate over the union: a sampled
+    id slice carrying global integer checksums."""
     import shutil
     import tempfile
 
@@ -670,6 +673,7 @@ def streaming_kmeans_assign(
     m = km._fit(base, km.N_CELLS, km.N_ITERS, km.DIM, "vec_id", "embedding")
 
     feed_dir = tempfile.mkdtemp(prefix="tsfm_kmeans_feed_")
+    sink_dir = tempfile.mkdtemp(prefix="tsfm_kmeans_asg_")
     try:
         emb.repartitionByRange(n_batches, "vec_id").write.mode(
             "overwrite"
@@ -680,14 +684,13 @@ def streaming_kmeans_assign(
             .parquet(feed_dir)
         )
 
-        holder: dict[str, object] = {"rows": []}
-
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             out = km._assigned_cols(batch_df, m, "vec_id", "embedding").select(
                 F.col("id").alias("vec_id"), F.col("cell").alias("cluster")
             )
-            holder["schema"] = out.schema
-            holder["rows"].extend(out.collect())
+            out.write.mode("overwrite").parquet(
+                f"{sink_dir}/batch_id={max(batch_id, 0)}"
+            )
 
         q = (
             feed.writeStream.foreachBatch(sink)
@@ -696,14 +699,29 @@ def streaming_kmeans_assign(
             .start()
         )
         q.awaitTermination()
-        if "schema" not in holder:  # zero-batch run (empty feed)
-            sink(spark.createDataFrame([], emb.schema), -1)
-        return spark.createDataFrame(holder["rows"], holder["schema"])
+        # explicit schema: a zero-batch run leaves the sink dir empty
+        # and schema inference would fail there
+        asg_schema = (
+            km._assigned_cols(emb.limit(0), m, "vec_id", "embedding")
+            .select(
+                F.col("id").alias("vec_id"), F.col("cell").alias("cluster")
+            )
+            .schema
+        )
+        asg = (
+            spark.read.schema(asg_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(sink_dir)
+        )
+        out = km.bounded_assign_gate(asg)
+        rows = out.collect()  # bounded: sampled slice + checksums
+        return spark.createDataFrame(rows, out.schema)
     finally:
-        # rows are collected — the returned local frame never reads
-        # the feed dir or the cached source
+        # bounded rows are collected — the returned local frame never
+        # reads the sink/feed dirs or the cached source
         emb.unpersist()
         shutil.rmtree(feed_dir, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
 
 def _ordered_bucket_feed(
@@ -1049,7 +1067,9 @@ def streaming_ivfpq_append(
     the stream bit-exactly. With ``compact`` the run finishes with
     ivfpq_store_compact (one code dir again), so the SAME oracle also
     certifies compaction copied every code verbatim.
-    Output: the full stored (cand_id, cell, c0..c{S-1}) set."""
+    Output: bounded_codes_gate over the stored code set — a sampled
+    id slice carrying global integer checksums, never one driver row
+    per vector (r9 verdict item 4)."""
     import shutil
     import tempfile
 
@@ -1088,8 +1108,9 @@ def streaming_ivfpq_append(
         if compact:
             pq_op.ivfpq_store_compact(spark, store)
         _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
-        rows = codes.collect()  # bounded: one row per vector
-        schema = codes.schema
+        out = pq_op.bounded_codes_gate(codes)
+        rows = out.collect()
+        schema = out.schema
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(store, ignore_errors=True)

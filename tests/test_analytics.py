@@ -895,6 +895,43 @@ def test_incremental_cc_rejects_null_delta_node(spark):
         dedup_clusters_incremental(labels_old, pairs, delta)
 
 
+def test_bounded_gates_catch_out_of_slice_defects(spark):
+    """The r9-verdict item-4 contract: registered store gates collect
+    a SAMPLED slice + global checksums instead of O(corpus) rows — so
+    a defect in a row OUTSIDE the slice must still change the gate
+    output (via the checksums)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.dedup import bounded_labels_gate
+    from tabsketchfm_spark.operators.kmeans import bounded_assign_gate
+
+    labels = spark.createDataFrame(
+        [(i, i % 3, 4) for i in range(12)],
+        "doc_id bigint, cluster_id bigint, cluster_size bigint",
+    )
+    base = {tuple(r) for r in bounded_labels_gate(labels, mod=13).collect()}
+    # corrupt doc_id=7 (7 % 13 != 0 — outside the slice)
+    bad = labels.withColumn(
+        "cluster_id",
+        F.when(F.col("doc_id") == 7, F.lit(99)).otherwise(F.col("cluster_id")),
+    )
+    got = {tuple(r) for r in bounded_labels_gate(bad, mod=13).collect()}
+    assert base != got, "out-of-slice label defect escaped the checksums"
+    # the slice itself stays row-exact and small
+    assert all(r[0] % 13 == 0 for r in base)
+
+    asg = spark.createDataFrame(
+        [(i, i % 4) for i in range(40)], "vec_id bigint, cluster int"
+    )
+    base_a = {tuple(r) for r in bounded_assign_gate(asg, mod=17).collect()}
+    bad_a = asg.withColumn(
+        "cluster",
+        F.when(F.col("vec_id") == 5, F.lit(3)).otherwise(F.col("cluster")),
+    )
+    got_a = {tuple(r) for r in bounded_assign_gate(bad_a, mod=17).collect()}
+    assert base_a != got_a, "out-of-slice assign defect escaped the checksums"
+
+
 def test_store_writer_lease_semantics(tmp_path):
     """The store family's multi-writer guard: exclusive create, loud
     conflict naming the holder, release on exit (incl. exceptions),
