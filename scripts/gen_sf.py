@@ -11,7 +11,20 @@ cardinalities and distributions, not on which seed produced them);
 it is NOT a correctness corpus — oracle gates keep running on the
 driver's sf0.01.
 
-Usage: python scripts/gen_sf.py <sf> <out_dir> [--nanos]   e.g. 1 /tmp/sf1
+Usage: python scripts/gen_sf.py <sf> <out_dir> [--nanos] [--deepdocs]
+       e.g. 1 /tmp/sf1
+
+--deepdocs replaces the random documents table with a DEEP-COMPONENT
+variant (round-9 verdict item 5: dedup_clusters is the only operator
+near its linear bound at sf1, and the bench lake's near-dup graphs are
+SHALLOW — a few rounds flatten them; the 100-TB claim needs evidence
+on deep chains). Each doc is a 40-word sliding window (stride 4) over
+a per-chain deterministic word stream: consecutive docs share 3-gram
+Jaccard ~0.81 (>= the 0.8 dedup threshold), docs two steps apart
+~0.65 (< threshold), so the pair graph is a disjoint union of PATHS of
+length CHAIN_LEN — component diameter = CHAIN_LEN - 1, the worst case
+for round-bounded CC. Chains are decorrelated by a per-chain stream
+offset.
 DuckDB generates and writes one parquet per table (row-group-split
 files — unlike the driver's single-row-group files, so pre-shuffle
 parallelism is realistic at this scale).
@@ -49,6 +62,7 @@ def main() -> None:
     sf = float(sys.argv[1])
     out = sys.argv[2]
     nanos = "--nanos" in sys.argv[3:]
+    deepdocs = "--deepdocs" in sys.argv[3:]
     os.makedirs(out, exist_ok=True)
     m = sf / 0.1  # multiplier vs the sf0.1 base counts
     n_li = int(600_000 * m)
@@ -173,26 +187,55 @@ def main() -> None:
         print("events written (TIMESTAMP_NS)", flush=True)
     else:
         write(events_sql, "events")
-    # documents: 8-110 words off the shared vocabulary (n_chars matches
-    # the text — several operators derive media/features from it)
-    write(
-        f"""WITH base AS (
-          SELECT i AS doc_id,
-            CAST(8 + floor(random() * 103) AS BIGINT) AS n_words
-          FROM (SELECT unnest(generate_series(0, {n_doc - 1})) i)),
-        txt AS (
-          SELECT doc_id,
-            list_aggregate(list_transform(generate_series(1, n_words),
-              x -> ([{wl}])[CAST(floor(random() * {len(WORDS)}) + 1
-                            AS INTEGER)]), 'string_agg', ' ') AS text
-          FROM base)
-        SELECT doc_id, text,
-          ([{ll}])[CAST(floor(random() * 7) + 1 AS INTEGER)] AS lang,
-          'src' || CAST(floor(random() * 20) AS INTEGER) AS source,
-          CAST(length(text) AS BIGINT) AS n_chars
-        FROM txt""",
-        "documents",
-    )
+    if deepdocs:
+        # deep-component variant (see module docstring): doc i =
+        # words[start .. start+39], start = (i % CHAIN)*4 within chain
+        # i // CHAIN; word at stream position p of chain c is
+        # hash(c*1e6 + p) % len(WORDS) — deterministic, decorrelated
+        # across chains (hash() is DuckDB's stable 64-bit hash)
+        chain = 200
+        write(
+            f"""WITH base AS (
+              SELECT i AS doc_id, i // {chain} AS c,
+                     (i % {chain}) * 4 AS start
+              FROM (SELECT unnest(generate_series(0, {n_doc - 1})) i)),
+            txt AS (
+              SELECT doc_id,
+                list_aggregate(list_transform(generate_series(0, 39),
+                  x -> ([{wl}])[CAST(hash(c * 1000000 + start + x)
+                                % {len(WORDS)} + 1 AS INTEGER)]),
+                  'string_agg', ' ') AS text
+              FROM base)
+            SELECT doc_id, text,
+              ([{ll}])[CAST(floor(random() * 7) + 1 AS INTEGER)] AS lang,
+              'src' || CAST(floor(random() * 20) AS INTEGER) AS source,
+              CAST(length(text) AS BIGINT) AS n_chars
+            FROM txt""",
+            "documents",
+        )
+        # the remaining tables are shape-identical to the default path
+    else:
+        # documents: 8-110 words off the shared vocabulary (n_chars
+        # matches the text — several operators derive media/features
+        # from it)
+        write(
+            f"""WITH base AS (
+              SELECT i AS doc_id,
+                CAST(8 + floor(random() * 103) AS BIGINT) AS n_words
+              FROM (SELECT unnest(generate_series(0, {n_doc - 1})) i)),
+            txt AS (
+              SELECT doc_id,
+                list_aggregate(list_transform(generate_series(1, n_words),
+                  x -> ([{wl}])[CAST(floor(random() * {len(WORDS)}) + 1
+                                AS INTEGER)]), 'string_agg', ' ') AS text
+              FROM base)
+            SELECT doc_id, text,
+              ([{ll}])[CAST(floor(random() * 7) + 1 AS INTEGER)] AS lang,
+              'src' || CAST(floor(random() * 20) AS INTEGER) AS source,
+              CAST(length(text) AS BIGINT) AS n_chars
+            FROM txt""",
+            "documents",
+        )
     # embeddings: near-unit 64-dim float vectors (normalized gaussians)
     write(
         f"""WITH raw AS (

@@ -1365,6 +1365,7 @@ def connected_components_star(
     id_b: str = "id_b",
     node_col: str = "doc_id",
     max_iter: int = 12,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Star-contraction connected components (alternating large-star /
     small-star, Kiveris et al.) — the O(log n)-ROUND variant of
@@ -1399,9 +1400,11 @@ def connected_components_star(
     # on round 1 instead of spuriously exhausting max_iter=1
     prev_fp = _fp(e)
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         new_e = _small_star(_large_star(e)).localCheckpoint()
         fp = _fp(new_e)
+        if stats is not None:
+            stats["rounds"] = i + 1  # measurement hook (deep-graph evidence)
         if fp == prev_fp and new_e.exceptAll(e).isEmpty():
             # same cardinality + empty difference == identical multiset
             _release_checkpoint(e)
@@ -1864,6 +1867,116 @@ def cluster_store_update(
             },
         )
         return out
+
+
+def compact_cluster_labels(labels: DataFrame, keep_pred: str) -> DataFrame:
+    """Label-store RETENTION (round-9 verdict item 6): expire rows the
+    horizon predicate rejects while PRESERVING the closure invariant
+    dedup_clusters_incremental validates — each surviving cluster is
+    re-minimized to the smallest SURVIVING member id, so every
+    cluster_id is again a self-labelled node with cluster_id <= node.
+
+    Semantics: the historical transitive closure RESTRICTED to
+    survivors — two surviving docs that were connected only through an
+    expired doc STAY in one cluster (cluster knowledge outlives the
+    raw pairs, matching the signature store's horizon: expired docs
+    stop generating pairs, but what they already merged stays merged).
+    That is deliberately NOT a recompute on the surviving corpus,
+    which would forget those merges. Output: (doc_id, cluster_id) —
+    sizes are a read-side projection."""
+    surv = labels.select("doc_id", "cluster_id").where(keep_pred)
+    remin = surv.groupBy("cluster_id").agg(F.min("doc_id").alias("_new_cid"))
+    return surv.join(remin, "cluster_id").select(
+        "doc_id", F.col("_new_cid").alias("cluster_id")
+    )
+
+
+def cluster_store_compact(spark, path: str, keep_pred: str) -> DataFrame:
+    """Apply compact_cluster_labels to the PERSISTED clustering state:
+    read the live labels, expire by ``keep_pred`` (a predicate over
+    doc_id — the dedup horizon), re-minimize, commit a fresh state
+    generation. Store-family contract: writer lease, atomic pointer
+    flip, deferred one-cycle GC of the superseded state. Returns the
+    compacted (doc_id, cluster_id, cluster_size), localCheckpoint-
+    materialized so it never depends on a sweepable state dir."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.sources.store_util import (
+        safe_subdir,
+        write_manifest,
+        writer_lease,
+    )
+
+    with writer_lease(path, owner="cluster_store_compact", require_store=True):
+        m = _cluster_manifest(path)
+        retired = m.get("retired_state_dir")
+        if retired and retired != m["state_dir"]:
+            target = safe_subdir(path, retired, "state_")
+            if target is not None:
+                shutil.rmtree(target, ignore_errors=True)
+        compacted = compact_cluster_labels(
+            cluster_store_read(spark, path), keep_pred
+        )
+        n = int(m["n_updates"]) + 1
+        state_dir = f"state_{n:06d}"
+        compacted.write.mode("overwrite").parquet(f"{path}/{state_dir}")
+        write_manifest(
+            path,
+            {
+                **m,
+                "n_updates": n,
+                "state_dir": state_dir,
+                "retired_state_dir": m["state_dir"],
+            },
+        )
+        size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        out = cluster_store_read(spark, path).select(
+            "doc_id", "cluster_id", size_w.alias("cluster_size")
+        )
+        return out.localCheckpoint()
+
+
+def cluster_labels_compact_oracle_sql(
+    table: str,
+    keep_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = 1000,
+    bounded_mod: int | None = None,
+) -> str:
+    """compact_cluster_labels over the full-recompute labels, in
+    DuckDB: filter survivors, re-minimize per cluster, recount sizes.
+    ``keep_sql`` is the keep predicate over ``{id_col}``. With
+    ``bounded_mod``, wraps in the bounded_labels_gate twin."""
+    full = dedup_clusters_oracle_sql(
+        table, id_col, text_col, n, threshold, df_cap
+    )
+    body = f"""
+WITH alllab AS MATERIALIZED ({full}),
+surv AS (SELECT * FROM alllab WHERE {keep_sql}),
+remin AS (SELECT cluster_id AS old_cid, min({id_col}) AS new_cid
+          FROM surv GROUP BY cluster_id),
+relab AS (SELECT s.{id_col}, r.new_cid AS cluster_id
+          FROM surv s JOIN remin r ON s.cluster_id = r.old_cid),
+labels AS (SELECT {id_col}, cluster_id,
+                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           FROM relab)"""
+    if bounded_mod is None:
+        return body + "\nSELECT * FROM labels\n"
+    return (
+        body
+        + f""",
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(cluster_id) AS BIGINT) AS sum_cid,
+               CAST(sum(cluster_size) AS BIGINT) AS sum_size FROM labels)
+SELECT l.*, t.n_total, t.sum_cid, t.sum_size
+FROM labels l, tot t WHERE l.{id_col} % {bounded_mod} = 0
+"""
+    )
 
 
 def semantic_dedup(

@@ -956,6 +956,42 @@ _register(
     _store_clusters_update,
     dedup.dedup_clusters_bounded_oracle_sql("documents", df_cap=None),
 )
+
+
+def _store_clusters_compact(spark: SparkSession, sf: str) -> DataFrame:
+    # label-store RETENTION: the store grows monotonically (every doc
+    # ever seen keeps a row) — expire docs past the dedup horizon
+    # (here: doc_id % 4 == 1 plays the aged-out crawl) and re-minimize
+    # each surviving cluster so the closure invariant the NEXT
+    # incremental update validates still holds. Survivors connected
+    # only through an expired doc STAY merged (historical closure
+    # restricted to survivors — deliberately not a recompute).
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    labels = dedup.dedup_clusters(docs, df_cap=None).select(
+        "doc_id", "cluster_id"
+    )
+    store = tempfile.mkdtemp(prefix="tsfm_cluster_cmp_")
+    try:
+        dedup.cluster_store_init(spark, labels, store)
+        out = dedup.cluster_store_compact(spark, store, "doc_id % 4 != 1")
+        out = dedup.bounded_labels_gate(out)
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "store_clusters_compact_documents",
+    _store_clusters_compact,
+    dedup.cluster_labels_compact_oracle_sql(
+        "documents", "doc_id % 4 <> 1", df_cap=None, bounded_mod=13
+    ),
+)
 _register(
     "dedup_minhash_lsh_documents",
     lambda spark, sf: dedup.minhash_lsh_pairs(
@@ -2778,7 +2814,10 @@ _DRIVER_WINDOW = [
     "a1a8_profile_lineitem",
     "clean_outlier_scan_lineitem",
     "p6_serial_key_events",
-    "p9_name_repair",
+    # p9_name_repair moved to sweep (P family keeps p6/p13 window
+    # rows) to seat the round-9 PNG decode flagship: the first
+    # COMPRESSED container (zlib chunk-walk, CRC, all 5 filters)
+    "mm_decode_png_stats_documents",
     "sk1_minhash_orders_keys",
     # dedup_winnow_pairs moved to sweep (the text-dedup family keeps
     # chars ExactSubstr + LSH window rows) to seat the round-9
@@ -2803,10 +2842,18 @@ _DRIVER_WINDOW = [
     "bpe_merges_documents",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
-    "dedup_incremental_lsh_documents",
+    # dedup_incremental_lsh moved to sweep (store_incremental_update
+    # keeps the delta-vs-corpus ingest loop's window row) to seat the
+    # round-9 timestamp-TTL signature-store flagship
+    "sig_store_ttl_ts_documents",
     "quality_perceptron_scores_documents",
     "s9c_split_by_cluster_documents",
-    "dedup_clusters_documents",
+    # dedup_clusters moved to sweep — its full-recompute recursive-CTE
+    # oracle is exactly the gate of the TWO daily-crawl clustering
+    # flagships seated below (incremental CC composition + the
+    # persisted label store across two arriving batches)
+    "dedup_clusters_incremental_documents",
+    "store_clusters_update_documents",
     "k2_value_znorm_customer",
     "text_quality_score",
     "quality_tree_scores_documents",
@@ -2822,7 +2869,10 @@ _DRIVER_WINDOW = [
     "m9_token_features_subword_customer",
     "m10_pair_tokens_customer_supplier",
     "a12_classification_metrics",
-    "w5_cusum_drift_events",
+    # w5_cusum moved to sweep (temporal family keeps w2/funnel/cdc
+    # window rows) to seat the round-10 label-store RETENTION
+    # flagship (expire + re-minimize, closure preserved)
+    "store_clusters_compact_documents",
     "q1_pricing_summary",
     "store_incremental_update",
     "m4_simple_model_scores",
@@ -2834,8 +2884,9 @@ _DRIVER_WINDOW = [
     # stream_windowed_counts_append moved to sweep (stream_funnel keeps
     # the §2.11 window row) to seat the round-8 verdict-item-5
     # flagship: the persisted-centroid-store incremental learner
+    # multiclass_perceptron moved to sweep (the trained family keeps
+    # quality_perceptron/quality_tree/m4/m6h window rows)
     "store_kmeans_update_embeddings",
-    "multiclass_perceptron_lenclass_documents",
 ]
 
 assert all(n in _QUERIES for n in _DRIVER_WINDOW), [

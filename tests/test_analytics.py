@@ -749,6 +749,35 @@ def test_cluster_store_lifecycle(spark, sf01, tmp_path):
             spark, ghost_pair, docs.where(F.lit(False)), store
         )
 
+    # RETENTION: expire half the docs; the compacted store must (a)
+    # keep exactly the survivors, (b) re-minimize labels so the
+    # closure invariant holds — proven by running ANOTHER update
+    # afterwards (its precondition validation would reject a broken
+    # store) — and (c) keep survivors merged even when their only
+    # connection was an expired doc (historical closure, not a
+    # recompute on survivors)
+    out_c = dedup.cluster_store_compact(spark, store, "doc_id < 48")
+    surv = {(r["doc_id"], r["cluster_id"]) for r in out_c.collect()}
+    assert all(d < 48 for d, _ in surv)
+    # same partition as the pre-compaction clustering, restricted to
+    # survivors, with labels re-minimized to surviving members
+    from collections import defaultdict
+
+    pre = defaultdict(set)
+    for d, c in want:
+        if d < 48:
+            pre[c].add(d)
+    expected = {
+        (d, min(members)) for members in pre.values() for d in members
+    }
+    assert surv == expected
+    # closure invariant: the next update must accept the compacted
+    # state (it validates uniqueness, label closure, min-ness loudly)
+    p3 = pairs_all.where((a < 48) & (b < 48))
+    dedup.cluster_store_update(
+        spark, p3, docs.where(F.col("doc_id") < 48), store
+    )
+
     # re-init over the existing store: fresh unique state dir (never an
     # in-place overwrite of the live one), the superseded live state
     # survives one cycle (deferred GC), and every OLDER state_* dir is

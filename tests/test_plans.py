@@ -175,7 +175,11 @@ def test_dedup_clusters_incremental_random_graphs(spark):
     )
 
     rng = random.Random(427)
-    for trial in range(4):
+    # 3 trials (r9 verdict suite-budget item): the property space each
+    # trial samples (multi-way merges, delta-delta chains, multi-hop
+    # absorption) is covered by trial 1-2 already; trial count is a
+    # wall-time knob, the seed keeps the cases pinned
+    for trial in range(3):
         n = rng.randint(12, 28)
         nodes = list(range(n))
         edges = {
@@ -666,6 +670,7 @@ _PLAN_GUARD_SKIP = {
     "dedup_clusters_labelprop_documents",
     "dedup_clusters_incremental_documents",
     "store_clusters_update_documents",
+    "store_clusters_compact_documents",
     # round-7 eager additions: perceptron training runs its epoch
     # collects at build; the cluster split runs the full star-
     # contraction clustering (checkpoint jobs) at build
