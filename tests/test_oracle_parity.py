@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 
 from tabsketchfm_spark.plans import registry
+from tests.conftest import built_query
 from tests.oracle_util import assert_match, run_oracle
 
 _NAMES = sorted(registry.queries().keys())
@@ -13,9 +14,9 @@ _NAMES = sorted(registry.queries().keys())
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_query_matches_oracle(spark, sf01, name):
-    q = registry.queries()[name]
     oracles = registry.oracle_sql()
-    sdf = q(spark, sf01)
+    # shared build cache: the plan guard re-analyzes the same frames
+    sdf = built_query(spark, sf01, name)
     if name not in oracles:
         assert sdf.count() >= 0  # rows-only check (non-SQL-expressible op)
         return

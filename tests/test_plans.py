@@ -762,9 +762,13 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
     failures = {}
     unmarked_eager = {}
 
+    from tests.conftest import built_query
+
     def _check(item):
         name, fn = item
-        df = fn(spark, sf01)
+        # shared build cache with the parity sweep (suite-budget item):
+        # same (name, sf) plan either way, analyzed once per session
+        df = built_query(spark, sf01, name)
         nodes = list(_walk_jplan(df._jdf.queryExecution().sparkPlan()))
         leaves = [n for n in nodes if n.children().size() == 0]
         mat = [
