@@ -132,8 +132,14 @@ def main() -> None:
     fp_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FP.json"
     )
-    with open(fp_path, "w") as f:
-        f.write(fp_payload + "\n")
+    try:
+        with open(fp_path, "w") as f:
+            f.write(fp_payload + "\n")
+    except OSError as e:
+        # a read-only/full checkout must NOT take the compact line down
+        # with it — that would re-create the parsed:null failure this
+        # split exists to fix
+        print(f"BENCH_FP.json not written: {e}", file=sys.stderr)
     sys.stdout.flush()
     compact = json.dumps(
         {
@@ -144,9 +150,11 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # the compact line is the artifact contract: assert it fits the
-    # driver's tail window with margin instead of silently regressing
-    assert len(compact) < 1800, f"final bench line too long: {len(compact)}"
+    # the compact line is the artifact contract: fail loud if it
+    # outgrows the driver's tail window (a real exception — an assert
+    # would vanish under python -O)
+    if len(compact) >= 1800:
+        raise RuntimeError(f"final bench line too long: {len(compact)}")
     print(compact)
     spark.stop()
 

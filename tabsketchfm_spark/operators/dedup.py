@@ -1501,20 +1501,17 @@ FROM clusters
 def bounded_labels_gate(
     labels: DataFrame, id_col: str = "doc_id", mod: int = 13
 ) -> DataFrame:
-    """Corpus-size-independent gate projection over a full label set
-    (round-9 verdict item 4): a deterministic sampled id slice of
-    (id, cluster_id, cluster_size) rows, each carrying GLOBAL integer
-    checksums — row count, sum of cluster ids, sum of cluster sizes.
-    Any mislabeled node perturbs sum_cid (labels are component-min
-    ids) and usually sum_size, even when the node is outside the
-    slice; the slice itself keeps row-level exactness on ~1/mod of
-    the corpus."""
-    tot = labels.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum("cluster_id").alias("sum_cid"),
-        F.sum("cluster_size").alias("sum_size"),
+    """Bounded gate over a full (id, cluster_id, cluster_size) label
+    set — sampled slice + plain and ID-WEIGHTED checksums; see
+    functions/gates.py for the swap-coverage contract."""
+    from tabsketchfm_spark.functions.gates import bounded_slice_gate
+
+    return bounded_slice_gate(
+        labels,
+        id_col,
+        {"cid": F.col("cluster_id"), "size": F.col("cluster_size")},
+        mod,
     )
-    return labels.where(F.col(id_col) % mod == 0).crossJoin(F.broadcast(tot))
 
 
 def dedup_clusters_bounded_oracle_sql(
@@ -1527,19 +1524,17 @@ def dedup_clusters_bounded_oracle_sql(
     mod: int = 13,
 ) -> str:
     """bounded_labels_gate's DuckDB twin over the UNCHANGED
-    full-recompute recursive CTE (sums cast to BIGINT — DuckDB integer
-    sums are HUGEINT)."""
+    full-recompute recursive CTE (shared scaffold in
+    functions/gates.py)."""
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
     full = dedup_clusters_oracle_sql(
         table, id_col, text_col, n, threshold, df_cap
     )
-    return f"""
-WITH labels AS MATERIALIZED ({full}),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-               CAST(sum(cluster_id) AS BIGINT) AS sum_cid,
-               CAST(sum(cluster_size) AS BIGINT) AS sum_size FROM labels)
-SELECT l.*, t.n_total, t.sum_cid, t.sum_size
-FROM labels l, tot t WHERE l.{id_col} % {mod} = 0
-"""
+    tail = bounded_tail_sql(
+        "labels", id_col, {"cid": "cluster_id", "size": "cluster_size"}, mod
+    )
+    return f"\nWITH labels AS MATERIALIZED ({full}){tail}"
 
 
 # ---------------------------------------------------------------------------
@@ -1762,6 +1757,7 @@ def cluster_store_init(spark, labels: DataFrame, path: str) -> None:
 
     from tabsketchfm_spark.sources.store_util import (
         read_manifest,
+        safe_subdir,
         write_manifest,
         writer_lease,
     )
@@ -1775,6 +1771,14 @@ def cluster_store_init(spark, labels: DataFrame, path: str) -> None:
             old_live = read_manifest(path).get("state_dir")
         except (OSError, ValueError):
             old_live = None  # fresh store, or corrupt manifest being reset
+        # a corrupt live pointer (nested/'..'/absolute) would never
+        # string-equal a listdir entry, so the sweep below would delete
+        # the genuinely live generation (the _sweep_retired_sig_data
+        # class) — refuse the sweep and don't record the unusable value
+        sweep_ok = True
+        if old_live is not None and safe_subdir(path, old_live, "state_") is None:
+            old_live = None
+            sweep_ok = False
         state_dir = f"state_init_{uuid.uuid4().hex[:8]}"
         labels.select("doc_id", "cluster_id").write.mode("overwrite").parquet(
             f"{path}/{state_dir}"
@@ -1793,15 +1797,16 @@ def cluster_store_init(spark, labels: DataFrame, path: str) -> None:
         # just-retired one are orphans a fresh manifest would otherwise
         # strand FOREVER (no later update ever names them) — under the
         # lease, with the manifest committed, they are provably dead
-        for entry in os.listdir(path):
-            full = os.path.join(path, entry)
-            if (
-                entry.startswith("state_")
-                and entry != state_dir
-                and entry != old_live
-                and os.path.isdir(full)
-            ):
-                shutil.rmtree(full, ignore_errors=True)
+        if sweep_ok:
+            for entry in os.listdir(path):
+                full = os.path.join(path, entry)
+                if (
+                    entry.startswith("state_")
+                    and entry != state_dir
+                    and entry != old_live
+                    and os.path.isdir(full)
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
 
 
 def cluster_store_read(spark, path: str) -> DataFrame:
@@ -1955,6 +1960,8 @@ def cluster_labels_compact_oracle_sql(
     full = dedup_clusters_oracle_sql(
         table, id_col, text_col, n, threshold, df_cap
     )
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
     body = f"""
 WITH alllab AS MATERIALIZED ({full}),
 surv AS (SELECT * FROM alllab WHERE {keep_sql}),
@@ -1967,15 +1974,11 @@ labels AS (SELECT {id_col}, cluster_id,
            FROM relab)"""
     if bounded_mod is None:
         return body + "\nSELECT * FROM labels\n"
-    return (
-        body
-        + f""",
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-               CAST(sum(cluster_id) AS BIGINT) AS sum_cid,
-               CAST(sum(cluster_size) AS BIGINT) AS sum_size FROM labels)
-SELECT l.*, t.n_total, t.sum_cid, t.sum_size
-FROM labels l, tot t WHERE l.{id_col} % {bounded_mod} = 0
-"""
+    return body + bounded_tail_sql(
+        "labels",
+        id_col,
+        {"cid": "cluster_id", "size": "cluster_size"},
+        bounded_mod,
     )
 
 

@@ -377,18 +377,15 @@ def _kmeans_ctes(
 
 
 def bounded_assign_gate(asg: DataFrame, mod: int = 17) -> DataFrame:
-    """Corpus-size-independent gate projection over a full
-    (vec_id, cluster) assignment set (round-9 verdict item 4): a
-    deterministic sampled id slice where every row carries global
-    integer checksums — count, sum of ids, sum of clusters. A wrong
-    assignment anywhere perturbs sum_cluster even when the row is
-    outside the slice."""
-    tot = asg.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum("vec_id").alias("sum_id"),
-        F.sum(F.col("cluster").cast("long")).alias("sum_cluster"),
+    """Bounded gate over a full (vec_id, cluster) assignment set —
+    sampled slice + plain and ID-WEIGHTED checksums; see
+    functions/gates.py for what the weighting does and does not
+    cover."""
+    from tabsketchfm_spark.functions.gates import bounded_slice_gate
+
+    return bounded_slice_gate(
+        asg, "vec_id", {"cluster": F.col("cluster").cast("long")}, mod
     )
-    return asg.where(F.col("vec_id") % mod == 0).crossJoin(F.broadcast(tot))
 
 
 def kmeans_assign_exact_oracle_sql(
@@ -398,27 +395,21 @@ def kmeans_assign_exact_oracle_sql(
     dim: int = DIM,
     bounded_mod: int | None = None,
 ) -> str:
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
     ctes, cfinal = _kmeans_ctes(table, k, iters, dim)
     full = f"""SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
 FROM ({_ranked_cells_sql(cfinal)}) z
 WHERE rn = 1"""
     if bounded_mod is None:
         return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
-    # bounded_assign_gate's twin (sums cast to BIGINT — DuckDB integer
-    # sums are HUGEINT)
     ctes.append(f"fullasg AS MATERIALIZED ({full})")
-    ctes.append(
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total, "
-        "CAST(sum(vec_id) AS BIGINT) AS sum_id, "
-        "CAST(sum(cluster) AS BIGINT) AS sum_cluster FROM fullasg)"
-    )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"""
-SELECT f.*, t.n_total, t.sum_id, t.sum_cluster
-FROM fullasg f, tot t WHERE f.vec_id % {bounded_mod} = 0
-"""
+        + bounded_tail_sql(
+            "fullasg", "vec_id", {"cluster": "cluster"}, bounded_mod
+        )
     )
 
 

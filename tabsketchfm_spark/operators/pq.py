@@ -996,28 +996,23 @@ def _frozen_fit_ctes(
 
 
 def bounded_codes_gate(codes: DataFrame, mod: int = 17) -> DataFrame:
-    """Corpus-size-independent gate projection over a stored code set
-    (round-9 verdict item 4: registered store gates must never collect
-    O(corpus) rows on the driver). Output = a deterministic sampled id
-    slice of full code rows (row-level exactness on ~1/mod of the
-    corpus) where every row also carries GLOBAL integer checksums —
-    count, sum of ids, sum of cells, sum of all code values. The
-    defect classes the full-row gate caught stay caught: a retrained
-    (non-frozen) quantizer, a missing code dir, or a double-encoded
-    retried batch each perturb a checksum even when no affected row is
-    in the slice. All sums integer → bit-exact across engines."""
+    """Bounded gate over a stored code set — sampled slice + plain
+    and ID-WEIGHTED checksums (functions/gates.py). The code checksum
+    weights each subspace by its position (1*c0 + 2*c1 + ...), so a
+    within-row subspace swap perturbs it too, not only cross-row
+    defects. Catches: retrained (non-frozen) quantizers, a missing
+    code dir, double-encoded retried batches, swapped rows/codes."""
+    from tabsketchfm_spark.functions.gates import bounded_slice_gate
+
     code_sum = None
     for s in range(S_SUB):
-        c = F.col(f"c{s}").cast("long")
+        c = F.col(f"c{s}").cast("long") * (s + 1)
         code_sum = c if code_sum is None else code_sum + c
-    tot = codes.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum("cand_id").alias("sum_id"),
-        F.sum(F.col("cell").cast("long")).alias("sum_cell"),
-        F.sum(code_sum).alias("sum_codes"),
-    )
-    return codes.where(F.col("cand_id") % mod == 0).crossJoin(
-        F.broadcast(tot)
+    return bounded_slice_gate(
+        codes,
+        "cand_id",
+        {"cell": F.col("cell").cast("long"), "codes": code_sum},
+        mod,
     )
 
 
@@ -1027,9 +1022,10 @@ def ivfpq_store_append_oracle_sql(
     """Replay of the appended store's FULL code set via the shared
     frozen-fit scaffold. Gates both halves of the append: the delta
     encode used the stored quantizers, and serving reads the code-dir
-    union. With ``bounded_mod``, mirrors bounded_codes_gate: the
-    sampled slice plus global checksums (sums cast to BIGINT — DuckDB
-    integer sums are HUGEINT)."""
+    union. With ``bounded_mod``, mirrors bounded_codes_gate via the
+    shared scaffold in functions/gates.py."""
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
     ctes, _cfinal, _rcents, rcodes = _frozen_fit_ctes(table, boundary)
     code_cols = ",\n  ".join(
         f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
@@ -1041,21 +1037,17 @@ FROM {rcodes} r JOIN acell a USING (id)
 GROUP BY r.id, a.cell"""
     if bounded_mod is None:
         return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
-    code_sum = " + ".join(f"c{s}" for s in range(S_SUB))
+    code_sum = " + ".join(f"{s + 1} * c{s}" for s in range(S_SUB))
     ctes.append(f"fullcodes AS MATERIALIZED ({full})")
-    ctes.append(
-        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total, "
-        "CAST(sum(cand_id) AS BIGINT) AS sum_id, "
-        "CAST(sum(cell) AS BIGINT) AS sum_cell, "
-        f"CAST(sum({code_sum}) AS BIGINT) AS sum_codes FROM fullcodes)"
-    )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + f"""
-SELECT f.*, t.n_total, t.sum_id, t.sum_cell, t.sum_codes
-FROM fullcodes f, tot t WHERE f.cand_id % {bounded_mod} = 0
-"""
+        + bounded_tail_sql(
+            "fullcodes",
+            "cand_id",
+            {"cell": "cell", "codes": code_sum},
+            bounded_mod,
+        )
     )
 
 

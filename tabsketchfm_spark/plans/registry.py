@@ -854,40 +854,65 @@ _register(
     ),
     dedup.dedup_clusters_oracle_sql("documents"),
 )
+_CLUSTER_MEMO: dict[str, dict] = {}
+
+
+def _cluster_frames(spark: SparkSession, sf: str) -> dict:
+    """The heavy clustering subproblems the three daily-crawl gates
+    share, built ONCE per (session, sf) — round-8 memo rule applied to
+    round-10's window (review finding: the three seated queries each
+    re-ran the full-corpus shingle self-join and star CC). With
+    df_cap=None the pair relation is corpus-INDEPENDENT (a pair is a
+    function of its two docs alone), so pairs restricted to old
+    endpoints == pairs computed on the old corpus, and ONE self-join
+    feeds everything. Frames are deliberately kept for the session:
+    pairs persisted (threshold-bounded pair set), labels
+    localCheckpoint-materialized (one row per doc)."""
+    if sf not in _CLUSTER_MEMO:
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf, "documents")
+        pairs_all = dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, 0.8, df_cap=None
+        ).persist()
+        a, b = F.col("id_a"), F.col("id_b")
+        labels_old = dedup.connected_components_star(
+            pairs_all.where((a % 4 != 0) & (b % 4 != 0)),
+            docs.where(F.col("doc_id") % 4 != 0).select("doc_id"),
+        ).localCheckpoint()
+        labels_full = dedup.connected_components_star(
+            pairs_all, docs.select("doc_id")
+        ).localCheckpoint()
+        _CLUSTER_MEMO[sf] = {
+            "pairs_all": pairs_all,
+            "labels_old": labels_old,
+            "labels_full": labels_full,
+        }
+    return _CLUSTER_MEMO[sf]
+
+
 def _dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # the daily-crawl clustering shape: yesterday's labels (CC over the
     # OLD corpus only) + today's delta-touching pairs fold into the
     # full clustering WITHOUT recomputing the corpus graph. The oracle
     # is the UNCHANGED full-recompute recursive CTE — the composition
     # is provably exact because labels are component-min ids.
-    from pyspark.sql import functions as F
-
-    docs = load_table(spark, sf, "documents")
-    old = docs.where(F.col("doc_id") % 4 != 0)
-    delta = docs.where(F.col("doc_id") % 4 == 0)
     # df_cap=None THROUGHOUT (review finding): the DF prune makes the
     # pair relation corpus-DEPENDENT — labels from old-corpus DF plus
     # pairs from full-corpus DF would not compose to the oracle's full
     # recompute once a shingle's DF crosses the cap between the two.
     # Exactness needs corpus-independent pair semantics.
-    labels_old = dedup.dedup_clusters(old, df_cap=None).select(
-        "doc_id", "cluster_id"
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents")
+    delta = docs.where(F.col("doc_id") % 4 == 0)
+    fr = _cluster_frames(spark, sf)
+    delta_pairs = fr["pairs_all"].where(
+        (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
     )
-    # persisted: the op consumes delta_pairs in TWO actions (the
-    # arrival-discipline count and the CC seed checkpoint) — without
-    # this the dominant full-corpus shingle self-join runs twice
-    pairs_all = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", 3, 0.8, df_cap=None
-    ).persist()
-    try:
-        delta_pairs = pairs_all.where(
-            (F.col("id_a") % 4 == 0) | (F.col("id_b") % 4 == 0)
-        )
-        # the returned frame is localCheckpoint-materialized by the op,
-        # so releasing the pair cache here is safe
-        return dedup.dedup_clusters_incremental(labels_old, delta_pairs, delta)
-    finally:
-        pairs_all.unpersist()
+    return dedup.dedup_clusters_incremental(
+        fr["labels_old"], delta_pairs, delta
+    )
 
 
 _register(
@@ -912,17 +937,14 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf, "documents")
-    old = docs.where(F.col("doc_id") % 4 != 0)
     # df_cap=None for corpus-independent pair semantics (see
-    # _dedup_clusters_incremental); pairs_all persisted — BOTH update
-    # batches filter it (the shingle self-join is the builder's
-    # dominant cost, round rule: persist 2+-consumer subtrees)
-    labels_old = dedup.dedup_clusters(old, df_cap=None).select(
-        "doc_id", "cluster_id"
-    )
-    pairs_all = dedup.ngram_jaccard_pairs(
-        docs, "doc_id", "text", 3, 0.8, df_cap=None
-    ).persist()
+    # _dedup_clusters_incremental); labels_old and pairs_all ride the
+    # shared session memo — the shingle self-join and old-corpus CC
+    # are the builders' dominant cost and identical across the three
+    # seated clustering gates
+    fr = _cluster_frames(spark, sf)
+    labels_old = fr["labels_old"]
+    pairs_all = fr["pairs_all"]
     a, b = F.col("id_a"), F.col("id_b")
     p1 = pairs_all.where(
         ((a % 8 == 0) | (b % 8 == 0))
@@ -946,7 +968,7 @@ def _store_clusters_update(spark: SparkSession, sf: str) -> DataFrame:
         rows = out.collect()
         schema = out.schema
     finally:
-        pairs_all.unpersist()
+        # pairs_all belongs to the session memo — never unpersisted here
         shutil.rmtree(store, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
@@ -969,10 +991,9 @@ def _store_clusters_compact(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    docs = load_table(spark, sf, "documents")
-    labels = dedup.dedup_clusters(docs, df_cap=None).select(
-        "doc_id", "cluster_id"
-    )
+    # full-corpus labels from the shared session memo (one shingle
+    # self-join + one star CC feed all three clustering gates)
+    labels = _cluster_frames(spark, sf)["labels_full"]
     store = tempfile.mkdtemp(prefix="tsfm_cluster_cmp_")
     try:
         dedup.cluster_store_init(spark, labels, store)

@@ -885,6 +885,33 @@ def test_sig_sweep_refuses_corrupt_live_pointer(spark, sf01, tmp_path):
     )
 
 
+def test_cluster_init_refuses_sweep_on_corrupt_live_pointer(spark, tmp_path):
+    """Re-init over a store whose manifest live pointer is corrupt
+    (nested value) must not orphan-sweep — the corrupt value never
+    string-equals a listdir entry, so the sweep would delete the
+    genuinely live generation (round-10 review)."""
+    import os
+
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.sources import store_util as su
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id bigint, cluster_id bigint"
+    )
+    store = str(tmp_path / "cstore")
+    dedup.cluster_store_init(spark, labels, store)
+    m = su.read_manifest(store)
+    live = m["state_dir"]
+    su.write_manifest(store, {**m, "state_dir": f"{live}/nested"})
+    dedup.cluster_store_init(spark, labels, store)
+    assert os.path.isdir(os.path.join(store, live)), (
+        "corrupt live pointer must not let re-init sweep the live state"
+    )
+    # and the unusable value must not be recorded as retired
+    m2 = su.read_manifest(store)
+    assert m2.get("retired_state_dir") is None
+
+
 def test_ingest_ts_contract_rejects_wrong_store_type(spark, sf01, tmp_path):
     """append_signatures pointed at a NON-signature store (e.g. a
     cluster store manifest with no 'schema' key) must raise the loud
@@ -948,6 +975,17 @@ def test_bounded_gates_catch_out_of_slice_defects(spark):
     assert base != got, "out-of-slice label defect escaped the checksums"
     # the slice itself stays row-exact and small
     assert all(r[0] % 13 == 0 for r in base)
+    # SWAP blind spot (round-10 review): exchanging values between two
+    # out-of-slice rows conserves every PLAIN sum — the id-weighted
+    # checksum is what catches it
+    swapped = labels.withColumn(
+        "cluster_id",
+        F.when(F.col("doc_id") == 7, F.lit(8 % 3))
+        .when(F.col("doc_id") == 8, F.lit(7 % 3))
+        .otherwise(F.col("cluster_id")),
+    )
+    got_s = {tuple(r) for r in bounded_labels_gate(swapped, mod=13).collect()}
+    assert base != got_s, "pairwise swap escaped the weighted checksums"
 
     asg = spark.createDataFrame(
         [(i, i % 4) for i in range(40)], "vec_id bigint, cluster int"

@@ -6,8 +6,7 @@ from __future__ import annotations
 import pytest
 
 from tabsketchfm_spark.plans import registry
-from tests.conftest import built_query
-from tests.oracle_util import assert_match, run_oracle
+from tests.oracle_util import assert_match, built_query, run_oracle
 
 _NAMES = sorted(registry.queries().keys())
 

@@ -762,7 +762,7 @@ def test_no_registered_query_plans_unbounded_global_window(spark, sf01):
     failures = {}
     unmarked_eager = {}
 
-    from tests.conftest import built_query
+    from tests.oracle_util import built_query
 
     def _check(item):
         name, fn = item
