@@ -580,6 +580,48 @@ def ivfpq_store_append(
         write_manifest(path, m)
 
 
+def _validated_gen_dir(path: str, gen: str) -> str:
+    from tabsketchfm_spark.sources.store_util import safe_subdir
+
+    gen_dir = safe_subdir(path, gen, "gen_")
+    if gen_dir is None:
+        raise IOError(
+            f"index store at {path} has a malformed data_dir "
+            f"{gen!r} in its manifest — refusing maintenance"
+        )
+    return gen_dir
+
+
+def _sweep_retired_code_dirs(
+    gen_dir: str, dirs: list[str], retired: list[str]
+) -> None:
+    """Deferred one-cycle GC, shared by compact and delete: the
+    previous cycle's retired dirs (their readers are gone by now) and
+    any code dir referenced by NEITHER list (a maintenance call that
+    crashed before its flip — under the lease, never a live concurrent
+    append). Every manifest-recorded name is PATH-VALIDATED and
+    checked against the live list before the rmtree — a corrupt
+    manifest ('..', absolute, nested, or a retired entry aliasing a
+    live dir) must never delete live data or escape the store."""
+    import os
+    import shutil
+
+    from tabsketchfm_spark.sources.store_util import safe_subdir
+
+    referenced = set(dirs)
+    for d in retired:
+        target = safe_subdir(gen_dir, d, "codes")
+        if target is not None and d not in referenced:
+            shutil.rmtree(target, ignore_errors=True)
+    for e in os.listdir(gen_dir):
+        if (
+            e.startswith("codes")
+            and e not in referenced
+            and os.path.isdir(f"{gen_dir}/{e}")
+        ):
+            shutil.rmtree(f"{gen_dir}/{e}", ignore_errors=True)
+
+
 def ivfpq_store_compact(spark, path: str) -> None:
     """Merge the appended code dirs into ONE: a store absorbing a
     daily delta grows a code_dirs entry per batch, and every serve
@@ -604,43 +646,14 @@ def ivfpq_store_compact(spark, path: str) -> None:
     append's not-yet-flipped delta dir — the lease serializes both).
     Concurrent READERS remain safe without any lease — the deferred
     GC exists exactly for them."""
-    import os
-    import shutil
     import uuid
 
-    from tabsketchfm_spark.sources.store_util import (
-        safe_subdir,
-        write_manifest,
-        writer_lease,
-    )
+    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
 
     with writer_lease(path, owner="ivfpq_store_compact", require_store=True):
         m, gen, dirs, retired = _read_index_manifest(path)
-        gen_dir = safe_subdir(path, gen, "gen_")
-        if gen_dir is None:
-            raise IOError(
-                f"index store at {path} has a malformed data_dir "
-                f"{gen!r} in its manifest — refusing maintenance"
-            )
-        # sweep: previous cycle's retired dirs (their readers are gone)
-        # and any code dir referenced by NEITHER list (crashed pre-flip
-        # write — under the lease, never a live concurrent append).
-        # Every manifest-recorded name is PATH-VALIDATED and checked
-        # against the live list before the rmtree — a corrupt manifest
-        # ('..', absolute, nested, or a retired entry aliasing a live
-        # dir) must never delete live data or escape the store.
-        referenced = set(dirs)
-        for d in retired:
-            target = safe_subdir(gen_dir, d, "codes")
-            if target is not None and d not in referenced:
-                shutil.rmtree(target, ignore_errors=True)
-        for e in os.listdir(gen_dir):
-            if (
-                e.startswith("codes")
-                and e not in referenced
-                and os.path.isdir(f"{gen_dir}/{e}")
-            ):
-                shutil.rmtree(f"{gen_dir}/{e}", ignore_errors=True)
+        gen_dir = _validated_gen_dir(path, gen)
+        _sweep_retired_code_dirs(gen_dir, dirs, retired)
         if len(dirs) <= 1:
             if retired:
                 write_manifest(path, {**m, "retired_code_dirs": []})
@@ -651,6 +664,83 @@ def ivfpq_store_compact(spark, path: str) -> None:
         write_manifest(
             path, {**m, "code_dirs": [sub], "retired_code_dirs": dirs}
         )
+
+
+def ivfpq_store_delete(spark, path: str, delete_pred: str) -> None:
+    """Remove vectors from the persisted index WITHOUT retraining —
+    the store family's missing lifecycle verb (append absorbs arriving
+    docs; deletion is what aged-out crawls and GDPR erasure need; the
+    FAISS analogue is remove_ids). Read the code-dir union, keep rows
+    NOT matching ``delete_pred`` (a predicate over ``cand_id``),
+    rewrite the survivors verbatim into a fresh code dir, flip
+    ``code_dirs=[new]`` atomically. Quantizers are untouched and the
+    surviving integers are copied bit-for-bit, so the full-encode
+    oracle restricted to survivors gates the store exactly, and every
+    serve after the delete simply stops seeing the deleted ids (their
+    codes are physically gone after the deferred GC cycle — the
+    erasure story, not a tombstone mask). Also an implicit compaction
+    (one dir afterwards). Deferred one-cycle GC + writer lease, the
+    compaction pattern; idempotent (re-running the same delete keeps
+    an already-filtered set unchanged)."""
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
+
+    with writer_lease(path, owner="ivfpq_store_delete", require_store=True):
+        m, gen, dirs, retired = _read_index_manifest(path)
+        gen_dir = _validated_gen_dir(path, gen)
+        # previous cycle's retired dirs + pre-flip orphans go now
+        # (their readers are gone); THIS cycle's dirs are retired
+        # below and survive until the next maintenance call
+        _sweep_retired_code_dirs(gen_dir, dirs, retired)
+        codes = spark.read.parquet(*[f"{gen_dir}/{d}" for d in dirs])
+        survivors = codes.where(f"NOT ({delete_pred})")
+        sub = f"codes_{uuid.uuid4().hex[:12]}"
+        survivors.write.mode("overwrite").parquet(f"{gen_dir}/{sub}")
+        write_manifest(
+            path,
+            {**m, "code_dirs": [sub], "retired_code_dirs": dirs},
+        )
+
+
+def ivfpq_store_delete_oracle_sql(
+    table: str, keep_sql: str, bounded_mod: int | None = 17
+) -> str:
+    """ivfpq_store_delete's twin: the FULL-corpus encode replay
+    (fit + residual codes, _corpus_encode_ctes) restricted to the
+    surviving ids — deletion copies integers verbatim, so survivors
+    must match the full encode bit-for-bit. ``keep_sql`` is the keep
+    predicate over ``cand_id``."""
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
+    ctes, _cfinal, _rcents, rcodes = _corpus_encode_ctes(table)
+    code_cols = ",\n  ".join(
+        f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
+        for s in range(S_SUB)
+    )
+    ctes.append(
+        f"""allcodes AS MATERIALIZED (
+SELECT r.id AS cand_id, CAST(a.cell AS INTEGER) AS cell,
+  {code_cols}
+FROM {rcodes} r JOIN acell a USING (id)
+GROUP BY r.id, a.cell)"""
+    )
+    ctes.append(
+        f"fullcodes AS MATERIALIZED (SELECT * FROM allcodes WHERE {keep_sql})"
+    )
+    code_sum = " + ".join(f"{s + 1} * c{s}" for s in range(S_SUB))
+    if bounded_mod is None:
+        return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM fullcodes\n"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + bounded_tail_sql(
+            "fullcodes",
+            "cand_id",
+            {"cell": "cell", "codes": code_sum},
+            bounded_mod,
+        )
+    )
 
 
 def ivfpq_stored_topk(

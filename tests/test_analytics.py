@@ -1177,6 +1177,37 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
         tuple(r) for r in pq_op.load_ivfpq_index(spark, store)[2].collect()
     } == before
 
+    # DELETION (erasure half): remove ids >= 450 without retraining —
+    # survivors byte-identical, deleted ids physically absent from the
+    # live code set, serving no longer returns them, the op is
+    # idempotent, and the superseded dirs follow the deferred one-cycle
+    # GC rule
+    pq_op.ivfpq_store_delete(spark, store, "cand_id >= 450")
+    m_del = read_manifest(store)
+    assert len(m_del["code_dirs"]) == 1
+    assert m_del["code_dirs"][0] not in m_del["retired_code_dirs"]
+    after_del = {
+        r["cand_id"]: tuple(r)
+        for r in pq_op.load_ivfpq_index(spark, store)[2].collect()
+    }
+    # `before` holds the full pre-delete code set; cand_id leads each row
+    assert after_del == {t[0]: t for t in before if t[0] < 450}
+    for d in m_del["retired_code_dirs"]:  # deferred, not deleted yet
+        assert os.path.isdir(os.path.join(gen_dir, d))
+    served = pq_op.ivfpq_stored_topk(spark, store, emb, 20, k=5).collect()
+    assert served and all(r["cand_id"] < 450 for r in served)
+    pq_op.ivfpq_store_delete(spark, store, "cand_id >= 450")  # idempotent
+    assert {
+        r["cand_id"]: tuple(r)
+        for r in pq_op.load_ivfpq_index(spark, store)[2].collect()
+    } == after_del
+    # the second delete swept the first's retired dirs
+    live_del = read_manifest(store)["code_dirs"]
+    code_like = [e for e in os.listdir(gen_dir) if e.startswith("codes")]
+    assert sorted(code_like) == sorted(
+        set(live_del) | set(read_manifest(store)["retired_code_dirs"])
+    )
+
     # rebuild into the same path: superseded generations are GC'd
     # (previous kept for crash recovery), and the append dirs of the
     # retired generation go with it. A 50-vector corpus exercises the

@@ -700,6 +700,7 @@ _PLAN_GUARD_SKIP = {
     # temp store dir — eager by lifecycle, window hygiene covered by
     # their operator tests and the shared search/dedup plans
     "ann_ivfpq_store_append",
+    "ann_ivfpq_store_delete",
     "sig_store_compact_documents",
     "sig_store_ttl_ts_documents",
     "pipeline_rag_topk_documents",
