@@ -403,6 +403,52 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+def minhash_lsh_clusters_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+    bounded_mod: int | None = 13,
+) -> str:
+    """Connected components over the MINHASH-LSH pair relation — the
+    gate for the streaming crawl-clusters loop: the LSH relation is a
+    function of the two docs' signatures alone (bands match + slot
+    estimate >= threshold), so it is corpus-independent and the
+    incremental/streaming composition equals this one-shot closure.
+    Recursive-CTE transitive closure + min-reachable-id, the
+    dedup_clusters_oracle_sql shape with LSH pairs swapped in."""
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
+    pairs = minhash_lsh_oracle_sql(
+        table, id_col, text_col, n, num_perm, bands, threshold
+    )
+    body = f"""
+WITH RECURSIVE lshp AS MATERIALIZED ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM lshp
+  UNION SELECT id_b, id_a FROM lshp
+  UNION SELECT {id_col}, {id_col} FROM {table}),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+clusters AS (SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a),
+labels AS (SELECT {id_col}, cluster_id,
+                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           FROM clusters)"""
+    if bounded_mod is None:
+        return body + "\nSELECT * FROM labels\n"
+    return body + bounded_tail_sql(
+        "labels",
+        id_col,
+        {"cid": "cluster_id", "size": "cluster_size"},
+        bounded_mod,
+    )
+
+
 def dedup_incremental_lsh(
     delta: DataFrame,
     corpus: DataFrame,

@@ -1736,6 +1736,30 @@ _register(
 )
 
 
+def _stream_crawl_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    # 2 batches: cross-batch pairing + ordered arrival are exercised;
+    # each extra batch costs a full store-update round-trip (~20s of
+    # fixed per-batch job latency at sf0.01 — suite budget)
+    return ps2.streaming_crawl_clusters(spark, sf, n_batches=2)
+
+
+_register(
+    # the FULL daily-crawl loop streamed end-to-end: ordered doc
+    # micro-batches against COLD stores — per batch: LSH pairs via the
+    # signature store (delta-vs-arrived, corpus never re-shingled) +
+    # intra-batch pairs, fold into the persisted cluster store, commit
+    # signatures. Gate = one-shot CC closure over the batch LSH pair
+    # relation (corpus-independent ⇒ the streamed composition is
+    # bit-equal), bounded label projection. Sweep-only (two stores +
+    # a stream per run).
+    "stream_crawl_clusters_documents",
+    _stream_crawl_clusters,
+    dedup.minhash_lsh_clusters_oracle_sql("documents"),
+)
+
+
 def _stream_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.streaming import profile_stream as ps2
 

@@ -1048,6 +1048,116 @@ def streaming_dedup_incremental(
         shutil.rmtree(feed_dir, ignore_errors=True)
 
 
+def streaming_crawl_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    n: int = 3,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The FULL daily-crawl clustering loop as a stream — the round-9
+    store family composed end-to-end: documents arrive in ordered
+    micro-batches against COLD stores; each batch (1) pairs against
+    everything previously arrived via the SIGNATURE STORE (delta-vs-
+    corpus banded LSH — the corpus is never re-shingled) plus its own
+    earlier docs (intra-batch cross pairs), (2) folds those pairs into
+    the persisted CLUSTER STORE (dedup_clusters_incremental through
+    stored labels — work scales with the batch), (3) commits ALL its
+    signatures (clustering wants every doc pairable later, unlike the
+    keep-first ingest loop which drops rejected docs' signatures).
+
+    GATE: the LSH pair relation is a function of the two docs alone,
+    so the union of per-batch cross+intra pairs over an ascending-id
+    ordered feed is EXACTLY the batch relation {(a,b): a<b, lsh(a,b)}
+    — and the incremental-CC composition theorem makes the final
+    stored labels equal the one-shot closure over it:
+    minhash_lsh_clusters_oracle_sql, bit-exact. Output is the bounded
+    label gate (sampled slice + weighted checksums)."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+    width = max_id // n_batches + 1
+    import tempfile
+
+    sig_store = tempfile.mkdtemp(prefix="tsfm_crawl_sig_")
+    cl_store = tempfile.mkdtemp(prefix="tsfm_crawl_cl_")
+    feed = feed_dir = stage_dir = None
+    try:
+        # cold start: empty signature store (manifest schema bootstraps
+        # reads) + empty cluster state (all validations vacuous)
+        dedup.build_signature_store(
+            docs.where(F.lit(False)), sig_store, n=n, num_perm=num_perm
+        )
+        dedup.cluster_store_init(
+            spark,
+            spark.createDataFrame([], "doc_id bigint, cluster_id bigint"),
+            cl_store,
+        )
+        feed, feed_dir, stage_dir = _ordered_bucket_feed(
+            spark, docs, "doc_id", n_batches, width, "tsfm_crawl_"
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            _assert_bucket_order(batch_df, "doc_id", width, batch_id)
+            caches: list = []
+            try:
+                sig_c = dedup._read_signature_store(
+                    spark, sig_store, n, num_perm, caches
+                )
+                sig_d = dedup._lsh_sigs(
+                    batch_df, "doc_id", "text", n, num_perm, caches
+                )
+                cross = dedup._lsh_cross_pairs(
+                    sig_d, sig_c, num_perm, bands, threshold
+                )
+                intra = dedup._lsh_cross_pairs(
+                    sig_d, sig_d, num_perm, bands, threshold
+                ).where(F.col("corpus_id") < F.col("delta_id"))
+                pairs = cross.unionByName(intra).select(
+                    F.col("corpus_id").alias("id_a"),
+                    F.col("delta_id").alias("id_b"),
+                )
+                dedup.cluster_store_update(
+                    spark, pairs, batch_df.select("doc_id"), cl_store
+                )
+                # full-batch commit (the gate needs every arrived doc
+                # pairable by later batches); the full-row anti-join
+                # guard makes a redelivered batch a no-op
+                dedup.append_signatures(
+                    batch_df, spark, sig_store, n=n, num_perm=num_perm
+                )
+            finally:
+                for c in caches:
+                    c.unpersist()
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        labels = dedup.cluster_store_read(spark, cl_store).select(
+            "doc_id", "cluster_id", size_w.alias("cluster_size")
+        )
+        out = dedup.bounded_labels_gate(labels)
+        rows = out.collect()  # bounded: sampled slice + checksums
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for d in (feed_dir, stage_dir, sig_store, cl_store):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def streaming_ivfpq_append(
     spark: SparkSession,
     sf_dir: str,

@@ -705,6 +705,7 @@ _PLAN_GUARD_SKIP = {
     "sig_store_ttl_ts_documents",
     "pipeline_rag_topk_documents",
     "stream_ivfpq_append_embeddings",
+    "stream_crawl_clusters_documents",
     "ann_ivfpq_recon_error",
     # SCHEMA-derived driver-local frames (createDataFrame over static
     # schema constants — python createDataFrame plans as an RDD scan
