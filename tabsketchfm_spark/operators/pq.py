@@ -592,9 +592,7 @@ def _validated_gen_dir(path: str, gen: str) -> str:
     return gen_dir
 
 
-def _sweep_retired_code_dirs(
-    gen_dir: str, dirs: list[str], retired: list[str]
-) -> None:
+def _sweep_retired_code_dirs(gen_dir: str, dirs: list[str]) -> None:
     """Deferred one-cycle GC, shared by compact and delete: the
     previous cycle's retired dirs (their readers are gone by now) and
     any code dir referenced by NEITHER list (a maintenance call that
@@ -602,17 +600,16 @@ def _sweep_retired_code_dirs(
     append). Every manifest-recorded name is PATH-VALIDATED and
     checked against the live list before the rmtree — a corrupt
     manifest ('..', absolute, nested, or a retired entry aliasing a
-    live dir) must never delete live data or escape the store."""
+    live dir) must never delete live data or escape the store: the
+    loop walks ACTUAL listdir entries — always bare child names — and
+    deletes only codes-prefixed dirs absent from the live list, so a
+    corrupt retired value simply never matches anything (the retired
+    list itself needs no separate pass — every on-disk retired dir is
+    by definition a listdir entry this loop covers)."""
     import os
     import shutil
 
-    from tabsketchfm_spark.sources.store_util import safe_subdir
-
     referenced = set(dirs)
-    for d in retired:
-        target = safe_subdir(gen_dir, d, "codes")
-        if target is not None and d not in referenced:
-            shutil.rmtree(target, ignore_errors=True)
     for e in os.listdir(gen_dir):
         if (
             e.startswith("codes")
@@ -653,7 +650,7 @@ def ivfpq_store_compact(spark, path: str) -> None:
     with writer_lease(path, owner="ivfpq_store_compact", require_store=True):
         m, gen, dirs, retired = _read_index_manifest(path)
         gen_dir = _validated_gen_dir(path, gen)
-        _sweep_retired_code_dirs(gen_dir, dirs, retired)
+        _sweep_retired_code_dirs(gen_dir, dirs)
         if len(dirs) <= 1:
             if retired:
                 write_manifest(path, {**m, "retired_code_dirs": []})
@@ -692,7 +689,7 @@ def ivfpq_store_delete(spark, path: str, delete_pred: str) -> None:
         # previous cycle's retired dirs + pre-flip orphans go now
         # (their readers are gone); THIS cycle's dirs are retired
         # below and survive until the next maintenance call
-        _sweep_retired_code_dirs(gen_dir, dirs, retired)
+        _sweep_retired_code_dirs(gen_dir, dirs)
         codes = spark.read.parquet(*[f"{gen_dir}/{d}" for d in dirs])
         survivors = codes.where(f"NOT ({delete_pred})")
         sub = f"codes_{uuid.uuid4().hex[:12]}"
