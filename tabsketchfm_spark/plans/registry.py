@@ -1754,8 +1754,12 @@ def _stream_crawl_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     # 2 batches: cross-batch pairing + ordered arrival are exercised;
     # each extra batch costs a full store-update round-trip (~20s of
-    # fixed per-batch job latency at sf0.01 — suite budget)
-    return ps2.streaming_crawl_clusters(spark, sf, n_batches=2)
+    # fixed per-batch job latency at sf0.01 — suite budget). 50 perms
+    # / 10 bands halves the signature agg width and store IO; the
+    # 100-perm scheme keeps its own gates via the sig-store family
+    return ps2.streaming_crawl_clusters(
+        spark, sf, n_batches=2, num_perm=50, bands=10
+    )
 
 
 _register(
@@ -1769,7 +1773,7 @@ _register(
     # a stream per run).
     "stream_crawl_clusters_documents",
     _stream_crawl_clusters,
-    dedup.minhash_lsh_clusters_oracle_sql("documents"),
+    dedup.minhash_lsh_clusters_oracle_sql("documents", num_perm=50, bands=10),
 )
 
 

@@ -7,6 +7,16 @@ wall time swings with the container (±49% documented since round 5).
 bench.py embeds these per headline query so each round's bench
 artifact proves plan-identity mechanically; scripts/stage_profile.py
 uses the same probe for ad-hoc drift adjudication.
+
+IDENTITY CAVEAT (round-9 verdict item 3, observed r9/r10): the
+BYTE-VOLUMES are the trustworthy invariant. ``n_stages`` can jitter by
+a few stages on MULTI-JOB / ITERATIVE queries (profiler two-pass, CC
+loops, joinability's rank pass) — skipped-stage counting depends on
+which exchanges the scheduler happens to reuse across the query's
+jobs, which is scheduling- not plan-determined. Drift adjudication
+should compare shuffle/input MB exactly and treat small n_stages
+deltas on iterative ops as noise; a byte-volume change is the real
+plan-drift signal.
 """
 
 from __future__ import annotations
