@@ -885,6 +885,38 @@ def test_sig_sweep_refuses_corrupt_live_pointer(spark, sf01, tmp_path):
     )
 
 
+def test_cluster_store_update_redelivery_is_noop(spark, tmp_path):
+    """Re-folding the SAME batch (pairs + nodes) must leave the stored
+    labels identical — the property that makes foreachBatch redelivery
+    safe for the streamed crawl loop: labels already reflect the
+    batch's pairs, endpoints contract to themselves, the closure is
+    unchanged. (The signature side is guarded separately by the
+    full-row anti-join.)"""
+    from tabsketchfm_spark.operators import dedup
+
+    labels0 = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id bigint, cluster_id bigint"
+    )
+    store = str(tmp_path / "cstore")
+    dedup.cluster_store_init(spark, labels0, store)
+    pairs = spark.createDataFrame(
+        [(2, 4), (3, 5)], "id_a bigint, id_b bigint"
+    )
+    nodes = spark.createDataFrame([(4,), (5,)], "doc_id bigint")
+    dedup.cluster_store_update(spark, pairs, nodes, store)
+    first = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_store_read(spark, store).collect()
+    }
+    assert first == {(1, 1), (2, 1), (4, 1), (3, 3), (5, 3)}
+    dedup.cluster_store_update(spark, pairs, nodes, store)  # redelivery
+    second = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.cluster_store_read(spark, store).collect()
+    }
+    assert second == first
+
+
 def test_cluster_init_refuses_sweep_on_corrupt_live_pointer(spark, tmp_path):
     """Re-init over a store whose manifest live pointer is corrupt
     (nested value) must not orphan-sweep — the corrupt value never
