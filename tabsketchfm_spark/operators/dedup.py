@@ -403,6 +403,28 @@ SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
 
 
+def _cc_closure_sql(pairs_sql: str, table: str, id_col: str) -> str:
+    """ONE copy of the DuckDB transitive-closure scaffold (round-7
+    SQL-drift rule): recursive reach over the bidirected pair edges +
+    self-edges, min-reachable-id labels, cluster-size window — shared
+    by every CC oracle regardless of which pair relation feeds it.
+    Ends in a ``labels`` CTE; callers append their tail."""
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT {id_col}, {id_col} FROM {table}),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+clusters AS (SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a),
+labels AS (SELECT {id_col}, cluster_id,
+                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           FROM clusters)"""
+
+
 def minhash_lsh_clusters_oracle_sql(
     table: str,
     id_col: str = "doc_id",
@@ -417,28 +439,16 @@ def minhash_lsh_clusters_oracle_sql(
     gate for the streaming crawl-clusters loop: the LSH relation is a
     function of the two docs' signatures alone (bands match + slot
     estimate >= threshold), so it is corpus-independent and the
-    incremental/streaming composition equals this one-shot closure.
-    Recursive-CTE transitive closure + min-reachable-id, the
-    dedup_clusters_oracle_sql shape with LSH pairs swapped in."""
+    incremental/streaming composition equals this one-shot closure."""
     from tabsketchfm_spark.functions.gates import bounded_tail_sql
 
-    pairs = minhash_lsh_oracle_sql(
-        table, id_col, text_col, n, num_perm, bands, threshold
+    body = _cc_closure_sql(
+        minhash_lsh_oracle_sql(
+            table, id_col, text_col, n, num_perm, bands, threshold
+        ),
+        table,
+        id_col,
     )
-    body = f"""
-WITH RECURSIVE lshp AS MATERIALIZED ({pairs}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM lshp
-  UNION SELECT id_b, id_a FROM lshp
-  UNION SELECT {id_col}, {id_col} FROM {table}),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-clusters AS (SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a),
-labels AS (SELECT {id_col}, cluster_id,
-                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-           FROM clusters)"""
     if bounded_mod is None:
         return body + "\nSELECT * FROM labels\n"
     return body + bounded_tail_sql(
@@ -1527,21 +1537,7 @@ def dedup_clusters_oracle_sql(
     """DuckDB twin: transitive closure by recursive CTE (UNION dedups,
     so the fixpoint terminates), then min-reachable-id per node."""
     pairs = ngram_jaccard_oracle_sql(table, id_col, text_col, n, threshold, df_cap)
-    return f"""
-WITH RECURSIVE pairs AS ({pairs}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION SELECT id_b, id_a FROM pairs
-  UNION SELECT {id_col}, {id_col} FROM {table}),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-clusters AS (SELECT a AS {id_col}, min(b) AS cluster_id FROM reach GROUP BY a)
-SELECT {id_col}, cluster_id,
-       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM clusters
-"""
+    return _cc_closure_sql(pairs, table, id_col) + "\nSELECT * FROM labels\n"
 
 
 def bounded_labels_gate(
@@ -1570,17 +1566,16 @@ def dedup_clusters_bounded_oracle_sql(
     mod: int = 13,
 ) -> str:
     """bounded_labels_gate's DuckDB twin over the UNCHANGED
-    full-recompute recursive CTE (shared scaffold in
-    functions/gates.py)."""
+    full-recompute recursive CTE (shared scaffolds: _cc_closure_sql +
+    functions/gates.bounded_tail_sql)."""
     from tabsketchfm_spark.functions.gates import bounded_tail_sql
 
-    full = dedup_clusters_oracle_sql(
+    pairs = ngram_jaccard_oracle_sql(
         table, id_col, text_col, n, threshold, df_cap
     )
-    tail = bounded_tail_sql(
+    return _cc_closure_sql(pairs, table, id_col) + bounded_tail_sql(
         "labels", id_col, {"cid": "cluster_id", "size": "cluster_size"}, mod
     )
-    return f"\nWITH labels AS MATERIALIZED ({full}){tail}"
 
 
 # ---------------------------------------------------------------------------
@@ -2003,25 +1998,24 @@ def cluster_labels_compact_oracle_sql(
     DuckDB: filter survivors, re-minimize per cluster, recount sizes.
     ``keep_sql`` is the keep predicate over ``{id_col}``. With
     ``bounded_mod``, wraps in the bounded_labels_gate twin."""
-    full = dedup_clusters_oracle_sql(
-        table, id_col, text_col, n, threshold, df_cap
-    )
     from tabsketchfm_spark.functions.gates import bounded_tail_sql
 
-    body = f"""
-WITH alllab AS MATERIALIZED ({full}),
-surv AS (SELECT * FROM alllab WHERE {keep_sql}),
+    pairs = ngram_jaccard_oracle_sql(
+        table, id_col, text_col, n, threshold, df_cap
+    )
+    body = _cc_closure_sql(pairs, table, id_col) + f""",
+surv AS (SELECT * FROM labels WHERE {keep_sql}),
 remin AS (SELECT cluster_id AS old_cid, min({id_col}) AS new_cid
           FROM surv GROUP BY cluster_id),
 relab AS (SELECT s.{id_col}, r.new_cid AS cluster_id
           FROM surv s JOIN remin r ON s.cluster_id = r.old_cid),
-labels AS (SELECT {id_col}, cluster_id,
-                  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-           FROM relab)"""
+clabels AS (SELECT {id_col}, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM relab)"""
     if bounded_mod is None:
-        return body + "\nSELECT * FROM labels\n"
+        return body + "\nSELECT * FROM clabels\n"
     return body + bounded_tail_sql(
-        "labels",
+        "clabels",
         id_col,
         {"cid": "cluster_id", "size": "cluster_size"},
         bounded_mod,

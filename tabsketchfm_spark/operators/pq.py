@@ -708,36 +708,14 @@ def ivfpq_store_delete_oracle_sql(
     surviving ids — deletion copies integers verbatim, so survivors
     must match the full encode bit-for-bit. ``keep_sql`` is the keep
     predicate over ``cand_id``."""
-    from tabsketchfm_spark.functions.gates import bounded_tail_sql
-
     ctes, _cfinal, _rcents, rcodes = _corpus_encode_ctes(table)
-    code_cols = ",\n  ".join(
-        f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
-        for s in range(S_SUB)
-    )
-    ctes.append(
-        f"""allcodes AS MATERIALIZED (
-SELECT r.id AS cand_id, CAST(a.cell AS INTEGER) AS cell,
-  {code_cols}
-FROM {rcodes} r JOIN acell a USING (id)
-GROUP BY r.id, a.cell)"""
-    )
+    ctes.append(f"allcodes AS MATERIALIZED ({_codes_pivot_sql(rcodes)})")
     ctes.append(
         f"fullcodes AS MATERIALIZED (SELECT * FROM allcodes WHERE {keep_sql})"
     )
-    code_sum = " + ".join(f"{s + 1} * c{s}" for s in range(S_SUB))
     if bounded_mod is None:
         return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM fullcodes\n"
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + bounded_tail_sql(
-            "fullcodes",
-            "cand_id",
-            {"cell": "cell", "codes": code_sum},
-            bounded_mod,
-        )
-    )
+    return "WITH " + ",\n".join(ctes) + _bounded_codes_tail("fullcodes", bounded_mod)
 
 
 def ivfpq_stored_topk(
@@ -1082,6 +1060,32 @@ def _frozen_fit_ctes(
     return ctes, cfinal, rcents, rcodes
 
 
+def _codes_pivot_sql(rcodes: str) -> str:
+    """ONE copy of the stored-code-set pivot (round-7 SQL-drift rule):
+    (cand_id, cell, c0..c{S-1}) off the long-form residual codes CTE
+    joined to the cell assignment — shared by the append and delete
+    oracles."""
+    code_cols = ",\n  ".join(
+        f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
+        for s in range(S_SUB)
+    )
+    return f"""SELECT r.id AS cand_id, CAST(a.cell AS INTEGER) AS cell,
+  {code_cols}
+FROM {rcodes} r JOIN acell a USING (id)
+GROUP BY r.id, a.cell"""
+
+
+def _bounded_codes_tail(src: str, mod: int) -> str:
+    """bounded_codes_gate's SQL tail over a full-codes CTE — the
+    position-weighted code checksum spelled out ONCE."""
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
+    code_sum = " + ".join(f"{s + 1} * c{s}" for s in range(S_SUB))
+    return bounded_tail_sql(
+        src, "cand_id", {"cell": "cell", "codes": code_sum}, mod
+    )
+
+
 def bounded_codes_gate(codes: DataFrame, mod: int = 17) -> DataFrame:
     """Bounded gate over a stored code set — sampled slice + plain
     and ID-WEIGHTED checksums (functions/gates.py). The code checksum
@@ -1111,31 +1115,12 @@ def ivfpq_store_append_oracle_sql(
     encode used the stored quantizers, and serving reads the code-dir
     union. With ``bounded_mod``, mirrors bounded_codes_gate via the
     shared scaffold in functions/gates.py."""
-    from tabsketchfm_spark.functions.gates import bounded_tail_sql
-
     ctes, _cfinal, _rcents, rcodes = _frozen_fit_ctes(table, boundary)
-    code_cols = ",\n  ".join(
-        f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
-        for s in range(S_SUB)
-    )
-    full = f"""SELECT r.id AS cand_id, CAST(a.cell AS INTEGER) AS cell,
-  {code_cols}
-FROM {rcodes} r JOIN acell a USING (id)
-GROUP BY r.id, a.cell"""
+    full = _codes_pivot_sql(rcodes)
     if bounded_mod is None:
         return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
-    code_sum = " + ".join(f"{s + 1} * c{s}" for s in range(S_SUB))
     ctes.append(f"fullcodes AS MATERIALIZED ({full})")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + bounded_tail_sql(
-            "fullcodes",
-            "cand_id",
-            {"cell": "cell", "codes": code_sum},
-            bounded_mod,
-        )
-    )
+    return "WITH " + ",\n".join(ctes) + _bounded_codes_tail("fullcodes", bounded_mod)
 
 
 def pq_codes_oracle_sql(table: str) -> str:

@@ -861,7 +861,17 @@ def clear_cluster_memo() -> None:
     """Reset after rewriting the parquet behind an sf path (the
     clear_fit_memo rule). Session staleness is handled automatically —
     the memo key carries the application id, so a fresh SparkSession
-    never sees frames bound to a stopped one."""
+    never sees frames bound to a stopped one. The frames are RELEASED,
+    not just dropped: a persisted pairs plan left in the CacheManager
+    would canonicalize equal to the rebuilt plan over the rewritten
+    path and cache-substitute STALE pairs under the clustering gates
+    (the round-7 hazard); dedup._release_frame handles both persisted
+    and localCheckpoint-backed frames."""
+    for df in _CLUSTER_MEMO.values():
+        try:
+            dedup._release_frame(df)
+        except Exception:
+            pass  # a stopped session's frames have nothing to release
     _CLUSTER_MEMO.clear()
 
 

@@ -1121,10 +1121,20 @@ def streaming_crawl_clusters(
                 intra = dedup._lsh_cross_pairs(
                     sig_d, sig_d, num_perm, bands, threshold
                 ).where(F.col("corpus_id") < F.col("delta_id"))
-                pairs = cross.unionByName(intra).select(
-                    F.col("corpus_id").alias("id_a"),
-                    F.col("delta_id").alias("id_b"),
+                # persisted: the incremental fold consumes pairs in
+                # TWO actions (arrival-discipline count + CC seed
+                # checkpoint) — unpersisted, the banded cross+intra
+                # join over the signature store would run twice per
+                # micro-batch
+                pairs = (
+                    cross.unionByName(intra)
+                    .select(
+                        F.col("corpus_id").alias("id_a"),
+                        F.col("delta_id").alias("id_b"),
+                    )
+                    .persist()
                 )
+                caches.append(pairs)
                 dedup.cluster_store_update(
                     spark, pairs, batch_df.select("doc_id"), cl_store
                 )
