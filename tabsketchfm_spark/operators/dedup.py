@@ -1984,6 +1984,103 @@ def cluster_store_compact(spark, path: str, keep_pred: str) -> DataFrame:
         return out.localCheckpoint()
 
 
+def retention_sweep(
+    spark, sig_path: str, cluster_path: str, sig_keep: str, label_keep: str
+) -> DataFrame:
+    """ONE maintenance call expires BOTH daily-crawl stores by the
+    same horizon — the composition that keeps them consistent: a doc
+    aged out of the signature store must also leave the label store
+    (else it keeps a cluster row forever), and expiring labels without
+    expiring signatures would let a dead doc keep matching new deltas.
+    ``sig_keep`` is a predicate over the signature row (id or
+    ingest_ts), ``label_keep`` over doc_id — callers pass the SAME
+    horizon in both vocabularies. Returns the compacted labels (the
+    cluster_store_compact return)."""
+    compact_signature_store(spark, sig_path, keep_pred=sig_keep)
+    return cluster_store_compact(spark, cluster_path, label_keep)
+
+
+def crawl_store_consistency(
+    spark,
+    sig_path: str,
+    cluster_path: str,
+    n: int = 3,
+    num_perm: int = 100,
+) -> DataFrame:
+    """One-row cross-store audit of the daily-crawl pair: label ids
+    vs stored signature ids, via ONE full outer join + one aggregate.
+    The invariant a same-horizon retention_sweep must preserve:
+    ``n_orphan_sigs == 0`` (every signature's doc is labeled — an
+    orphan signature would let an expired/unknown doc keep matching
+    and even MIN-label new clusters). ``n_unsigned_labels`` counts
+    labeled docs WITHOUT signatures — legitimately positive (docs too
+    short to shingle carry labels but no signature). Id checksums pin
+    the exact membership, not just the counts."""
+    caches: list = []
+    try:
+        sig_ids = (
+            _read_signature_store(spark, sig_path, n, num_perm, caches)
+            .select(F.col("id").alias("doc_id"))
+            .distinct()
+            .withColumn("has_sig", F.lit(1))
+        )
+        lbl_ids = (
+            cluster_store_read(spark, cluster_path)
+            .select("doc_id")
+            .withColumn("has_lbl", F.lit(1))
+        )
+        j = lbl_ids.join(sig_ids, "doc_id", "full").select(
+            "doc_id",
+            F.coalesce("has_lbl", F.lit(0)).alias("l"),
+            F.coalesce("has_sig", F.lit(0)).alias("s"),
+        )
+        out = j.agg(
+            F.sum("l").alias("n_labels"),
+            F.sum("s").alias("n_sigs"),
+            F.sum(F.col("s") * (1 - F.col("l"))).alias("n_orphan_sigs"),
+            F.sum(F.col("l") * (1 - F.col("s"))).alias("n_unsigned_labels"),
+            F.sum(F.col("doc_id") * F.col("l")).alias("sum_label_ids"),
+            F.sum(F.col("doc_id") * F.col("s")).alias("sum_sig_ids"),
+        )
+        # materialize before releasing the sig cache the plan reads
+        return out.localCheckpoint()
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def crawl_retention_consistency_oracle_sql(
+    table: str,
+    label_keep_sql: str,
+    sig_keep_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> str:
+    """crawl_store_consistency's twin after a retention_sweep over a
+    store pair built from the FULL corpus: surviving labels = the keep
+    slice of all docs; surviving signatures = the keep slice of the
+    SHINGLE-ELIGIBLE docs (a doc with fewer than ``n`` tokens never
+    had a signature — the sh CTE is the one eligibility rule)."""
+    return f"""
+WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
+lbl AS (SELECT {id_col} AS doc_id FROM {table} WHERE {label_keep_sql}),
+sig AS (SELECT DISTINCT id AS doc_id FROM sh
+        WHERE {sig_keep_sql}),
+j AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS l,
+             CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s
+      FROM lbl l FULL JOIN sig s ON l.doc_id = s.doc_id)
+SELECT CAST(sum(l) AS BIGINT) AS n_labels,
+       CAST(sum(s) AS BIGINT) AS n_sigs,
+       CAST(sum(s * (1 - l)) AS BIGINT) AS n_orphan_sigs,
+       CAST(sum(l * (1 - s)) AS BIGINT) AS n_unsigned_labels,
+       CAST(sum(doc_id * l) AS BIGINT) AS sum_label_ids,
+       CAST(sum(doc_id * s) AS BIGINT) AS sum_sig_ids
+FROM j
+"""
+
+
 def cluster_labels_compact_oracle_sql(
     table: str,
     keep_sql: str,

@@ -1036,6 +1036,46 @@ _register(
         "documents", "doc_id % 4 <> 1", df_cap=None, bounded_mod=13
     ),
 )
+
+
+def _crawl_retention_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    # the cross-store maintenance composition: ONE call expires the
+    # signature store AND the label store by the SAME horizon, then
+    # the one-row consistency audit proves the invariant that makes
+    # the daily loop safe afterwards — no orphan signatures (an
+    # expired doc that kept its signature would keep matching new
+    # deltas and could MIN-label a cluster the label store no longer
+    # knows). n_unsigned_labels counts the legitimately signature-less
+    # short docs; id checksums pin exact membership.
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf, "documents")
+    labels = _cluster_frame(spark, sf, "labels_full")
+    sig_store = tempfile.mkdtemp(prefix="tsfm_ret_sig_")
+    cl_store = tempfile.mkdtemp(prefix="tsfm_ret_cl_")
+    try:
+        dedup.build_signature_store(docs, sig_store)
+        dedup.cluster_store_init(spark, labels, cl_store)
+        dedup.retention_sweep(
+            spark, sig_store, cl_store, "id % 4 <> 1", "doc_id % 4 != 1"
+        )
+        out = dedup.crawl_store_consistency(spark, sig_store, cl_store)
+        rows = out.collect()  # bounded: ONE audit row
+        schema = out.schema
+    finally:
+        shutil.rmtree(sig_store, ignore_errors=True)
+        shutil.rmtree(cl_store, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "crawl_retention_sweep_documents",
+    _crawl_retention_sweep,
+    dedup.crawl_retention_consistency_oracle_sql(
+        "documents", "doc_id % 4 <> 1", "id % 4 <> 1"
+    ),
+)
 _register(
     "dedup_minhash_lsh_documents",
     lambda spark, sf: dedup.minhash_lsh_pairs(

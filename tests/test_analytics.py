@@ -885,6 +885,39 @@ def test_sig_sweep_refuses_corrupt_live_pointer(spark, sf01, tmp_path):
     )
 
 
+def test_crawl_retention_detects_and_heals_orphan_sigs(spark, sf01, tmp_path):
+    """The cross-store audit must CATCH a horizon mismatch (labels
+    swept, signatures not → expired docs keep matching as orphan
+    signatures) and a same-horizon retention_sweep must heal it."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 60")
+    sig = str(tmp_path / "sig")
+    cl = str(tmp_path / "cl")
+    dedup.build_signature_store(docs, sig)
+    dedup.cluster_store_init(
+        spark,
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id")),
+        cl,
+    )
+    ok = dedup.crawl_store_consistency(spark, sig, cl).first()
+    assert ok["n_orphan_sigs"] == 0 and ok["n_labels"] == 60
+
+    # horizon mismatch: sweep ONLY the labels
+    dedup.cluster_store_compact(spark, cl, "doc_id < 40")
+    bad = dedup.crawl_store_consistency(spark, sig, cl).first()
+    assert bad["n_orphan_sigs"] == 20, bad
+
+    # same-horizon sweep heals the pair
+    dedup.retention_sweep(spark, sig, cl, "id < 40", "doc_id < 40")
+    healed = dedup.crawl_store_consistency(spark, sig, cl).first()
+    assert healed["n_orphan_sigs"] == 0
+    assert healed["n_labels"] == healed["n_sigs"] == 40
+
+
 def test_cluster_store_update_redelivery_is_noop(spark, tmp_path):
     """Re-folding the SAME batch (pairs + nodes) must leave the stored
     labels identical — the property that makes foreachBatch redelivery

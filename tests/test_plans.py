@@ -671,6 +671,7 @@ _PLAN_GUARD_SKIP = {
     "dedup_clusters_incremental_documents",
     "store_clusters_update_documents",
     "store_clusters_compact_documents",
+    "crawl_retention_sweep_documents",
     # round-7 eager additions: perceptron training runs its epoch
     # collects at build; the cluster split runs the full star-
     # contraction clustering (checkpoint jobs) at build
