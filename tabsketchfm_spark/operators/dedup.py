@@ -1809,9 +1809,21 @@ def cluster_store_init(spark, labels: DataFrame, path: str) -> None:
         # write leaves the manifest pointing at garbage) — write a
         # fresh unique dir, the build_signature_store pattern
         try:
-            old_live = read_manifest(path).get("state_dir")
+            old_manifest = read_manifest(path)
         except (OSError, ValueError):
-            old_live = None  # fresh store, or corrupt manifest being reset
+            old_manifest = None  # fresh store, or corrupt manifest being reset
+        if (
+            old_manifest is not None
+            and old_manifest.get("format") != _CLUSTER_STORE_FORMAT
+        ):
+            # a PARSEABLE manifest of another store family (signature /
+            # IVF-PQ / ...) means the caller mistyped the path — re-init
+            # would replace that store's manifest and strand its data
+            raise IOError(
+                f"store at {path} is {old_manifest.get('format')!r}, "
+                "not a cluster store — refusing to re-init over it"
+            )
+        old_live = old_manifest.get("state_dir") if old_manifest else None
         # a corrupt live pointer (nested/'..'/absolute) would never
         # string-equal a listdir entry, so the sweep below would delete
         # the genuinely live generation (the _sweep_retired_sig_data

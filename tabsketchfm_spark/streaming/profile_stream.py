@@ -689,7 +689,7 @@ def streaming_kmeans_assign(
                 F.col("id").alias("vec_id"), F.col("cell").alias("cluster")
             )
             out.write.mode("overwrite").parquet(
-                f"{sink_dir}/batch_id={max(batch_id, 0)}"
+                f"{sink_dir}/batch_id={batch_id}"
             )
 
         q = (

@@ -38,7 +38,10 @@ def built_query(spark, sf_dir: str, name: str):
     imports conftest as a top-level module while `from tests.conftest
     import ...` would load a SECOND instance via namespace-package
     resolution — two module bodies, two caches (round-10 review)."""
-    key = (name, sf_dir)
+    # application id in the key: persisted/localCheckpoint-backed frames
+    # die with their session, so a fixture that restarts Spark mid-run
+    # must not be served dead frames (the _CLUSTER_MEMO pattern)
+    key = (name, sf_dir, spark.sparkContext.applicationId)
     if key not in _BUILT_QUERIES:
         from tabsketchfm_spark.plans import registry
 

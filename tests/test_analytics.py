@@ -998,6 +998,39 @@ def test_ingest_ts_contract_rejects_wrong_store_type(spark, sf01, tmp_path):
         append_signatures(docs, spark, store, ingest_ts=1)
 
 
+def test_cluster_store_init_rejects_wrong_store_type(spark, tmp_path):
+    """cluster_store_init pointed at a LIVE store of another family
+    (signature / IVF-PQ) must refuse loudly instead of replacing that
+    store's manifest and stranding its data (ADVICE r10). A corrupt
+    (unparseable) manifest stays resettable — that is the documented
+    recovery path."""
+    import pytest as _pytest
+
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.sources import store_util as su
+
+    labels = spark.createDataFrame(
+        [(1, 1)], "doc_id bigint, cluster_id bigint"
+    )
+    store = str(tmp_path / "sig_store_path")
+    su.write_manifest(
+        store, {"format": dedup._SIG_STORE_FORMAT, "schema": []}
+    )
+    with _pytest.raises(IOError, match="not a cluster store"):
+        dedup.cluster_store_init(spark, labels, store)
+    # the foreign manifest must be untouched
+    assert su.read_manifest(store)["format"] == dedup._SIG_STORE_FORMAT
+    # unparseable manifest → reset allowed
+    store2 = str(tmp_path / "corrupt")
+    import os
+
+    os.makedirs(store2, exist_ok=True)
+    with open(os.path.join(store2, "_manifest.json"), "w") as f:
+        f.write("{not json")
+    dedup.cluster_store_init(spark, labels, store2)
+    assert su.read_manifest(store2)["format"] == dedup._CLUSTER_STORE_FORMAT
+
+
 def test_incremental_cc_rejects_null_delta_node(spark):
     """A NULL id in delta_nodes would ride coalesce into a NULL label
     and silently vanish at the compose join — must raise (ADVICE r9)."""
