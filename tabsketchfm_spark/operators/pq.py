@@ -459,45 +459,52 @@ def save_ivfpq_index(
     in-place rewrite under a constant manifest would serve torn
     mixed-generation artifacts that still pass the guard (round-8
     review finding)."""
-    import os
-    import shutil
-    import uuid
-
-    from tabsketchfm_spark.sources.store_util import (
-        read_manifest,
-        write_manifest,
-        writer_lease,
-    )
+    from tabsketchfm_spark.sources.store_util import writer_lease
 
     # the fit is store-independent; only the write/flip/GC section is
     # the writer-exclusive critical region
     mc, cb = ivfpq_fit(emb, id_col, vec_col)
     with writer_lease(path, owner="save_ivfpq_index"):
-        gen = f"gen_{uuid.uuid4().hex[:12]}"
-        try:
-            prev_gen = read_manifest(path).get("data_dir")
-        except Exception:
-            prev_gen = None
-        _ivfpq_cands(emb, mc, cb, id_col, vec_col).write.mode("overwrite").parquet(
-            f"{path}/{gen}/codes"
+        _commit_generation(
+            spark, path, _ivfpq_cands(emb, mc, cb, id_col, vec_col), mc, cb
         )
-        spark.createDataFrame(
-            [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/centroids")
-        spark.createDataFrame(
-            [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
-            "s int, c int, m array<bigint>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
-        write_manifest(path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()})
-        # GC superseded generations AFTER the flip succeeds (round-8 advice:
-        # repeated rebuilds into a long-lived store leaked every old gen dir).
-        # The immediately previous generation is kept for crash recovery —
-        # a reader that resolved the old manifest just before the flip may
-        # still be scanning it; everything older is unreachable.
-        keep = {gen, prev_gen}
-        for d in os.listdir(path):
-            if d.startswith("gen_") and d not in keep:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
+    """Write (codes, centroids, codebooks) into a FRESH generation
+    subdir, flip the manifest pointer, then GC superseded generations —
+    the shared full-rebuild commit (save and re-encode). Caller holds
+    the writer lease. GC runs AFTER the flip succeeds (round-8 advice:
+    repeated rebuilds into a long-lived store leaked every old gen
+    dir); the immediately previous generation is kept for crash
+    recovery — a reader that resolved the old manifest just before the
+    flip may still be scanning it; everything older is unreachable."""
+    import os
+    import shutil
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
+
+    gen = f"gen_{uuid.uuid4().hex[:12]}"
+    try:
+        prev_gen = read_manifest(path).get("data_dir")
+    except Exception:
+        prev_gen = None
+    codes_df.write.mode("overwrite").parquet(f"{path}/{gen}/codes")
+    spark.createDataFrame(
+        [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/centroids")
+    spark.createDataFrame(
+        [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
+        "s int, c int, m array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
+    write_manifest(
+        path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()}
+    )
+    keep = {gen, prev_gen}
+    for d in os.listdir(path):
+        if d.startswith("gen_") and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _read_index_manifest(path: str) -> tuple[dict, str, list[str], list[str]]:
@@ -716,6 +723,180 @@ def ivfpq_store_delete_oracle_sql(
     if bounded_mod is None:
         return "WITH " + ",\n".join(ctes) + "\nSELECT * FROM fullcodes\n"
     return "WITH " + ",\n".join(ctes) + _bounded_codes_tail("fullcodes", bounded_mod)
+
+
+REENCODE_ITERS = 2
+
+
+def warm_start_centroids(
+    emb: DataFrame,
+    mc_old: dict[int, list[int]],
+    extra_iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[int]]:
+    """``extra_iters`` more integer Lloyd rounds over the CURRENT
+    corpus, seeded from the stored centroids — per round the same
+    algebra as the cold fit (kmeans.cell_aggregate assignment +
+    floor-div half-up update; an empty cell keeps its previous
+    centroid), so the DuckDB replay is the unchanged round CTE with
+    the init SELECT overridden to the stored centroids."""
+    from tabsketchfm_spark.operators.kmeans import cell_aggregate
+
+    mc = {cid: list(v) for cid, v in mc_old.items()}
+    if extra_iters <= 0:
+        return mc
+    dim = S_SUB * D_SUB
+    q = _quantized(emb, id_col, vec_col).persist()
+    try:
+        for _ in range(extra_iters):
+            new = dict(mc)
+            for cid, (s, c) in cell_aggregate(q, mc, dim).items():
+                new[cid] = [(2 * sj + c) // (2 * c) for sj in s]
+            mc = new
+    finally:
+        q.unpersist()
+    return mc
+
+
+def ivfpq_store_reencode(
+    spark,
+    path: str,
+    emb: DataFrame,
+    extra_iters: int = REENCODE_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index maintenance, the REBUILD half made incremental (the
+    store family's last missing verb: append absorbs, delete forgets,
+    re-encode RETARGETS after drift says rebuild — the FAISS analogue
+    is retraining the coarse quantizer and re-adding). A cold
+    ``save_ivfpq_index`` refits everything from scratch; this verb
+    instead warm-starts the coarse centroids FROM THE STORE with
+    ``extra_iters`` integer Lloyd rounds over the current corpus,
+    keeps the residual codebooks FROZEN, and PQ-re-encodes ONLY the
+    vectors whose coarse geometry changed: a stored code depends on
+    nothing but (vector, its cell's centroid, codebooks), so every
+    vector whose new cell id equals its stored cell AND whose centroid
+    didn't move keeps its stored codes bit-for-bit — those rows are
+    copied verbatim, never re-encoded. Work: one cheap expression-only
+    (id, cell) projection over the corpus (unavoidable — assignment is
+    global), the expensive S×K codeword encode only over the stale
+    subset. At a converged store (a re-run with unchanged corpus and
+    centroids at their Lloyd fixpoint) everything copies.
+
+    Corpus contract: the result is exactly the encode of ``emb`` under
+    (warm centroids, frozen codebooks) — stored ids absent from
+    ``emb`` are dropped (re-encode resyncs the index to the corpus it
+    is given), new ids are encoded fresh. Commits as a FULL fresh
+    generation (centroids moved, so the old generation's artifacts are
+    inconsistent with the new ones) via the shared commit helper:
+    atomic pointer flip, previous generation kept one cycle for
+    concurrent readers. Writer-exclusive via the store lease."""
+    from tabsketchfm_spark.sources.store_util import writer_lease
+
+    with writer_lease(path, owner="ivfpq_store_reencode", require_store=True):
+        mc_old, cb, codes_old = load_ivfpq_index(spark, path)
+        mc = warm_start_centroids(emb, mc_old, extra_iters, id_col, vec_col)
+        moved = sorted(cid for cid in mc if mc[cid] != mc_old[cid])
+        asg = (
+            _quantized(emb, id_col, vec_col)
+            .select("id", *_b_exprs(mc))
+            .select("id", _bk_col(len(mc)).cast("int").alias("cell"))
+        )
+        joined = asg.join(
+            codes_old.withColumnRenamed("cand_id", "id").withColumnRenamed(
+                "cell", "old_cell"
+            ),
+            "id",
+            "left",
+        ).persist()  # two consumers: the copied rows and the stale ids
+        try:
+            moved_lit = (
+                F.col("cell").isin([int(c) for c in moved])
+                if moved
+                else F.lit(False)
+            )
+            stale = (
+                F.col("old_cell").isNull()
+                | (F.col("cell") != F.col("old_cell"))
+                | moved_lit
+            )
+            copied = joined.where(~stale).select(
+                F.col("id").alias("cand_id"),
+                "cell",
+                *[F.col(f"c{s}") for s in range(S_SUB)],
+            )
+            stale_ids = joined.where(stale).select(F.col("id").alias(id_col))
+            fresh = _ivfpq_cands(
+                emb.join(stale_ids, id_col, "left_semi"),
+                mc,
+                cb,
+                id_col,
+                vec_col,
+            )
+            _commit_generation(spark, path, copied.unionByName(fresh), mc, cb)
+        finally:
+            joined.unpersist()
+
+
+def ivfpq_store_reencode_oracle_sql(
+    table: str,
+    boundary: int,
+    extra_iters: int = REENCODE_ITERS,
+    bounded_mod: int | None = 17,
+) -> str:
+    """Re-encode's twin: the incremental result must equal the FULL
+    encode of the corpus under (warm-started centroids, frozen
+    codebooks) — codes depend only on (vector, its centroid,
+    codebooks), so copied rows are bit-equal by construction, and a
+    copy/stale misclassification, a missed stale vector, or a
+    quietly-retrained codebook all land in the position-weighted code
+    checksums. Replay: cold coarse fit + frozen residual codebooks on
+    the BUILD slice (id < ``boundary``), ``extra_iters`` warm Lloyd
+    rounds over ALL points seeded from the build centroids, then every
+    point assigned + residual-encoded against the WARM centroids with
+    the frozen codebooks. (What was appended between build and
+    re-encode is irrelevant to the final state — the resync contract.)"""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes = _base_ctes(table, dim)
+    ctes.append(
+        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})"
+    )
+    kctes, cfinal = _kmeans_ctes(
+        table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
+    )
+    ctes.extend(kctes)
+    # frozen codebooks: trained on the BUILD slice's residuals against
+    # the BUILD centroids — exactly what the store holds
+    ctes.extend(_residual_ctes(cfinal, "cpts", "acell0", "rfit"))
+    pctes, rcents, _fit_codes = _pq_ctes(table, src="rfit", tag="r", base=False)
+    ctes.extend(pctes)
+    # warm-start rounds over the CURRENT corpus, seeded from the build
+    # centroids — the unchanged Lloyd round CTE, init overridden
+    wctes, wfinal = _kmeans_ctes(
+        table,
+        N_CELLS,
+        extra_iters,
+        dim,
+        prefix="w",
+        base=False,
+        pts="pts",
+        init_sql=f"SELECT cid, m FROM {cfinal}",
+    )
+    ctes.extend(wctes)
+    ctes.extend(_residual_ctes(wfinal, "pts", "acell", "rpts"))
+    ctes.append(_explode_sub_cte("wexq", "rpts"))
+    ctes.append(_codes_assign_cte("wcodes_long", "wexq", rcents))
+    full = _codes_pivot_sql("wcodes_long")
+    if bounded_mod is None:
+        return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
+    ctes.append(f"fullcodes AS MATERIALIZED ({full})")
+    return "WITH " + ",\n".join(ctes) + _bounded_codes_tail(
+        "fullcodes", bounded_mod
+    )
 
 
 def ivfpq_stored_topk(
@@ -938,6 +1119,33 @@ FROM {rcodes} r LEFT JOIN dlt d USING (id) GROUP BY r.s, r.cid
 # --- DuckDB replay -----------------------------------------------------------
 
 
+def _explode_sub_cte(name: str, src: str) -> str:
+    """ONE copy of the subspace-explode SQL: (id, s, qs) rows off an
+    (id, qv) source — DuckDB lists are 1-based, so subspace s covers
+    qv[s*D+1 .. s*D+D]."""
+    return (
+        f"{name} AS MATERIALIZED (SELECT p.id, sub.s, "
+        f"list_transform(generate_series(1, {D_SUB}), "
+        f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
+        f"FROM {src} p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
+        " AS s) sub)"
+    )
+
+
+def _codes_assign_cte(name: str, enc: str, cents: str) -> str:
+    """ONE copy of the codeword-argmin SQL: every (id, s, qs) row of
+    ``enc`` assigned its nearest codeword of ``cents`` (ties →
+    smallest codeword id) — shared by the fit replay and the
+    encode-against-frozen-codebooks path."""
+    return (
+        f"{name} AS MATERIALIZED (SELECT id, s, cid FROM ("
+        "SELECT p.id, p.s, c.cid, row_number() OVER (PARTITION BY p.id, p.s "
+        "ORDER BY list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
+        " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[]), c.cid) AS rn "
+        f"FROM {enc} p JOIN {cents} c ON c.s = p.s) z WHERE rn = 1)"
+    )
+
+
 def _pq_ctes(
     table: str,
     src: str = "pts",
@@ -958,24 +1166,11 @@ def _pq_ctes(
     dim = S_SUB * D_SUB
     ctes = _base_ctes(table, dim) if base else []
     ex, cents, codes = f"{tag}ex", f"{tag}cents_long", f"{tag}codes_long"
-    # DuckDB lists are 1-based: subspace s covers qv[s*D+1 .. s*D+D]
-    ctes.append(
-        f"{ex} AS MATERIALIZED (SELECT p.id, sub.s, "
-        f"list_transform(generate_series(1, {D_SUB}), "
-        f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
-        f"FROM {src} p CROSS JOIN (SELECT unnest(generate_series(0, {S_SUB - 1}))"
-        " AS s) sub)"
-    )
+    ctes.append(_explode_sub_cte(ex, src))
     enc = ex
     if encode_src is not None:
         enc = f"{tag}exq"
-        ctes.append(
-            f"{enc} AS MATERIALIZED (SELECT p.id, sub.s, "
-            f"list_transform(generate_series(1, {D_SUB}), "
-            f"i -> p.qv[sub.s * {D_SUB} + i]) AS qs "
-            f"FROM {encode_src} p CROSS JOIN "
-            f"(SELECT unnest(generate_series(0, {S_SUB - 1})) AS s) sub)"
-        )
+        ctes.append(_explode_sub_cte(enc, encode_src))
     ctes.append(
         f"{tag}sdims AS (SELECT unnest(generate_series(1, {D_SUB})) AS i)"
     )
@@ -1003,14 +1198,27 @@ def _pq_ctes(
         )
         + ")"
     )
-    ctes.append(
-        f"{codes} AS MATERIALIZED (SELECT id, s, cid FROM ("
-        "SELECT p.id, p.s, c.cid, row_number() OVER (PARTITION BY p.id, p.s "
-        "ORDER BY list_dot_product(c.m::DOUBLE[], c.m::DOUBLE[])"
-        " - 2 * list_dot_product(p.qs::DOUBLE[], c.m::DOUBLE[]), c.cid) AS rn "
-        f"FROM {enc} p JOIN {cents} c ON c.s = p.s) z WHERE rn = 1)"
-    )
+    ctes.append(_codes_assign_cte(codes, enc, cents))
     return ctes, cents, codes
+
+
+def _residual_ctes(
+    cents: str, pts_src: str, acell_name: str, rpts_name: str
+) -> list[str]:
+    """ONE copy of the assign-and-residual SQL (round-7 SQL-drift
+    rule): every row of ``pts_src`` gets its nearest cell of ``cents``
+    (ties → smallest cell id) and the integer residual against that
+    centroid — shared by the frozen-fit scaffold and the re-encode
+    replay (which assigns against two DIFFERENT centroid sets)."""
+    dim = S_SUB * D_SUB
+    return [
+        f"{acell_name} AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cents, pts=pts_src)}) z WHERE rn = 1)",
+        f"{rpts_name} AS MATERIALIZED (SELECT p.id, "
+        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
+        f"FROM {pts_src} p JOIN {acell_name} a ON a.id = p.id "
+        f"JOIN {cents} c ON c.cid = a.cell)",
+    ]
 
 
 def _frozen_fit_ctes(
@@ -1040,16 +1248,7 @@ def _frozen_fit_ctes(
     )
     ctes.extend(kctes)
     ctes.extend(extra_ctes or [])
-    ctes.append(
-        "acell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
-        f"{_ranked_cells_sql(cfinal, pts=cand_pts)}) z WHERE rn = 1)"
-    )
-    ctes.append(
-        "rpts AS MATERIALIZED (SELECT p.id, "
-        f"list_transform(generate_series(1, {dim}), i -> p.qv[i] - c.m[i]) AS qv "
-        f"FROM {cand_pts} p JOIN acell a ON a.id = p.id "
-        f"JOIN {cfinal} c ON c.cid = a.cell)"
-    )
+    ctes.extend(_residual_ctes(cfinal, cand_pts, "acell", "rpts"))
     ctes.append(
         f"rfit AS MATERIALIZED (SELECT * FROM rpts WHERE id < {boundary})"
     )

@@ -1319,6 +1319,69 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     assert codes3.count() == 50  # fresh build, appends retired
 
 
+def test_ivfpq_store_reencode_lifecycle(spark, sf01, tmp_path):
+    """Re-encode retargets the index after drift: warm-started
+    centroids land in the fresh generation, codebooks stay FROZEN,
+    and the stored code set equals the full encode under the new
+    geometry (the composition theorem — codes depend only on (vector,
+    its centroid, codebooks), so the verbatim-copy path cannot drift
+    from the re-encode path). extra_iters=0 is the pure resync:
+    equivalent to APPEND for a grown corpus — which drives the copy
+    path for every stored vector with an independently-implemented
+    expected value — and to DELETE for a shrunk one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings")
+    core = emb.where(F.col("vec_id") < 400)
+
+    a = str(tmp_path / "via_append")
+    b = str(tmp_path / "via_reencode")
+    pq_op.save_ivfpq_index(spark, core, a)
+    pq_op.ivfpq_store_append(spark, a, emb.where(F.col("vec_id") >= 400))
+    pq_op.save_ivfpq_index(spark, core, b)
+    mc_old, cb_old, _codes0 = pq_op.load_ivfpq_index(spark, b)
+    pq_op.ivfpq_store_reencode(spark, b, emb, extra_iters=0)
+    mc_b, cb_b, codes_b = pq_op.load_ivfpq_index(spark, b)
+    assert mc_b == mc_old and cb_b == cb_old  # 0 rounds: geometry frozen
+    set_a = {tuple(r) for r in pq_op.load_ivfpq_index(spark, a)[2].collect()}
+    assert {tuple(r) for r in codes_b.collect()} == set_a
+
+    # warm re-encode: centroids advance by exactly the warm Lloyd
+    # rounds, codebooks frozen, stored set == full encode under the
+    # new geometry
+    want_mc = pq_op.warm_start_centroids(emb, mc_old, 2)
+    pq_op.ivfpq_store_reencode(spark, b, emb, extra_iters=2)
+    mc2, cb2, codes2 = pq_op.load_ivfpq_index(spark, b)
+    assert mc2 == want_mc
+    assert cb2 == cb_old
+    want = {
+        tuple(r)
+        for r in pq_op._ivfpq_cands(emb, mc2, cb2, "vec_id", "embedding").collect()
+    }
+    assert {tuple(r) for r in codes2.collect()} == want
+
+    # resync to a SHRUNK corpus drops the absent ids (delete composed
+    # in); survivors copy bit-for-bit (geometry unchanged)
+    kept = emb.where(F.col("vec_id") % 3 != 0)
+    pq_op.ivfpq_store_reencode(spark, b, kept, extra_iters=0)
+    got3 = {
+        tuple(r) for r in pq_op.load_ivfpq_index(spark, b)[2].collect()
+    }
+    assert got3 == {t for t in want if t[0] % 3 != 0}
+
+    # generation lifecycle: fresh gen per re-encode, previous kept one
+    # cycle for concurrent readers, older GC'd
+    gens = [e for e in os.listdir(b) if e.startswith("gen_")]
+    assert len(gens) <= 2
+    assert read_manifest(b)["data_dir"] in gens
+
+
 def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
     """The staleness metric must not silently drop vectors absent from
     the index (round-9 review finding): recon over a subset store with
