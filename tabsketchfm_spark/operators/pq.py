@@ -899,6 +899,269 @@ def ivfpq_store_reencode_oracle_sql(
     )
 
 
+def coarse_drift_ppm(cells) -> tuple[int, int, int]:
+    """The coarse-cell L1 drift statistic from the (s = -1) rows of
+    ivfpq_index_drift, in EXACT integers (python bigints — no float
+    between the counts and the decision): returns (C, D, S) where
+    C/D are corpus/delta totals and S = Σ|delta_cnt·C − corpus_cnt·D|,
+    so the normalized L1 distance is S/(C·D) and the ppm comparison
+    `10^6·S >= threshold_ppm·C·D` is overflow-free on both engines
+    (python bigint here, HUGEINT in the replay)."""
+    C = sum(int(r["corpus_cnt"]) for r in cells)
+    D = sum(int(r["delta_cnt"]) for r in cells)
+    S = sum(
+        abs(int(r["delta_cnt"]) * C - int(r["corpus_cnt"]) * D) for r in cells
+    )
+    return C, D, S
+
+
+def ivfpq_store_autorefresh(
+    spark,
+    path: str,
+    delta: DataFrame,
+    corpus: DataFrame,
+    threshold_ppm: int,
+    extra_iters: int = REENCODE_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """The maintenance loop CLOSED: measure the arriving delta's
+    coarse-cell drift against the stored distribution, ABSORB the
+    delta (append, frozen quantizers), and — iff the normalized L1
+    drift is at least ``threshold_ppm`` parts-per-million — RETARGET
+    the index (warm re-encode over ``corpus``, the post-append lake).
+    The decision itself is exact integer arithmetic over one
+    N_CELLS-row collect, so the whole branch is replayable as a
+    DuckDB scalar subquery and the composite stays oracle-gated on
+    EITHER path. Returns whether the retarget fired. Empty delta or
+    empty store never triggers (0 ≥ 0 would otherwise fire
+    spuriously)."""
+    cells = (
+        ivfpq_index_drift(spark, path, delta, id_col, vec_col)
+        .where(F.col("s") == -1)
+        .collect()  # bounded: one row per coarse cell
+    )
+    C, D, S = coarse_drift_ppm(cells)
+    trig = C > 0 and D > 0 and 1_000_000 * S >= threshold_ppm * C * D
+    ivfpq_store_append(spark, path, delta, id_col, vec_col)
+    if trig:
+        ivfpq_store_reencode(spark, path, corpus, extra_iters, id_col, vec_col)
+    return trig
+
+
+def _drift_decision_ctes(
+    tag: str, corpus_cells: str, delta_cells: str, threshold_ppm: int
+) -> tuple[list[str], str]:
+    """ONE copy of the exact-integer drift-decision SQL (round-7
+    SQL-drift rule; the batch composite and every streamed batch share
+    it): coarse-cell count distributions of ``corpus_cells`` vs
+    ``delta_cells`` (both (id, cell) CTEs) over the shared ``spine``
+    of cell ids, then the ppm trigger as a one-row CTE. HUGEINT
+    products — counts × counts overflow BIGINT at lake scale. Returns
+    (ctes, decision_cte); SELECT trig FROM <decision_cte>."""
+    cd, dd = f"{tag}cdist", f"{tag}ddist"
+    tt, dec = f"{tag}tots", f"{tag}decision"
+    ctes = [
+        f"{cd} AS MATERIALIZED (SELECT sp.cell, coalesce(t.cnt, 0) AS c "
+        f"FROM spine sp LEFT JOIN (SELECT cell, count(*) AS cnt FROM "
+        f"{corpus_cells} GROUP BY cell) t ON t.cell = sp.cell)",
+        f"{dd} AS MATERIALIZED (SELECT sp.cell, coalesce(t.cnt, 0) AS c "
+        f"FROM spine sp LEFT JOIN (SELECT cell, count(*) AS cnt FROM "
+        f"{delta_cells} GROUP BY cell) t ON t.cell = sp.cell)",
+        f"{tt} AS MATERIALIZED (SELECT (SELECT sum(c) FROM {cd}) AS tc, "
+        f"(SELECT sum(c) FROM {dd}) AS td)",
+        f"{dec} AS MATERIALIZED (SELECT "
+        f"(SELECT tc FROM {tt}) > 0 AND (SELECT td FROM {tt}) > 0 AND "
+        f"1000000 * (SELECT sum(abs(CAST(d.c AS HUGEINT) * (SELECT tc FROM {tt})"
+        f" - CAST(c2.c AS HUGEINT) * (SELECT td FROM {tt}))) "
+        f"FROM {cd} c2 JOIN {dd} d USING (cell)) >= "
+        f"CAST({threshold_ppm} AS HUGEINT) * (SELECT tc FROM {tt}) * "
+        f"(SELECT td FROM {tt}) AS trig)",
+    ]
+    return ctes, dec
+
+
+def ivfpq_store_autorefresh_oracle_sql(
+    table: str,
+    boundary: int,
+    threshold_ppm: int,
+    extra_iters: int = REENCODE_ITERS,
+    bounded_mod: int | None = 17,
+) -> str:
+    """Autorefresh's twin — the DATA-DEPENDENT branch replayed in SQL
+    (the BPE/pagerank scalar-subquery pattern): build-slice fit +
+    frozen codebooks, the coarse-cell distributions of the build slice
+    vs the delta (both assigned against the BUILD centroids — the
+    stored codes at decision time), the exact-integer ppm trigger as a
+    one-row ``decision`` CTE, and BOTH branch encodes (frozen
+    append-equivalent vs warm re-encode) with the final SELECT picking
+    the branch the trigger chose. Any divergence — a wrong decision, a
+    branch applied to the wrong corpus, a quietly-retrained codebook —
+    lands in the code checksums."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes = _base_ctes(table, dim)
+    ctes.append(
+        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})"
+    )
+    kctes, cfinal = _kmeans_ctes(
+        table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
+    )
+    ctes.extend(kctes)
+    ctes.extend(_residual_ctes(cfinal, "cpts", "acell0", "rfit"))
+    pctes, rcents, _fit_codes = _pq_ctes(table, src="rfit", tag="r", base=False)
+    ctes.extend(pctes)
+    # the decision: coarse-cell L1 between build slice and delta,
+    # exact integers (HUGEINT products — counts × counts overflow
+    # BIGINT at lake scale)
+    ctes.append(
+        f"dpts AS MATERIALIZED (SELECT * FROM pts WHERE id >= {boundary})"
+    )
+    ctes.append(
+        "dcell AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+        f"{_ranked_cells_sql(cfinal, pts='dpts')}) z WHERE rn = 1)"
+    )
+    ctes.append(f"spine AS (SELECT DISTINCT cid AS cell FROM {cfinal})")
+    dctes, dec = _drift_decision_ctes("", "acell0", "dcell", threshold_ppm)
+    ctes.extend(dctes)
+    # frozen branch: append-equivalent — every point encoded against
+    # the BUILD geometry
+    ctes.extend(_residual_ctes(cfinal, "pts", "facell", "frpts"))
+    ctes.append(_explode_sub_cte("fexq", "frpts"))
+    ctes.append(_codes_assign_cte("fcodes_long", "fexq", rcents))
+    ctes.append(
+        f"fcodes AS MATERIALIZED ({_codes_pivot_sql('fcodes_long', acell='facell')})"
+    )
+    # warm branch: the re-encode replay — extra Lloyd rounds over all
+    # points seeded from the build centroids, frozen codebooks
+    wctes, wfinal = _kmeans_ctes(
+        table,
+        N_CELLS,
+        extra_iters,
+        dim,
+        prefix="w",
+        base=False,
+        pts="pts",
+        init_sql=f"SELECT cid, m FROM {cfinal}",
+    )
+    ctes.extend(wctes)
+    ctes.extend(_residual_ctes(wfinal, "pts", "acell", "rpts"))
+    ctes.append(_explode_sub_cte("wexq", "rpts"))
+    ctes.append(_codes_assign_cte("wcodes_long", "wexq", rcents))
+    ctes.append(
+        f"wcodes AS MATERIALIZED ({_codes_pivot_sql('wcodes_long', acell='acell')})"
+    )
+    full = (
+        f"SELECT * FROM wcodes WHERE (SELECT trig FROM {dec}) "
+        f"UNION ALL SELECT * FROM fcodes WHERE NOT (SELECT trig FROM {dec})"
+    )
+    if bounded_mod is None:
+        return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
+    ctes.append(f"fullcodes AS MATERIALIZED ({full})")
+    return "WITH " + ",\n".join(ctes) + _bounded_codes_tail(
+        "fullcodes", bounded_mod
+    )
+
+
+def streaming_ivfpq_autorefresh_oracle_sql(
+    table: str,
+    boundary: int,
+    n_batches: int,
+    threshold_ppm: int,
+    extra_iters: int = 1,
+    bounded_mod: int | None = 17,
+) -> str:
+    """The STREAMED maintenance loop's twin — the whole decision/
+    centroid trajectory replayed as chained CTEs (the mini-batch
+    k-means pattern extended to a BRANCHING state): per micro-batch b
+    (arithmetic id bucket over the delta — width a scalar CTE from the
+    data), the stored corpus so far and the batch are both assigned
+    under the CURRENT centroid state, the exact-integer ppm decision
+    fires or not, and the next state is the warm-round centroids where
+    it fired, the previous state where it didn't — a data-dependent
+    branch at EVERY batch, each replayed with scalar subqueries. The
+    final stored code set needs only ONE uniform encode: centroids
+    change only at a retarget — which re-encodes everything — while
+    appends encode under the current state, so whatever path the
+    decisions took, stored codes == encode(corpus, final state,
+    frozen codebooks)."""
+    from tabsketchfm_spark.operators.kmeans import N_CELLS, N_ITERS
+
+    dim = S_SUB * D_SUB
+    ctes = _base_ctes(table, dim)
+    ctes.append(
+        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})"
+    )
+    kctes, cfinal = _kmeans_ctes(
+        table, N_CELLS, N_ITERS, dim, base=False, pts="cpts"
+    )
+    ctes.extend(kctes)
+    ctes.extend(_residual_ctes(cfinal, "cpts", "acell0", "rfit"))
+    pctes, rcents, _fit_codes = _pq_ctes(table, src="rfit", tag="r", base=False)
+    ctes.extend(pctes)
+    # bucket width from the RAW table (the Spark side computes it from
+    # raw ids too — the quantized frame's degenerate-vector filter
+    # must not shift the bucket boundaries between the engines)
+    ctes.append(
+        f"wd AS MATERIALIZED (SELECT (max({table}.vec_id) - {boundary}) "
+        f"// {n_batches} + 1 AS w FROM {table} "
+        f"WHERE {table}.vec_id >= {boundary})"
+    )
+    ctes.append(f"spine AS (SELECT DISTINCT cid AS cell FROM {cfinal})")
+    state = cfinal
+    for b in range(n_batches):
+        lo = f"({boundary} + {b} * (SELECT w FROM wd))"
+        hi = f"({boundary} + {b + 1} * (SELECT w FROM wd))"
+        ctes.append(
+            f"bp{b} AS MATERIALIZED (SELECT * FROM pts "
+            f"WHERE id >= {lo} AND id < {hi})"
+        )
+        ctes.append(
+            f"sp{b} AS MATERIALIZED (SELECT * FROM pts WHERE id < {lo})"
+        )
+        ctes.append(
+            f"bc{b} AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+            f"{_ranked_cells_sql(state, pts=f'bp{b}')}) z WHERE rn = 1)"
+        )
+        ctes.append(
+            f"sc{b} AS MATERIALIZED (SELECT id, cid AS cell FROM ("
+            f"{_ranked_cells_sql(state, pts=f'sp{b}')}) z WHERE rn = 1)"
+        )
+        dctes, dec = _drift_decision_ctes(
+            f"b{b}_", f"sc{b}", f"bc{b}", threshold_ppm
+        )
+        ctes.extend(dctes)
+        wctes, wfin = _kmeans_ctes(
+            table,
+            N_CELLS,
+            extra_iters,
+            dim,
+            prefix=f"wb{b}_",
+            base=False,
+            pts=f"(SELECT * FROM pts WHERE id < {hi})",
+            init_sql=f"SELECT cid, m FROM {state}",
+        )
+        ctes.extend(wctes)
+        ctes.append(
+            f"st{b} AS MATERIALIZED ("
+            f"SELECT * FROM {wfin} WHERE (SELECT trig FROM {dec}) "
+            f"UNION ALL SELECT * FROM {state} "
+            f"WHERE NOT (SELECT trig FROM {dec}))"
+        )
+        state = f"st{b}"
+    ctes.extend(_residual_ctes(state, "pts", "facell", "frpts"))
+    ctes.append(_explode_sub_cte("fexq", "frpts"))
+    ctes.append(_codes_assign_cte("fcodes_long", "fexq", rcents))
+    full = _codes_pivot_sql("fcodes_long", acell="facell")
+    if bounded_mod is None:
+        return "WITH " + ",\n".join(ctes) + "\n" + full + "\n"
+    ctes.append(f"fullcodes AS MATERIALIZED ({full})")
+    return "WITH " + ",\n".join(ctes) + _bounded_codes_tail(
+        "fullcodes", bounded_mod
+    )
+
+
 def ivfpq_stored_topk(
     spark,
     store_path: str,
@@ -1259,18 +1522,18 @@ def _frozen_fit_ctes(
     return ctes, cfinal, rcents, rcodes
 
 
-def _codes_pivot_sql(rcodes: str) -> str:
+def _codes_pivot_sql(rcodes: str, acell: str = "acell") -> str:
     """ONE copy of the stored-code-set pivot (round-7 SQL-drift rule):
     (cand_id, cell, c0..c{S-1}) off the long-form residual codes CTE
-    joined to the cell assignment — shared by the append and delete
-    oracles."""
+    joined to the cell assignment ``acell`` — shared by the append,
+    delete, re-encode and autorefresh oracles."""
     code_cols = ",\n  ".join(
         f"CAST(max(CASE WHEN r.s = {s} THEN r.cid END) AS INTEGER) AS c{s}"
         for s in range(S_SUB)
     )
     return f"""SELECT r.id AS cand_id, CAST(a.cell AS INTEGER) AS cell,
   {code_cols}
-FROM {rcodes} r JOIN acell a USING (id)
+FROM {rcodes} r JOIN {acell} a USING (id)
 GROUP BY r.id, a.cell"""
 
 

@@ -1793,6 +1793,61 @@ _register(
 )
 
 
+def _ann_ivfpq_autorefresh(threshold_ppm: int):
+    # the maintenance loop CLOSED (drift → absorb → conditional
+    # retarget): one registered row per branch — the measured
+    # coarse-cell L1 drift of the id>=400 delta is ~190k ppm at
+    # sf0.01, so threshold 100k FIRES the warm re-encode and 400k
+    # keeps the frozen append-only index; the oracle replays the
+    # exact-integer decision as a scalar subquery and both branch
+    # encodes, selecting whichever the trigger chose.
+    def _q(spark: SparkSession, sf: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        store = tempfile.mkdtemp(prefix="tsfm_ivfpq_auto_")
+        try:
+            emb = load_table(spark, sf, "embeddings")
+            pq_op.save_ivfpq_index(
+                spark, emb.where(F.col("vec_id") < 400), store
+            )
+            pq_op.ivfpq_store_autorefresh(
+                spark,
+                store,
+                emb.where(F.col("vec_id") >= 400),
+                emb,
+                threshold_ppm,
+                extra_iters=2,
+            )
+            _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
+            out = pq_op.bounded_codes_gate(codes)
+            rows = out.collect()  # bounded: sampled slice + checksums
+            schema = out.schema
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
+
+    return _q
+
+
+_register(
+    "ann_ivfpq_autorefresh_hot",
+    _ann_ivfpq_autorefresh(100_000),
+    pq_op.ivfpq_store_autorefresh_oracle_sql(
+        "embeddings", 400, 100_000, extra_iters=2, bounded_mod=17
+    ),
+)
+_register(
+    "ann_ivfpq_autorefresh_cold",
+    _ann_ivfpq_autorefresh(400_000),
+    pq_op.ivfpq_store_autorefresh_oracle_sql(
+        "embeddings", 400, 400_000, extra_iters=2, bounded_mod=17
+    ),
+)
+
+
 def _pipeline_rag(spark: SparkSession, sf: str) -> DataFrame:
     # END-TO-END RAG-corpus build (round-8 verdict item 7): curate the
     # document lake (gopher ∧ quality ∧ exact-dedup — the certified
@@ -1882,6 +1937,34 @@ _register(
     "stream_ivfpq_append_embeddings",
     _stream_ivfpq_append,
     pq_op.ivfpq_store_append_oracle_sql("embeddings", 400, bounded_mod=17),
+)
+
+
+def _stream_ivfpq_autorefresh(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    return ps2.streaming_ivfpq_autorefresh(
+        spark, sf, n_batches=2, boundary=400, threshold_ppm=250_000,
+        extra_iters=1,
+    )
+
+
+_register(
+    # STREAMING closed-loop maintenance: each micro-batch measures
+    # drift, absorbs, and conditionally RETARGETS — order-sensitive
+    # centroid state over arithmetic id buckets; the oracle replays
+    # the whole decision/centroid trajectory as chained scalar CTEs
+    # (every retrain decision bit-exactly gated). Threshold 250k ppm
+    # sits between the measured batch drifts (205k / 337k at sf0.01),
+    # so the registered trajectory is MIXED — batch 0 holds frozen,
+    # batch 1 retargets — exercising BOTH branches of the chained
+    # state in one run. Sweep-only (a store + a stream + per-batch
+    # fits per run).
+    "stream_ivfpq_autorefresh_embeddings",
+    _stream_ivfpq_autorefresh,
+    pq_op.streaming_ivfpq_autorefresh_oracle_sql(
+        "embeddings", 400, 2, 250_000, extra_iters=1, bounded_mod=17
+    ),
 )
 _register(
     # SemDeDup on TRAINED cells — the upgrade dedup.semantic_dedup's
@@ -3010,7 +3093,13 @@ _DRIVER_WINDOW = [
     # sk6/sk7 window rows) to seat the round-8 verdict item 1 flagship
     "m9_token_features_hv_customer",
     "sk3_snapshot_lineitem",
-    "cluster_kmeans_exact_embeddings",
+    # cluster_kmeans_exact moved to sweep (its integer-Lloyd fit
+    # replay is embedded verbatim inside the autorefresh oracle, and
+    # store_kmeans_update keeps the kmeans-store window row) to seat
+    # the round-11 flagship: the CLOSED index-maintenance loop —
+    # drift decision → absorb → conditional warm retarget, the
+    # data-dependent branch replayed as a DuckDB scalar subquery
+    "ann_ivfpq_autorefresh_hot",
     "sk6_table_hash_lineitem",
     "sk7_setsim_o_custkey_c_custkey",
     "k3_all_pairs_joinability",

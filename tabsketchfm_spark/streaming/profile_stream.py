@@ -1235,3 +1235,84 @@ def streaming_ivfpq_append(
     finally:
         shutil.rmtree(store, ignore_errors=True)
         shutil.rmtree(feed_dir, ignore_errors=True)
+
+
+def streaming_ivfpq_autorefresh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 2,
+    boundary: int = 400,
+    threshold_ppm: int = 150_000,
+    extra_iters: int = 1,
+) -> DataFrame:
+    """STREAMING closed-loop index maintenance — every arriving crawl
+    batch runs the FULL autorefresh verb against the persisted index:
+    measure the batch's coarse-cell drift vs the stored codes, absorb
+    it (frozen quantizers), RETARGET (warm re-encode over everything
+    arrived so far) when the exact-integer decision trips.
+    ORDER-SENSITIVE streaming state — the centroid trajectory depends
+    on every batch's decision — made gate-able by the established
+    arithmetic-bucket feed (closed-form batch membership, one file per
+    bucket with ascending mtimes, a loud in-sink bucket assert).
+    pq.streaming_ivfpq_autorefresh_oracle_sql replays the whole
+    decision/centroid trajectory as chained scalar-subquery CTEs: the
+    first streamed maintenance loop whose RETRAIN DECISIONS are
+    themselves bit-exactly gated, not just its appends. Output:
+    bounded_codes_gate over the final stored code set (one uniform
+    encode under the final centroid state — see the oracle docstring
+    for why that covers every decision path)."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_ar_")
+    feed_dir = stage_dir = None
+    try:
+        pq_op.save_ivfpq_index(
+            spark, emb.where(F.col("vec_id") < boundary), store
+        )
+        delta = emb.where(F.col("vec_id") >= boundary).select(
+            "vec_id", "embedding"
+        )
+        # bucket width from RAW ids — mirrors the oracle's wd CTE (the
+        # quantized frame's degenerate-vector filter must not shift the
+        # bucket boundaries between the engines)
+        max_id = delta.agg(F.max("vec_id")).collect()[0][0]
+        width = (int(max_id) - boundary) // n_batches + 1
+        shifted = delta.withColumn("sid", F.col("vec_id") - boundary)
+        feed, feed_dir, stage_dir = _ordered_bucket_feed(
+            spark, shifted, "sid", n_batches, width, "tsfm_ivfpq_ar_"
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            _assert_bucket_order(batch_df, "sid", width, batch_id)
+            hi = boundary + (int(batch_id) + 1) * width
+            pq_op.ivfpq_store_autorefresh(
+                spark,
+                store,
+                batch_df.drop("sid"),
+                emb.where(F.col("vec_id") < hi),
+                threshold_ppm,
+                extra_iters,
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
+        out = pq_op.bounded_codes_gate(codes)
+        rows = out.collect()
+        schema = out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+        for d in (feed_dir, stage_dir):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)

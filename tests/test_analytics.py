@@ -1382,6 +1382,47 @@ def test_ivfpq_store_reencode_lifecycle(spark, sf01, tmp_path):
     assert read_manifest(b)["data_dir"] in gens
 
 
+def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
+    """The closed maintenance loop takes the branch the exact-integer
+    drift decision dictates: above threshold → warm retarget (stored
+    centroids advance by exactly the warm Lloyd rounds), below →
+    frozen append-only (geometry untouched), empty delta → never
+    fires (the 0 >= 0 spurious-trigger guard)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings")
+    core = emb.where(F.col("vec_id") < 400)
+    delta = emb.where(F.col("vec_id") >= 400)
+
+    hot = str(tmp_path / "hot")
+    pq_op.save_ivfpq_index(spark, core, hot)
+    mc0 = pq_op.load_ivfpq_index(spark, hot)[0]
+    assert pq_op.ivfpq_store_autorefresh(
+        spark, hot, delta, emb, 100_000, extra_iters=2
+    )
+    assert pq_op.load_ivfpq_index(spark, hot)[0] == pq_op.warm_start_centroids(
+        emb, mc0, 2
+    )
+
+    cold = str(tmp_path / "cold")
+    pq_op.save_ivfpq_index(spark, core, cold)
+    assert not pq_op.ivfpq_store_autorefresh(
+        spark, cold, delta, emb, 400_000, extra_iters=2
+    )
+    mc_cold, _cb, codes_cold = pq_op.load_ivfpq_index(spark, cold)
+    assert mc_cold == mc0  # frozen: append-only
+    assert codes_cold.count() == emb.count()
+
+    # empty delta: even threshold 0 must not fire (0 >= 0 guard)
+    assert not pq_op.ivfpq_store_autorefresh(
+        spark, cold, delta.where(F.lit(False)), emb, 0, extra_iters=1
+    )
+    assert pq_op.load_ivfpq_index(spark, cold)[0] == mc0
+
+
 def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
     """The staleness metric must not silently drop vectors absent from
     the index (round-9 review finding): recon over a subset store with

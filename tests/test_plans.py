@@ -702,6 +702,13 @@ _PLAN_GUARD_SKIP = {
     # their operator tests and the shared search/dedup plans
     "ann_ivfpq_store_append",
     "ann_ivfpq_store_delete",
+    # round-11: re-encode warm-fits + rewrites the store, autorefresh
+    # additionally collects its N_CELLS-row drift decision — all
+    # before dropping the temp store dir; eager by lifecycle, same as
+    # the append/delete siblings
+    "ann_ivfpq_store_reencode",
+    "ann_ivfpq_autorefresh_hot",
+    "ann_ivfpq_autorefresh_cold",
     "sig_store_compact_documents",
     "sig_store_ttl_ts_documents",
     "pipeline_rag_topk_documents",
