@@ -133,13 +133,20 @@ def _bk_col(k: int, cols: list[F.Column] | None = None) -> F.Column:
 
 
 def _lloyd_centroids(
-    q: DataFrame, k: int, iters: int, dim: int
+    q: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    init: dict[int, list[int]] | None = None,
 ) -> dict[int, list[int]]:
     """The driver-coordinated Lloyd loop over a persisted quantized
     frame: per round ONE aggregate job (assignment is expression-only
     against centroid literals; the groupBy(cell) update carries `dim`
-    partial sums). Returns the final integer centroids."""
-    m = _seed_vectors(q, k)
+    partial sums). Returns the final integer centroids. ``init``
+    overrides the cold smallest-id seed (warm starts from stored
+    centroids — the python twin of _kmeans_ctes' init_sql seam, so
+    the round algebra lives in exactly ONE place per engine)."""
+    m = dict(init) if init is not None else _seed_vectors(q, k)
     for _ in range(iters):
         new = dict(m)  # empty cluster keeps its previous centroid
         for cid, (s, c) in cell_aggregate(q, m, dim).items():

@@ -571,20 +571,30 @@ def ivfpq_store_append(
     the serving union scores it twice and drift double-counts it).
     Writer-exclusive via the store lease: the manifest code_dirs RMW
     is where two concurrent appends would lose one delta."""
-    import uuid
-
-    from tabsketchfm_spark.sources.store_util import write_manifest, writer_lease
+    from tabsketchfm_spark.sources.store_util import writer_lease
 
     with writer_lease(path, owner="ivfpq_store_append", require_store=True):
         mc, cb, codes = load_ivfpq_index(spark, path)  # validates params
-        m, gen, code_dirs, _retired = _read_index_manifest(path)
-        sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
-        fresh = _ivfpq_cands(delta, mc, cb, id_col, vec_col).join(
-            codes.select("cand_id"), "cand_id", "left_anti"
+        _append_locked(
+            spark, path, _ivfpq_cands(delta, mc, cb, id_col, vec_col), codes
         )
-        fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
-        m["code_dirs"] = code_dirs + [sub]
-        write_manifest(path, m)
+
+
+def _append_locked(spark, path: str, cands: DataFrame, codes: DataFrame) -> None:
+    """The append write section — caller holds the writer lease and
+    supplies the encoded delta ``cands`` plus the current stored
+    ``codes`` frame (so a composite verb encodes the delta ONCE and
+    keeps one lease across its whole read-modify-write sequence)."""
+    import uuid
+
+    from tabsketchfm_spark.sources.store_util import write_manifest
+
+    m, gen, code_dirs, _retired = _read_index_manifest(path)
+    sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
+    fresh = cands.join(codes.select("cand_id"), "cand_id", "left_anti")
+    fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
+    m["code_dirs"] = code_dirs + [sub]
+    write_manifest(path, m)
 
 
 def _validated_gen_dir(path: str, gen: str) -> str:
@@ -741,22 +751,18 @@ def warm_start_centroids(
     floor-div half-up update; an empty cell keeps its previous
     centroid), so the DuckDB replay is the unchanged round CTE with
     the init SELECT overridden to the stored centroids."""
-    from tabsketchfm_spark.operators.kmeans import cell_aggregate
+    from tabsketchfm_spark.operators.kmeans import _lloyd_centroids
 
     mc = {cid: list(v) for cid, v in mc_old.items()}
     if extra_iters <= 0:
         return mc
-    dim = S_SUB * D_SUB
     q = _quantized(emb, id_col, vec_col).persist()
     try:
-        for _ in range(extra_iters):
-            new = dict(mc)
-            for cid, (s, c) in cell_aggregate(q, mc, dim).items():
-                new[cid] = [(2 * sj + c) // (2 * c) for sj in s]
-            mc = new
+        return _lloyd_centroids(
+            q, len(mc), extra_iters, S_SUB * D_SUB, init=mc
+        )
     finally:
         q.unpersist()
-    return mc
 
 
 def ivfpq_store_reencode(
@@ -797,47 +803,68 @@ def ivfpq_store_reencode(
 
     with writer_lease(path, owner="ivfpq_store_reencode", require_store=True):
         mc_old, cb, codes_old = load_ivfpq_index(spark, path)
-        mc = warm_start_centroids(emb, mc_old, extra_iters, id_col, vec_col)
-        moved = sorted(cid for cid in mc if mc[cid] != mc_old[cid])
-        asg = (
-            _quantized(emb, id_col, vec_col)
-            .select("id", *_b_exprs(mc))
-            .select("id", _bk_col(len(mc)).cast("int").alias("cell"))
+        _reencode_locked(
+            spark, path, emb, extra_iters, id_col, vec_col, mc_old, cb,
+            codes_old,
         )
-        joined = asg.join(
-            codes_old.withColumnRenamed("cand_id", "id").withColumnRenamed(
-                "cell", "old_cell"
-            ),
-            "id",
-            "left",
-        ).persist()  # two consumers: the copied rows and the stale ids
-        try:
-            moved_lit = (
-                F.col("cell").isin([int(c) for c in moved])
-                if moved
-                else F.lit(False)
-            )
-            stale = (
-                F.col("old_cell").isNull()
-                | (F.col("cell") != F.col("old_cell"))
-                | moved_lit
-            )
-            copied = joined.where(~stale).select(
-                F.col("id").alias("cand_id"),
-                "cell",
-                *[F.col(f"c{s}") for s in range(S_SUB)],
-            )
-            stale_ids = joined.where(stale).select(F.col("id").alias(id_col))
-            fresh = _ivfpq_cands(
-                emb.join(stale_ids, id_col, "left_semi"),
-                mc,
-                cb,
-                id_col,
-                vec_col,
-            )
-            _commit_generation(spark, path, copied.unionByName(fresh), mc, cb)
-        finally:
-            joined.unpersist()
+
+
+def _reencode_locked(
+    spark,
+    path: str,
+    emb: DataFrame,
+    extra_iters: int,
+    id_col: str,
+    vec_col: str,
+    mc_old: dict[int, list[int]],
+    cb: dict[tuple[int, int], list[int]],
+    codes_old: DataFrame,
+) -> None:
+    """The re-encode work section — caller holds the writer lease and
+    supplies the loaded store artifacts (so a composite verb keeps ONE
+    lease across its whole read-modify-write sequence and never loads
+    the index twice)."""
+    mc = warm_start_centroids(emb, mc_old, extra_iters, id_col, vec_col)
+    moved = sorted(cid for cid in mc if mc[cid] != mc_old[cid])
+    asg = (
+        _quantized(emb, id_col, vec_col)
+        .select("id", *_b_exprs(mc))
+        .select("id", _bk_col(len(mc)).cast("int").alias("cell"))
+    )
+    joined = asg.join(
+        codes_old.withColumnRenamed("cand_id", "id").withColumnRenamed(
+            "cell", "old_cell"
+        ),
+        "id",
+        "left",
+    ).persist()  # two consumers: the copied rows and the stale ids
+    try:
+        moved_lit = (
+            F.col("cell").isin([int(c) for c in moved])
+            if moved
+            else F.lit(False)
+        )
+        stale = (
+            F.col("old_cell").isNull()
+            | (F.col("cell") != F.col("old_cell"))
+            | moved_lit
+        )
+        copied = joined.where(~stale).select(
+            F.col("id").alias("cand_id"),
+            "cell",
+            *[F.col(f"c{s}") for s in range(S_SUB)],
+        )
+        stale_ids = joined.where(stale).select(F.col("id").alias(id_col))
+        fresh = _ivfpq_cands(
+            emb.join(stale_ids, id_col, "left_semi"),
+            mc,
+            cb,
+            id_col,
+            vec_col,
+        )
+        _commit_generation(spark, path, copied.unionByName(fresh), mc, cb)
+    finally:
+        joined.unpersist()
 
 
 def ivfpq_store_reencode_oracle_sql(
@@ -872,7 +899,9 @@ def ivfpq_store_reencode_oracle_sql(
     # frozen codebooks: trained on the BUILD slice's residuals against
     # the BUILD centroids — exactly what the store holds
     ctes.extend(_residual_ctes(cfinal, "cpts", "acell0", "rfit"))
-    pctes, rcents, _fit_codes = _pq_ctes(table, src="rfit", tag="r", base=False)
+    pctes, rcents, _fit_codes = _pq_ctes(
+        table, src="rfit", tag="r", base=False, emit_codes=False
+    )
     ctes.extend(pctes)
     # warm-start rounds over the CURRENT corpus, seeded from the build
     # centroids — the unchanged Lloyd round CTE, init overridden
@@ -935,17 +964,55 @@ def ivfpq_store_autorefresh(
     DuckDB scalar subquery and the composite stays oracle-gated on
     EITHER path. Returns whether the retarget fired. Empty delta or
     empty store never triggers (0 ≥ 0 would otherwise fire
-    spuriously)."""
-    cells = (
-        ivfpq_index_drift(spark, path, delta, id_col, vec_col)
-        .where(F.col("s") == -1)
-        .collect()  # bounded: one row per coarse cell
-    )
-    C, D, S = coarse_drift_ppm(cells)
-    trig = C > 0 and D > 0 and 1_000_000 * S >= threshold_ppm * C * D
-    ivfpq_store_append(spark, path, delta, id_col, vec_col)
-    if trig:
-        ivfpq_store_reencode(spark, path, corpus, extra_iters, id_col, vec_col)
+    spuriously).
+
+    ONE writer lease wraps the whole measure→absorb→retarget sequence
+    (round-11 review): the composite is a multi-step store RMW, and
+    per-step leases would let a concurrent writer commit BETWEEN the
+    append and the re-encode — the re-encode resyncs to ``corpus`` and
+    would silently erase that commit with no lease conflict. The index
+    loads once and the delta encodes once (the drift counts and the
+    appended rows share one persisted frame)."""
+    from tabsketchfm_spark.sources.store_util import writer_lease
+
+    with writer_lease(path, owner="ivfpq_store_autorefresh", require_store=True):
+        mc, cb, codes = load_ivfpq_index(spark, path)
+        dcands = _ivfpq_cands(delta, mc, cb, id_col, vec_col).persist()
+        try:
+            ccnt = {
+                int(r["cell"]): int(r["n"])
+                for r in codes.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            dcnt = {
+                int(r["cell"]): int(r["n"])
+                for r in dcands.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            # the spine is every coarse cell; absent counts are zeros —
+            # identical to ivfpq_index_drift's s = -1 rows, which only
+            # materialize (cell) keys with a nonzero side (zero terms
+            # contribute nothing to S)
+            cells = [
+                {"corpus_cnt": ccnt.get(cid, 0), "delta_cnt": dcnt.get(cid, 0)}
+                for cid in sorted(mc)
+            ]
+            C, D, S = coarse_drift_ppm(cells)
+            trig = C > 0 and D > 0 and 1_000_000 * S >= threshold_ppm * C * D
+            _append_locked(spark, path, dcands, codes)
+        finally:
+            dcands.unpersist()
+        if trig:
+            # re-read under the SAME lease: the codes frame must now
+            # include the just-appended dir (the copy base of the
+            # re-encode); mc/cb are unchanged by an append
+            mc2, cb2, codes2 = load_ivfpq_index(spark, path)
+            _reencode_locked(
+                spark, path, corpus, extra_iters, id_col, vec_col,
+                mc2, cb2, codes2,
+            )
     return trig
 
 
@@ -1010,7 +1077,9 @@ def ivfpq_store_autorefresh_oracle_sql(
     )
     ctes.extend(kctes)
     ctes.extend(_residual_ctes(cfinal, "cpts", "acell0", "rfit"))
-    pctes, rcents, _fit_codes = _pq_ctes(table, src="rfit", tag="r", base=False)
+    pctes, rcents, _fit_codes = _pq_ctes(
+        table, src="rfit", tag="r", base=False, emit_codes=False
+    )
     ctes.extend(pctes)
     # the decision: coarse-cell L1 between build slice and delta,
     # exact integers (HUGEINT products — counts × counts overflow
@@ -1098,7 +1167,9 @@ def streaming_ivfpq_autorefresh_oracle_sql(
     )
     ctes.extend(kctes)
     ctes.extend(_residual_ctes(cfinal, "cpts", "acell0", "rfit"))
-    pctes, rcents, _fit_codes = _pq_ctes(table, src="rfit", tag="r", base=False)
+    pctes, rcents, _fit_codes = _pq_ctes(
+        table, src="rfit", tag="r", base=False, emit_codes=False
+    )
     ctes.extend(pctes)
     # bucket width from the RAW table (the Spark side computes it from
     # raw ids too — the quantized frame's degenerate-vector filter
@@ -1415,6 +1486,7 @@ def _pq_ctes(
     tag: str = "",
     base: bool = True,
     encode_src: str | None = None,
+    emit_codes: bool = True,
 ) -> tuple[list[str], str, str]:
     """Shared oracle scaffolding: the exploded (id, s, qs) frame, one
     prefixed fit replay per subspace, and the unioned
@@ -1424,8 +1496,13 @@ def _pq_ctes(
     prefixes every emitted CTE name). ``encode_src`` splits the two
     roles when they differ (the store-append gate: codebooks FIT on
     the corpus that built the index, codes assigned to corpus AND
-    delta). Returns (ctes, cents, codes) — cents: (s, cid, m);
-    codes: (id, s, cid)."""
+    delta). ``emit_codes=False`` for callers that only need the
+    codebooks (the re-encode/autorefresh replays encode against a
+    DIFFERENT centroid state later): DuckDB evaluates even an
+    unreferenced MATERIALIZED CTE, so emitting the fit-src assignment
+    would be pure wasted work (round-11 review, verified
+    empirically). Returns (ctes, cents, codes) — cents: (s, cid, m);
+    codes: (id, s, cid), name unset when not emitted."""
     dim = S_SUB * D_SUB
     ctes = _base_ctes(table, dim) if base else []
     ex, cents, codes = f"{tag}ex", f"{tag}cents_long", f"{tag}codes_long"
@@ -1461,7 +1538,8 @@ def _pq_ctes(
         )
         + ")"
     )
-    ctes.append(_codes_assign_cte(codes, enc, cents))
+    if emit_codes:
+        ctes.append(_codes_assign_cte(codes, enc, cents))
     return ctes, cents, codes
 
 

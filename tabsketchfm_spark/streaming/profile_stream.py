@@ -1271,9 +1271,6 @@ def streaming_ivfpq_autorefresh(
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_ar_")
     feed_dir = stage_dir = None
     try:
-        pq_op.save_ivfpq_index(
-            spark, emb.where(F.col("vec_id") < boundary), store
-        )
         delta = emb.where(F.col("vec_id") >= boundary).select(
             "vec_id", "embedding"
         )
@@ -1281,7 +1278,18 @@ def streaming_ivfpq_autorefresh(
         # quantized frame's degenerate-vector filter must not shift the
         # bucket boundaries between the engines)
         max_id = delta.agg(F.max("vec_id")).collect()[0][0]
+        if max_id is None:
+            # fail LOUD before any store/feed work: the oracle's wd
+            # CTE would yield a NULL width here, so there is no
+            # symmetric empty-delta contract to stream against
+            raise ValueError(
+                "streaming_ivfpq_autorefresh: empty delta "
+                f"(no vec_id >= {boundary})"
+            )
         width = (int(max_id) - boundary) // n_batches + 1
+        pq_op.save_ivfpq_index(
+            spark, emb.where(F.col("vec_id") < boundary), store
+        )
         shifted = delta.withColumn("sid", F.col("vec_id") - boundary)
         feed, feed_dir, stage_dir = _ordered_bucket_feed(
             spark, shifted, "sid", n_batches, width, "tsfm_ivfpq_ar_"

@@ -1414,13 +1414,39 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
     )
     mc_cold, _cb, codes_cold = pq_op.load_ivfpq_index(spark, cold)
     assert mc_cold == mc0  # frozen: append-only
-    assert codes_cold.count() == emb.count()
+    # indexed population = rows surviving the degenerate-vector filter,
+    # not the raw table (round-11 review: a gen_sf variant with one
+    # NULL vector would otherwise false-alarm here)
+    from tabsketchfm_spark.operators.kmeans import valid_rows
+
+    assert codes_cold.count() == valid_rows(emb).count()
 
     # empty delta: even threshold 0 must not fire (0 >= 0 guard)
     assert not pq_op.ivfpq_store_autorefresh(
         spark, cold, delta.where(F.lit(False)), emb, 0, extra_iters=1
     )
     assert pq_op.load_ivfpq_index(spark, cold)[0] == mc0
+
+    # the composite is ONE lease-guarded RMW (round-11 review): a
+    # per-step lease would open a window where a concurrent writer's
+    # commit lands between the append and the re-encode and is then
+    # silently erased by the resync. Pin: exactly one acquisition per
+    # composite call, held across the firing branch too.
+    from tabsketchfm_spark.sources import store_util as su
+
+    owners = []
+    orig_acquire = su.acquire_lease
+    su.acquire_lease = lambda path, owner="writer", require_store=False: (
+        owners.append(owner),
+        orig_acquire(path, owner, require_store=require_store),
+    )[1]
+    try:
+        pq_op.ivfpq_store_autorefresh(
+            spark, cold, delta, emb, 100_000, extra_iters=1
+        )
+    finally:
+        su.acquire_lease = orig_acquire
+    assert owners == ["ivfpq_store_autorefresh"], owners
 
 
 def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
