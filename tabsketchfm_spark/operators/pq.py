@@ -280,14 +280,19 @@ def clear_ivfpq_memo() -> None:
     _IVFPQ_MEMO.clear()
 
 
+def _cell_qv_cols_q(q, mc):
+    """(id, qv, cell) off an ALREADY-QUANTIZED frame — the seam that
+    lets a verb holding a persisted quantized corpus (the re-encode
+    path) reuse it instead of re-scanning the lake."""
+    return q.select("id", "qv", *_b_exprs(mc)).select(
+        "id", "qv", _bk_col(len(mc)).cast("int").alias("cell")
+    )
+
+
 def _cell_qv_cols(emb, mc, id_col, vec_col):
     """(id, qv, cell): expression-only coarse assignment KEEPING the
     quantized vector (kmeans._assigned_cols drops it)."""
-    return (
-        _quantized(emb, id_col, vec_col)
-        .select("id", "qv", *_b_exprs(mc))
-        .select("id", "qv", _bk_col(len(mc)).cast("int").alias("cell"))
-    )
+    return _cell_qv_cols_q(_quantized(emb, id_col, vec_col), mc)
 
 
 def _residual_col(mc: dict[int, list[int]]) -> F.Column:
@@ -358,11 +363,12 @@ def ivfpq_adc_topk(
     )
 
 
-def _ivfpq_cands(emb, mc, cb, id_col, vec_col) -> DataFrame:
-    """The INDEX DATA: every corpus vector encoded as (cand_id, cell,
-    c0..c{S-1}) — coarse cell + residual PQ codes, expression-only."""
+def _cands_from_q(q, mc, cb) -> DataFrame:
+    """Encode an ALREADY-QUANTIZED frame as (cand_id, cell,
+    c0..c{S-1}) — _ivfpq_cands minus the quantize scan, for verbs
+    that hold a persisted quantized corpus."""
     return (
-        _cell_qv_cols(emb, mc, id_col, vec_col)
+        _cell_qv_cols_q(q, mc)
         .select(
             F.col("id").alias("cand_id"),
             "cell",
@@ -375,6 +381,12 @@ def _ivfpq_cands(emb, mc, cb, id_col, vec_col) -> DataFrame:
             *[F.col(f"code{s}").alias(f"c{s}") for s in range(S_SUB)],
         )
     )
+
+
+def _ivfpq_cands(emb, mc, cb, id_col, vec_col) -> DataFrame:
+    """The INDEX DATA: every corpus vector encoded as (cand_id, cell,
+    c0..c{S-1}) — coarse cell + residual PQ codes, expression-only."""
+    return _cands_from_q(_quantized(emb, id_col, vec_col), mc, cb)
 
 
 def _ivfpq_search_tail(
@@ -580,18 +592,28 @@ def ivfpq_store_append(
         )
 
 
-def _append_locked(spark, path: str, cands: DataFrame, codes: DataFrame) -> None:
+def _append_locked(
+    spark, path: str, cands: DataFrame, codes: DataFrame,
+    guarded: bool = False,
+) -> None:
     """The append write section — caller holds the writer lease and
     supplies the encoded delta ``cands`` plus the current stored
     ``codes`` frame (so a composite verb encodes the delta ONCE and
-    keeps one lease across its whole read-modify-write sequence)."""
+    keeps one lease across its whole read-modify-write sequence).
+    ``guarded=True`` when the caller already left_anti-filtered the
+    retried-batch duplicates (the composite measures its drift on
+    exactly that slice — re-filtering would re-scan the stored ids)."""
     import uuid
 
     from tabsketchfm_spark.sources.store_util import write_manifest
 
     m, gen, code_dirs, _retired = _read_index_manifest(path)
     sub = f"codes_delta_{uuid.uuid4().hex[:12]}"
-    fresh = cands.join(codes.select("cand_id"), "cand_id", "left_anti")
+    fresh = (
+        cands
+        if guarded
+        else cands.join(codes.select("cand_id"), "cand_id", "left_anti")
+    )
     fresh.write.mode("overwrite").parquet(f"{path}/{gen}/{sub}")
     m["code_dirs"] = code_dirs + [sub]
     write_manifest(path, m)
@@ -823,22 +845,44 @@ def _reencode_locked(
     """The re-encode work section — caller holds the writer lease and
     supplies the loaded store artifacts (so a composite verb keeps ONE
     lease across its whole read-modify-write sequence and never loads
-    the index twice)."""
-    mc = warm_start_centroids(emb, mc_old, extra_iters, id_col, vec_col)
-    moved = sorted(cid for cid in mc if mc[cid] != mc_old[cid])
-    asg = (
-        _quantized(emb, id_col, vec_col)
-        .select("id", *_b_exprs(mc))
-        .select("id", _bk_col(len(mc)).cast("int").alias("cell"))
-    )
-    joined = asg.join(
-        codes_old.withColumnRenamed("cand_id", "id").withColumnRenamed(
-            "cell", "old_cell"
-        ),
-        "id",
-        "left",
-    ).persist()  # two consumers: the copied rows and the stale ids
+    the index twice). The corpus quantizes ONCE: the persisted frame
+    feeds the warm Lloyd rounds, the new assignment AND the stale-
+    subset encode (round-11 review — the verb's hot path is corpus
+    scans)."""
+    from tabsketchfm_spark.operators.kmeans import _lloyd_centroids
+
+    q = _quantized(emb, id_col, vec_col).persist()
+    joined = None
     try:
+        # loud floor guard: a resync is DESTRUCTIVE (the committed
+        # generation replaces the stored codes, and the old one is
+        # GC'd a cycle later) — an accidentally-empty corpus (wrong
+        # filter, stale view, delta passed as corpus by mistake) must
+        # never silently erase the index. Intentional shrinks pass a
+        # real survivor frame; there is no legitimate empty resync.
+        if q.limit(1).count() == 0:
+            raise ValueError(
+                "ivfpq re-encode: empty corpus — refusing to resync "
+                "the index to nothing (this would erase every stored "
+                "code); pass the full post-append corpus frame"
+            )
+        mc = (
+            _lloyd_centroids(q, len(mc_old), extra_iters, S_SUB * D_SUB,
+                             init=mc_old)
+            if extra_iters > 0
+            else {cid: list(v) for cid, v in mc_old.items()}
+        )
+        moved = sorted(cid for cid in mc if mc[cid] != mc_old[cid])
+        asg = q.select("id", *_b_exprs(mc)).select(
+            "id", _bk_col(len(mc)).cast("int").alias("cell")
+        )
+        joined = asg.join(
+            codes_old.withColumnRenamed("cand_id", "id").withColumnRenamed(
+                "cell", "old_cell"
+            ),
+            "id",
+            "left",
+        ).persist()  # two consumers: the copied rows and the stale ids
         moved_lit = (
             F.col("cell").isin([int(c) for c in moved])
             if moved
@@ -854,17 +898,13 @@ def _reencode_locked(
             "cell",
             *[F.col(f"c{s}") for s in range(S_SUB)],
         )
-        stale_ids = joined.where(stale).select(F.col("id").alias(id_col))
-        fresh = _ivfpq_cands(
-            emb.join(stale_ids, id_col, "left_semi"),
-            mc,
-            cb,
-            id_col,
-            vec_col,
-        )
+        stale_ids = joined.where(stale).select("id")
+        fresh = _cands_from_q(q.join(stale_ids, "id", "left_semi"), mc, cb)
         _commit_generation(spark, path, copied.unionByName(fresh), mc, cb)
     finally:
-        joined.unpersist()
+        if joined is not None:
+            joined.unpersist()
+        q.unpersist()
 
 
 def ivfpq_store_reencode_oracle_sql(
@@ -972,12 +1012,28 @@ def ivfpq_store_autorefresh(
     append and the re-encode — the re-encode resyncs to ``corpus`` and
     would silently erase that commit with no lease conflict. The index
     loads once and the delta encodes once (the drift counts and the
-    appended rows share one persisted frame)."""
+    appended rows share one persisted frame).
+
+    RETRY IDEMPOTENCE (round-11 review, second pass): the drift is
+    measured on the NOT-YET-STORED slice of the delta (the same
+    left_anti guard the append uses) — an at-least-once redelivered
+    batch measures D = 0, triggers nothing and appends nothing, so a
+    crash-and-redeliver can never flip the decision the first delivery
+    took. A D = 0 batch (empty, or fully duplicate) also skips the
+    append entirely: the designed zero-row micro-batches of a streamed
+    feed must not grow code_dirs by one empty dir each. Registered
+    deltas are disjoint new-id batches, where the guarded and raw
+    distributions coincide — the oracle's ddist replays exactly that
+    contract."""
     from tabsketchfm_spark.sources.store_util import writer_lease
 
     with writer_lease(path, owner="ivfpq_store_autorefresh", require_store=True):
         mc, cb, codes = load_ivfpq_index(spark, path)
-        dcands = _ivfpq_cands(delta, mc, cb, id_col, vec_col).persist()
+        fresh = (
+            _ivfpq_cands(delta, mc, cb, id_col, vec_col)
+            .join(codes.select("cand_id"), "cand_id", "left_anti")
+            .persist()
+        )
         try:
             ccnt = {
                 int(r["cell"]): int(r["n"])
@@ -987,7 +1043,7 @@ def ivfpq_store_autorefresh(
             }
             dcnt = {
                 int(r["cell"]): int(r["n"])
-                for r in dcands.groupBy("cell")
+                for r in fresh.groupBy("cell")
                 .agg(F.count("*").alias("n"))
                 .collect()
             }
@@ -1001,9 +1057,10 @@ def ivfpq_store_autorefresh(
             ]
             C, D, S = coarse_drift_ppm(cells)
             trig = C > 0 and D > 0 and 1_000_000 * S >= threshold_ppm * C * D
-            _append_locked(spark, path, dcands, codes)
+            if D > 0:
+                _append_locked(spark, path, fresh, codes, guarded=True)
         finally:
-            dcands.unpersist()
+            fresh.unpersist()
         if trig:
             # re-read under the SAME lease: the codes frame must now
             # include the just-appended dir (the copy base of the

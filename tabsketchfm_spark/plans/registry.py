@@ -1752,41 +1752,51 @@ _register(
 )
 
 
-def _ann_ivfpq_reencode(spark: SparkSession, sf: str) -> DataFrame:
-    # index maintenance, the RETARGET half (the drift metric said
-    # rebuild): build + persist on the existing lake (id < 400),
-    # absorb a delta with the frozen quantizers, then RE-ENCODE —
-    # warm-start the coarse centroids from the store with 2 more
-    # integer Lloyd rounds over the full corpus, keep the codebooks
-    # frozen, re-encode only the vectors whose coarse geometry moved
-    # (unchanged cells copy their stored codes bit-for-bit). Gate =
-    # the full encode under (warm centroids, frozen codebooks) — any
-    # copy/stale misclassification is a checksum mismatch.
-    import shutil
-    import tempfile
+def _ivfpq_maintenance_query(maint):
+    # ONE copy of the maintenance-composite lifecycle scaffold
+    # (round-11 review: three near-identical bodies were the
+    # copy-paste drift class): temp store → base build on the
+    # existing lake (id < 400 — new vectors arrive with new ids) →
+    # the verb(s) under test → bounded code gate (sampled slice +
+    # checksums, never one driver row per vector) → rmtree.
+    # ``maint(spark, store, emb)`` runs the maintenance sequence.
+    def _q(spark: SparkSession, sf: str) -> DataFrame:
+        import shutil
+        import tempfile
 
-    from pyspark.sql import functions as F
+        store = tempfile.mkdtemp(prefix="tsfm_ivfpq_mx_")
+        try:
+            emb = load_table(spark, sf, "embeddings")
+            pq_op.save_ivfpq_index(
+                spark, emb.where(F.col("vec_id") < 400), store
+            )
+            maint(spark, store, emb)
+            _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
+            out = pq_op.bounded_codes_gate(codes)
+            rows = out.collect()  # bounded: sampled slice + checksums
+            schema = out.schema
+        finally:
+            shutil.rmtree(store, ignore_errors=True)
+        return spark.createDataFrame(rows, schema)
 
-    store = tempfile.mkdtemp(prefix="tsfm_ivfpq_renc_")
-    try:
-        emb = load_table(spark, sf, "embeddings")
-        pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
-        pq_op.ivfpq_store_append(
-            spark, store, emb.where(F.col("vec_id") >= 400)
-        )
-        pq_op.ivfpq_store_reencode(spark, store, emb, extra_iters=2)
-        _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
-        out = pq_op.bounded_codes_gate(codes)
-        rows = out.collect()  # bounded: sampled slice + checksums
-        schema = out.schema
-    finally:
-        shutil.rmtree(store, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return _q
+
+
+def _reencode_maint(spark: SparkSession, store: str, emb: DataFrame) -> None:
+    # the RETARGET half (the drift metric said rebuild): absorb a
+    # delta with the frozen quantizers, then RE-ENCODE — warm-start
+    # the coarse centroids from the store with 2 more integer Lloyd
+    # rounds over the full corpus, codebooks frozen, only vectors
+    # whose coarse geometry moved re-encode (unchanged cells copy
+    # their stored codes bit-for-bit). Gate = the full encode under
+    # (warm centroids, frozen codebooks).
+    pq_op.ivfpq_store_append(spark, store, emb.where(F.col("vec_id") >= 400))
+    pq_op.ivfpq_store_reencode(spark, store, emb, extra_iters=2)
 
 
 _register(
     "ann_ivfpq_store_reencode",
-    _ann_ivfpq_reencode,
+    _ivfpq_maintenance_query(_reencode_maint),
     pq_op.ivfpq_store_reencode_oracle_sql(
         "embeddings", 400, extra_iters=2, bounded_mod=17
     ),
@@ -1801,35 +1811,17 @@ def _ann_ivfpq_autorefresh(threshold_ppm: int):
     # keeps the frozen append-only index; the oracle replays the
     # exact-integer decision as a scalar subquery and both branch
     # encodes, selecting whichever the trigger chose.
-    def _q(spark: SparkSession, sf: str) -> DataFrame:
-        import shutil
-        import tempfile
+    def _maint(spark: SparkSession, store: str, emb: DataFrame) -> None:
+        pq_op.ivfpq_store_autorefresh(
+            spark,
+            store,
+            emb.where(F.col("vec_id") >= 400),
+            emb,
+            threshold_ppm,
+            extra_iters=2,
+        )
 
-        from pyspark.sql import functions as F
-
-        store = tempfile.mkdtemp(prefix="tsfm_ivfpq_auto_")
-        try:
-            emb = load_table(spark, sf, "embeddings")
-            pq_op.save_ivfpq_index(
-                spark, emb.where(F.col("vec_id") < 400), store
-            )
-            pq_op.ivfpq_store_autorefresh(
-                spark,
-                store,
-                emb.where(F.col("vec_id") >= 400),
-                emb,
-                threshold_ppm,
-                extra_iters=2,
-            )
-            _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
-            out = pq_op.bounded_codes_gate(codes)
-            rows = out.collect()  # bounded: sampled slice + checksums
-            schema = out.schema
-        finally:
-            shutil.rmtree(store, ignore_errors=True)
-        return spark.createDataFrame(rows, schema)
-
-    return _q
+    return _ivfpq_maintenance_query(_maint)
 
 
 _register(

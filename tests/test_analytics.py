@@ -1421,11 +1421,33 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
 
     assert codes_cold.count() == valid_rows(emb).count()
 
-    # empty delta: even threshold 0 must not fire (0 >= 0 guard)
+    # empty delta: even threshold 0 must not fire (0 >= 0 guard), and
+    # no empty code dir may be appended (round-11 review, second pass)
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    dirs_before = read_manifest(cold)["code_dirs"]
     assert not pq_op.ivfpq_store_autorefresh(
         spark, cold, delta.where(F.lit(False)), emb, 0, extra_iters=1
     )
     assert pq_op.load_ivfpq_index(spark, cold)[0] == mc0
+    assert read_manifest(cold)["code_dirs"] == dirs_before
+
+    # retry idempotence: redelivering the already-absorbed delta
+    # measures D = 0 on the guarded slice — no trigger even at
+    # threshold 0, no append, decision can never flip on a redelivery
+    assert not pq_op.ivfpq_store_autorefresh(
+        spark, cold, delta, emb, 0, extra_iters=1
+    )
+    assert read_manifest(cold)["code_dirs"] == dirs_before
+
+    # destructive-resync floor guard: an empty corpus must refuse
+    # loudly instead of silently erasing every stored code
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        pq_op.ivfpq_store_reencode(
+            spark, cold, emb.where(F.lit(False)), extra_iters=0
+        )
 
     # the composite is ONE lease-guarded RMW (round-11 review): a
     # per-step lease would open a window where a concurrent writer's
