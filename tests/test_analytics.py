@@ -1471,6 +1471,37 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
     assert owners == ["ivfpq_store_autorefresh"], owners
 
 
+def test_reencode_keeps_previous_generation_for_readers(spark, sf01, tmp_path):
+    """The store family's concurrent-reader invariant applied to the
+    retarget verb: a reader's lazy frame pinned to the pre-re-encode
+    generation must survive ONE maintenance cycle (the commit keeps
+    the immediately previous generation), and the next cycle sweeps
+    it. A 50-vector corpus exercises the identical lifecycle at a
+    fraction of the fit cost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings").where(F.col("vec_id") < 50)
+    store = str(tmp_path / "gen_reader")
+    pq_op.save_ivfpq_index(spark, emb, store)
+    _mc, _cb, old_codes = pq_op.load_ivfpq_index(spark, store)  # lazy
+    pq_op.ivfpq_store_reencode(spark, store, emb, extra_iters=1)
+    # the old generation is still on disk — the pinned frame reads fine
+    old_rows = old_codes.collect()
+    assert len(old_rows) > 0
+    gens1 = [e for e in os.listdir(store) if e.startswith("gen_")]
+    assert len(gens1) == 2
+    # the NEXT cycle sweeps it (keep = {new, previous})
+    pq_op.ivfpq_store_reencode(spark, store, emb, extra_iters=0)
+    gens2 = [e for e in os.listdir(store) if e.startswith("gen_")]
+    assert len(gens2) == 2
+    assert len(set(gens1) & set(gens2)) == 1  # only the middle gen survives
+
+
 def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
     """The staleness metric must not silently drop vectors absent from
     the index (round-9 review finding): recon over a subset store with
