@@ -359,34 +359,8 @@ def perceptron_store_run_oracle_sql(
     prev = "pw0_0"
     emits = []
     for b in range(n_batches):
-        for e in range(epochs):
-            # gradient CTE: a no-GROUP-BY aggregate always yields ONE
-            # row even over an EMPTY bucket (sums NULL → coalesce 0),
-            # so the weight chain carries through unchanged exactly
-            # like Spark's `int(sums[...] or 0)` — a cross-join-with-
-            # GROUP-BY form would yield an empty CTE there and LOSE
-            # the weights (empty-CTE NULL-poisoning lesson)
-            margin = " + ".join(
-                f"(SELECT w{j} FROM {prev}) * f.x{j}" for j in range(dim)
-            )
-            gdefs = ", ".join(
-                f"coalesce(sum(CASE WHEN f.y * ({margin}) <= 0 "
-                f"THEN f.y * f.x{j} END), 0) AS g{j}"
-                for j in range(dim)
-            )
-            cur = f"pw{b}_{e + 1}"
-            ctes.append(
-                f"gr{b}_{e + 1} AS MATERIALIZED (SELECT {gdefs} FROM feat f "
-                f"WHERE f.id // (SELECT w FROM wd) = {b})"
-            )
-            ctes.append(
-                f"{cur} AS MATERIALIZED (SELECT "
-                + ", ".join(
-                    f"CAST(w.w{j} + g.g{j} AS BIGINT) AS w{j}" for j in range(dim)
-                )
-                + f" FROM {prev} w, gr{b}_{e + 1} g)"
-            )
-            prev = cur
+        ectes, prev = _perc_epoch_ctes(prev, b, epochs, dim)
+        ctes.extend(ectes)
         emits.append(
             " UNION ALL ".join(
                 f"SELECT CAST({b} AS BIGINT) AS batch, CAST({j} AS INTEGER) AS j, "
@@ -395,6 +369,206 @@ def perceptron_store_run_oracle_sql(
             )
         )
         # next bucket warm-starts from this bucket's final CTE
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(emits)
+
+
+def _bucket_margin_sql(prev: str, dim: int) -> str:
+    """ONE copy of the margin expression against a weight CTE."""
+    return " + ".join(f"(SELECT w{j} FROM {prev}) * f.x{j}" for j in range(dim))
+
+
+def _perc_epoch_ctes(
+    prev: str, b: int, epochs: int, dim: int
+) -> tuple[list[str], str]:
+    """ONE copy of the per-(bucket, epoch) weight-CTE loop, shared by
+    the run and autorefresh replays. Gradient CTE: a no-GROUP-BY
+    aggregate always yields ONE row even over an EMPTY bucket (sums
+    NULL → coalesce 0), so the weight chain carries through unchanged
+    exactly like Spark's `int(sums[...] or 0)` — a cross-join-with-
+    GROUP-BY form would yield an empty CTE there and LOSE the weights
+    (empty-CTE NULL-poisoning lesson). Returns (ctes, final_cte)."""
+    ctes = []
+    for e in range(epochs):
+        margin = _bucket_margin_sql(prev, dim)
+        gdefs = ", ".join(
+            f"coalesce(sum(CASE WHEN f.y * ({margin}) <= 0 "
+            f"THEN f.y * f.x{j} END), 0) AS g{j}"
+            for j in range(dim)
+        )
+        cur = f"pw{b}_{e + 1}"
+        ctes.append(
+            f"gr{b}_{e + 1} AS MATERIALIZED (SELECT {gdefs} FROM feat f "
+            f"WHERE f.id // (SELECT w FROM wd) = {b})"
+        )
+        ctes.append(
+            f"{cur} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"CAST(w.w{j} + g.g{j} AS BIGINT) AS w{j}" for j in range(dim)
+            )
+            + f" FROM {prev} w, gr{b}_{e + 1} g)"
+        )
+        prev = cur
+    return ctes, prev
+
+
+def perceptron_store_autorefresh(
+    spark,
+    batch: DataFrame,
+    path: str,
+    threshold_ppm: int,
+    epochs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[bool, list[int]]:
+    """Drift-gated continual learning — the model-store sibling of the
+    IVF-PQ autorefresh verb: an arriving batch updates the PERSISTED
+    weights only when the stored model actually MISCLASSIFIES at
+    least ``threshold_ppm`` parts-per-million of it. The decision is
+    exact integers (a count and a cross-product comparison), so it
+    replays as a DuckDB scalar subquery and the whole gated
+    trajectory stays bit-exact. A batch the current model already
+    fits is SKIPPED entirely — no train epochs, no store write, so a
+    redelivered well-fitted batch is a no-op (and a cold store's zero
+    weights misclassify everything, y·0 <= 0, so the first batch
+    always trains at any threshold <= 10^6). ONE lease wraps
+    measure→train→commit (the composite-RMW lesson). Returns
+    (fired, weights)."""
+    import os
+
+    from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
+
+    acquire_lease(path, owner="perceptron_store_autorefresh")
+    feat = None
+    try:
+        feat = quality_features(batch, id_col, text_col).persist()
+        if os.path.exists(_perc_manifest_path(path)):
+            w, n_updates = perceptron_store_read(spark, path)
+        else:
+            w, n_updates = [0] * (N_BUCKETS + 1), 0
+        dim = N_BUCKETS + 1
+        margin = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+        row = feat.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("y") * margin <= 0, F.lit(1))), F.lit(0)
+            ).alias("mis"),
+        ).collect()[0]
+        n, mis = int(row["n"]), int(row["mis"])
+        fired = n > 0 and 1_000_000 * mis >= threshold_ppm * n
+        if fired:
+            w = _perceptron_epochs_from(feat, w, epochs)
+            perceptron_store_write(spark, path, w, n_updates + 1)
+        return fired, w
+    finally:
+        release_lease(path)
+        if feat is not None:
+            feat.unpersist()
+
+
+def perceptron_store_autorefresh_run(
+    spark,
+    sf_dir: str,
+    n_batches: int = 3,
+    epochs: int = 2,
+    threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """The registered gated lifecycle: arithmetic doc_id buckets
+    arrive in order; each runs the drift-gated update against the
+    SAME store (every decision re-reads the weights from disk). Emits
+    the full gated trajectory: (batch, fired, j, w) — the weights in
+    force AFTER each batch, fired telling which batches actually
+    trained. Bit-exact vs perceptron_store_autorefresh_oracle_sql."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="tsfm_perc_ar_")
+    try:
+        max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        width = max_id // n_batches + 1
+        rows = []
+        w = [0] * (N_BUCKETS + 1)
+        for b in range(n_batches):
+            batch = docs.where(F.floor(F.col("doc_id") / width) == b)
+            fired, w = perceptron_store_autorefresh(
+                spark, batch, store, threshold_ppm, epochs
+            )
+            rows.extend(
+                (b, bool(fired), j, int(wj)) for j, wj in enumerate(w)
+            )
+        return spark.createDataFrame(
+            rows, "batch bigint, fired boolean, j int, w bigint"
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def perceptron_store_autorefresh_oracle_sql(
+    table: str,
+    n_batches: int = 3,
+    epochs: int = 2,
+    threshold_ppm: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The gated trajectory replayed as chained CTEs with a
+    data-dependent BRANCH per bucket (the IVF-PQ autorefresh pattern
+    in the trained-model family): per bucket, a one-row decision CTE
+    (misclassification count of the CURRENT weights over that bucket,
+    HUGEINT ppm comparison), the trained chain via the shared
+    epoch-CTE emitter, and a selector CTE carrying forward the
+    trained or the previous weights as the trigger chose."""
+    toks = _toks_duckdb(text_col)
+    dim = N_BUCKETS + 1
+    xdefs = feat_xdefs_duckdb()
+    ctes = [
+        f"t AS (SELECT {id_col} AS id, {toks} AS tk FROM {table})",
+        f"feat AS MATERIALIZED (SELECT id, CAST({_label_expr_duckdb()} AS BIGINT) AS y, "
+        f"CAST(1 AS BIGINT) AS x0, {xdefs} FROM t)",
+        f"wd AS MATERIALIZED (SELECT (max(id) // {n_batches}) + 1 AS w FROM feat)",
+        "ws_init AS MATERIALIZED (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(dim))
+        + ")",
+    ]
+    prev = "ws_init"
+    emits = []
+    for b in range(n_batches):
+        margin = _bucket_margin_sql(prev, dim)
+        ctes.append(
+            f"dc{b} AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            f"CAST(coalesce(sum(CASE WHEN f.y * ({margin}) <= 0 THEN 1 END), 0)"
+            " AS HUGEINT) AS mis "
+            f"FROM feat f WHERE f.id // (SELECT w FROM wd) = {b})"
+        )
+        ctes.append(
+            f"tr{b} AS MATERIALIZED (SELECT (SELECT n FROM dc{b}) > 0 AND "
+            f"1000000 * (SELECT mis FROM dc{b}) >= "
+            f"CAST({threshold_ppm} AS HUGEINT) * (SELECT n FROM dc{b}) AS trig)"
+        )
+        ectes, trained = _perc_epoch_ctes(prev, b, epochs, dim)
+        ctes.extend(ectes)
+        sel = f"ws{b}"
+        ctes.append(
+            f"{sel} AS MATERIALIZED (SELECT "
+            + ", ".join(
+                f"CASE WHEN (SELECT trig FROM tr{b}) THEN t.w{j} "
+                f"ELSE p.w{j} END AS w{j}"
+                for j in range(dim)
+            )
+            + f" FROM {trained} t, {prev} p)"
+        )
+        prev = sel
+        emits.append(
+            " UNION ALL ".join(
+                f"SELECT CAST({b} AS BIGINT) AS batch, "
+                f"(SELECT trig FROM tr{b}) AS fired, "
+                f"CAST({j} AS INTEGER) AS j, "
+                f"CAST((SELECT w{j} FROM {prev}) AS BIGINT) AS w"
+                for j in range(dim)
+            )
+        )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(emits)
 
 

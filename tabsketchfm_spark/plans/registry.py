@@ -2618,6 +2618,20 @@ _register(
     lambda spark, sf: qclf.perceptron_store_run(spark, sf),
     qclf.perceptron_store_run_oracle_sql("documents"),
 )
+_register(
+    # drift-GATED continual learning (the IVF-PQ autorefresh pattern
+    # in the trained-model family): a batch updates the stored weights
+    # only when the current model misclassifies >= threshold ppm of it
+    # — exact-integer decision, replayed as a per-bucket scalar
+    # subquery with a selector CTE carrying trained-or-previous
+    # weights forward. At 100k ppm the sf0.01 trajectory is MIXED:
+    # cold-start fires (10^6 ppm), bucket 1 holds (77.8k), bucket 2
+    # REFIRES (114.5k measured against the bucket-0 weights) — both
+    # branches and a genuinely chained decision in one registered run.
+    "store_perceptron_autorefresh_documents",
+    lambda spark, sf: qclf.perceptron_store_autorefresh_run(spark, sf),
+    qclf.perceptron_store_autorefresh_oracle_sql("documents"),
+)
 
 
 def _stream_perceptron_minibatch(spark: SparkSession, sf: str) -> DataFrame:

@@ -1502,6 +1502,39 @@ def test_reencode_keeps_previous_generation_for_readers(spark, sf01, tmp_path):
     assert len(set(gens1) & set(gens2)) == 1  # only the middle gen survives
 
 
+def test_perceptron_autorefresh_gates(spark, sf01, tmp_path):
+    """Drift-gated continual learning: cold start always fires (zero
+    weights misclassify everything), the registered sf0.01 trajectory
+    is fire→hold→REFIRE at 100k ppm (bucket 2's decision measured
+    against the bucket-0 weights — genuinely chained), and a skipped
+    batch is a FULL no-op: no epochs, no store write, manifest
+    untouched (threshold > 10^6 ppm can never fire — mis <= n — so
+    the skip branch is pinned deterministically)."""
+    from tabsketchfm_spark.operators import classifier as qclf
+    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.tables import load_table
+
+    out = qclf.perceptron_store_autorefresh_run(spark, sf01)
+    fired = {
+        int(r["batch"]): bool(r["fired"])
+        for r in out.select("batch", "fired").distinct().collect()
+    }
+    assert fired == {0: True, 1: False, 2: True}
+
+    docs = (
+        load_table(spark, sf01, "documents")
+        .select("doc_id", "text")
+        .where("doc_id < 100")
+    )
+    store = str(tmp_path / "percar")
+    f1, w1 = qclf.perceptron_store_autorefresh(spark, docs, store, 100_000)
+    assert f1  # cold start: y·0 <= 0 everywhere
+    m1 = read_manifest(store)
+    f2, w2 = qclf.perceptron_store_autorefresh(spark, docs, store, 1_000_001)
+    assert not f2 and w2 == w1
+    assert read_manifest(store) == m1
+
+
 def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
     """The staleness metric must not silently drop vectors absent from
     the index (round-9 review finding): recon over a subset store with

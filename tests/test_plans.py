@@ -694,6 +694,9 @@ _PLAN_GUARD_SKIP = {
     # materializes its bounded top-k before dropping the store dir
     "store_kmeans_update_embeddings",
     "store_perceptron_update_documents",
+    # round-11: the gated run loops buckets with per-batch decision
+    # collects + store writes at build — eager by lifecycle
+    "store_perceptron_autorefresh_documents",
     "ann_ivfpq_stored_topk",
     "ann_ivfpq_index_drift",
     # round-9 store maintenance: append encodes + collects the stored
