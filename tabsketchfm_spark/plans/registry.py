@@ -2651,6 +2651,25 @@ _register(
     qclf.perceptron_store_run_oracle_sql("documents"),
 )
 
+
+def _stream_perceptron_autorefresh(spark: SparkSession, sf: str) -> DataFrame:
+    from tabsketchfm_spark.streaming import profile_stream as ps2
+
+    return ps2.streaming_perceptron_autorefresh(spark, sf)
+
+
+_register(
+    # STREAMING drift-gated continual learning: each micro-batch runs
+    # the gated verb against the persisted weight store (train only
+    # when the stored model misclassifies >= threshold ppm of the
+    # batch); the batch gated run's chained-decision oracle gates the
+    # stream bit-exactly — retrain DECISIONS themselves certified in
+    # the supervised family too
+    "stream_perceptron_autorefresh_documents",
+    _stream_perceptron_autorefresh,
+    qclf.perceptron_store_autorefresh_oracle_sql("documents"),
+)
+
 from tabsketchfm_spark.operators import tree as qtree
 
 _register(

@@ -945,6 +945,70 @@ def streaming_perceptron_minibatch(
                 shutil.rmtree(d, ignore_errors=True)
 
 
+def streaming_perceptron_autorefresh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    epochs: int = 2,
+    threshold_ppm: int = 100_000,
+) -> DataFrame:
+    """STREAMING drift-gated continual learning: ordered doc buckets
+    maintain the PERSISTED weight store through the gated verb — each
+    micro-batch measures the stored model's misclassification ppm
+    over itself, trains and commits only when the threshold trips, and
+    a well-fitted batch leaves the store untouched. Decisions and
+    weights both ride the store across batches (every batch re-reads
+    the weights from disk), so the batch gated run's oracle —
+    classifier.perceptron_store_autorefresh_oracle_sql — gates the
+    stream bit-exactly: same arithmetic buckets, same decisions, same
+    selector-carried weight chains. Output: (batch, fired, j, w)."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.operators import classifier as qc
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    )
+    store = tempfile.mkdtemp(prefix="tsfm_par_store_")
+    feed_dir = stage_dir = None
+    try:
+        max_id = int(docs.agg(F.max("doc_id")).collect()[0][0])
+        width = max_id // n_batches + 1
+        feed, feed_dir, stage_dir = _ordered_bucket_feed(
+            spark, docs, "doc_id", n_batches, width, "tsfm_par_"
+        )
+        rows: list[tuple] = []
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            _assert_bucket_order(batch_df, "doc_id", width, batch_id)
+            fired, w = qc.perceptron_store_autorefresh(
+                spark, batch_df, store, threshold_ppm, epochs
+            )
+            rows.extend(
+                (int(batch_id), bool(fired), j, int(wj))
+                for j, wj in enumerate(w)
+            )
+
+        q = (
+            feed.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.createDataFrame(
+            rows, "batch bigint, fired boolean, j int, w bigint"
+        )
+    finally:
+        docs.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+        for d in (feed_dir, stage_dir):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def streaming_dedup_incremental(
     spark: SparkSession,
     sf_dir: str,
