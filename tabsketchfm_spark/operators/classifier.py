@@ -273,13 +273,34 @@ def perceptron_store_update(
     store's writer lease covers read→train→commit: a concurrent
     update folding from the same base weights would be silently
     dropped by whichever flip lands second."""
+
+    def body(feat: DataFrame, w: list[int], n_updates: int) -> list[int]:
+        w = _perceptron_epochs_from(feat, w, epochs)
+        perceptron_store_write(spark, path, w, n_updates + 1)
+        return w
+
+    return _locked_store_training(
+        spark, batch, path, "perceptron_store_update", id_col, text_col, body
+    )
+
+
+def _locked_store_training(
+    spark, batch: DataFrame, path: str, owner: str, id_col: str,
+    text_col: str, body,
+):
+    """ONE copy of the weight-store verbs' lease/read-or-zero/persist
+    scaffold (round-11 review — the SQL side was already deduped into
+    _perc_epoch_ctes; the Spark side had forked): lease BEFORE the
+    persist (a lease-conflict raise must not leak an eagerly-
+    registered cache entry), feature frame persisted for the body's
+    multiple aggregates, store read or the canonical zero-vector cold
+    start. ``body(feat, w, n_updates)`` runs the verb and commits via
+    perceptron_store_write itself; its return value passes through."""
     import os
 
     from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
 
-    # lease BEFORE the persist: a lease-conflict raise must not leak
-    # an eagerly-registered cache entry (review finding)
-    acquire_lease(path, owner="perceptron_store_update")
+    acquire_lease(path, owner=owner)
     feat = None
     try:
         feat = quality_features(batch, id_col, text_col).persist()
@@ -287,9 +308,7 @@ def perceptron_store_update(
             w, n_updates = perceptron_store_read(spark, path)
         else:
             w, n_updates = [0] * (N_BUCKETS + 1), 0
-        w = _perceptron_epochs_from(feat, w, epochs)
-        perceptron_store_write(spark, path, w, n_updates + 1)
-        return w
+        return body(feat, w, n_updates)
     finally:
         release_lease(path)
         if feat is not None:
@@ -432,37 +451,47 @@ def perceptron_store_autorefresh(
     weights misclassify everything, y·0 <= 0, so the first batch
     always trains at any threshold <= 10^6). ONE lease wraps
     measure→train→commit (the composite-RMW lesson). Returns
-    (fired, weights)."""
-    import os
+    (fired, weights).
 
-    from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
+    The decision aggregate doubles as epoch 1's gradient aggregate
+    (round-11 review, third pass): mis/n and the per-feature
+    misclassified sums share the y·margin <= 0 predicate against the
+    same stored weights, so one fused pass collects both — a fired
+    batch applies the already-collected gradient and runs only
+    epochs−1 further aggregates. epochs=0 keeps the symmetric
+    contract: a fired batch commits unchanged weights (the oracle's
+    empty epoch chain selects prev either way)."""
 
-    acquire_lease(path, owner="perceptron_store_autorefresh")
-    feat = None
-    try:
-        feat = quality_features(batch, id_col, text_col).persist()
-        if os.path.exists(_perc_manifest_path(path)):
-            w, n_updates = perceptron_store_read(spark, path)
-        else:
-            w, n_updates = [0] * (N_BUCKETS + 1), 0
+    def body(feat: DataFrame, w: list[int], n_updates: int):
         dim = N_BUCKETS + 1
         margin = sum(F.lit(int(w[j])) * F.col(f"x{j}") for j in range(dim))
+        mis_cond = F.col("y") * margin <= 0
         row = feat.agg(
             F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.when(F.col("y") * margin <= 0, F.lit(1))), F.lit(0)
-            ).alias("mis"),
+            F.coalesce(F.sum(F.when(mis_cond, F.lit(1))), F.lit(0)).alias(
+                "mis"
+            ),
+            *[
+                F.sum(F.when(mis_cond, F.col("y") * F.col(f"x{j}"))).alias(
+                    f"g{j}"
+                )
+                for j in range(dim)
+            ],
         ).collect()[0]
         n, mis = int(row["n"]), int(row["mis"])
         fired = n > 0 and 1_000_000 * mis >= threshold_ppm * n
         if fired:
-            w = _perceptron_epochs_from(feat, w, epochs)
+            if epochs > 0:
+                w = [w[j] + int(row[f"g{j}"] or 0) for j in range(dim)]
+                if epochs > 1:
+                    w = _perceptron_epochs_from(feat, w, epochs - 1)
             perceptron_store_write(spark, path, w, n_updates + 1)
         return fired, w
-    finally:
-        release_lease(path)
-        if feat is not None:
-            feat.unpersist()
+
+    return _locked_store_training(
+        spark, batch, path, "perceptron_store_autorefresh", id_col,
+        text_col, body,
+    )
 
 
 def perceptron_store_autorefresh_run(
