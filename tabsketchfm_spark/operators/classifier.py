@@ -397,7 +397,7 @@ def _bucket_margin_sql(prev: str, dim: int) -> str:
 
 
 def _perc_epoch_ctes(
-    prev: str, b: int, epochs: int, dim: int
+    prev: str, b: int, epochs: int, dim: int, gate: str = ""
 ) -> tuple[list[str], str]:
     """ONE copy of the per-(bucket, epoch) weight-CTE loop, shared by
     the run and autorefresh replays. Gradient CTE: a no-GROUP-BY
@@ -405,7 +405,12 @@ def _perc_epoch_ctes(
     NULL → coalesce 0), so the weight chain carries through unchanged
     exactly like Spark's `int(sums[...] or 0)` — a cross-join-with-
     GROUP-BY form would yield an empty CTE there and LOSE the weights
-    (empty-CTE NULL-poisoning lesson). Returns (ctes, final_cte)."""
+    (empty-CTE NULL-poisoning lesson). ``gate`` is an extra AND-clause
+    for the gradient rows (the gated replay zeroes an unfired bucket's
+    gradients: the chain then carries the previous weights — bit-exact
+    with the selector, and DuckDB never trains the dead branch, which
+    it otherwise WOULD: MATERIALIZED CTEs evaluate even unreferenced).
+    Returns (ctes, final_cte)."""
     ctes = []
     for e in range(epochs):
         margin = _bucket_margin_sql(prev, dim)
@@ -417,7 +422,7 @@ def _perc_epoch_ctes(
         cur = f"pw{b}_{e + 1}"
         ctes.append(
             f"gr{b}_{e + 1} AS MATERIALIZED (SELECT {gdefs} FROM feat f "
-            f"WHERE f.id // (SELECT w FROM wd) = {b})"
+            f"WHERE f.id // (SELECT w FROM wd) = {b}{gate})"
         )
         ctes.append(
             f"{cur} AS MATERIALIZED (SELECT "
@@ -576,7 +581,9 @@ def perceptron_store_autorefresh_oracle_sql(
             f"1000000 * (SELECT mis FROM dc{b}) >= "
             f"CAST({threshold_ppm} AS HUGEINT) * (SELECT n FROM dc{b}) AS trig)"
         )
-        ectes, trained = _perc_epoch_ctes(prev, b, epochs, dim)
+        ectes, trained = _perc_epoch_ctes(
+            prev, b, epochs, dim, gate=f" AND (SELECT trig FROM tr{b})"
+        )
         ctes.extend(ectes)
         sel = f"ws{b}"
         ctes.append(

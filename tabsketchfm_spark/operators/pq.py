@@ -431,6 +431,17 @@ def _ivfpq_search_tail(
 # (only the query side scans embeddings). The stored artifacts are
 # exact integers, so served search == fit-and-search bit-for-bit and
 # the SAME DuckDB oracle gates both.
+#
+# FAMILY CONTRACT — ids are IMMUTABLE: a vector id always names the
+# same embedding (the FAISS model: an update is delete + add under a
+# NEW id). Append's left_anti guard treats a seen id as already
+# absorbed, and re-encode's verbatim-copy path classifies by (cell,
+# centroid) alone — both would serve STALE codes for an id whose
+# vector silently changed. Contrast the signature store, whose
+# content IS mutable per doc and therefore uses FULL-ROW guards and
+# last-seen-wins compaction (round-9). Mutating a vector under its
+# existing id violates this store's contract everywhere, not just in
+# one verb.
 
 _ANN_INDEX_FORMAT = "ivfpq-int-index-v1"
 
@@ -499,9 +510,24 @@ def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
 
     gen = f"gen_{uuid.uuid4().hex[:12]}"
     try:
-        prev_gen = read_manifest(path).get("data_dir")
+        old_manifest = read_manifest(path)
     except Exception:
-        prev_gen = None
+        old_manifest = None  # fresh store, or corrupt manifest being rebuilt
+    if (
+        old_manifest is not None
+        and old_manifest.get("format") != _ANN_INDEX_FORMAT
+    ):
+        # a PARSEABLE manifest of another store family means a mistyped
+        # path — proceeding would overwrite that store's manifest AND
+        # the gen-GC below would delete its generation dirs (signature
+        # stores use gen_<uuid> too). Same class as the cluster_store
+        # re-init guard (ADVICE r10); geometry changes within THIS
+        # format are a legitimate rebuild and pass.
+        raise IOError(
+            f"store at {path} is {old_manifest.get('format')!r}, not an "
+            "ivfpq index — refusing to rebuild over it"
+        )
+    prev_gen = old_manifest.get("data_dir") if old_manifest else None
     codes_df.write.mode("overwrite").parquet(f"{path}/{gen}/codes")
     spark.createDataFrame(
         [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
@@ -816,7 +842,11 @@ def ivfpq_store_reencode(
     Corpus contract: the result is exactly the encode of ``emb`` under
     (warm centroids, frozen codebooks) — stored ids absent from
     ``emb`` are dropped (re-encode resyncs the index to the corpus it
-    is given), new ids are encoded fresh. Commits as a FULL fresh
+    is given), new ids are encoded fresh. The verbatim-copy proof
+    leans on the FAMILY'S immutable-id contract (see the section
+    comment above): a vector mutated under its existing id would keep
+    its stale codes here exactly as append would skip it — updates
+    arrive as delete + add under a new id. Commits as a FULL fresh
     generation (centroids moved, so the old generation's artifacts are
     inconsistent with the new ones) via the shared commit helper:
     atomic pointer flip, previous generation kept one cycle for
@@ -1062,13 +1092,17 @@ def ivfpq_store_autorefresh(
         finally:
             fresh.unpersist()
         if trig:
-            # re-read under the SAME lease: the codes frame must now
-            # include the just-appended dir (the copy base of the
-            # re-encode); mc/cb are unchanged by an append
-            mc2, cb2, codes2 = load_ivfpq_index(spark, path)
+            # re-read ONLY the codes frame under the SAME lease (it
+            # must now include the just-appended dir — the copy base
+            # of the re-encode); mc/cb are unchanged by an append, so
+            # re-collecting them would be two redundant driver jobs
+            _m2, gen2, code_dirs2, _r2 = _read_index_manifest(path)
+            codes2 = spark.read.parquet(
+                *[f"{path}/{gen2}/{d}" for d in code_dirs2]
+            )
             _reencode_locked(
                 spark, path, corpus, extra_iters, id_col, vec_col,
-                mc2, cb2, codes2,
+                mc, cb, codes2,
             )
     return trig
 
@@ -1151,16 +1185,29 @@ def ivfpq_store_autorefresh_oracle_sql(
     ctes.append(f"spine AS (SELECT DISTINCT cid AS cell FROM {cfinal})")
     dctes, dec = _drift_decision_ctes("", "acell0", "dcell", threshold_ppm)
     ctes.extend(dctes)
+    # each branch's point source is GATED by the trigger scalar, so
+    # the dead branch's whole encode chain runs over zero rows —
+    # DuckDB evaluates every MATERIALIZED CTE whether referenced in
+    # the surviving SELECT arm or not (round-11 review, final pass);
+    # the live branch is untouched, so bit-exactness holds
+    ctes.append(
+        f"pts_f AS (SELECT * FROM pts WHERE NOT (SELECT trig FROM {dec}))"
+    )
+    ctes.append(
+        f"pts_w AS (SELECT * FROM pts WHERE (SELECT trig FROM {dec}))"
+    )
     # frozen branch: append-equivalent — every point encoded against
     # the BUILD geometry
-    ctes.extend(_residual_ctes(cfinal, "pts", "facell", "frpts"))
+    ctes.extend(_residual_ctes(cfinal, "pts_f", "facell", "frpts"))
     ctes.append(_explode_sub_cte("fexq", "frpts"))
     ctes.append(_codes_assign_cte("fcodes_long", "fexq", rcents))
     ctes.append(
         f"fcodes AS MATERIALIZED ({_codes_pivot_sql('fcodes_long', acell='facell')})"
     )
     # warm branch: the re-encode replay — extra Lloyd rounds over all
-    # points seeded from the build centroids, frozen codebooks
+    # points seeded from the build centroids, frozen codebooks (an
+    # unfired run's empty round input keeps the init centroids via
+    # the empty-cell carry rule, and its encode source is empty)
     wctes, wfinal = _kmeans_ctes(
         table,
         N_CELLS,
@@ -1168,11 +1215,11 @@ def ivfpq_store_autorefresh_oracle_sql(
         dim,
         prefix="w",
         base=False,
-        pts="pts",
+        pts="pts_w",
         init_sql=f"SELECT cid, m FROM {cfinal}",
     )
     ctes.extend(wctes)
-    ctes.extend(_residual_ctes(wfinal, "pts", "acell", "rpts"))
+    ctes.extend(_residual_ctes(wfinal, "pts_w", "acell", "rpts"))
     ctes.append(_explode_sub_cte("wexq", "rpts"))
     ctes.append(_codes_assign_cte("wcodes_long", "wexq", rcents))
     ctes.append(
@@ -1260,6 +1307,11 @@ def streaming_ivfpq_autorefresh_oracle_sql(
             f"b{b}_", f"sc{b}", f"bc{b}", threshold_ppm
         )
         ctes.extend(dctes)
+        # warm rounds gated by THIS batch's trigger: an unfired batch
+        # feeds the rounds zero rows, the empty-cell carry keeps the
+        # init centroids, and the selector picks the previous state
+        # anyway — bit-exact, and the dead branch costs nothing
+        # (round-11 review, final pass)
         wctes, wfin = _kmeans_ctes(
             table,
             N_CELLS,
@@ -1267,7 +1319,10 @@ def streaming_ivfpq_autorefresh_oracle_sql(
             dim,
             prefix=f"wb{b}_",
             base=False,
-            pts=f"(SELECT * FROM pts WHERE id < {hi})",
+            pts=(
+                f"(SELECT * FROM pts WHERE id < {hi} "
+                f"AND (SELECT trig FROM {dec}))"
+            ),
             init_sql=f"SELECT cid, m FROM {state}",
         )
         ctes.extend(wctes)

@@ -1453,9 +1453,15 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
     # per-step lease would open a window where a concurrent writer's
     # commit lands between the append and the re-encode and is then
     # silently erased by the resync. Pin: exactly one acquisition per
-    # composite call, held across the firing branch too.
+    # composite call — on a FRESH store with an un-absorbed delta
+    # above threshold, so the FIRING branch (append + warm re-encode)
+    # actually executes under the held lease (a redelivered-delta call
+    # measures D = 0 and would never reach the re-encode leg —
+    # round-11 review, final pass).
     from tabsketchfm_spark.sources import store_util as su
 
+    fresh_store = str(tmp_path / "lease_pin")
+    pq_op.save_ivfpq_index(spark, core, fresh_store)
     owners = []
     orig_acquire = su.acquire_lease
     su.acquire_lease = lambda path, owner="writer", require_store=False: (
@@ -1463,12 +1469,53 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
         orig_acquire(path, owner, require_store=require_store),
     )[1]
     try:
-        pq_op.ivfpq_store_autorefresh(
-            spark, cold, delta, emb, 100_000, extra_iters=1
+        fired = pq_op.ivfpq_store_autorefresh(
+            spark, fresh_store, delta, emb, 100_000, extra_iters=1
         )
     finally:
         su.acquire_lease = orig_acquire
+    assert fired  # the pin must cover the re-encode leg
     assert owners == ["ivfpq_store_autorefresh"], owners
+
+
+def test_ivfpq_rebuild_rejects_foreign_store(spark, sf01, tmp_path):
+    """save_ivfpq_index pointed at a LIVE store of another family must
+    refuse loudly: proceeding would overwrite that store's manifest
+    AND the generation GC would delete its gen_* dirs (signature
+    stores use the same naming) — the cluster_store_init guard class,
+    applied to the rebuild verb (round-11 review, final pass). A
+    corrupt manifest stays rebuildable (documented recovery)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import dedup, pq as pq_op
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings").where(F.col("vec_id") < 50)
+    store = str(tmp_path / "foreign")
+    os.makedirs(f"{store}/gen_sigdata", exist_ok=True)
+    with open(f"{store}/gen_sigdata/marker", "w") as f:
+        f.write("live signature data")
+    su.write_manifest(
+        store,
+        {"format": dedup._SIG_STORE_FORMAT, "schema": [],
+         "data_dir": "gen_sigdata"},
+    )
+    with _pytest.raises(IOError, match="not an ivfpq index"):
+        pq_op.save_ivfpq_index(spark, emb, store)
+    # the foreign manifest AND its generation data must be untouched
+    assert su.read_manifest(store)["format"] == dedup._SIG_STORE_FORMAT
+    assert os.path.exists(f"{store}/gen_sigdata/marker")
+    # unparseable manifest → rebuild allowed (recovery path)
+    store2 = str(tmp_path / "corrupt")
+    os.makedirs(store2, exist_ok=True)
+    with open(os.path.join(store2, "_manifest.json"), "w") as f:
+        f.write("{not json")
+    pq_op.save_ivfpq_index(spark, emb, store2)
+    assert pq_op.load_ivfpq_index(spark, store2)[2].count() == 50
 
 
 def test_reencode_keeps_previous_generation_for_readers(spark, sf01, tmp_path):
