@@ -928,6 +928,245 @@ def kmeans_store_run(
         shutil.rmtree(store, ignore_errors=True)
 
 
+def kmeans_store_autorefresh(
+    spark,
+    batch: DataFrame,
+    path: str,
+    corpus: DataFrame,
+    threshold_ppm: int,
+    extra_rounds: int = 2,
+    k: int = N_CELLS,
+    dim: int = DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Drift-gated RETARGET for the persisted centroid store — the
+    ivfpq_store_autorefresh pattern (round-11) ported to the k-means
+    state store, completing the maintenance matrix (round-11 verdict
+    item 2): measure the arriving batch's assignment drift against the
+    stored per-cell counts, ABSORB the batch (the ordinary cumulative
+    fold), and — iff the normalized L1 drift is at least
+    ``threshold_ppm`` parts-per-million — RETARGET: ``extra_rounds``
+    warm integer Lloyd rounds over ``corpus`` seeded from the
+    POST-ABSORB centroids, then the state's sum vectors are rewritten
+    to ``s = m·c`` (cumulative counts PRESERVED — the next fold keeps
+    its inertia; the floor-div read-back returns exactly ``m``, so the
+    retargeted centroids are stored losslessly on the integer grid).
+
+    The decision is exact integer arithmetic over the k-row state +
+    one assignment aggregate, so the whole branch replays as DuckDB
+    scalar subqueries (kmeans_store_autorefresh_oracle_sql) and the
+    composite is oracle-gated on EITHER path. An empty batch (D = 0)
+    never fires, never folds and never commits — mirroring the ivfpq
+    twin's zero-row micro-batch rule. ONE writer lease wraps the whole
+    measure→absorb→retarget RMW (per-step leases would let a
+    concurrent update land between the fold and the retarget and be
+    silently overwritten by the state write).
+
+    Contract notes vs the ivfpq twin: this store is an AGGREGATE
+    (per-cell sums, no ids), so there is no left_anti retry guard —
+    a redelivered batch double-counts here exactly as it does in
+    kmeans_store_update; feed discipline (the arithmetic-bucket
+    contract) is the dedup boundary. Returns whether the retarget
+    fired."""
+    from tabsketchfm_spark.sources.store_util import acquire_lease, release_lease
+
+    acquire_lease(path, owner="kmeans_store_autorefresh", require_store=True)
+    q = qc = None
+    try:
+        q = _quantized(batch, id_col, vec_col).persist()
+        state, n_updates = kmeans_store_read(spark, path, k, dim)
+        sums = cell_aggregate(q, state_centroids(state), dim)
+        from tabsketchfm_spark.operators.pq import coarse_drift_ppm
+
+        cells = [
+            {
+                "corpus_cnt": state[cid][1],
+                "delta_cnt": sums.get(cid, ([], 0))[1],
+            }
+            for cid in sorted(state)
+        ]
+        C, D, S = coarse_drift_ppm(cells)
+        trig = C > 0 and D > 0 and 1_000_000 * S >= threshold_ppm * C * D
+        if D == 0:
+            return False
+        state = minibatch_update(state, sums)
+        if trig:
+            qc = _quantized(corpus, id_col, vec_col).persist()
+            # loud floor guard (the re-encode rule): a retarget over an
+            # accidentally-empty corpus would anchor every centroid to
+            # its current position while claiming a refresh happened
+            if qc.limit(1).count() == 0:
+                raise ValueError(
+                    "kmeans autorefresh: empty corpus — refusing to "
+                    "retarget against nothing (pass the post-absorb "
+                    "population frame)"
+                )
+            m_warm = _lloyd_centroids(
+                qc, k, extra_rounds, dim, init=state_centroids(state)
+            )
+            state = {
+                cid: ([mj * c for mj in m_warm[cid]], c)
+                for cid, (_s, c) in state.items()
+            }
+        kmeans_store_write(spark, path, state, n_updates + 1, dim)
+        return trig
+    finally:
+        release_lease(path)
+        for f in (q, qc):
+            if f is not None:
+                f.unpersist()
+
+
+def kmeans_store_autorefresh_run(
+    spark,
+    sf_dir: str,
+    boundary: int = 400,
+    threshold_ppm: int = 100_000,
+    extra_rounds: int = 2,
+) -> DataFrame:
+    """The registered composite: init + fold the build slice
+    (id < ``boundary``) into a fresh store, then one autorefresh call
+    with the id-suffix delta against the full population as retarget
+    corpus. Output: one row per cell — (cell, fired, n_cum, m), the
+    final stored state with its centroid read-back — gated bit-exactly
+    by kmeans_store_autorefresh_oracle_sql on EITHER branch."""
+    import shutil
+    import tempfile
+
+    from tabsketchfm_spark.sources.tables import load_table
+
+    raw = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = valid_rows(raw, "vec_id", "embedding").persist()
+    store = tempfile.mkdtemp(prefix="tsfm_kmeans_ar_")
+    try:
+        core = emb.where(F.col("vec_id") < boundary)
+        delta = emb.where(F.col("vec_id") >= boundary)
+        kmeans_store_init(spark, core, store)
+        kmeans_store_update(spark, core, store)
+        fired = kmeans_store_autorefresh(
+            spark, delta, store, emb, threshold_ppm, extra_rounds
+        )
+        state, _n = kmeans_store_read(spark, store)
+        cents = state_centroids(state)
+        rows = [
+            (cid, bool(fired), int(c), [int(v) for v in cents[cid]])
+            for cid, (_s, c) in sorted(state.items())
+        ]
+        return spark.createDataFrame(
+            rows, "cell int, fired boolean, n_cum bigint, m array<bigint>"
+        )
+    finally:
+        emb.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def kmeans_store_autorefresh_oracle_sql(
+    table: str,
+    boundary: int = 400,
+    threshold_ppm: int = 100_000,
+    extra_rounds: int = 2,
+    k: int = N_CELLS,
+    dim: int = DIM,
+) -> str:
+    """The composite's twin: seed state from the build slice's ids
+    0..k-1 (c = 1 prior), fold the build slice, assign the delta under
+    the post-fold centroids, the exact-integer ppm decision as a
+    one-row scalar CTE (HUGEINT products), fold the delta, and BOTH
+    branches — warm Lloyd rounds over the full population seeded from
+    the post-absorb centroids (point source GATED by the trigger, so
+    the dead branch runs over zero rows — round-11 final-pass lesson)
+    vs the untouched post-absorb centroids — with the final SELECT
+    taking whichever the trigger chose."""
+    fd = _floor_div_sql("2 * s + c", "2 * c")
+    ctes = _base_ctes(table, dim) + [
+        f"cpts AS MATERIALIZED (SELECT * FROM pts WHERE id < {boundary})",
+        f"dpts AS MATERIALIZED (SELECT * FROM pts WHERE id >= {boundary})",
+        # seed state: quantized vectors of ids 0..k-1, c = 1 prior
+        "sts0 AS MATERIALIZED (SELECT p.id AS cid, d.i, p.qv[d.i] AS s, "
+        f"CAST(1 AS BIGINT) AS c FROM cpts p CROSS JOIN dims d WHERE p.id < {k})",
+        f"m0 AS MATERIALIZED (SELECT cid, list({fd} ORDER BY i) AS m "
+        "FROM sts0 GROUP BY cid)",
+        # fold the build slice (kmeans_store_update(core))
+        "a0 AS MATERIALIZED (SELECT id, cid AS bk FROM ("
+        + _ranked_cells_sql("m0", pts="cpts")
+        + ") z WHERE rn = 1)",
+        "bs0 AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
+        "CAST(sum(p.qv[d.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c "
+        "FROM a0 a JOIN cpts p ON p.id = a.id CROSS JOIN dims d "
+        "GROUP BY a.bk, d.i)",
+        "sts1 AS MATERIALIZED (SELECT prev.cid, prev.i, "
+        "prev.s + coalesce(nb.s, 0) AS s, prev.c + coalesce(nb.c, 0) AS c "
+        "FROM sts0 prev LEFT JOIN bs0 nb "
+        "ON nb.cid = prev.cid AND nb.i = prev.i)",
+        f"m1 AS MATERIALIZED (SELECT cid, list({fd} ORDER BY i) AS m "
+        "FROM sts1 GROUP BY cid)",
+        # delta assignment under the CURRENT (post-build) centroids
+        "ad AS MATERIALIZED (SELECT id, cid AS bk FROM ("
+        + _ranked_cells_sql("m1", pts="dpts")
+        + ") z WHERE rn = 1)",
+        # exact-integer drift decision (the _drift_decision_ctes shape,
+        # corpus side pre-aggregated: the state's cumulative counts)
+        "spine AS (SELECT DISTINCT cid AS cell FROM m1)",
+        "cdist AS MATERIALIZED (SELECT sp.cell, coalesce(t.c, 0) AS c "
+        "FROM spine sp LEFT JOIN (SELECT DISTINCT cid AS cell, c FROM sts1) t "
+        "ON t.cell = sp.cell)",
+        "ddist AS MATERIALIZED (SELECT sp.cell, coalesce(t.c, 0) AS c "
+        "FROM spine sp LEFT JOIN (SELECT bk AS cell, CAST(count(*) AS BIGINT) "
+        "AS c FROM ad GROUP BY bk) t ON t.cell = sp.cell)",
+        "tots AS MATERIALIZED (SELECT (SELECT sum(c) FROM cdist) AS tc, "
+        "(SELECT sum(c) FROM ddist) AS td)",
+        "decision AS MATERIALIZED (SELECT "
+        "(SELECT tc FROM tots) > 0 AND (SELECT td FROM tots) > 0 AND "
+        "1000000 * (SELECT sum(abs(CAST(d.c AS HUGEINT) * (SELECT tc FROM tots)"
+        " - CAST(c2.c AS HUGEINT) * (SELECT td FROM tots))) "
+        "FROM cdist c2 JOIN ddist d USING (cell)) >= "
+        f"CAST({threshold_ppm} AS HUGEINT) * (SELECT tc FROM tots) * "
+        "(SELECT td FROM tots) AS trig)",
+        # absorb the delta
+        "bsd AS MATERIALIZED (SELECT a.bk AS cid, d.i, "
+        "CAST(sum(p.qv[d.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c "
+        "FROM ad a JOIN dpts p ON p.id = a.id CROSS JOIN dims d "
+        "GROUP BY a.bk, d.i)",
+        "sts2 AS MATERIALIZED (SELECT prev.cid, prev.i, "
+        "prev.s + coalesce(nb.s, 0) AS s, prev.c + coalesce(nb.c, 0) AS c "
+        "FROM sts1 prev LEFT JOIN bsd nb "
+        "ON nb.cid = prev.cid AND nb.i = prev.i)",
+        f"m2 AS MATERIALIZED (SELECT cid, list({fd} ORDER BY i) AS m "
+        "FROM sts2 GROUP BY cid)",
+        # warm branch: point source gated by the trigger
+        "wpts AS MATERIALIZED (SELECT * FROM pts "
+        "WHERE (SELECT trig FROM decision))",
+    ]
+    wctes, wfinal = _kmeans_ctes(
+        table,
+        k,
+        extra_rounds,
+        dim,
+        prefix="w",
+        base=False,
+        pts="wpts",
+        init_sql="SELECT cid, m FROM m2",
+    )
+    ctes.extend(wctes)
+    ctes.append("cnts AS (SELECT DISTINCT cid, c FROM sts2)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(n.cid AS INTEGER) AS cell, (SELECT trig FROM decision) AS fired,
+       CAST(n.c AS BIGINT) AS n_cum, w.m
+FROM cnts n JOIN {wfinal} w ON w.cid = n.cid
+WHERE (SELECT trig FROM decision)
+UNION ALL
+SELECT CAST(n.cid AS INTEGER) AS cell, (SELECT trig FROM decision) AS fired,
+       CAST(n.c AS BIGINT) AS n_cum, m2.m
+FROM cnts n JOIN m2 ON m2.cid = n.cid
+WHERE NOT (SELECT trig FROM decision)
+"""
+    )
+
+
 # --- bisecting k-means: hierarchical integer Lloyd's -----------------------
 #
 # The divisive variant (Steinbach-Karypis bisecting k-means — the

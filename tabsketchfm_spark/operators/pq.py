@@ -509,10 +509,24 @@ def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
     from tabsketchfm_spark.sources.store_util import read_manifest, write_manifest
 
     gen = f"gen_{uuid.uuid4().hex[:12]}"
+    gc_enabled = True
     try:
         old_manifest = read_manifest(path)
+    except FileNotFoundError:
+        old_manifest = None  # fresh store: nothing to keep or sweep
     except Exception:
-        old_manifest = None  # fresh store, or corrupt manifest being rebuilt
+        # CORRUPT manifest (unreadable/unparseable): the foreign-store
+        # guard and the keep-previous-generation rule below both need
+        # the manifest's pointers, so with them gone the GC has no safe
+        # basis — a corrupt SIGNATURE store at a mistyped path would
+        # lose every gen_* dir, and a corrupt ivfpq store's live
+        # generation would be swept out from under concurrent readers.
+        # Rebuild proceeds (the sanctioned recovery path) but keeps ALL
+        # existing gen_* dirs; the next healthy commit GCs them
+        # (round-11 ADVICE — mirrors the signature-store sweep's
+        # never-delete-on-corrupt rule).
+        old_manifest = None
+        gc_enabled = False
     if (
         old_manifest is not None
         and old_manifest.get("format") != _ANN_INDEX_FORMAT
@@ -539,6 +553,8 @@ def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
     write_manifest(
         path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()}
     )
+    if not gc_enabled:
+        return
     keep = {gen, prev_gen}
     for d in os.listdir(path):
         if d.startswith("gen_") and d not in keep:
@@ -813,6 +829,52 @@ def warm_start_centroids(
         q.unpersist()
 
 
+def _decode_codes(
+    codes: DataFrame,
+    mc: dict[int, list[int]],
+    cb: dict[tuple[int, int], list[int]],
+) -> DataFrame:
+    """(id, qv): EXACT integer reconstruction of encoded vectors —
+    qv_rec = centroid[cell] + concat_s codebook[(s, c_s)]. Pure
+    expression (two map-literal lookups + one zip_with; no join, no
+    shuffle): centroids and codebooks are driver-side dicts already.
+    The reconstruction lives on the same integer grid as the encode
+    inputs (the grid is closed under addition), so downstream integer
+    algebra — warm Lloyd rounds, assignment, residual re-encode — is
+    bit-exact over it."""
+
+    def arr(v: list[int]) -> str:
+        return "array(" + ", ".join(f"{int(x)}L" for x in v) + ")"
+
+    mc_map = (
+        "map(" + ", ".join(f"{cid}, {arr(mc[cid])}" for cid in sorted(mc)) + ")"
+    )
+    parts = []
+    for s in range(S_SUB):
+        cbs = {c: cb[(ss, c)] for (ss, c) in cb if ss == s}
+        m = (
+            "map(" + ", ".join(f"{c}, {arr(cbs[c])}" for c in sorted(cbs)) + ")"
+        )
+        parts.append(f"element_at({m}, c{s})")
+    expr = (
+        f"zip_with(element_at({mc_map}, cell), "
+        f"concat({', '.join(parts)}), (x, y) -> x + y)"
+    )
+    return codes.select(
+        F.col("cand_id").alias("id"), F.expr(expr).alias("qv")
+    )
+
+
+def ivfpq_decode_stored(spark, path: str) -> DataFrame:
+    """Reconstruct every indexed vector from the persisted codes alone
+    — (id, qv) on the integer grid, never touching the raw corpus
+    (the FAISS reconstruct_n analogue). Exact integer arithmetic;
+    reconstruction error vs the ORIGINAL vectors is whatever the
+    quantizers lost (ivfpq_reconstruction_error measures it)."""
+    mc, cb, codes = load_ivfpq_index(spark, path)
+    return _decode_codes(codes, mc, cb)
+
+
 def ivfpq_store_reencode(
     spark,
     path: str,
@@ -864,13 +926,14 @@ def ivfpq_store_reencode(
 def _reencode_locked(
     spark,
     path: str,
-    emb: DataFrame,
+    emb: DataFrame | None,
     extra_iters: int,
     id_col: str,
     vec_col: str,
     mc_old: dict[int, list[int]],
     cb: dict[tuple[int, int], list[int]],
     codes_old: DataFrame,
+    pre_quantized: DataFrame | None = None,
 ) -> None:
     """The re-encode work section — caller holds the writer lease and
     supplies the loaded store artifacts (so a composite verb keeps ONE
@@ -878,10 +941,16 @@ def _reencode_locked(
     the index twice). The corpus quantizes ONCE: the persisted frame
     feeds the warm Lloyd rounds, the new assignment AND the stale-
     subset encode (round-11 review — the verb's hot path is corpus
-    scans)."""
+    scans). ``pre_quantized`` supplies an ALREADY-GRID (id, qv) frame
+    instead of ``emb`` (the store-derived decoded corpus): every
+    downstream consumer — Lloyd, assignment, residual encode — reads
+    only (id, qv)."""
     from tabsketchfm_spark.operators.kmeans import _lloyd_centroids
 
-    q = _quantized(emb, id_col, vec_col).persist()
+    q = (
+        pre_quantized if pre_quantized is not None
+        else _quantized(emb, id_col, vec_col)
+    ).persist()
     joined = None
     try:
         # loud floor guard: a resync is DESTRUCTIVE (the committed
@@ -1018,7 +1087,7 @@ def ivfpq_store_autorefresh(
     spark,
     path: str,
     delta: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     threshold_ppm: int,
     extra_iters: int = REENCODE_ITERS,
     id_col: str = "vec_id",
@@ -1054,7 +1123,19 @@ def ivfpq_store_autorefresh(
     feed must not grow code_dirs by one empty dir each. Registered
     deltas are disjoint new-id batches, where the guarded and raw
     distributions coincide — the oracle's ddist replays exactly that
-    contract."""
+    contract.
+
+    ``corpus=None`` (round-11 verdict item 5) derives the retarget
+    corpus FROM THE STORE: the post-append codes are decoded back to
+    the integer grid (``_decode_codes`` — exact integer arithmetic)
+    and the warm re-encode runs over those reconstructions — for
+    callers without the lake frame at hand (the index IS their only
+    copy). Equal to the explicit-corpus call exactly when the codes
+    reconstruct the lake exactly (zero quantization error — pinned by
+    test); otherwise the retarget trains on reconstructions, the
+    memory-bounded path, still deterministic and store-consistent.
+    Registered parity rows pass the corpus explicitly — their oracle
+    replays the lake-corpus branch."""
     from tabsketchfm_spark.sources.store_util import writer_lease
 
     with writer_lease(path, owner="ivfpq_store_autorefresh", require_store=True):
@@ -1065,6 +1146,27 @@ def ivfpq_store_autorefresh(
             .persist()
         )
         try:
+            # loud intra-batch uniqueness (round-11 ADVICE): the
+            # left_anti guard only covers ids ALREADY stored — a delta
+            # carrying the same vec_id twice would be double-counted in
+            # the drift decision and appended twice (duplicate cand_ids
+            # then double-scored by serving). Enforce the documented
+            # disjoint-batch contract the way the family's other
+            # preconditions are enforced: one global aggregate, fail
+            # before any decision or write. Global (not per-cell):
+            # duplicate ids with DIFFERENT vectors can land in
+            # different cells.
+            ur = fresh.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("cand_id").alias("nd"),
+            ).collect()[0]
+            if int(ur["n"]) != int(ur["nd"]):
+                raise ValueError(
+                    "ivfpq_store_autorefresh: delta batch carries "
+                    f"{int(ur['n']) - int(ur['nd'])} duplicate vec_id "
+                    "row(s) — batches must be id-disjoint (dedup the "
+                    "delta before the maintenance call)"
+                )
             ccnt = {
                 int(r["cell"]): int(r["n"])
                 for r in codes.groupBy("cell")
@@ -1103,6 +1205,9 @@ def ivfpq_store_autorefresh(
             _reencode_locked(
                 spark, path, corpus, extra_iters, id_col, vec_col,
                 mc, cb, codes2,
+                pre_quantized=(
+                    _decode_codes(codes2, mc, cb) if corpus is None else None
+                ),
             )
     return trig
 

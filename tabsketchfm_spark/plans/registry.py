@@ -836,6 +836,42 @@ _register(
     _store_kmeans_update,
     streaming_minibatch_oracle_sql("embeddings"),
 )
+
+
+def _store_kmeans_autorefresh(threshold_ppm: int):
+    def _q(spark: SparkSession, sf: str) -> DataFrame:
+        from tabsketchfm_spark.operators import kmeans as km_store
+
+        return km_store.kmeans_store_autorefresh_run(
+            spark, sf, threshold_ppm=threshold_ppm
+        )
+
+    return _q
+
+
+from tabsketchfm_spark.operators.kmeans import (
+    kmeans_store_autorefresh_oracle_sql,
+)
+
+# drift-gated RETARGET on the persisted centroid store (round-11
+# verdict item 2 — the ivfpq autorefresh pattern ported to the kmeans
+# state store): measure assignment drift of the arriving batch against
+# the stored per-cell counts, absorb, and conditionally warm-retarget
+# the centroids over the full population, counts preserved. Measured
+# drift of the id>=400 delta is ~191k ppm at sf0.01 (~49k at sf0.1 —
+# data-dependence, the ivfpq family's documented shape), so 100k FIRES
+# the retarget and 400k holds; the oracle replays the exact-integer
+# decision and BOTH branches, selecting whichever the trigger chose.
+_register(
+    "store_kmeans_autorefresh_hot",
+    _store_kmeans_autorefresh(100_000),
+    kmeans_store_autorefresh_oracle_sql("embeddings", 400, 100_000, 2),
+)
+_register(
+    "store_kmeans_autorefresh_cold",
+    _store_kmeans_autorefresh(400_000),
+    kmeans_store_autorefresh_oracle_sql("embeddings", 400, 400_000, 2),
+)
 _register(
     # default components are STAR CONTRACTION since round 7 (measured:
     # wins shallow AND deep standalone, within noise in-pipeline —

@@ -41,8 +41,15 @@ def built_query(spark, sf_dir: str, name: str):
     # application id in the key: persisted/localCheckpoint-backed frames
     # die with their session, so a fixture that restarts Spark mid-run
     # must not be served dead frames (the _CLUSTER_MEMO pattern)
-    key = (name, sf_dir, spark.sparkContext.applicationId)
+    app = spark.sparkContext.applicationId
+    key = (name, sf_dir, app)
     if key not in _BUILT_QUERIES:
+        # evict dead-session entries on miss (round-11 ADVICE): a
+        # fixture that restarts Spark repeatedly would otherwise
+        # accumulate dead plans / persisted-frame references for the
+        # life of the pytest process
+        for k in [k for k in _BUILT_QUERIES if k[2] != app]:
+            del _BUILT_QUERIES[k]
         from tabsketchfm_spark.plans import registry
 
         _BUILT_QUERIES[key] = registry.queries()[name](spark, sf_dir)
