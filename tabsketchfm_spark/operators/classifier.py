@@ -201,7 +201,9 @@ def perceptron_store_read(spark, path: str) -> tuple[list[int], int]:
             f"n_buckets={m['n_buckets']}; caller runs {_PERC_STORE_FORMAT} "
             f"n_buckets={N_BUCKETS}"
         )
-    rows = spark.read.parquet(f"{path}/{m['state_dir']}").collect()
+    from tabsketchfm_spark.sources.store_util import read_small_parquet
+
+    rows = read_small_parquet(f"{path}/{m['state_dir']}")
     dim = N_BUCKETS + 1
     got = {int(r["j"]): int(r["w"]) for r in rows}
     # bijection check BEFORE any indexing: a duplicate-plus-missing j
@@ -222,9 +224,17 @@ def perceptron_store_write(
     """Commit: fresh state_<n> subdir first, then an atomic manifest
     pointer flip (store_util.write_manifest — the shared contract)."""
     state_dir = f"state_{n_updates:06d}"
-    spark.createDataFrame(
-        [(j, int(wj)) for j, wj in enumerate(w)], "j int, w bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{state_dir}")
+    # weight vector is driver-resident — direct pyarrow commit (the
+    # Spark-job-per-tiny-artifact cost; see store_util.write_small_parquet)
+    import pyarrow as pa
+
+    from tabsketchfm_spark.sources.store_util import write_small_parquet
+
+    write_small_parquet(
+        f"{path}/{state_dir}",
+        [(j, int(wj)) for j, wj in enumerate(w)],
+        pa.schema([("j", pa.int32()), ("w", pa.int64())]),
+    )
     from tabsketchfm_spark.sources.store_util import write_manifest
 
     write_manifest(

@@ -771,7 +771,9 @@ def kmeans_store_read(
             f"dim={m['dim']} scale={m['scale']}; caller requested "
             f"k={k} dim={dim} scale={SCALE}"
         )
-    rows = spark.read.parquet(f"{path}/{m['state_dir']}").collect()
+    from tabsketchfm_spark.sources.store_util import read_small_parquet
+
+    rows = read_small_parquet(f"{path}/{m['state_dir']}")
     state = {int(r["cid"]): ([int(v) for v in r["s"]], int(r["c"])) for r in rows}
     if len(state) != k:
         raise IOError(f"kmeans store at {path} holds {len(state)} cells, not {k}")
@@ -790,10 +792,20 @@ def kmeans_store_write(
     (object-store-friendly; a crashed write leaves the previous
     manifest pointing at intact state)."""
     state_dir = f"state_{n_updates:06d}"
-    spark.createDataFrame(
+    # k-row driver-resident state — direct pyarrow commit (a Spark
+    # write job per tiny artifact cost ~1s of scheduler round-trip per
+    # store commit; round-12 suite/window latency work)
+    import pyarrow as pa
+
+    from tabsketchfm_spark.sources.store_util import write_small_parquet
+
+    write_small_parquet(
+        f"{path}/{state_dir}",
         [(cid, s, c) for cid, (s, c) in sorted(state.items())],
-        "cid int, s array<bigint>, c bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{state_dir}")
+        pa.schema(
+            [("cid", pa.int32()), ("s", pa.list_(pa.int64())), ("c", pa.int64())]
+        ),
+    )
     from tabsketchfm_spark.sources.store_util import write_manifest
 
     write_manifest(

@@ -542,14 +542,28 @@ def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
             "ivfpq index — refusing to rebuild over it"
         )
     prev_gen = old_manifest.get("data_dir") if old_manifest else None
+    # codes are the executor-side data plane (corpus-sized) — Spark
+    # write; centroids/codebooks are driver-resident k/64-row dicts —
+    # direct pyarrow commit (a Spark job per tiny artifact cost ~1s of
+    # scheduler round-trip PER COMMIT, several per lifecycle verb and
+    # per streaming micro-batch; round-12 suite/window latency work)
+    import pyarrow as pa
+
+    from tabsketchfm_spark.sources.store_util import write_small_parquet
+
     codes_df.write.mode("overwrite").parquet(f"{path}/{gen}/codes")
-    spark.createDataFrame(
-        [(cid, mc[cid]) for cid in sorted(mc)], "cid int, m array<bigint>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/centroids")
-    spark.createDataFrame(
+    write_small_parquet(
+        f"{path}/{gen}/centroids",
+        [(cid, mc[cid]) for cid in sorted(mc)],
+        pa.schema([("cid", pa.int32()), ("m", pa.list_(pa.int64()))]),
+    )
+    write_small_parquet(
+        f"{path}/{gen}/codebooks",
         [(s, c, cb[(s, c)]) for s, c in sorted(cb)],
-        "s int, c int, m array<bigint>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/{gen}/codebooks")
+        pa.schema(
+            [("s", pa.int32()), ("c", pa.int32()), ("m", pa.list_(pa.int64()))]
+        ),
+    )
     write_manifest(
         path, {"format": _ANN_INDEX_FORMAT, "data_dir": gen, **_index_params()}
     )
@@ -589,14 +603,19 @@ def load_ivfpq_index(spark, path: str):
     would silently mis-rank every query. All artifact reads go through
     the manifest's generation pointer; the codes frame is the UNION of
     the base build and every appended delta dir (``code_dirs``)."""
+    from tabsketchfm_spark.sources.store_util import read_small_parquet
+
     _m, gen, code_dirs, _retired = _read_index_manifest(path)
+    # quantizer artifacts are driver-resident state — direct pyarrow
+    # read (two Spark collect jobs per load were pure scheduler cost;
+    # the reader accepts legacy Spark-written part layouts unchanged)
     mc = {
         int(r["cid"]): [int(v) for v in r["m"]]
-        for r in spark.read.parquet(f"{path}/{gen}/centroids").collect()
+        for r in read_small_parquet(f"{path}/{gen}/centroids")
     }
     cb = {
         (int(r["s"]), int(r["c"])): [int(v) for v in r["m"]]
-        for r in spark.read.parquet(f"{path}/{gen}/codebooks").collect()
+        for r in read_small_parquet(f"{path}/{gen}/codebooks")
     }
     codes = spark.read.parquet(*[f"{path}/{gen}/{d}" for d in code_dirs])
     return mc, cb, codes

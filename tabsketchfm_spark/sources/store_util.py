@@ -145,3 +145,58 @@ def force_break_lease(path: str) -> bool:
         return True
     except FileNotFoundError:
         return False
+
+
+def write_small_parquet(dir_path: str, rows: list[tuple], schema) -> None:
+    """Driver-side commit of a SMALL driver-resident store artifact
+    (centroid tables, codebooks, weight vectors — k to a few hundred
+    rows): one parquet file inside ``dir_path``, written directly with
+    pyarrow. The store contract already requires a POSIX-accessible
+    path (manifests and leases use open()/O_EXCL at this same seam),
+    and routing a tiny createDataFrame through a Spark write job costs
+    a full scheduler round-trip (~1s) PER COMMIT — store lifecycles
+    have several and the streaming twins pay it per micro-batch.
+    Layout-compatible with spark.read.parquet(dir_path): a directory
+    holding part files.
+
+    ``schema`` is a pyarrow.Schema; ``rows`` are python tuples in
+    schema order. Data-plane artifacts (corpus-sized code/signature
+    frames) stay Spark writes — this seam is ONLY for state that
+    already lives on the driver."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    cols = [
+        pa.array([r[i] for r in rows], type=schema.field(i).type)
+        for i in range(len(schema))
+    ]
+    table = pa.Table.from_arrays(cols, schema=schema)
+    # fresh-subdir commits land in empty dirs; a same-name rewrite
+    # (mode-overwrite semantics) is covered because the single part
+    # file is replaced whole via the tmp+rename below
+    tmp = os.path.join(dir_path, ".part-0.parquet.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(dir_path, "part-00000.parquet"))
+
+
+def read_small_parquet(dir_path: str) -> list[dict]:
+    """Driver-side read of a small store artifact dir — every
+    ``*.parquet`` part file under ``dir_path`` (one for pyarrow-written
+    dirs; possibly several plus _SUCCESS for legacy Spark-written
+    stores, which this reader accepts unchanged), returned as a list
+    of python dicts. The pyarrow decode yields plain ints/lists, same
+    shapes the former spark.read...collect() rows carried."""
+    import pyarrow.parquet as pq
+
+    parts = sorted(
+        os.path.join(dir_path, f)
+        for f in os.listdir(dir_path)
+        if f.endswith(".parquet")
+    )
+    if not parts:
+        raise FileNotFoundError(f"no parquet part files under {dir_path}")
+    out: list[dict] = []
+    for p in parts:
+        out.extend(pq.read_table(p).to_pylist())
+    return out
