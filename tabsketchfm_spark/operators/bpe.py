@@ -496,20 +496,36 @@ def name_corpus_learning_ctes(n_merges: int) -> list[str]:
 # --- tokenizer artifact sink/scan -------------------------------------------
 
 
+def merges_hash(merges: list[tuple[str, str]]) -> str:
+    """ONE definition of a merge list's content hash — the tokenizer
+    CHANGE SIGNAL: save_merges embeds it in the artifact, and
+    dedup.sig_store_reshingle compares it against the signature
+    store's recorded tokenizer_hash to decide whether stored
+    signatures are stale. Order-sensitive by construction (BPE merges
+    are an ordered program, not a set)."""
+    import hashlib
+    import json
+
+    blob = json.dumps(
+        [[s1, s2] for s1, s2 in merges],
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
 def save_merges(path: str, merges: list[tuple[str, str]]) -> dict:
     """Tokenizer artifact sink (the S13 checkpoint pattern for the
     BPE vocabulary): write the ORDERED merge list as JSON with an
     embedded content hash, closing the learn→save→serve loop — a
     pipeline trains its vocabulary once and every later tokenization
     job loads the identical merges. Returns the manifest."""
-    import hashlib
     import json
 
     payload = [[s1, s2] for s1, s2 in merges]
-    blob = json.dumps(payload, separators=(",", ":"), ensure_ascii=False)
     manifest = {
         "n_merges": len(merges),
-        "content_hash": hashlib.md5(blob.encode()).hexdigest(),
+        "content_hash": merges_hash(merges),
         "merges": payload,
     }
     with open(path + ".json", "w", encoding="utf-8") as f:
@@ -520,15 +536,13 @@ def save_merges(path: str, merges: list[tuple[str, str]]) -> dict:
 def load_merges(path: str, verify: bool = True) -> list[tuple[str, str]]:
     """Scan the merges artifact; a tampered or truncated file fails
     loudly (hash mismatch), never silently mis-tokenizes."""
-    import hashlib
     import json
 
     with open(path + ".json", encoding="utf-8") as f:
         manifest = json.load(f)
     payload = manifest["merges"]
     if verify:
-        blob = json.dumps(payload, separators=(",", ":"), ensure_ascii=False)
-        got = hashlib.md5(blob.encode()).hexdigest()
+        got = merges_hash([(s1, s2) for s1, s2 in payload])
         if got != manifest["content_hash"]:
             raise IOError(
                 f"merge artifact hash mismatch at {path}: "

@@ -491,7 +491,12 @@ _SIG_STORE_FORMAT = "minhash-shingle-v1"
 
 
 def _read_signature_store(
-    spark, path: str, n: int, num_perm: int, caches: list | None = None
+    spark,
+    path: str,
+    n: int,
+    num_perm: int,
+    caches: list | None = None,
+    tokenizer_hash: str | None = None,
 ) -> DataFrame:
     """Schema-from-manifest read of a signature store, PERSISTED (the
     store side feeds two subtrees of _lsh_cross_pairs — band keys and
@@ -516,6 +521,20 @@ def _read_signature_store(
             f"signature store at {path} was built as {m['format']} with "
             f"n={m['n']}, num_perm={m['num_perm']}; caller requested "
             f"n={n}, num_perm={num_perm}"
+        )
+    if m.get("tokenizer_hash") != tokenizer_hash:
+        # SYMMETRIC tokenizer contract (the ingest_ts rule's sibling,
+        # round-12): signatures under different tokenization schemes
+        # are incomparable — a word-n-gram reader over a reshingled
+        # (BPE-subword) store would silently produce meaningless
+        # Jaccard estimates, and vice versa. None = the word-n-gram
+        # scheme every legacy store uses.
+        raise IOError(
+            f"signature store at {path} carries tokenizer_hash="
+            f"{m.get('tokenizer_hash')!r}; caller expected "
+            f"{tokenizer_hash!r} — signatures under different "
+            "tokenization schemes are incomparable (re-shingle the "
+            "store or pass the matching merges artifact)"
         )
     schema = StructType.fromJson(json.loads(m["schema"]))
     sig_c = (
@@ -952,7 +971,11 @@ def _compact_signature_store_locked(
     # deferred GC first: the previous cycle's retired generation (its
     # readers are gone by now) + any crashed-write orphan gen dirs
     _sweep_retired_sig_data(path, m)
-    sigs = _read_signature_store(spark, path, n, num_perm)
+    # compaction is scheme-AGNOSTIC (it rewrites rows, never computes
+    # a signature) — accept whatever tokenizer the store carries
+    sigs = _read_signature_store(
+        spark, path, n, num_perm, tokenizer_hash=m.get("tokenizer_hash")
+    )
     try:
         other_cols = [c for c in sigs.columns if c != "id"]
         if "ingest_ts" in sigs.columns:
@@ -995,6 +1018,17 @@ def _lsh_sigs(
     banding AND the estimate join (lazy registered consumers keep the
     cache per the registry contract; eager callers pass ``caches``)."""
     sh = _shingles(df, id_col, text_col, n, dedupe=False)
+    return _sigs_from_tokens(sh, num_perm, caches)
+
+
+def _sigs_from_tokens(
+    sh: DataFrame, num_perm: int, caches: list | None = None
+) -> DataFrame:
+    """The scheme-independent signature tail: any (id, shingle) token
+    frame → (id, mh0..mhN) via the wide-MIN permutation aggregate.
+    Shared by the word-n-gram scheme (_lsh_sigs) and the BPE-subword
+    scheme (bpe_subword_sigs); duplicate tokens are harmless under
+    MIN, so emitters need not dedupe."""
     h = F.expr(h32_sql("shingle", "spark"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
@@ -1104,6 +1138,343 @@ est AS (SELECT delta_id, corpus_id,
         GROUP BY delta_id, corpus_id)
 SELECT delta_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-aware signatures + re-shingle maintenance (round-12)
+#
+# The signature store's scheme is part of its identity: signatures
+# computed under different tokenizations are incomparable. When the
+# pipeline's tokenizer changes (a new BPE vocabulary is trained —
+# bpe.save_merges is the artifact, its content hash the change
+# signal), every stored signature is stale. sig_store_reshingle is
+# the drift-gated maintenance verb: compare the store's recorded
+# tokenizer_hash against the artifact's, and rebuild the stored
+# population's signatures from the corpus only on a REAL change —
+# the ivfpq autorefresh pattern (one lease across the whole
+# check→rebuild RMW; an unchanged tokenizer is a no-op, so a retried
+# maintenance call never rewrites a generation).
+#
+# The tokenizer-aware scheme keeps the store's word-n-gram STRUCTURE
+# but spells every clean word (bpe.WORD_RE + length bounds — the
+# corpus BPE learns on) as its SEGMENTATION under the merge program
+# (the trimmed double-space encoding); out-of-scope tokens stay raw.
+# Segmentation is injective, so the scheme's discrimination equals
+# the word scheme's (a subword-unigram SET was measured VACUOUS here:
+# tiny merge vocabularies make every document's subword set cover
+# most of the alphabet — median cross-doc Jaccard 0.94 at sf0.01),
+# while every shingle string — and therefore every stored hash —
+# depends on the tokenizer. The whole scheme replays in DuckDB: the
+# oracle re-derives the merges from the corpus (bpe._oracle_ctes),
+# segments the vocabulary once (r{k}), LEFT-JOINs the ordered word
+# stream to it, and mirrors the band structure bit-exactly.
+
+
+def bpe_segmented_shingles(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_word_len: int | None = None,
+) -> DataFrame:
+    """(id, shingle) — word n-grams over tokenizer-segmented
+    spelling. The merge chain is a pure string expression, so
+    segmentation runs INSIDE transform() over the token array — no
+    vocabulary join, same single-pass shape as _shingles."""
+    from tabsketchfm_spark.operators.bpe import (
+        END,
+        MAX_WORD_LEN,
+        WORD_RE,
+        _apply_merges,
+    )
+    from tabsketchfm_spark.sources.tables import spread
+
+    mwl = MAX_WORD_LEN if max_word_len is None else max_word_len
+
+    def _mapped(w):
+        base = F.concat(
+            F.lit(" "),
+            F.concat_ws("  ", F.split(w, "")),
+            F.lit("  " + END + " "),
+        )
+        return F.when(
+            w.rlike(WORD_RE) & F.length(w).between(2, mwl),
+            F.trim(_apply_merges(base, merges)),
+        ).otherwise(w)
+
+    elems = ", ".join(f"tk[i+{j}]" for j in range(n))
+    sh = (
+        f"CASE WHEN size(tk) >= {n} THEN "
+        f"transform(sequence(0, size(tk) - {n}), i -> concat_ws(' ', {elems})) "
+        f"ELSE array() END"
+    )
+    tk = spread(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t <> '')"),
+            _mapped,
+        ).alias("tk"),
+    )
+    return tk.select("id", F.explode(F.expr(sh)).alias("shingle"))
+
+
+def bpe_segmented_sigs(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 100,
+    caches: list | None = None,
+) -> DataFrame:
+    """(id, mh0..mhN) MinHash signatures under the tokenizer-aware
+    scheme — the sibling of _lsh_sigs, sharing the wide-MIN
+    permutation tail."""
+    return _sigs_from_tokens(
+        bpe_segmented_shingles(df, merges, id_col, text_col, n),
+        num_perm,
+        caches,
+    )
+
+
+def sig_store_reshingle(
+    corpus: DataFrame,
+    spark,
+    path: str,
+    merges_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> bool:
+    """Drift-gated RE-SHINGLE of a signature store on tokenizer
+    change (round-11 verdict item 2 — the maintenance matrix's last
+    store): load the hash-verified merges artifact, compare its
+    content hash to the store's recorded ``tokenizer_hash`` (absent =
+    the legacy word-n-gram scheme), and — only on a REAL change —
+    rebuild the STORED POPULATION's signatures from ``corpus`` under
+    the new scheme, committing a fresh generation whose manifest
+    records the new hash (deferred one-cycle GC, the family
+    contract). An unchanged tokenizer returns False without writing
+    anything, so the decision is retry-idempotent by construction.
+
+    ONE writer lease wraps the whole check→rebuild RMW (the round-11
+    composite-verb rule: per-step leases would let a concurrent
+    append land between the decision and the rewrite and be silently
+    dropped from the new generation).
+
+    Membership contract: the store's CURRENT id set is rebuilt — one
+    row per id (a ts store's duplicate appends compact to the LATEST
+    ingest_ts, which the new row inherits; re-shingling is a rebuild
+    from current content, and the corpus has one current text per
+    id). Every stored id must appear in ``corpus`` (loud ValueError
+    otherwise: a partial corpus would silently drop the rest), though
+    an id whose text has no clean words legitimately leaves the store
+    — the new scheme simply has no tokens for it, as at build time.
+
+    Returns whether the re-shingle fired."""
+    import uuid
+
+    from tabsketchfm_spark.operators.bpe import load_merges, merges_hash
+    from tabsketchfm_spark.sources.store_util import (
+        read_manifest,
+        write_manifest,
+        writer_lease,
+    )
+
+    with writer_lease(path, owner="sig_store_reshingle", require_store=True):
+        m = read_manifest(path)
+        if m.get("format") != _SIG_STORE_FORMAT or "schema" not in m:
+            raise IOError(
+                f"sig_store_reshingle: store manifest at {path} has format "
+                f"{m.get('format')!r} — not a signature store "
+                f"(expected {_SIG_STORE_FORMAT!r})"
+            )
+        merges = load_merges(merges_path)  # hash-verified scan
+        new_hash = merges_hash(merges)
+        if m.get("tokenizer_hash") == new_hash:
+            return False  # tokenizer unchanged: signatures current
+        old = _read_signature_store(
+            spark,
+            path,
+            int(m["n"]),
+            int(m["num_perm"]),
+            tokenizer_hash=m.get("tokenizer_hash"),
+        )
+        sigs = None
+        try:
+            has_ts = "ingest_ts" in old.columns
+            members = (
+                old.groupBy("id").agg(F.max("ingest_ts").alias("ingest_ts"))
+                if has_ts
+                else old.select("id").distinct()
+            )
+            corp = corpus.select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+            )
+            missing = members.join(corp, "id", "left_anti").count()
+            if missing:
+                raise ValueError(
+                    f"sig_store_reshingle: {missing} stored doc id(s) are "
+                    "absent from the supplied corpus — re-shingling would "
+                    "silently drop them (pass the full current corpus, or "
+                    "compact the store first)"
+                )
+            scoped = corp.join(members.select("id"), "id", "left_semi")
+            sigs = bpe_segmented_sigs(
+                scoped, merges, id_col="id", text_col="__text",
+                n=int(m["n"]), num_perm=int(m["num_perm"]),
+            )
+            mh_cols = [c for c in sigs.columns if c != "id"]
+            out = (
+                sigs.join(members, "id").select("id", *mh_cols, "ingest_ts")
+                if has_ts
+                else sigs
+            )
+            # superseded-generation sweep AFTER the decision (a no-op
+            # call must leave the store byte-untouched) but BEFORE the
+            # new commit, mirroring build/compact's deferred-GC order
+            _sweep_retired_sig_data(path, m)
+            gen = f"gen_{uuid.uuid4().hex[:12]}"
+            out.write.mode("overwrite").parquet(f"{path}/{gen}")
+            write_manifest(
+                path,
+                {
+                    "format": _SIG_STORE_FORMAT,
+                    "n": m["n"],
+                    "num_perm": m["num_perm"],
+                    "id_col": m.get("id_col", id_col),
+                    "schema": out.schema.json(),
+                    "data_dir": gen,
+                    "retired_data_dir": m.get("data_dir") or ".",
+                    "tokenizer_hash": new_hash,
+                },
+            )
+        finally:
+            old.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
+    return True
+
+
+def dedup_incremental_bpe_stored(
+    delta: DataFrame,
+    spark,
+    store_path: str,
+    merges_path: str,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    caches: list | None = None,
+) -> DataFrame:
+    """Serve a delta dedup against a RE-SHINGLED store: the delta is
+    tokenized under the SAME merges artifact the store's signatures
+    were rebuilt with (the tokenizer_hash read guard makes a scheme
+    mismatch loud — a word-n-gram delta against a subword store would
+    produce meaningless estimates), then the standard banded
+    cross-pair join. Bit-identical to computing both sides fresh: a
+    signature depends only on (doc, tokenizer)."""
+    from tabsketchfm_spark.operators.bpe import load_merges, merges_hash
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
+    merges = load_merges(merges_path)
+    m = read_manifest(store_path)
+    n = int(m.get("n", 3))
+    sig_c = _read_signature_store(
+        spark,
+        store_path,
+        n,
+        num_perm,
+        caches,
+        tokenizer_hash=merges_hash(merges),
+    )
+    sig_d = bpe_segmented_sigs(
+        delta, merges, id_col, text_col, n, num_perm, caches
+    )
+    return _lsh_cross_pairs(sig_d, sig_c, num_perm, bands, threshold)
+
+
+def dedup_incremental_bpe_oracle_sql(
+    table: str,
+    delta_pred: str,
+    n: int = 3,
+    n_merges: int = 8,
+    num_perm: int = 100,
+    bands: int = 20,
+    threshold: float = 0.5,
+    corpus_pred: str | None = None,
+    max_word_len: int | None = None,
+) -> str:
+    """DuckDB twin of the re-shingle → serve composite: re-derive the
+    merges from the corpus (bpe's chained MATERIALIZED merge CTEs),
+    segment the vocabulary once (r{n_merges}), rebuild each document's
+    ORDERED token stream with clean words respelled as their
+    segmentation (LEFT JOIN — out-of-scope tokens stay raw, matching
+    the Spark CASE), then the same sig/banded/cand/est program as
+    dedup_incremental_lsh_oracle_sql. ``table`` must be the documents
+    lake (bpe's word CTEs read it by name)."""
+    from tabsketchfm_spark.operators.bpe import MAX_WORD_LEN, _oracle_ctes
+
+    mwl = MAX_WORD_LEN if max_word_len is None else max_word_len
+    assert table == "documents", "bpe merge CTEs read the documents lake"
+    rows = num_perm // bands
+    h = h32_sql("shingle", "duckdb")
+    cpred = corpus_pred or f"NOT ({delta_pred})"
+    ctes = _oracle_ctes(n_merges, mwl, final_round=True)
+    ctes.append(
+        f"toks0 AS (SELECT doc_id AS id, "
+        "list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk0 "
+        f"FROM {table})"
+    )
+    ctes.append(
+        "toksw AS (SELECT id, j, tk0[j] AS w FROM toks0, "
+        "unnest(generate_series(1, len(tk0))) t(j))"
+    )
+    ctes.append(
+        "segw AS (SELECT t.id, t.j, "
+        "coalesce(trim(r.seq), t.w) AS tok "
+        f"FROM toksw t LEFT JOIN r{n_merges} r ON r.w = t.w)"
+    )
+    ctes.append(
+        "tkx AS (SELECT id, list(tok ORDER BY j) AS tk FROM segw GROUP BY id)"
+    )
+    ctes.append(
+        f"sh AS (SELECT id, array_to_string(tk[i:i+{n - 1}], ' ') AS shingle "
+        f"FROM tkx, unnest(generate_series(1, len(tk) - {n} + 1)) t(i))"
+    )
+    ctes.append(f"perms AS ({perms_cte_duckdb(num_perm)})")
+    ctes.append(
+        f"sig AS (SELECT id, i, min((a * hv + b) % {MINHASH_PRIME}) AS s "
+        f"FROM (SELECT id, {h} AS hv FROM sh) hsh, perms GROUP BY id, i)"
+    )
+    ctes.append(
+        f"banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band, "
+        "md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey "
+        f"FROM sig GROUP BY id, i // {rows})"
+    )
+    ctes.append(
+        "cand AS (SELECT DISTINCT x.id AS delta_id, y.id AS corpus_id "
+        "FROM banded x JOIN banded y USING (band, bkey) "
+        f"WHERE ({delta_pred.format(id='x.id')}) "
+        f"AND ({cpred.format(id='y.id')}))"
+    )
+    ctes.append(
+        "est AS (SELECT delta_id, corpus_id, "
+        "sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / "
+        f"CAST({num_perm} AS DOUBLE) AS est_jaccard "
+        "FROM cand JOIN sig sa ON sa.id = delta_id "
+        "JOIN sig sb ON sb.id = corpus_id AND sb.i = sa.i "
+        "GROUP BY delta_id, corpus_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT delta_id, corpus_id, est_jaccard FROM est
+WHERE est_jaccard >= {threshold}
+"""
+    )
 
 
 # ---------------------------------------------------------------------------

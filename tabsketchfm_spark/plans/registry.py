@@ -776,6 +776,73 @@ _register(
         corpus_pred="(({id} % 7 <> 0) AND {id} >= 150)",
     ),
 )
+
+
+def _sig_store_reshingle(spark: SparkSession, sf: str) -> DataFrame:
+    # tokenizer-change maintenance (round-11 verdict item 2 — the
+    # maintenance matrix's last store): build the corpus signature
+    # store under the legacy word-n-gram scheme, train a BPE
+    # vocabulary (the tokenizer artifact whose content hash is the
+    # change signal), RE-SHINGLE the store under the new scheme (one
+    # lease across the check→rebuild RMW; the immediate second call
+    # must be a no-op — the hash-compare decision is retry-idempotent
+    # by construction), then serve a delta dedup tokenized under the
+    # same artifact. Gate = the full re-derivation in DuckDB: merges
+    # re-learned from the corpus, vocabulary segmented, banded pairs.
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import bpe
+
+    docs = load_table(spark, sf, "documents")
+    store = tempfile.mkdtemp(prefix="tsfm_sig_resh_")
+    art = store + "_merges"
+    caches: list = []
+    try:
+        corpus = docs.where(F.col("doc_id") % 7 != 0)
+        dedup.build_signature_store(corpus, store, num_perm=50)
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe.bpe_learn(spark, sf, 8).collect()
+        ]
+        bpe.save_merges(art, merges)
+        if not dedup.sig_store_reshingle(corpus, spark, store, art):
+            raise AssertionError("tokenizer change must fire the re-shingle")
+        if dedup.sig_store_reshingle(corpus, spark, store, art):
+            raise AssertionError("unchanged tokenizer must be a no-op")
+        out = dedup.dedup_incremental_bpe_stored(
+            docs.where(F.col("doc_id") % 7 == 0),
+            spark,
+            store,
+            art,
+            num_perm=50,
+            bands=10,
+            threshold=0.5,
+            caches=caches,
+        )
+        rows = out.collect()  # bounded: threshold-bounded pair set
+        schema = out.schema
+    finally:
+        for c in caches:
+            c.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+        try:
+            os.remove(art + ".json")
+        except FileNotFoundError:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
+_register(
+    "sig_store_reshingle_documents",
+    _sig_store_reshingle,
+    dedup.dedup_incremental_bpe_oracle_sql(
+        "documents", "{id} % 7 = 0", n=3, n_merges=8, num_perm=50, bands=10
+    ),
+)
 def _stream_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.streaming import profile_stream as ps2
 

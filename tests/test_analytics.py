@@ -2138,3 +2138,137 @@ def test_model_selection_matches_cv_totals_and_argmax(spark, sf01):
         assert v["selected"] == (fam == winner), (fam, v, winner)
     # exactly one winner
     assert sum(1 for v in sel.values() if v["selected"]) == 1
+
+
+def test_sig_store_reshingle_lifecycle(spark, sf01, tmp_path):
+    """Tokenizer-change maintenance on the signature store (round-12):
+    (1) a changed merges artifact FIRES the re-shingle and the stored
+    signatures equal a fresh build under the new scheme bit-for-bit;
+    (2) an unchanged artifact is a retry-idempotent no-op — same
+    generation dir, store byte-untouched; (3) the scheme contract is
+    loud both ways (legacy reader over a reshingled store, and the
+    serve path under a STALE artifact); (4) a concurrent writer's
+    lease blocks the verb; (5) a corpus missing stored ids fails
+    before any write."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import bpe
+    from tabsketchfm_spark.operators.dedup import (
+        _read_signature_store,
+        bpe_segmented_sigs,
+        build_signature_store,
+        dedup_incremental_bpe_stored,
+        sig_store_reshingle,
+    )
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 80")
+    corpus = docs.where("doc_id < 60")
+    store = str(tmp_path / "resh_store")
+    build_signature_store(corpus, store, num_perm=50)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.bpe_learn(spark, sf01, 4).collect()
+    ]
+    art = str(tmp_path / "tok_v1")
+    bpe.save_merges(art, merges)
+
+    # lease conflict blocks the whole check→rebuild RMW
+    su.acquire_lease(store, owner="other-writer")
+    with _pytest.raises(IOError, match="other-writer"):
+        sig_store_reshingle(corpus, spark, store, art)
+    su.release_lease(store)
+
+    # missing stored ids: loud, before any write
+    gen_before = su.read_manifest(store)["data_dir"]
+    with _pytest.raises(ValueError, match="absent from the supplied corpus"):
+        sig_store_reshingle(corpus.where("doc_id < 30"), spark, store, art)
+    assert su.read_manifest(store)["data_dir"] == gen_before
+
+    # fires on tokenizer change; stored rows == fresh build under the
+    # new scheme (population scoped to docs that still tokenize)
+    assert sig_store_reshingle(corpus, spark, store, art)
+    m = su.read_manifest(store)
+    assert m["tokenizer_hash"] == bpe.merges_hash(merges)
+    got = _read_signature_store(
+        spark, store, 3, 50, tokenizer_hash=m["tokenizer_hash"]
+    )
+    want = bpe_segmented_sigs(corpus, merges, n=3, num_perm=50)
+    try:
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+    finally:
+        got.unpersist()
+        want.unpersist()
+
+    # retry-idempotent no-op: same generation, nothing rewritten
+    assert not sig_store_reshingle(corpus, spark, store, art)
+    assert su.read_manifest(store)["data_dir"] == m["data_dir"]
+
+    # scheme contract is loud: a legacy word-n-gram reader must refuse
+    with _pytest.raises(IOError, match="tokenizer"):
+        _read_signature_store(spark, store, 3, 50)
+    # ... and serving under a DIFFERENT artifact must refuse too
+    art2 = str(tmp_path / "tok_v2")
+    bpe.save_merges(art2, merges[:2])
+    with _pytest.raises(IOError, match="tokenizer"):
+        dedup_incremental_bpe_stored(
+            docs.where("doc_id >= 60"), spark, store, art2, num_perm=50
+        )
+
+    # a SECOND tokenizer change re-fires and re-keys the store
+    assert sig_store_reshingle(corpus, spark, store, art2)
+    assert su.read_manifest(store)["tokenizer_hash"] == bpe.merges_hash(
+        merges[:2]
+    )
+
+
+def test_sig_store_reshingle_ts_carryover(spark, sf01, tmp_path):
+    """Re-shingling a timestamp-TTL store preserves each id's LATEST
+    ingest_ts (the rebuild is from current content — one row per id,
+    duplicate appends compact last-seen-wins) so the TTL horizon
+    stays meaningful across a tokenizer change."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import bpe
+    from tabsketchfm_spark.operators.dedup import (
+        _read_signature_store,
+        append_signatures,
+        build_signature_store,
+        sig_store_reshingle,
+    )
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 60")
+    store = str(tmp_path / "resh_ts")
+    build_signature_store(docs.where("doc_id < 40"), store, ingest_ts=0)
+    # re-ingest a slice at ts=1 (duplicate rows for those ids) and
+    # append a fresh slice at ts=1
+    append_signatures(docs.where("doc_id < 10"), spark, store, ingest_ts=1)
+    append_signatures(docs.where("doc_id >= 40"), spark, store, ingest_ts=1)
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.bpe_learn(spark, sf01, 4).collect()
+    ]
+    art = str(tmp_path / "tok")
+    bpe.save_merges(art, merges)
+    assert sig_store_reshingle(docs, spark, store, art)
+    m = su.read_manifest(store)
+    got = _read_signature_store(
+        spark, store, 3, 100, tokenizer_hash=m["tokenizer_hash"]
+    )
+    try:
+        ts_by_id = {
+            int(r["id"]): int(r["ingest_ts"])
+            for r in got.select("id", "ingest_ts").collect()
+        }
+    finally:
+        got.unpersist()
+    # one row per id; re-ingested + fresh ids carry ts=1, the rest 0
+    for i, ts in ts_by_id.items():
+        assert ts == (1 if (i < 10 or i >= 40) else 0), (i, ts)
