@@ -3233,8 +3233,14 @@ _DRIVER_WINDOW = [
     "k3_all_pairs_joinability",
     "k3g_table_pagerank",
     "k4_unionability_customer",
-    "k3h_table_communities",
     "k5_search_eval",
+    # k3h_table_communities moved to sweep (the K3 graph family held
+    # FOUR window rows — all_pairs, pagerank, communities,
+    # cardinality; pagerank keeps the iterative-graph slot) to
+    # restore the as-of temporal flagship over the NANOS-timestamp
+    # events feed (round-11 verdict item 7: keep the
+    # TIMESTAMP(NANOS) load path exercised in the window)
+    "asof_event_hourly_snapshot",
     "j1_lake_index",
     "j2_pair_completeness",
     "k1_pool_sep_groups_customer",
@@ -3242,10 +3248,13 @@ _DRIVER_WINDOW = [
     "bpe_merges_documents",
     "dedup_exact_documents",
     "dedup_lsh_capped_documents",
-    # dedup_incremental_lsh moved to sweep (store_incremental_update
-    # keeps the delta-vs-corpus ingest loop's window row) to seat the
-    # round-9 timestamp-TTL signature-store flagship
-    "sig_store_ttl_ts_documents",
+    # sig_store_ttl_ts moved to sweep (store_incremental_update keeps
+    # the ingest-loop window row; ttl/compaction stay pytest+sweep
+    # covered) to seat the round-12 tokenizer-change flagship: the
+    # maintenance matrix's last store — drift-gated re-shingle on a
+    # changed BPE artifact (hash decision + rebuild + idempotent
+    # no-op + serve, merges re-derived by the oracle)
+    "sig_store_reshingle_documents",
     "quality_perceptron_scores_documents",
     "s9c_split_by_cluster_documents",
     # dedup_clusters moved to sweep — its full-recompute recursive-CTE
@@ -3286,7 +3295,11 @@ _DRIVER_WINDOW = [
     # flagship: the persisted-centroid-store incremental learner
     # multiclass_perceptron moved to sweep (the trained family keeps
     # quality_perceptron/quality_tree/m4/m6h window rows)
-    "store_kmeans_update_embeddings",
+    # store_kmeans_update moved to sweep for its round-12 superset:
+    # the drift-gated centroid-store autorefresh, whose oracle embeds
+    # the full init+fold update replay PLUS the exact-integer ppm
+    # decision and both retarget branches
+    "store_kmeans_autorefresh_hot",
 ]
 
 assert all(n in _QUERIES for n in _DRIVER_WINDOW), [
