@@ -1115,29 +1115,53 @@ def dedup_incremental_lsh_oracle_sql(
     join keeps only delta×corpus cross pairs. ``corpus_pred`` narrows
     the corpus side beyond the default complement (the compacted-store
     gate: a TTL rule removed part of the corpus)."""
+    cpred = corpus_pred or f"NOT ({delta_pred})"
+    ctes, final = _incremental_pairs_tail_sql(
+        num_perm, bands, threshold, delta_pred, cpred
+    )
+    return (
+        "WITH "
+        + _shingles_cte_duckdb(table, id_col, text_col, n).lstrip()
+        + ",\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + final
+    )
+
+
+def _incremental_pairs_tail_sql(
+    num_perm: int, bands: int, threshold: float, delta_pred: str, cpred: str
+) -> tuple[list[str], str]:
+    """(CTE list, final SELECT) of the shared MinHash → band → delta×
+    corpus cross-pair program over an upstream ``sh(id, shingle)``
+    CTE — ONE copy for the word-n-gram and tokenizer-aware
+    incremental oracles (the SQL-scaffold-fork drift class the build
+    notes warn about)."""
     rows = num_perm // bands
     h = h32_sql("shingle", "duckdb")
-    cpred = corpus_pred or f"NOT ({delta_pred})"
-    return f"""
-WITH {_shingles_cte_duckdb(table, id_col, text_col, n)},
-perms AS ({perms_cte_duckdb(num_perm)}),
-sig AS (SELECT id, i, min((a * hv + b) % {MINHASH_PRIME}) AS s
-        FROM (SELECT id, {h} AS hv FROM sh) hsh, perms GROUP BY id, i),
-banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band,
-                  md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey
-           FROM sig GROUP BY id, i // {rows}),
-cand AS (SELECT DISTINCT x.id AS delta_id, y.id AS corpus_id
-         FROM banded x JOIN banded y USING (band, bkey)
-         WHERE ({delta_pred.format(id="x.id")})
-           AND ({cpred.format(id="y.id")})),
-est AS (SELECT delta_id, corpus_id,
-               sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / CAST({num_perm} AS DOUBLE)
-                 AS est_jaccard
-        FROM cand JOIN sig sa ON sa.id = delta_id
-                  JOIN sig sb ON sb.id = corpus_id AND sb.i = sa.i
-        GROUP BY delta_id, corpus_id)
-SELECT delta_id, corpus_id, est_jaccard FROM est WHERE est_jaccard >= {threshold}
-"""
+    ctes = [
+        f"perms AS ({perms_cte_duckdb(num_perm)})",
+        f"sig AS (SELECT id, i, min((a * hv + b) % {MINHASH_PRIME}) AS s "
+        f"FROM (SELECT id, {h} AS hv FROM sh) hsh, perms GROUP BY id, i)",
+        f"banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band, "
+        "md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey "
+        f"FROM sig GROUP BY id, i // {rows})",
+        "cand AS (SELECT DISTINCT x.id AS delta_id, y.id AS corpus_id "
+        "FROM banded x JOIN banded y USING (band, bkey) "
+        f"WHERE ({delta_pred.format(id='x.id')}) "
+        f"AND ({cpred.format(id='y.id')}))",
+        "est AS (SELECT delta_id, corpus_id, "
+        "sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / "
+        f"CAST({num_perm} AS DOUBLE) AS est_jaccard "
+        "FROM cand JOIN sig sa ON sa.id = delta_id "
+        "JOIN sig sb ON sb.id = corpus_id AND sb.i = sa.i "
+        "GROUP BY delta_id, corpus_id)",
+    ]
+    final = (
+        "SELECT delta_id, corpus_id, est_jaccard FROM est "
+        f"WHERE est_jaccard >= {threshold}"
+    )
+    return ctes, final
 
 
 # ---------------------------------------------------------------------------
@@ -1300,7 +1324,7 @@ def sig_store_reshingle(
             int(m["num_perm"]),
             tokenizer_hash=m.get("tokenizer_hash"),
         )
-        sigs = None
+        sigs = corp = None
         try:
             has_ts = "ingest_ts" in old.columns
             members = (
@@ -1310,7 +1334,7 @@ def sig_store_reshingle(
             )
             corp = corpus.select(
                 F.col(id_col).alias("id"), F.col(text_col).alias("__text")
-            )
+            ).persist()  # two consumers: membership checks + the build
             missing = members.join(corp, "id", "left_anti").count()
             if missing:
                 raise ValueError(
@@ -1320,6 +1344,23 @@ def sig_store_reshingle(
                     "compact the store first)"
                 )
             scoped = corp.join(members.select("id"), "id", "left_semi")
+            # loud duplicate-id guard (the compaction chimera rule):
+            # two corpus rows under one stored id would MIN-blend both
+            # texts' hashes into a signature belonging to neither —
+            # the 'one current text per id' contract is enforced, not
+            # assumed, before any write
+            dr = scoped.agg(
+                F.count(F.lit(1)).alias("nr"),
+                F.countDistinct("id").alias("nd"),
+            ).collect()[0]
+            if int(dr["nr"]) != int(dr["nd"]):
+                raise ValueError(
+                    f"sig_store_reshingle: corpus carries "
+                    f"{int(dr['nr']) - int(dr['nd'])} duplicate row(s) for "
+                    "stored doc id(s) — re-shingling would blend them into "
+                    "chimera signatures (dedupe the corpus to one current "
+                    "text per id first)"
+                )
             sigs = bpe_segmented_sigs(
                 scoped, merges, id_col="id", text_col="__text",
                 n=int(m["n"]), num_perm=int(m["num_perm"]),
@@ -1351,8 +1392,9 @@ def sig_store_reshingle(
             )
         finally:
             old.unpersist()
-            if sigs is not None:
-                sigs.unpersist()
+            for f in (sigs, corp):
+                if f is not None:
+                    f.unpersist()
     return True
 
 
@@ -1418,8 +1460,6 @@ def dedup_incremental_bpe_oracle_sql(
 
     mwl = MAX_WORD_LEN if max_word_len is None else max_word_len
     assert table == "documents", "bpe merge CTEs read the documents lake"
-    rows = num_perm // bands
-    h = h32_sql("shingle", "duckdb")
     cpred = corpus_pred or f"NOT ({delta_pred})"
     ctes = _oracle_ctes(n_merges, mwl, final_round=True)
     ctes.append(
@@ -1443,38 +1483,10 @@ def dedup_incremental_bpe_oracle_sql(
         f"sh AS (SELECT id, array_to_string(tk[i:i+{n - 1}], ' ') AS shingle "
         f"FROM tkx, unnest(generate_series(1, len(tk) - {n} + 1)) t(i))"
     )
-    ctes.append(f"perms AS ({perms_cte_duckdb(num_perm)})")
-    ctes.append(
-        f"sig AS (SELECT id, i, min((a * hv + b) % {MINHASH_PRIME}) AS s "
-        f"FROM (SELECT id, {h} AS hv FROM sh) hsh, perms GROUP BY id, i)"
+    tail, final = _incremental_pairs_tail_sql(
+        num_perm, bands, threshold, delta_pred, cpred
     )
-    ctes.append(
-        f"banded AS (SELECT id, CAST(i // {rows} AS INTEGER) AS band, "
-        "md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY i)) AS bkey "
-        f"FROM sig GROUP BY id, i // {rows})"
-    )
-    ctes.append(
-        "cand AS (SELECT DISTINCT x.id AS delta_id, y.id AS corpus_id "
-        "FROM banded x JOIN banded y USING (band, bkey) "
-        f"WHERE ({delta_pred.format(id='x.id')}) "
-        f"AND ({cpred.format(id='y.id')}))"
-    )
-    ctes.append(
-        "est AS (SELECT delta_id, corpus_id, "
-        "sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / "
-        f"CAST({num_perm} AS DOUBLE) AS est_jaccard "
-        "FROM cand JOIN sig sa ON sa.id = delta_id "
-        "JOIN sig sb ON sb.id = corpus_id AND sb.i = sa.i "
-        "GROUP BY delta_id, corpus_id)"
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
-SELECT delta_id, corpus_id, est_jaccard FROM est
-WHERE est_jaccard >= {threshold}
-"""
-    )
+    return "WITH " + ",\n".join(ctes + tail) + "\n" + final
 
 
 # ---------------------------------------------------------------------------
@@ -2399,10 +2411,22 @@ def crawl_store_consistency(
     labeled docs WITHOUT signatures — legitimately positive (docs too
     short to shingle carry labels but no signature). Id checksums pin
     the exact membership, not just the counts."""
+    from tabsketchfm_spark.sources.store_util import read_manifest
+
     caches: list = []
     try:
         sig_ids = (
-            _read_signature_store(spark, sig_path, n, num_perm, caches)
+            # id-only audit — scheme-AGNOSTIC like compaction: accept
+            # whatever tokenizer the store carries (a re-shingled
+            # store must stay auditable)
+            _read_signature_store(
+                spark,
+                sig_path,
+                n,
+                num_perm,
+                caches,
+                tokenizer_hash=read_manifest(sig_path).get("tokenizer_hash"),
+            )
             .select(F.col("id").alias("doc_id"))
             .distinct()
             .withColumn("has_sig", F.lit(1))

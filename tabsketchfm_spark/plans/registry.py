@@ -3269,9 +3269,9 @@ _DRIVER_WINDOW = [
     "pipeline_curate_documents",
     "k3c_join_cardinality_estimate",
     "w2_sessionize_events_batch",
-    # asof_event_hourly_snapshot moved to sweep (the temporal family
-    # keeps w2/w5/funnel/cdc window rows) to seat the round-9
-    # verdict-item-7 flagship: the end-to-end RAG-corpus composite
+    # the round-9 verdict-item-7 flagship: the end-to-end RAG-corpus
+    # composite (asof_event_hourly_snapshot, displaced for it then,
+    # is re-seated above as of round 12)
     "pipeline_rag_topk_documents",
     "dedup_exact_substrings_chars_documents",
     "m8_mask_plan_customer",

@@ -2272,3 +2272,68 @@ def test_sig_store_reshingle_ts_carryover(spark, sf01, tmp_path):
     # one row per id; re-ingested + fresh ids carry ts=1, the rest 0
     for i, ts in ts_by_id.items():
         assert ts == (1 if (i < 10 or i >= 40) else 0), (i, ts)
+
+
+def test_sig_store_reshingle_rejects_duplicate_corpus_rows(
+    spark, sf01, tmp_path
+):
+    """Two corpus rows under one stored id would MIN-blend both texts'
+    shingle hashes into a chimera signature belonging to neither
+    (the round-9 compaction class) — the 'one current text per id'
+    contract must be ENFORCED before any write, consistent with the
+    family's other fail-loud preconditions."""
+    import pytest as _pytest
+
+    from tabsketchfm_spark.operators import bpe
+    from tabsketchfm_spark.operators.dedup import (
+        build_signature_store,
+        sig_store_reshingle,
+    )
+    from tabsketchfm_spark.sources import store_util as su
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 40")
+    store = str(tmp_path / "dup_corpus")
+    build_signature_store(docs, store, num_perm=50)
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.bpe_learn(spark, sf01, 2).collect()
+    ]
+    art = str(tmp_path / "tok")
+    bpe.save_merges(art, merges)
+    gen_before = su.read_manifest(store)["data_dir"]
+    dup_corpus = docs.unionAll(docs.where("doc_id = 5"))
+    with _pytest.raises(ValueError, match="duplicate row"):
+        sig_store_reshingle(dup_corpus, spark, store, art)
+    # fail-before-write: generation untouched, store still legacy
+    m = su.read_manifest(store)
+    assert m["data_dir"] == gen_before and "tokenizer_hash" not in m
+
+
+def test_crawl_consistency_audit_survives_reshingle(spark, sf01, tmp_path):
+    """crawl_store_consistency only reads ids — scheme-AGNOSTIC like
+    compaction — so it must keep working on a store that has
+    undergone tokenizer maintenance (review finding: the audit
+    defaulted to the legacy scheme and raised on any re-shingled
+    store)."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import bpe, dedup
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf01, "documents").where("doc_id < 40")
+    sig = str(tmp_path / "sig")
+    cl = str(tmp_path / "cl")
+    dedup.build_signature_store(docs, sig)
+    dedup.cluster_store_init(
+        spark, docs.select("doc_id", F.col("doc_id").alias("cluster_id")), cl
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.bpe_learn(spark, sf01, 2).collect()
+    ]
+    art = str(tmp_path / "tok")
+    bpe.save_merges(art, merges)
+    assert dedup.sig_store_reshingle(docs, spark, sig, art)
+    ok = dedup.crawl_store_consistency(spark, sig, cl).first()
+    assert ok["n_orphan_sigs"] == 0 and ok["n_labels"] == 40
