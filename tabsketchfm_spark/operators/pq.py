@@ -897,7 +897,7 @@ def ivfpq_decode_stored(spark, path: str) -> DataFrame:
 def ivfpq_store_reencode(
     spark,
     path: str,
-    emb: DataFrame,
+    emb: DataFrame | None,
     extra_iters: int = REENCODE_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -936,9 +936,17 @@ def ivfpq_store_reencode(
 
     with writer_lease(path, owner="ivfpq_store_reencode", require_store=True):
         mc_old, cb, codes_old = load_ivfpq_index(spark, path)
+        # emb=None: the autorefresh twin's store-derived corpus
+        # default — retarget over the exact integer reconstructions of
+        # the stored codes (the index IS the caller's only copy);
+        # equal to the explicit-corpus call exactly when the codes
+        # reconstruct the lake exactly
         _reencode_locked(
             spark, path, emb, extra_iters, id_col, vec_col, mc_old, cb,
             codes_old,
+            pre_quantized=(
+                _decode_codes(codes_old, mc_old, cb) if emb is None else None
+            ),
         )
 
 

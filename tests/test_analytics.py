@@ -2337,3 +2337,36 @@ def test_crawl_consistency_audit_survives_reshingle(spark, sf01, tmp_path):
     assert dedup.sig_store_reshingle(docs, spark, sig, art)
     ok = dedup.crawl_store_consistency(spark, sig, cl).first()
     assert ok["n_orphan_sigs"] == 0 and ok["n_labels"] == 40
+
+
+def test_ivfpq_store_reencode_store_derived_corpus(spark, tmp_path):
+    """emb=None on ivfpq_store_reencode derives the retarget corpus
+    from the stored codes (the autorefresh twin's default, same
+    _decode_codes seam). On a zero-quantization-error corpus (one-hot
+    axes with duplicates: every point sits on its centroid) the
+    default must equal the explicit-corpus resync bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+
+    def vec(i):
+        v = [0.0] * 64
+        v[i % 8] = 1.0
+        return v
+
+    rows = [(i, vec(i)) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    a = str(tmp_path / "explicit")
+    b = str(tmp_path / "derived")
+    pq_op.save_ivfpq_index(spark, emb, a)
+    pq_op.save_ivfpq_index(spark, emb, b)
+    pq_op.ivfpq_store_reencode(spark, a, emb, extra_iters=2)
+    pq_op.ivfpq_store_reencode(spark, b, None, extra_iters=2)
+    mc_a, cb_a, codes_a = pq_op.load_ivfpq_index(spark, a)
+    mc_b, cb_b, codes_b = pq_op.load_ivfpq_index(spark, b)
+    assert mc_a == mc_b and cb_a == cb_b
+    assert {tuple(r) for r in codes_a.collect()} == {
+        tuple(r) for r in codes_b.collect()
+    }
