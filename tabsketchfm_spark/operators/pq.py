@@ -493,6 +493,52 @@ def save_ivfpq_index(
         )
 
 
+# base-store templates: one deterministic build per (session, corpus
+# plan, index params), byte-copied per consumer — the lifecycle
+# composites (registered rows, parity tests) each need their OWN
+# mutable store, and before this cache each paid the full Spark build
+# chain for an identical starting state (round-11 verdict item 1)
+_BASE_STORE_TEMPLATES: dict[tuple, str] = {}
+
+
+def save_ivfpq_index_cached(
+    spark,
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """save_ivfpq_index for DETERMINISTIC base builds: the first call
+    per (application, corpus plan, index params) builds normally into
+    a private template dir; every later call byte-copies the committed
+    artifacts into ``path``. The build is a pure function of the
+    corpus frame (integer fits, seeded init, deterministic encode), so
+    the copy is indistinguishable from a fresh build — same manifest,
+    same generation layout, no lease held. Application-id keyed (the
+    round-10 memo rule) and registered atexit for cleanup; callers
+    mutate only their copy."""
+    import atexit
+    import shutil
+    import tempfile
+
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        emb._jdf.semanticHash(),
+        id_col,
+        vec_col,
+        tuple(sorted(_index_params().items())),
+    )
+    tpl = _BASE_STORE_TEMPLATES.get(key)
+    if tpl is None or not os.path.isdir(tpl):
+        tpl = tempfile.mkdtemp(prefix="tsfm_ivfpq_tpl_")
+        save_ivfpq_index(spark, emb, tpl, id_col, vec_col)
+        _BASE_STORE_TEMPLATES[key] = tpl
+        atexit.register(shutil.rmtree, tpl, ignore_errors=True)
+    shutil.copytree(tpl, path, dirs_exist_ok=True)
+
+
 def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
     """Write (codes, centroids, codebooks) into a FRESH generation
     subdir, flip the manifest pointer, then GC superseded generations —

@@ -1712,7 +1712,7 @@ def _ann_ivfpq_stored(spark: SparkSession, sf: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_idx_")
     try:
         emb = load_table(spark, sf, "embeddings")
-        pq_op.save_ivfpq_index(spark, emb, store)
+        pq_op.save_ivfpq_index_cached(spark, emb, store)
         out = pq_op.ivfpq_stored_topk(spark, store, emb, 20, k=5)
         rows = out.collect()
         schema = out.schema
@@ -1742,7 +1742,7 @@ def _ann_ivfpq_drift(spark: SparkSession, sf: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_drift_")
     try:
         emb = load_table(spark, sf, "embeddings")
-        pq_op.save_ivfpq_index(spark, emb, store)
+        pq_op.save_ivfpq_index_cached(spark, emb, store)
         out = pq_op.ivfpq_index_drift(
             spark, store, emb.where(F.col("vec_id") % 5 == 0)
         )
@@ -1769,7 +1769,7 @@ def _ann_ivfpq_recon(spark: SparkSession, sf: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_rec_")
     try:
         emb = load_table(spark, sf, "embeddings")
-        pq_op.save_ivfpq_index(spark, emb, store)
+        pq_op.save_ivfpq_index_cached(spark, emb, store)
         out = pq_op.ivfpq_reconstruction_error(spark, store, emb)
         rows = out.collect()  # bounded: one row per subspace
         schema = out.schema
@@ -1802,7 +1802,7 @@ def _ann_ivfpq_append(spark: SparkSession, sf: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_app_")
     try:
         emb = load_table(spark, sf, "embeddings")
-        pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+        pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 400), store)
         pq_op.ivfpq_store_append(
             spark, store, emb.where(F.col("vec_id") >= 400)
         )
@@ -1837,7 +1837,7 @@ def _ann_ivfpq_delete(spark: SparkSession, sf: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_del_")
     try:
         emb = load_table(spark, sf, "embeddings")
-        pq_op.save_ivfpq_index(spark, emb, store)
+        pq_op.save_ivfpq_index_cached(spark, emb, store)
         pq_op.ivfpq_store_delete(spark, store, "cand_id % 5 = 0")
         _mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
         out = pq_op.bounded_codes_gate(codes)
@@ -1870,7 +1870,7 @@ def _ivfpq_maintenance_query(maint):
         store = tempfile.mkdtemp(prefix="tsfm_ivfpq_mx_")
         try:
             emb = load_table(spark, sf, "embeddings")
-            pq_op.save_ivfpq_index(
+            pq_op.save_ivfpq_index_cached(
                 spark, emb.where(F.col("vec_id") < 400), store
             )
             maint(spark, store, emb)
@@ -1967,7 +1967,7 @@ def _pipeline_rag(spark: SparkSession, sf: str) -> DataFrame:
         cur_delta = emb.where(F.col("vec_id") >= 400).join(
             surv, "vec_id", "left_semi"
         )
-        pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+        pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 400), store)
         pq_op.ivfpq_store_append(spark, store, cur_delta)
         out = pq_op.ivfpq_stored_topk(spark, store, emb, 20, k=5)
         rows = out.collect()  # bounded: 20 queries × k

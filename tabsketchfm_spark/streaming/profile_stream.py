@@ -1264,7 +1264,7 @@ def streaming_ivfpq_append(
     store = tempfile.mkdtemp(prefix="tsfm_ivfpq_stream_")
     feed_dir = tempfile.mkdtemp(prefix="tsfm_ivfpq_feed_")
     try:
-        pq_op.save_ivfpq_index(
+        pq_op.save_ivfpq_index_cached(
             spark, emb.where(F.col("vec_id") < boundary), store
         )
         delta = emb.where(F.col("vec_id") >= boundary).select(
@@ -1351,7 +1351,7 @@ def streaming_ivfpq_autorefresh(
                 f"(no vec_id >= {boundary})"
             )
         width = (int(max_id) - boundary) // n_batches + 1
-        pq_op.save_ivfpq_index(
+        pq_op.save_ivfpq_index_cached(
             spark, emb.where(F.col("vec_id") < boundary), store
         )
         shifted = delta.withColumn("sid", F.col("vec_id") - boundary)

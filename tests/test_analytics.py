@@ -2370,3 +2370,43 @@ def test_ivfpq_store_reencode_store_derived_corpus(spark, tmp_path):
     assert {tuple(r) for r in codes_a.collect()} == {
         tuple(r) for r in codes_b.collect()
     }
+
+
+def test_save_ivfpq_index_cached_template(spark, sf01, tmp_path):
+    """The base-store template cache: (1) a cached copy equals a
+    direct build bit-for-bit (same manifest pointers, same artifacts
+    — the build is a pure function of the corpus plan); (2) mutating
+    one copy (append) leaves a later copy PRISTINE — consumers own
+    their copies, the template is immutable."""
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings")
+    core = emb.where(F.col("vec_id") < 400)
+    direct = str(tmp_path / "direct")
+    c1 = str(tmp_path / "cached1")
+    c2 = str(tmp_path / "cached2")
+    pq_op.save_ivfpq_index(spark, core, direct)
+    pq_op.save_ivfpq_index_cached(spark, core, c1)
+    pq_op.save_ivfpq_index_cached(spark, core, c2)
+    md, mc1, mc2 = (read_manifest(p) for p in (direct, c1, c2))
+    # copies share the template's generation name; the direct build's
+    # differs (fresh uuid) — compare CONTENT, not pointer strings
+    assert mc1 == mc2
+    a_d = pq_op.load_ivfpq_index(spark, direct)
+    a_1 = pq_op.load_ivfpq_index(spark, c1)
+    assert a_d[0] == a_1[0] and a_d[1] == a_1[1]
+    assert {tuple(r) for r in a_d[2].collect()} == {
+        tuple(r) for r in a_1[2].collect()
+    }
+    # mutate c1; c2 (and a THIRD copy) stay at the base state
+    pq_op.ivfpq_store_append(spark, c1, emb.where(F.col("vec_id") >= 400))
+    c3 = str(tmp_path / "cached3")
+    pq_op.save_ivfpq_index_cached(spark, core, c3)
+    n_base = a_1[2].count()  # collected above, pre-append
+    for p in (c2, c3):
+        assert pq_op.load_ivfpq_index(spark, p)[2].count() == n_base
+    assert pq_op.load_ivfpq_index(spark, c1)[2].count() > n_base
