@@ -714,6 +714,14 @@ _PLAN_GUARD_SKIP = {
     "ann_ivfpq_autorefresh_cold",
     "sig_store_compact_documents",
     "sig_store_ttl_ts_documents",
+    # round-12 maintenance composites: the kmeans autorefresh folds +
+    # retargets its k-row persisted state (decision collect + store
+    # write at build), the re-shingle learns merges driver-side and
+    # rebuilds the signature store before dropping the temp dir —
+    # eager by lifecycle, same as their store-family siblings
+    "store_kmeans_autorefresh_hot",
+    "store_kmeans_autorefresh_cold",
+    "sig_store_reshingle_documents",
     "pipeline_rag_topk_documents",
     "stream_ivfpq_append_embeddings",
     "stream_crawl_clusters_documents",
