@@ -498,7 +498,10 @@ def save_ivfpq_index(
 # composites (registered rows, parity tests) each need their OWN
 # mutable store, and before this cache each paid the full Spark build
 # chain for an identical starting state (round-11 verdict item 1)
+import threading as _threading
+
 _BASE_STORE_TEMPLATES: dict[tuple, str] = {}
+_TEMPLATE_BUILD_LOCK = _threading.Lock()  # one build per key, ever
 
 
 def save_ivfpq_index_cached(
@@ -508,21 +511,41 @@ def save_ivfpq_index_cached(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
-    """save_ivfpq_index for DETERMINISTIC base builds: the first call
-    per (application, corpus plan, index params) builds normally into
-    a private template dir; every later call byte-copies the committed
-    artifacts into ``path``. The build is a pure function of the
-    corpus frame (integer fits, seeded init, deterministic encode), so
-    the copy is indistinguishable from a fresh build — same manifest,
-    same generation layout, no lease held. Application-id keyed (the
-    round-10 memo rule) and registered atexit for cleanup; callers
-    mutate only their copy."""
+    """save_ivfpq_index for DETERMINISTIC base builds into FRESH
+    target dirs: the first call per (application, corpus plan, index
+    params) builds normally into a private template dir; every later
+    call byte-copies the committed artifacts into ``path``. The build
+    is a pure function of the corpus frame (integer fits, seeded
+    init, deterministic encode), so the copy is indistinguishable
+    from a fresh build — same manifest, same generation layout.
+    Application-id keyed (the round-10 memo rule); cleanup atexit;
+    callers mutate only their copy. Plan-keyed like the fit memos, so
+    it shares their IMMUTABLE-INPUT contract: rewriting the
+    underlying files in-session and re-calling with the same plan
+    serves the stale template (call clear_pq_memo / a fresh path for
+    regenerated data — testdata lakes never change in-session).
+
+    A target that ALREADY holds a manifest delegates to the direct
+    ``save_ivfpq_index`` — the copy path has neither the
+    foreign-store guard nor the fresh-generation atomic-flip
+    protocol, so rebuild-over-existing-store semantics (refusal for
+    other families, keep-previous-generation for ivfpq) must come
+    from the guarded writer (review finding: a bare copytree would
+    silently overwrite a mistyped signature store's manifest and the
+    next commit would GC its generations)."""
     import atexit
+    import os
     import shutil
     import tempfile
 
-    import os
+    from tabsketchfm_spark.sources.store_util import (
+        manifest_exists,
+        writer_lease,
+    )
 
+    if manifest_exists(path):
+        save_ivfpq_index(spark, emb, path, id_col, vec_col)
+        return
     key = (
         spark.sparkContext.applicationId,
         emb._jdf.semanticHash(),
@@ -530,13 +553,27 @@ def save_ivfpq_index_cached(
         vec_col,
         tuple(sorted(_index_params().items())),
     )
-    tpl = _BASE_STORE_TEMPLATES.get(key)
-    if tpl is None or not os.path.isdir(tpl):
-        tpl = tempfile.mkdtemp(prefix="tsfm_ivfpq_tpl_")
-        save_ivfpq_index(spark, emb, tpl, id_col, vec_col)
-        _BASE_STORE_TEMPLATES[key] = tpl
-        atexit.register(shutil.rmtree, tpl, ignore_errors=True)
-    shutil.copytree(tpl, path, dirs_exist_ok=True)
+    with _TEMPLATE_BUILD_LOCK:
+        tpl = _BASE_STORE_TEMPLATES.get(key)
+        if tpl is None or not os.path.isdir(tpl):
+            tpl = tempfile.mkdtemp(prefix="tsfm_ivfpq_tpl_")
+            try:
+                save_ivfpq_index(spark, emb, tpl, id_col, vec_col)
+            except BaseException:
+                shutil.rmtree(tpl, ignore_errors=True)  # no half-built leak
+                raise
+            _BASE_STORE_TEMPLATES[key] = tpl
+            atexit.register(shutil.rmtree, tpl, ignore_errors=True)
+    # lease the (fresh) target for the copy window — a concurrent
+    # writer to the same destination must conflict loudly, same as on
+    # the direct path
+    with writer_lease(path, owner="save_ivfpq_index_cached"):
+        shutil.copytree(
+            tpl,
+            path,
+            dirs_exist_ok=True,
+            ignore=shutil.ignore_patterns("_writer.lease"),
+        )
 
 
 def _commit_generation(spark, path: str, codes_df: DataFrame, mc, cb) -> None:
@@ -986,7 +1023,12 @@ def ivfpq_store_reencode(
         # default — retarget over the exact integer reconstructions of
         # the stored codes (the index IS the caller's only copy);
         # equal to the explicit-corpus call exactly when the codes
-        # reconstruct the lake exactly
+        # reconstruct the lake exactly. NOT idempotent at nonzero
+        # quantization error: each store-derived resync re-quantizes
+        # the PREVIOUS call's reconstructions, so error compounds
+        # across repeated corpus-less maintenance — a periodic loop
+        # should pass the real corpus when it has one (review finding;
+        # same caveat on the autorefresh default)
         _reencode_locked(
             spark, path, emb, extra_iters, id_col, vec_col, mc_old, cb,
             codes_old,
@@ -1206,9 +1248,12 @@ def ivfpq_store_autorefresh(
     copy). Equal to the explicit-corpus call exactly when the codes
     reconstruct the lake exactly (zero quantization error — pinned by
     test); otherwise the retarget trains on reconstructions, the
-    memory-bounded path, still deterministic and store-consistent.
-    Registered parity rows pass the corpus explicitly — their oracle
-    replays the lake-corpus branch."""
+    memory-bounded path, still deterministic and store-consistent —
+    but NOT idempotent across repeated corpus-less calls: each one
+    re-quantizes the previous call's reconstructions, so quantization
+    error compounds; a periodic maintenance loop should pass the real
+    corpus when it has one. Registered parity rows pass the corpus
+    explicitly — their oracle replays the lake-corpus branch."""
     from tabsketchfm_spark.sources.store_util import writer_lease
 
     with writer_lease(path, owner="ivfpq_store_autorefresh", require_store=True):

@@ -2345,8 +2345,6 @@ def test_ivfpq_store_reencode_store_derived_corpus(spark, tmp_path):
     _decode_codes seam). On a zero-quantization-error corpus (one-hot
     axes with duplicates: every point sits on its centroid) the
     default must equal the explicit-corpus resync bit-for-bit."""
-    from pyspark.sql import functions as F
-
     from tabsketchfm_spark.operators import pq as pq_op
 
     def vec(i):
@@ -2396,6 +2394,8 @@ def test_save_ivfpq_index_cached_template(spark, sf01, tmp_path):
     # copies share the template's generation name; the direct build's
     # differs (fresh uuid) — compare CONTENT, not pointer strings
     assert mc1 == mc2
+    drop = lambda m: {k: v for k, v in m.items() if k != "data_dir"}
+    assert drop(md) == drop(mc1)
     a_d = pq_op.load_ivfpq_index(spark, direct)
     a_1 = pq_op.load_ivfpq_index(spark, c1)
     assert a_d[0] == a_1[0] and a_d[1] == a_1[1]
@@ -2410,3 +2410,43 @@ def test_save_ivfpq_index_cached_template(spark, sf01, tmp_path):
     for p in (c2, c3):
         assert pq_op.load_ivfpq_index(spark, p)[2].count() == n_base
     assert pq_op.load_ivfpq_index(spark, c1)[2].count() > n_base
+
+
+def test_save_ivfpq_index_cached_delegates_on_existing_store(
+    spark, sf01, tmp_path
+):
+    """The cached copy path is for FRESH dirs only: a target that
+    already holds a manifest delegates to the guarded direct writer —
+    a foreign-family store refuses loudly (the round-11 guard; a bare
+    copytree would have overwritten its manifest and the next commit
+    would GC its generations), and a live ivfpq store rebuilds under
+    the fresh-generation atomic-flip protocol (previous generation
+    kept one cycle)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import pq as pq_op
+    from tabsketchfm_spark.operators.dedup import build_signature_store
+    from tabsketchfm_spark.sources.store_util import read_manifest
+    from tabsketchfm_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf01, "embeddings")
+    core = emb.where(F.col("vec_id") < 400)
+    docs = load_table(spark, sf01, "documents").where("doc_id < 30")
+
+    sig = str(tmp_path / "sig_store")
+    build_signature_store(docs, sig)
+    m_before = read_manifest(sig)
+    with _pytest.raises(IOError, match="refusing to rebuild over it"):
+        pq_op.save_ivfpq_index_cached(spark, core, sig)
+    assert read_manifest(sig) == m_before  # untouched
+
+    idx = str(tmp_path / "idx")
+    pq_op.save_ivfpq_index_cached(spark, core, idx)
+    gen0 = read_manifest(idx)["data_dir"]
+    pq_op.save_ivfpq_index_cached(spark, core, idx)  # rebuild path
+    gen1 = read_manifest(idx)["data_dir"]
+    gens = {e for e in os.listdir(idx) if e.startswith("gen_")}
+    assert gen1 != gen0 and gens == {gen0, gen1}  # previous kept one cycle
