@@ -1174,7 +1174,7 @@ def test_store_ops_respect_writer_lease(spark, sf01, tmp_path):
 
     emb = load_table(spark, sf01, "embeddings").where("vec_id < 100")
     idx = str(tmp_path / "ivfpq")
-    pq_op.save_ivfpq_index(spark, emb, idx)
+    pq_op.save_ivfpq_index_cached(spark, emb, idx)
     su.acquire_lease(idx, owner="other-writer")
     with _pytest.raises(IOError, match="other-writer"):
         pq_op.ivfpq_store_append(spark, idx, emb)
@@ -1214,7 +1214,7 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
 
     emb = load_table(spark, sf01, "embeddings")
     store = str(tmp_path / "ivfpq_store")
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+    pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 400), store)
     mc, cb, codes0 = pq_op.load_ivfpq_index(spark, store)
     base = {r["cand_id"]: tuple(r) for r in codes0.collect()}
 
@@ -1311,8 +1311,8 @@ def test_ivfpq_store_append_lifecycle(spark, sf01, tmp_path):
     # retired generation go with it. A 50-vector corpus exercises the
     # identical generation lifecycle at a fraction of the fit cost
     # (ids 0..7 still dense for the deterministic init).
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 50), store)
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 50), store)
+    pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 50), store)
+    pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 50), store)
     gens = [e for e in os.listdir(store) if e.startswith("gen_")]
     assert len(gens) <= 2, gens
     _mc3, _cb3, codes3 = pq_op.load_ivfpq_index(spark, store)
@@ -1342,9 +1342,9 @@ def test_ivfpq_store_reencode_lifecycle(spark, sf01, tmp_path):
 
     a = str(tmp_path / "via_append")
     b = str(tmp_path / "via_reencode")
-    pq_op.save_ivfpq_index(spark, core, a)
+    pq_op.save_ivfpq_index_cached(spark, core, a)
     pq_op.ivfpq_store_append(spark, a, emb.where(F.col("vec_id") >= 400))
-    pq_op.save_ivfpq_index(spark, core, b)
+    pq_op.save_ivfpq_index_cached(spark, core, b)
     mc_old, cb_old, _codes0 = pq_op.load_ivfpq_index(spark, b)
     pq_op.ivfpq_store_reencode(spark, b, emb, extra_iters=0)
     mc_b, cb_b, codes_b = pq_op.load_ivfpq_index(spark, b)
@@ -1419,7 +1419,7 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
     delta = emb.where(F.col("vec_id") >= 400)
 
     hot = str(tmp_path / "hot")
-    pq_op.save_ivfpq_index(spark, core, hot)
+    pq_op.save_ivfpq_index_cached(spark, core, hot)
     mc0 = pq_op.load_ivfpq_index(spark, hot)[0]
     assert pq_op.ivfpq_store_autorefresh(
         spark, hot, delta, emb, 100_000, extra_iters=2
@@ -1429,7 +1429,7 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
     )
 
     cold = str(tmp_path / "cold")
-    pq_op.save_ivfpq_index(spark, core, cold)
+    pq_op.save_ivfpq_index_cached(spark, core, cold)
     assert not pq_op.ivfpq_store_autorefresh(
         spark, cold, delta, emb, 400_000, extra_iters=2
     )
@@ -1482,7 +1482,7 @@ def test_ivfpq_autorefresh_branches(spark, sf01, tmp_path):
     from tabsketchfm_spark.sources import store_util as su
 
     fresh_store = str(tmp_path / "lease_pin")
-    pq_op.save_ivfpq_index(spark, core, fresh_store)
+    pq_op.save_ivfpq_index_cached(spark, core, fresh_store)
     owners = []
     orig_acquire = su.acquire_lease
     su.acquire_lease = lambda path, owner="writer", require_store=False: (
@@ -1515,7 +1515,7 @@ def test_ivfpq_autorefresh_rejects_duplicate_delta_ids(spark, sf01, tmp_path):
 
     emb = load_table(spark, sf01, "embeddings")
     store = str(tmp_path / "dup_delta")
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), store)
+    pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 400), store)
     dirs_before = read_manifest(store).get("code_dirs", ["codes"])
     dup_delta = emb.where(F.col("vec_id") >= 400).unionAll(
         emb.where(F.col("vec_id") == 450)
@@ -1559,8 +1559,8 @@ def test_ivfpq_autorefresh_store_derived_corpus(spark, tmp_path):
 
     a = str(tmp_path / "explicit")
     b = str(tmp_path / "derived")
-    pq_op.save_ivfpq_index(spark, core, a)
-    pq_op.save_ivfpq_index(spark, core, b)
+    pq_op.save_ivfpq_index_cached(spark, core, a)
+    pq_op.save_ivfpq_index_cached(spark, core, b)
 
     # precondition the equality claim rests on: decode == quantized
     # originals (zero reconstruction error on this corpus)
@@ -1610,11 +1610,11 @@ def test_ivfpq_rebuild_over_corrupt_manifest_keeps_generations(
     emb = load_table(spark, sf01, "embeddings")
     core = emb.where(F.col("vec_id") < 400)
     store = str(tmp_path / "corrupt_rebuild")
-    pq_op.save_ivfpq_index(spark, core, store)
+    pq_op.save_ivfpq_index_cached(spark, core, store)
     gen0 = read_manifest(store)["data_dir"]
     with open(manifest_path(store), "w", encoding="utf-8") as f:
         f.write("{ not json")
-    pq_op.save_ivfpq_index(spark, core, store)  # recovery rebuild
+    pq_op.save_ivfpq_index_cached(spark, core, store)  # recovery rebuild
     gens = {e for e in os.listdir(store) if e.startswith("gen_")}
     assert gen0 in gens  # pre-corruption generation NOT deleted
     gen1 = read_manifest(store)["data_dir"]
@@ -1623,7 +1623,7 @@ def test_ivfpq_rebuild_over_corrupt_manifest_keeps_generations(
     mc, _cb, codes = pq_op.load_ivfpq_index(spark, store)
     assert len(mc) > 0 and codes.count() > 0
     # the next healthy commit resumes GC: only (new, previous) survive
-    pq_op.save_ivfpq_index(spark, core, store)
+    pq_op.save_ivfpq_index_cached(spark, core, store)
     gens2 = {e for e in os.listdir(store) if e.startswith("gen_")}
     assert len(gens2) <= 2 and gen0 not in gens2
 
@@ -1655,7 +1655,7 @@ def test_ivfpq_rebuild_rejects_foreign_store(spark, sf01, tmp_path):
          "data_dir": "gen_sigdata"},
     )
     with _pytest.raises(IOError, match="not an ivfpq index"):
-        pq_op.save_ivfpq_index(spark, emb, store)
+        pq_op.save_ivfpq_index_cached(spark, emb, store)
     # the foreign manifest AND its generation data must be untouched
     assert su.read_manifest(store)["format"] == dedup._SIG_STORE_FORMAT
     assert os.path.exists(f"{store}/gen_sigdata/marker")
@@ -1664,7 +1664,7 @@ def test_ivfpq_rebuild_rejects_foreign_store(spark, sf01, tmp_path):
     os.makedirs(store2, exist_ok=True)
     with open(os.path.join(store2, "_manifest.json"), "w") as f:
         f.write("{not json")
-    pq_op.save_ivfpq_index(spark, emb, store2)
+    pq_op.save_ivfpq_index_cached(spark, emb, store2)
     assert pq_op.load_ivfpq_index(spark, store2)[2].count() == 50
 
 
@@ -1684,7 +1684,7 @@ def test_reencode_keeps_previous_generation_for_readers(spark, sf01, tmp_path):
 
     emb = load_table(spark, sf01, "embeddings").where(F.col("vec_id") < 50)
     store = str(tmp_path / "gen_reader")
-    pq_op.save_ivfpq_index(spark, emb, store)
+    pq_op.save_ivfpq_index_cached(spark, emb, store)
     _mc, _cb, old_codes = pq_op.load_ivfpq_index(spark, store)  # lazy
     pq_op.ivfpq_store_reencode(spark, store, emb, extra_iters=1)
     # the old generation is still on disk — the pinned frame reads fine
@@ -1745,7 +1745,7 @@ def test_recon_error_covers_unindexed_vectors(spark, sf01, tmp_path):
 
     emb = load_table(spark, sf01, "embeddings")
     s1 = str(tmp_path / "subset_store")
-    pq_op.save_ivfpq_index(spark, emb.where(F.col("vec_id") < 400), s1)
+    pq_op.save_ivfpq_index_cached(spark, emb.where(F.col("vec_id") < 400), s1)
     r_subset = {
         r["s"]: (r["n"], r["err_sum"])
         for r in pq_op.ivfpq_reconstruction_error(spark, s1, emb).collect()
@@ -2358,8 +2358,8 @@ def test_ivfpq_store_reencode_store_derived_corpus(spark, tmp_path):
     )
     a = str(tmp_path / "explicit")
     b = str(tmp_path / "derived")
-    pq_op.save_ivfpq_index(spark, emb, a)
-    pq_op.save_ivfpq_index(spark, emb, b)
+    pq_op.save_ivfpq_index_cached(spark, emb, a)
+    pq_op.save_ivfpq_index_cached(spark, emb, b)
     pq_op.ivfpq_store_reencode(spark, a, emb, extra_iters=2)
     pq_op.ivfpq_store_reencode(spark, b, None, extra_iters=2)
     mc_a, cb_a, codes_a = pq_op.load_ivfpq_index(spark, a)
@@ -2387,7 +2387,7 @@ def test_save_ivfpq_index_cached_template(spark, sf01, tmp_path):
     direct = str(tmp_path / "direct")
     c1 = str(tmp_path / "cached1")
     c2 = str(tmp_path / "cached2")
-    pq_op.save_ivfpq_index(spark, core, direct)
+    pq_op.save_ivfpq_index(spark, core, direct)  # DIRECT on purpose
     pq_op.save_ivfpq_index_cached(spark, core, c1)
     pq_op.save_ivfpq_index_cached(spark, core, c2)
     md, mc1, mc2 = (read_manifest(p) for p in (direct, c1, c2))
