@@ -1457,3 +1457,48 @@ def test_functional_dependencies_guided_is_candidate_subset(spark, sf001):
             fv.exact_fd,
             fv.strength,
         )
+
+
+def test_bpe_segmented_shingles_python_fold(spark, sf001):
+    """Independent pure-python re-derivation of the tokenizer-aware
+    shingle scheme (the ExactSubstr pin pattern — a THIRD
+    implementation besides Spark expressions and the DuckDB oracle):
+    whitespace split, clean-word gate, double-space symbol encoding,
+    python str.replace merge chain (shares Spark/DuckDB replace
+    semantics — round-7 lesson), trim, word n-grams. Any drift in the
+    encoding contract lands here without involving either engine."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators.bpe import END, MAX_WORD_LEN
+    from tabsketchfm_spark.operators.dedup import bpe_segmented_shingles
+    from tabsketchfm_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf001, "documents").where("doc_id < 25")
+    merges = [("e", "r"), ("e", END), ("er", END), ("t", "h")]
+    n = 3
+
+    def seg(w):
+        s = " " + "  ".join(w) + "  " + END + " "
+        for a, b in merges:
+            s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+        return s.strip()
+
+    want = set()
+    for r in docs.select("doc_id", "text").collect():
+        tk = [t for t in re.split(r"\s+", r["text"]) if t != ""]
+        tk = [
+            seg(w)
+            if re.fullmatch("[a-z]+", w) and 2 <= len(w) <= MAX_WORD_LEN
+            else w
+            for w in tk
+        ]
+        for i in range(len(tk) - n + 1):
+            want.add((r["doc_id"], " ".join(tk[i : i + n])))
+
+    got = {
+        (r["id"], r["shingle"])
+        for r in bpe_segmented_shingles(docs, merges, n=n).collect()
+    }
+    assert got == want
