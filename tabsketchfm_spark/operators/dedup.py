@@ -767,6 +767,7 @@ def append_signatures(
     n: int = 3,
     num_perm: int = 100,
     ingest_ts: int | None = None,
+    merges_path: str | None = None,
 ) -> None:
     """Bulk signature append WITHOUT a dedup verdict — the backfill /
     migration primitive (e.g. registering a pre-vetted corpus slice
@@ -778,7 +779,14 @@ def append_signatures(
     Takes the store's writer lease for its whole run: the write lands
     inside the generation the manifest pointed at under the lease, so
     a concurrent compaction can neither retire that generation nor
-    orphan-sweep the half-written commit dir."""
+    orphan-sweep the half-written commit dir.
+
+    ``merges_path`` appends under the TOKENIZER-AWARE scheme (a
+    re-shingled store — round-12): the delta's signatures are built
+    with bpe_segmented_sigs under the artifact's merges, and the read
+    guard enforces the symmetric scheme contract (this writer into a
+    legacy store, or the word-n-gram writer into a re-shingled store,
+    both refuse loudly)."""
     import uuid
 
     from tabsketchfm_spark.sources.store_util import read_manifest, writer_lease
@@ -786,6 +794,12 @@ def append_signatures(
     with writer_lease(store_path, owner="append_signatures", require_store=True):
         m = read_manifest(store_path)
         has_ts = _check_ingest_ts_contract(m, ingest_ts, "append_signatures")
+        merges = tok = None
+        if merges_path is not None:
+            from tabsketchfm_spark.operators.bpe import load_merges, merges_hash
+
+            merges = load_merges(merges_path)
+            tok = merges_hash(merges)
         caches: list = []
         try:
             # format/params validated by _read_signature_store below
@@ -799,8 +813,16 @@ def append_signatures(
             # content or a fresher ingest_ts is a legitimate refresh
             # row that compaction's last-seen-wins rule resolves; only
             # a byte-identical replay is a retry to drop.
-            stored = _read_signature_store(spark, store_path, n, num_perm, caches)
-            sigs = _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm, caches)
+            stored = _read_signature_store(
+                spark, store_path, n, num_perm, caches, tokenizer_hash=tok
+            )
+            sigs = (
+                bpe_segmented_sigs(
+                    corpus_delta, merges, id_col, text_col, n, num_perm, caches
+                )
+                if merges is not None
+                else _lsh_sigs(corpus_delta, id_col, text_col, n, num_perm, caches)
+            )
             out = sigs
             if has_ts:
                 out = out.withColumn(
@@ -1487,6 +1509,67 @@ def dedup_incremental_bpe_oracle_sql(
         num_perm, bands, threshold, delta_pred, cpred
     )
     return "WITH " + ",\n".join(ctes + tail) + "\n" + final
+
+
+def crawl_tokenizer_rollout_oracle_sql(
+    table: str,
+    boundary: int,
+    n: int = 3,
+    n_merges: int = 8,
+    num_perm: int = 50,
+    bands: int = 10,
+    threshold: float = 0.5,
+    bounded_mod: int = 13,
+) -> str:
+    """The mid-crawl tokenizer-rollout gate, closed-form: the final
+    stored clusters equal the CC closure over the UNION of
+    (a) word-n-gram pairs whose endpoints BOTH arrived before the
+    rollout (found during phase A — the crawl composition theorem per
+    scheme), and (b) tokenizer-aware pairs with at least one
+    post-rollout endpoint (each found at its later endpoint's batch:
+    delta-vs-reshingled-store cross pairs + intra-batch pairs union
+    to exactly the complement set). Self- and symmetric-duplicate
+    edges from the phase-B complement construction are harmless to
+    the closure (edges are bidirected + self-seeded anyway). The
+    rollout preserves cluster HISTORY: phase-A merges persist even
+    where scheme B alone would not pair them."""
+    from tabsketchfm_spark.functions.gates import bounded_tail_sql
+
+    wordp = minhash_lsh_oracle_sql(
+        table, "doc_id", "text", n, num_perm, bands, threshold
+    )
+    bpep = dedup_incremental_bpe_oracle_sql(
+        table,
+        "{id} >= " + str(boundary),
+        n=n,
+        n_merges=n_merges,
+        num_perm=num_perm,
+        bands=bands,
+        threshold=threshold,
+        corpus_pred="TRUE",
+    )
+    # the phase union rides an inner pu CTE so this body's top level
+    # is a plain SELECT: under the closure's WITH RECURSIVE, a CTE
+    # body ENDING in a bare UNION is parsed as the recursive split
+    # and the nested pa/pb references fail to resolve
+    pairs_sql = (
+        "WITH pa AS MATERIALIZED (SELECT id_a, id_b FROM (\n"
+        + wordp
+        + f") w WHERE id_a < {boundary} AND id_b < {boundary}),\n"
+        "pb AS MATERIALIZED (SELECT delta_id AS id_a, corpus_id AS id_b "
+        "FROM (\n"
+        + bpep
+        + ") b WHERE delta_id <> corpus_id),\n"
+        "pu AS (SELECT id_a, id_b FROM pa "
+        "UNION SELECT id_a, id_b FROM pb)\n"
+        "SELECT id_a, id_b FROM pu"
+    )
+    return _cc_closure_sql(pairs_sql, table, "doc_id") + bounded_tail_sql(
+        "labels",
+        "doc_id",
+        {"cid": "cluster_id", "size": "cluster_size"},
+        bounded_mod,
+    )
 
 
 # ---------------------------------------------------------------------------

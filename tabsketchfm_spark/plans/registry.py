@@ -843,6 +843,121 @@ _register(
         "documents", "{id} % 7 = 0", n=3, n_merges=8, num_perm=50, bands=10
     ),
 )
+
+
+def _crawl_tokenizer_rollout(
+    spark: SparkSession, sf: str, threshold: float = 0.5
+) -> DataFrame:
+    # mid-crawl TOKENIZER ROLLOUT (round-12; the round-13 candidate
+    # pulled in): the daily-crawl pair of stores runs phase A under
+    # the word-n-gram scheme (docs id < 150 arrive, pair, fold into
+    # the cluster store, commit signatures), then the pipeline trains
+    # a BPE vocabulary, saves the artifact and RE-SHINGLES the
+    # signature store; phase B (the id suffix) arrives under the NEW
+    # scheme — delta-vs-reshingled-store cross pairs + intra-batch
+    # pairs, folded into the SAME cluster store, signatures committed
+    # with the tokenizer-aware writer. Cluster HISTORY is preserved
+    # across the rollout: phase-A merges persist even where scheme B
+    # alone would not pair them. Gate: closed-form CC closure over
+    # [A-pairs among pre-rollout docs] ∪ [B-pairs with a post-rollout
+    # endpoint] — both pair relations are corpus-independent, so the
+    # per-batch composition equals the one-shot union closure.
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tabsketchfm_spark.operators import bpe
+
+    B, NP, BANDS, THR = 150, 50, 10, threshold
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sig_store = tempfile.mkdtemp(prefix="tsfm_roll_sig_")
+    cl_store = tempfile.mkdtemp(prefix="tsfm_roll_cl_")
+    art = sig_store + "_merges"
+    caches: list = []
+    try:
+        s1 = docs.where(F.col("doc_id") < B)
+        s2 = docs.where(F.col("doc_id") >= B)
+        # phase A: cold stores, one arriving batch, word scheme
+        dedup.build_signature_store(
+            docs.where(F.lit(False)), sig_store, num_perm=NP
+        )
+        dedup.cluster_store_init(
+            spark,
+            spark.createDataFrame([], "doc_id bigint, cluster_id bigint"),
+            cl_store,
+        )
+        sig_d1 = dedup._lsh_sigs(s1, "doc_id", "text", 3, NP, caches)
+        pairs1 = (
+            dedup._lsh_cross_pairs(sig_d1, sig_d1, NP, BANDS, THR)
+            .where(F.col("corpus_id") < F.col("delta_id"))
+            .select(
+                F.col("corpus_id").alias("id_a"),
+                F.col("delta_id").alias("id_b"),
+            )
+            .persist()
+        )
+        caches.append(pairs1)
+        dedup.cluster_store_update(spark, pairs1, s1.select("doc_id"), cl_store)
+        dedup.append_signatures(s1, spark, sig_store, num_perm=NP)
+        # ROLLOUT: train the vocabulary, re-shingle the store
+        merges = [
+            (r["left_sym"], r["right_sym"])
+            for r in bpe.bpe_learn(spark, sf, 8).collect()
+        ]
+        bpe.save_merges(art, merges)
+        if not dedup.sig_store_reshingle(docs, spark, sig_store, art):
+            raise AssertionError("the tokenizer change must fire")
+        # phase B: the suffix arrives under the NEW scheme
+        sig_c = dedup._read_signature_store(
+            spark, sig_store, 3, NP, caches,
+            tokenizer_hash=bpe.merges_hash(merges),
+        )
+        sig_d2 = dedup.bpe_segmented_sigs(s2, merges, num_perm=NP, caches=caches)
+        cross = dedup._lsh_cross_pairs(sig_d2, sig_c, NP, BANDS, THR)
+        intra2 = dedup._lsh_cross_pairs(sig_d2, sig_d2, NP, BANDS, THR).where(
+            F.col("corpus_id") < F.col("delta_id")
+        )
+        pairs2 = (
+            cross.unionByName(intra2)
+            .select(
+                F.col("corpus_id").alias("id_a"),
+                F.col("delta_id").alias("id_b"),
+            )
+            .persist()
+        )
+        caches.append(pairs2)
+        dedup.cluster_store_update(spark, pairs2, s2.select("doc_id"), cl_store)
+        dedup.append_signatures(
+            s2, spark, sig_store, num_perm=NP, merges_path=art
+        )
+        size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        labels = dedup.cluster_store_read(spark, cl_store).select(
+            "doc_id", "cluster_id", size_w.alias("cluster_size")
+        )
+        out = dedup.bounded_labels_gate(labels)
+        rows = out.collect()  # bounded: sampled slice + checksums
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        for c in caches:
+            c.unpersist()
+        shutil.rmtree(sig_store, ignore_errors=True)
+        shutil.rmtree(cl_store, ignore_errors=True)
+        try:
+            os.remove(art + ".json")
+        except FileNotFoundError:
+            pass
+
+
+_register(
+    "crawl_tokenizer_rollout_documents",
+    _crawl_tokenizer_rollout,
+    dedup.crawl_tokenizer_rollout_oracle_sql(
+        "documents", 150, num_perm=50, bands=10
+    ),
+)
 def _stream_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     from tabsketchfm_spark.streaming import profile_stream as ps2
 

@@ -2450,3 +2450,62 @@ def test_save_ivfpq_index_cached_delegates_on_existing_store(
     gen1 = read_manifest(idx)["data_dir"]
     gens = {e for e in os.listdir(idx) if e.startswith("gen_")}
     assert gen1 != gen0 and gens == {gen0, gen1}  # previous kept one cycle
+
+
+def test_crawl_tokenizer_rollout_phase_semantics(spark, sf01):
+    """The rollout composite's PHASE structure is load-bearing, not
+    decorative: at threshold 0.9 the pair (87, 134) — both arriving
+    BEFORE the rollout — has word-scheme estimate 0.86 (no phase-A
+    pair) and tokenizer-scheme estimate 0.96, so a naive one-shot
+    recompute under the NEW scheme would merge them while the
+    mid-crawl composite must NOT (the rollout re-shingles signatures,
+    it does not retroactively re-pair the pre-rollout era). The
+    composite at 0.9 must (1) equal its own closed-form union oracle
+    bit-for-bit and (2) DIFFER from the pure-scheme-B closure."""
+    from tabsketchfm_spark.operators import dedup
+    from tabsketchfm_spark.plans.registry import _crawl_tokenizer_rollout
+    from tests.oracle_util import canon, run_oracle
+
+    out = _crawl_tokenizer_rollout(spark, sf01, threshold=0.9).toPandas()
+    want = run_oracle(
+        dedup.crawl_tokenizer_rollout_oracle_sql(
+            "documents", 150, num_perm=50, bands=10, threshold=0.9
+        ),
+        sf01,
+    )
+    assert canon(out).equals(canon(want))
+    # pure-B one-shot closure (no phase structure) differs: it merges
+    # (87, 134); the composite keeps them separate
+    pure_b_pairs = (
+        "SELECT delta_id AS id_a, corpus_id AS id_b FROM ("
+        + dedup.dedup_incremental_bpe_oracle_sql(
+            "documents",
+            "TRUE",
+            n=3,
+            n_merges=8,
+            num_perm=50,
+            bands=10,
+            threshold=0.9,
+            corpus_pred="TRUE",
+        )
+        + ") t WHERE delta_id <> corpus_id"
+    )
+    pure_b = run_oracle(
+        dedup._cc_closure_sql(pure_b_pairs, "documents", "doc_id")
+        + "\nSELECT doc_id, cluster_id FROM labels "
+        "WHERE doc_id IN (87, 134)",
+        sf01,
+    )
+    b_cids = dict(zip(pure_b["doc_id"], pure_b["cluster_id"]))
+    assert b_cids[87] == b_cids[134]  # naive recompute WOULD merge
+    comp = run_oracle(
+        dedup.crawl_tokenizer_rollout_oracle_sql(
+            "documents", 150, num_perm=50, bands=10, threshold=0.9,
+            bounded_mod=1,  # full projection: every doc in the slice
+        ),
+        sf01,
+    )
+    c_cids = dict(
+        zip(comp["doc_id"], comp["cluster_id"])
+    )
+    assert c_cids[87] != c_cids[134]  # the composite preserves eras

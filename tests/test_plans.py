@@ -722,6 +722,9 @@ _PLAN_GUARD_SKIP = {
     "store_kmeans_autorefresh_hot",
     "store_kmeans_autorefresh_cold",
     "sig_store_reshingle_documents",
+    # round-12: two store lifecycles + a driver-side merge learn +
+    # a reshingle, all folded before the temp dirs drop — eager
+    "crawl_tokenizer_rollout_documents",
     "pipeline_rag_topk_documents",
     "stream_ivfpq_append_embeddings",
     "stream_crawl_clusters_documents",
