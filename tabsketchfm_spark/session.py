@@ -53,6 +53,14 @@ def get_spark(
         # and convert to micros in the loader (sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4's DataFrame-debugging wrapper captures a python
+        # call-site (inspect stack walk) AND pays 3 extra py4j round
+        # trips (origin set/clear + conf.get) on EVERY DataFrame API
+        # call. Expression-heavy query builds here make tens of
+        # thousands of such calls — measured ~60% of the bench total
+        # was driver-side build time (OPTIMIZATION_r12.md). Purely a
+        # python-side error-context feature; plans are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
