@@ -12,10 +12,14 @@ window whenever the ordering is a total order:
   surviving rows to number them.
 - ``global_rank``: when every row needs its rank, the classic
   two-phase scheme: range-repartition on the sort key, number rows
-  within each range partition, and add driver-computed partition
-  offsets (one tiny count-per-partition job). No partition ever holds
-  more than its range share; ties across partitions are safe because
-  equal keys range-partition together.
+  within each range partition, and add per-partition offsets. The
+  offsets are computed LAZILY as a broadcast triangular self-join over
+  the ≤ num_partitions per-partition counts (off(p) = sum of counts of
+  partitions before p) — no driver collect, no Spark job at plan-build
+  time (the former counts-collect made every ranked query's BUILD
+  eagerly run its whole upstream). No partition ever holds more than
+  its range share; ties across partitions are safe because equal keys
+  range-partition together.
 """
 
 from __future__ import annotations
@@ -47,12 +51,12 @@ def global_rank(
     caches: list | None = None,
 ) -> DataFrame:
     """Rank EVERY row of ``df`` by ``order`` without a single-partition
-    window. Triggers one small job (per-partition counts) at plan-build
-    time; the input is persisted because the count pass and the final
-    pass share it. Pass ``caches`` (a list) to receive the persisted
-    frame — callers that materialize the result eagerly should
-    unpersist it afterwards (lazy callers must leave it cached: the
-    returned plan reads it)."""
+    window, fully LAZILY (no job at plan-build time). The input is
+    persisted because the offsets subtree and the final pass share it
+    (one materialization per execution, cache-served after). Pass
+    ``caches`` (a list) to receive the persisted frame — callers that
+    materialize the result eagerly should unpersist it afterwards
+    (lazy callers must leave it cached: the returned plan reads it)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -63,22 +67,21 @@ def global_rank(
     )
     if caches is not None:
         caches.append(part)
-    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in sorted(counts, key=lambda x: x["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["c"]
-    if offsets:
-        off = F.coalesce(
-            F.create_map(
-                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-            )[F.col("__pid")],
-            F.lit(0),
-        )
-    else:
-        off = F.lit(0)
+    # off(p) = rows in partitions before p: a triangular self-join over
+    # the per-partition counts (≤ num_partitions rows — bounded by
+    # config, never by data), broadcast into the final pass. Replaces
+    # the former counts.collect() + driver-built literal map, which
+    # eagerly ran the entire upstream pipeline at query-BUILD time.
+    psums = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    l, r = psums.alias("l"), psums.alias("r")
+    offs = (
+        l.join(r, F.col("r.__pid") < F.col("l.__pid"), "left")
+        .groupBy(F.col("l.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum(F.col("r.__c")), F.lit(0)).alias("__off"))
+    )
     w = Window.partitionBy("__pid").orderBy(*order)
-    return part.withColumn(
-        rank_name, (F.row_number().over(w) + off).cast("int")
-    ).drop("__pid")
+    return (
+        part.join(F.broadcast(offs), "__pid")
+        .withColumn(rank_name, (F.row_number().over(w) + F.col("__off")).cast("int"))
+        .drop("__pid", "__off")
+    )
