@@ -112,38 +112,43 @@ def profile_table(
         if caches is not None:
             caches.append(df)
 
-    aggs: list = [F.count(F.lit(1)).alias("row_cnt")]
+    # Expressions are built as SQL strings and parsed in bulk: the
+    # Column-API equivalent of this function made ~18k py4j round trips
+    # per build (one per expression NODE), which dominated the profiler's
+    # wall (OPTIMIZATION_r12.md). The SQL trees below are node-for-node
+    # the ones the Column API produced — the DuckDB parity suite gates
+    # bit-exactness.
+    aggs: list[str] = ["count(1) AS row_cnt"]
     metas: list[tuple[str, int, str]] = []
-    melt_structs: list = []
+    melt_structs: list[str] = []
     for idx, c in enumerate(columns):
         lt = spark_logical_type(dtypes[c])
         metas.append((c, idx, lt))
         p = f"c{idx}__"
-        col = F.col(c)
+        qc = f"`{c}`"
         if lt == "string":
-            norm = F.nullif(col, F.lit(""))
+            norm = f"nullif({qc}, '')"
             aggs += [
-                F.count(F.when(norm.isNull(), 1)).alias(p + "num_nan"),
-                F.avg(F.octet_length(norm)).alias(p + "width"),
+                f"count(CASE WHEN ({norm} IS NULL) THEN 1 END) AS {p}num_nan",
+                f"avg(octet_length({norm})) AS {p}width",
             ]
             melt_structs.append(
-                F.struct(
-                    F.lit(idx).alias("cid"),
-                    F.lit(None).cast("double").alias("vd"),
-                    norm.alias("vs"),
-                )
+                f"named_struct('cid', {idx}, 'vd', CAST(NULL AS DOUBLE), "
+                f"'vs', {norm})"
             )
         else:
             if lt == "date":
                 # epoch-seconds axis, exact: micros are integral so the
                 # /1e6 double division matches DuckDB's epoch() bit-for-bit
-                d = dtypes[c]
-                if d == "date":
-                    v = (F.unix_date(col) * F.lit(86400)).cast("double")
+                if dtypes[c] == "date":
+                    v = f"CAST((unix_date({qc}) * 86400) AS DOUBLE)"
                 else:
-                    v = F.unix_micros(col.cast("timestamp")) / F.lit(1000000.0)
+                    v = (
+                        f"(unix_micros(CAST({qc} AS TIMESTAMP)) / "
+                        f"CAST({1000000.0:.17e} AS DOUBLE))"
+                    )
             else:
-                v = col.cast("double")
+                v = f"CAST({qc} AS DOUBLE)"
             # mean/std from EXACT decimal sums — float aggregate merges
             # are partition-order dependent, so avg()/stddev_pop() can
             # differ at the last ulp between runs (and from the oracle)
@@ -151,37 +156,31 @@ def profile_table(
             # order-free; the double arithmetic after it is identical
             # in both engines. decimal(18,6) covers epoch seconds and
             # every fixture domain; x² fits decimal(38,12).
-            d = v.cast("decimal(18,6)")
+            d = f"CAST({v} AS DECIMAL(18,6))"
             aggs += [
-                F.count(F.when(col.isNull(), 1)).alias(p + "num_nan"),
-                F.count(v).alias(p + "n_val"),
-                F.sum(d).cast("double").alias(p + "sum"),
-                F.sum(d * d).cast("double").alias(p + "sumsq"),
-                F.min(v).alias(p + "min"),
-                F.max(v).alias(p + "max"),
+                f"count(CASE WHEN ({qc} IS NULL) THEN 1 END) AS {p}num_nan",
+                f"count({v}) AS {p}n_val",
+                f"CAST(sum({d}) AS DOUBLE) AS {p}sum",
+                f"CAST(sum({d} * {d}) AS DOUBLE) AS {p}sumsq",
+                f"min({v}) AS {p}min",
+                f"max({v}) AS {p}max",
             ]
             if approx:
+                pcts = ", ".join(f"CAST({x:.17e} AS DOUBLE)" for x in DECILES)
                 aggs.append(
-                    F.percentile_approx(
-                        v, F.array(*[F.lit(x) for x in DECILES])
-                    ).alias(p + "q")
+                    f"percentile_approx({v}, array({pcts}), 10000) AS {p}q"
                 )
             melt_structs.append(
-                F.struct(
-                    F.lit(idx).alias("cid"),
-                    v.alias("vd"),
-                    F.lit(None).cast("string").alias("vs"),
-                )
+                f"named_struct('cid', {idx}, 'vd', {v}, "
+                f"'vs', CAST(NULL AS STRING))"
             )
 
     # pass 2: value-counts frame — ONE shuffle keyed (cid, value) with
     # map-side partial counts; distinct counts and exact deciles both
     # read it. Nulls are excluded (pass 1 already counted them).
-    melt = (
-        df.select(F.explode(F.array(*melt_structs)).alias("m"))
-        .select("m.*")
-        .where(F.col("vd").isNotNull() | F.col("vs").isNotNull())
-    )
+    melt = df.selectExpr(
+        f"inline(array({', '.join(melt_structs)}))"
+    ).where("vd IS NOT NULL OR vs IS NOT NULL")
     counts = melt.groupBy("cid", "vd", "vs").agg(F.count(F.lit(1)).alias("cnt"))
     numeric_idx = [idx for _, idx, lt in metas if lt not in ("string",)]
     if numeric_idx and not approx:
@@ -192,13 +191,14 @@ def profile_table(
 
     dist_row = counts.groupBy().agg(
         *[
-            F.sum(F.when(F.col("cid") == idx, 1).otherwise(0)).alias(
-                f"c{idx}__distinct_cnt"
+            F.expr(
+                f"sum(CASE WHEN (cid = {idx}) THEN 1 ELSE 0 END) "
+                f"AS c{idx}__distinct_cnt"
             )
             for _, idx, _ in metas
         ]
     )
-    one = df.agg(*aggs).crossJoin(F.broadcast(dist_row))
+    one = df.agg(*[F.expr(a) for a in aggs]).crossJoin(F.broadcast(dist_row))
 
     if numeric_idx and not approx:
         # exact deciles from cumulative counts: for decile x at
@@ -251,58 +251,61 @@ def profile_table(
             .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
         )
         cj = cum.join(F.broadcast(ntot), "cid")
-        h_of = lambda x: F.lit(x) * (F.col("n_val") - 1).cast("double")  # noqa: E731
-        braks = []
+        braks: list[str] = []
         for x in DECILES:
-            h = h_of(x)
+            h = f"(CAST({x:.17e} AS DOUBLE) * CAST((n_val - 1) AS DOUBLE))"
+            pq = int(x * 100)
             braks += [
-                F.max(F.when(F.col("cum_prev") <= F.floor(h), F.col("vd"))).alias(
-                    f"v0_{int(x * 100)}"
-                ),
-                F.max(F.when(F.col("cum_prev") <= F.ceil(h), F.col("vd"))).alias(
-                    f"v1_{int(x * 100)}"
-                ),
+                f"max(CASE WHEN (cum_prev <= floor({h})) THEN vd END) "
+                f"AS v0_{pq}",
+                f"max(CASE WHEN (cum_prev <= ceil({h})) THEN vd END) "
+                f"AS v1_{pq}",
             ]
-        qlong = cj.groupBy("cid").agg(F.first("n_val").alias("n_val"), *braks)
-        qcells = []
+        qlong = cj.groupBy("cid").agg(
+            F.expr("first(n_val) AS n_val"), *[F.expr(b) for b in braks]
+        )
+        qcells: list[str] = ["cid"]
         for x in DECILES:
-            h = F.lit(x) * (F.col("n_val") - 1).cast("double")
-            v0 = F.col(f"v0_{int(x * 100)}")
-            v1 = F.col(f"v1_{int(x * 100)}")
-            lo = F.floor(h).cast("double")
-            hi = F.ceil(h).cast("double")
+            h = f"(CAST({x:.17e} AS DOUBLE) * CAST((n_val - 1) AS DOUBLE))"
+            pq = int(x * 100)
+            lo = f"CAST(floor({h}) AS DOUBLE)"
+            hi = f"CAST(ceil({h}) AS DOUBLE)"
             # the exact double expression both Spark `percentile` and
             # DuckDB `quantile_cont` evaluate — NOT the algebraically
             # equal lerp v0+(h-lo)*(v1-v0), which rounds differently
-            qlong_q = F.when(hi == lo, v0).otherwise(
-                (hi - h) * v0 + (h - lo) * v1
+            qcells.append(
+                f"CASE WHEN ({hi} = {lo}) THEN v0_{pq} "
+                f"ELSE ((({hi} - {h}) * v0_{pq}) + (({h} - {lo}) * v1_{pq})) "
+                f"END AS q{pq}"
             )
-            qcells.append(qlong_q.alias(f"q{int(x * 100)}"))
-        qlong = qlong.select("cid", *qcells)
+        qlong = qlong.selectExpr(*qcells)
         q_row = qlong.groupBy().agg(
             *[
-                F.first(
-                    F.when(F.col("cid") == idx, F.col(f"q{int(x * 100)}")),
-                    ignorenulls=True,
-                ).alias(f"c{idx}__q{int(x * 100)}")
+                F.expr(
+                    f"first(CASE WHEN (cid = {idx}) THEN q{int(x * 100)} END, "
+                    f"true) AS c{idx}__q{int(x * 100)}"
+                )
                 for idx in numeric_idx
                 for x in DECILES
             ]
         )
         one = one.crossJoin(F.broadcast(q_row))
 
-    def rnd(col):
-        return F.round(col, round_digits) if round_digits is not None else col
+    def rnd(e: str) -> str:
+        return f"round({e}, {round_digits})" if round_digits is not None else e
 
-    structs = []
+    def slit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    null_d = "CAST(NULL AS DOUBLE)"
+    structs: list[str] = []
     for c, idx, lt in metas:
         p = f"c{idx}__"
-        null_d = F.lit(None).cast("double")
         if lt == "string":
             fields = {
-                "num_nan": F.col(p + "num_nan"),
-                "distinct_cnt": F.col(p + "distinct_cnt"),
-                "cell_width_bytes": rnd(F.col(p + "width")),
+                "num_nan": p + "num_nan",
+                "distinct_cnt": p + "distinct_cnt",
+                "cell_width_bytes": rnd(p + "width"),
                 **{f"q{int(x * 100)}": null_d for x in DECILES},
                 "mean_v": null_d,
                 "std_v": null_d,
@@ -310,46 +313,48 @@ def profile_table(
                 "max_v": null_d,
             }
         else:
-            mean = F.col(p + "sum") / F.col(p + "n_val")
-            var = F.greatest(
-                F.col(p + "sumsq") / F.col(p + "n_val") - mean * mean, F.lit(0.0)
+            mean = f"({p}sum / {p}n_val)"
+            var = (
+                f"greatest((({p}sumsq / {p}n_val) - ({mean} * {mean})), "
+                f"CAST(0.0 AS DOUBLE))"
             )
             if approx:
                 qcols = {
-                    f"q{int(x * 100)}": rnd(F.col(p + "q")[i])
+                    f"q{int(x * 100)}": rnd(f"{p}q[{i}]")
                     for i, x in enumerate(DECILES)
                 }
             else:
                 qcols = {
-                    f"q{int(x * 100)}": rnd(F.col(p + f"q{int(x * 100)}"))
+                    f"q{int(x * 100)}": rnd(f"{p}q{int(x * 100)}")
                     for x in DECILES
                 }
             fields = {
-                "num_nan": F.col(p + "num_nan"),
-                "distinct_cnt": F.col(p + "distinct_cnt"),
+                "num_nan": p + "num_nan",
+                "distinct_cnt": p + "distinct_cnt",
                 "cell_width_bytes": null_d,
                 **qcols,
                 "mean_v": rnd(mean),
                 # std guard mirrors reference data_prep.py:238-241
                 "std_v": rnd(
-                    F.when(F.col(p + "distinct_cnt") > 2, F.sqrt(var))
-                    .otherwise(F.lit(0.0))
+                    f"CASE WHEN ({p}distinct_cnt > 2) THEN sqrt({var}) "
+                    f"ELSE CAST(0.0 AS DOUBLE) END"
                 ),
-                "min_v": rnd(F.col(p + "min")),
-                "max_v": rnd(F.col(p + "max")),
+                "min_v": rnd(p + "min"),
+                "max_v": rnd(p + "max"),
             }
-        structs.append(
-            F.struct(
-                F.lit(table_name).alias("table_name"),
-                F.lit(c).alias("column_name"),
-                F.lit(idx).alias("col_idx"),
-                F.lit(lt).alias("col_type"),
-                F.col("row_cnt").alias("row_cnt"),
-                *[v.alias(k) for k, v in fields.items()],
-            )
+        kv = ", ".join(
+            [
+                f"'table_name', {slit(table_name)}",
+                f"'column_name', {slit(c)}",
+                f"'col_idx', {idx}",
+                f"'col_type', {slit(lt)}",
+                "'row_cnt', row_cnt",
+            ]
+            + [f"{slit(k)}, {v}" for k, v in fields.items()]
         )
+        structs.append(f"named_struct({kv})")
 
-    return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    return one.selectExpr(f"inline(array({', '.join(structs)}))")
 
 
 def profile_oracle_sql(
