@@ -85,6 +85,18 @@ def minhash_agg_exprs(h: Column, num_perm: int = NUM_PERM) -> list[Column]:
     return out
 
 
+def minhash_agg_sql(h_col: str = "h", num_perm: int = NUM_PERM) -> list[str]:
+    """SQL-string twins of ``minhash_agg_exprs`` over a NAMED h column,
+    for bulk parsing via ``F.expr`` — the Column builder costs ~7 py4j
+    round trips per slot, which at 100 slots per sketch dominated every
+    sketch query's BUILD time (OPTIMIZATION_r12.md). Trees are
+    node-identical to the Column version."""
+    return [
+        f"min(({a} * `{h_col}` + {b}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
+    ]
+
+
 def minhash_struct_sql(value_expr: str, dialect: str, num_perm: int = NUM_PERM) -> list[str]:
     """Spark/DuckDB SQL snippets 'min(...) AS mh{i}' over a value expression."""
     h = h32_sql(value_expr, dialect)

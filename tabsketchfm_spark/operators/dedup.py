@@ -26,7 +26,7 @@ from tabsketchfm_spark.functions.hashing import (
     MINHASH_PRIME,
     h32_sql,
     h64_sql,
-    minhash_perm_params,
+    minhash_agg_sql,
     perms_cte_duckdb,
 )
 
@@ -308,33 +308,21 @@ def minhash_lsh_pairs(
     oracle mirrors the split bit-exactly).
     Output: (id_a, id_b, est_jaccard).
     """
-    rows = num_perm // bands
     sh = _shingles(df, id_col, text_col, n, dedupe=False)
     h = F.expr(h32_sql("shingle", "spark"))
     hashed = sh.select("id", h.alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
-    ]
     # one row per doc, 100 slots; persisted — consumed 3× (banding + both
     # sides of the estimate join); without it the whole shingle+hash
     # pipeline re-executes per consumer
-    sigs = hashed.groupBy("id").agg(*aggs).persist()
+    sigs = (
+        hashed.groupBy("id")
+        .agg(*[F.expr(e) for e in minhash_agg_sql("h", num_perm)])
+        .persist()
+    )
 
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-                )
-            ).alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.band", "bk.bkey")
+    banded = sigs.selectExpr(
+        "id", f"inline(array({_band_structs_sql(num_perm, bands)}))"
+    )
 
     join_keys = ["band", "bkey"]
     if bucket_cap is not None:
@@ -1052,34 +1040,45 @@ def _sigs_from_tokens(
     scheme (bpe_subword_sigs); duplicate tokens are harmless under
     MIN, so emitters need not dedupe."""
     h = F.expr(h32_sql("shingle", "spark"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(minhash_perm_params(num_perm))
-    ]
-    sigs = sh.select("id", h.alias("h")).groupBy("id").agg(*aggs).persist()
+    sigs = (
+        sh.select("id", h.alias("h"))
+        .groupBy("id")
+        .agg(*[F.expr(e) for e in minhash_agg_sql("h", num_perm)])
+        .persist()
+    )
     if caches is not None:
         caches.append(sigs)
     return sigs
 
 
-def _lsh_band_keys(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+def _slot_est_sql(num_perm: int) -> str:
+    """Slot-agreement estimate as ONE parsed expression: the python
+    ``sum()`` of 100 Column comparisons built ~400 py4j round trips and
+    the same left-associative Add chain this string parses to."""
+    terms = " + ".join(
+        f"CAST((a{i} = b{i}) AS INT)" for i in range(num_perm)
+    )
+    return f"(({terms}) / CAST({float(num_perm):.17e} AS DOUBLE))"
+
+
+def _band_structs_sql(num_perm: int, bands: int) -> str:
+    """named_struct list for the banded keys — ONE parsed expression
+    (the Column builder paid ~12 py4j calls per band)."""
     rows = num_perm // bands
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
-                )
-            ).alias("bkey"),
+    parts = []
+    for b in range(bands):
+        slots = ", ".join(
+            f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows)
         )
-        for b in range(bands)
-    ]
-    return sigs.select("id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "id", "bk.band", "bk.bkey"
+        parts.append(
+            f"named_struct('band', {b}, 'bkey', md5(concat_ws(',', {slots})))"
+        )
+    return ", ".join(parts)
+
+
+def _lsh_band_keys(sigs: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    return sigs.selectExpr(
+        "id", f"inline(array({_band_structs_sql(num_perm, bands)}))"
     )
 
 
@@ -1099,22 +1098,18 @@ def _lsh_cross_pairs(
         .select(F.col("x.id").alias("delta_id"), F.col("y.id").alias("corpus_id"))
         .distinct()
     )
-    sa = sig_d.select(
-        F.col("id").alias("delta_id"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)],
+    sa = sig_d.selectExpr(
+        "id AS delta_id", *[f"mh{i} AS a{i}" for i in range(num_perm)]
     )
-    sb = sig_c.select(
-        F.col("id").alias("corpus_id"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)],
+    sb = sig_c.selectExpr(
+        "id AS corpus_id", *[f"mh{i} AS b{i}" for i in range(num_perm)]
     )
-    est = (
-        sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm))
-        / F.lit(float(num_perm))
-    ).alias("est_jaccard")
     return (
         cand.join(sa, "delta_id")
         .join(sb, "corpus_id")
-        .select("delta_id", "corpus_id", est)
+        .selectExpr(
+            "delta_id", "corpus_id", _slot_est_sql(num_perm) + " AS est_jaccard"
+        )
         .where(F.col("est_jaccard") >= threshold)
     )
 

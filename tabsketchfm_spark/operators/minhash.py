@@ -21,7 +21,7 @@ from tabsketchfm_spark.functions.hashing import (
     MINHASH_PRIME,
     NUM_PERM,
     h32_sql,
-    minhash_agg_exprs,
+    minhash_agg_sql,
     perms_cte_duckdb,
 )
 from tabsketchfm_spark.operators.melt import melt_values
@@ -46,17 +46,15 @@ def minhash_signatures(
         ).where(F.col("v") != "")
     h = F.expr(h32_sql("v", "spark")).alias("h")
     sigs = m.select("column_name", h).groupBy("column_name").agg(
-        *minhash_agg_exprs(F.col("h"), num_perm)
+        *[F.expr(s) for s in minhash_agg_sql("h", num_perm)]
     )
-    structs = [
-        F.struct(F.lit(i).alias("perm"), F.col(f"mh{i}").alias("sig"))
-        for i in range(num_perm)
-    ]
-    return sigs.select(
-        F.lit(table_name).alias("table_name"),
-        F.col("column_name"),
-        F.explode(F.array(*structs)).alias("s"),
-    ).select("table_name", "column_name", "s.perm", "s.sig")
+    structs = ", ".join(
+        f"named_struct('perm', {i}, 'sig', mh{i})" for i in range(num_perm)
+    )
+    tn = table_name.replace("'", "''")
+    return sigs.selectExpr(
+        f"'{tn}' AS table_name", "column_name", f"inline(array({structs}))"
+    )
 
 
 def minhash_signatures_oracle_sql(

@@ -22,7 +22,7 @@ from tabsketchfm_spark.functions.hashing import (
     MINHASH_PRIME,
     NUM_PERM,
     h32_sql,
-    minhash_agg_exprs,
+    minhash_agg_sql,
     perms_cte_duckdb,
 )
 
@@ -31,21 +31,20 @@ def content_snapshot(
     df: DataFrame, table_name: str, columns: list[str], num_perm: int = NUM_PERM
 ) -> DataFrame:
     """(table_name, perm, sig) — 100-slot row-set MinHash."""
-    row_str = F.concat_ws(" ", *[F.col(c).cast("string") for c in columns])
-    h = F.expr(h32_sql("row_str", "spark"))
+    cols = ", ".join(f"CAST(`{c}` AS STRING)" for c in columns)
+    h = h32_sql("row_str", "spark")
     sig = (
-        df.select(row_str.alias("row_str"))
-        .select(h.alias("h"))
-        .agg(*minhash_agg_exprs(F.col("h"), num_perm))
+        df.selectExpr(f"concat_ws(' ', {cols}) AS row_str")
+        .selectExpr(f"{h} AS h")
+        .agg(*[F.expr(s) for s in minhash_agg_sql("h", num_perm)])
     )
-    structs = [
-        F.struct(F.lit(i).alias("perm"), F.col(f"mh{i}").alias("sig"))
-        for i in range(num_perm)
-    ]
-    return sig.select(
-        F.lit(table_name).alias("table_name"),
-        F.explode(F.array(*structs)).alias("s"),
-    ).select("table_name", "s.perm", "s.sig")
+    structs = ", ".join(
+        f"named_struct('perm', {i}, 'sig', mh{i})" for i in range(num_perm)
+    )
+    tn = table_name.replace("'", "''")
+    return sig.selectExpr(
+        f"'{tn}' AS table_name", f"inline(array({structs}))"
+    )
 
 
 def content_snapshot_oracle_sql(

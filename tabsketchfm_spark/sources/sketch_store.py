@@ -23,7 +23,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tabsketchfm_spark.functions.hashing import NUM_PERM, h32_sql, h64_sql, minhash_agg_exprs
+from tabsketchfm_spark.functions.hashing import NUM_PERM, h32_sql, h64_sql, minhash_agg_sql
 from tabsketchfm_spark.operators.melt import melt_values
 from tabsketchfm_spark.operators.profile import profile_table, spark_logical_type
 
@@ -68,12 +68,10 @@ def column_minhash_wide(
     m = melt_values(df, columns)
     h = F.expr(h32_sql("v", "spark")).alias("h")
     sigs = m.select("column_name", h).groupBy("column_name").agg(
-        *minhash_agg_exprs(F.col("h"), num_perm)
+        *[F.expr(e) for e in minhash_agg_sql("h", num_perm)]
     )
-    return sigs.select(
-        "column_name",
-        F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("minhash_exact"),
-    )
+    mhs = ", ".join(f"mh{i}" for i in range(num_perm))
+    return sigs.selectExpr("column_name", f"array({mhs}) AS minhash_exact")
 
 
 def build_sketch_rows(
