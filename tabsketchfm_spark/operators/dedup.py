@@ -1837,37 +1837,39 @@ def _release_frame(df: DataFrame) -> None:
     _release_checkpoint(df)
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Large-star round (Kiveris et al., "Connected Components in
-    MapReduce and Beyond"): every node connects its STRICTLY LARGER
-    neighbors to the minimum of its closed neighborhood."""
+def _contract_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star alternation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), fused so the
+    INTERMEDIATE edge set is never deduplicated: small-star's min
+    aggregate is duplicate-tolerant and the round's trailing distinct
+    restores the canonical edge set, so the output SET is identical
+    while one full (a, b) distinct shuffle per alternation pair is
+    removed (guide §2.4). Large-star emits edges oriented a > b
+    (b = min of the old node's closed neighborhood, strictly below
+    the strictly-larger neighbor it reconnects), which is exactly the
+    large→small orientation small-star would normalize to, so its
+    greatest/least projection is dropped too. Duplicate mid-edges are
+    bounded by |bidir| = 2|e| — no growth hazard at scale."""
     bidir = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    m = bidir.groupBy("a").agg(F.min("b").alias("mn"))
-    m = m.select("a", F.least("a", "mn").alias("m"))
-    return (
-        bidir.join(m, "a")
+    ml = bidir.groupBy("a").agg(F.min("b").alias("mn"))
+    ml = ml.select("a", F.least("a", "mn").alias("m"))
+    # large-star output, duplicates retained (multiple old-neighbors
+    # of one node sharing a minimum each emit the same (node, m) edge)
+    mid = (
+        bidir.join(ml, "a")
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .where(F.col("a") != F.col("b"))
-        .distinct()
     )
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    """Small-star round: orient edges large→small; every node connects
-    its (smaller) neighbors and itself to the neighborhood minimum."""
-    d = e.select(
-        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-    )
-    m = d.groupBy("a").agg(F.min("b").alias("m"))
+    ms = mid.groupBy("a").agg(F.min("b").alias("m"))
     nbrs = (
-        d.join(m, "a")
+        mid.join(ms, "a")
         .where(F.col("b") != F.col("m"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
-    slf = m.select("a", F.col("m").alias("b"))
+    slf = ms.select("a", F.col("m").alias("b"))
     return (
         nbrs.unionByName(slf)
         .where(F.col("a") != F.col("b"))
@@ -1883,6 +1885,7 @@ def connected_components_star(
     node_col: str = "doc_id",
     max_iter: int = 12,
     stats: dict | None = None,
+    dedupe_input: bool = True,
 ) -> DataFrame:
     """Star-contraction connected components (alternating large-star /
     small-star, Kiveris et al.) — the O(log n)-ROUND variant of
@@ -1906,19 +1909,24 @@ def connected_components_star(
             df.agg(F.count(F.lit(1)), F.sum("a"), F.sum("b")).first()
         )
 
-    e = (
-        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
+        F.col("a") != F.col("b")
     )
+    if dedupe_input:
+        # callers whose pair relation is unique BY CONSTRUCTION (a
+        # groupBy over (id_a, id_b)) pass dedupe_input=False and skip
+        # this shuffle; the loop itself tolerates duplicate edges
+        # (min aggregates + per-round distinct), duplicates only cost
+        # edge-set size
+        e = e.distinct()
+    e = e.localCheckpoint()
     # seed with the INPUT's fingerprint so an already-fixpoint edge set
     # (e.g. a single edge, or a prior contraction's output) converges
     # on round 1 instead of spuriously exhausting max_iter=1
     prev_fp = _fp(e)
     converged = False
     for i in range(max_iter):
-        new_e = _small_star(_large_star(e)).localCheckpoint()
+        new_e = _contract_round(e).localCheckpoint()
         fp = _fp(new_e)
         if stats is not None:
             stats["rounds"] = i + 1  # measurement hook (deep-graph evidence)
@@ -1981,8 +1989,14 @@ def dedup_clusters(
     if cc not in ("label", "star"):
         raise ValueError(f"cc must be 'label' or 'star', got {cc!r}")
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, df_cap)
-    ccf = connected_components_star if cc == "star" else connected_components
-    labels = ccf(pairs, df, node_col=id_col)
+    if cc == "star":
+        # ngram_jaccard_pairs output is unique by construction
+        # (groupBy(id_a, id_b)): skip the input-dedup shuffle
+        labels = connected_components_star(
+            pairs, df, node_col=id_col, dedupe_input=False
+        )
+    else:
+        labels = connected_components(pairs, df, node_col=id_col)
     size_w = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
     return labels.select(id_col, "cluster_id", size_w.alias("cluster_size"))
 
