@@ -338,14 +338,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sigs.select(F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_perm)])
-    sb = sigs.select(F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_perm)])
-    est = (
-        sum(
-            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(num_perm)
-        )
-        / F.lit(float(num_perm))
-    ).alias("est_jaccard")
+    sa = sigs.selectExpr(
+        "id AS id_a", *[f"mh{i} AS a{i}" for i in range(num_perm)]
+    )
+    sb = sigs.selectExpr(
+        "id AS id_b", *[f"mh{i} AS b{i}" for i in range(num_perm)]
+    )
+    est = F.expr(_slot_est_sql(num_perm)).alias("est_jaccard")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", est)

@@ -27,19 +27,18 @@ def melt_values(
     from tabsketchfm_spark.sources.tables import spread as _spread
 
     columns = columns or df.columns
-    structs = [
-        F.struct(
-            F.lit(c).alias("column_name"),
-            F.nullif(F.col(c).cast("string"), F.lit("")).alias("v"),
+    # one parsed SQL string instead of a Column tree per cell: the
+    # struct-per-column builders cost 5+ py4j round trips each, and
+    # melt runs once per lake table in the sketch queries
+    items = ", ".join(
+        "named_struct('column_name', '{lit}', 'v', "
+        "nullif(CAST(`{ident}` AS STRING), ''))".format(
+            lit=c.replace("'", "''"), ident=c.replace("`", "``")
         )
         for c in columns
-    ]
+    )
     # spread: the explode amplifies rows |columns|-fold and feeds
     # heavy downstream expressions (MinHash, set-sim) — it must not
     # run single-task just because the source is one row group
     src = _spread(df) if spread else df
-    return (
-        src.select(F.explode(F.array(*structs)).alias("kv"))
-        .select("kv.column_name", "kv.v")
-        .where(F.col("v").isNotNull())
-    )
+    return src.selectExpr(f"inline(array({items}))").where("v IS NOT NULL")
