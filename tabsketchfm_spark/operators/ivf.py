@@ -99,7 +99,14 @@ def ivf_assign(
     result repartitioned by cell for the 100 TB layout."""
     units = _unit(emb, {"id": F.col(id_col)}, vec_col)
     cents = _centroids(units, n_cells)
-    return _nearest_cells(units, cents, 1).select("id", "cell")
+    from tabsketchfm_spark.sources.tables import spread
+
+    # the assignment pass is |vecs| × n_cells interpreted HOF dots —
+    # expression-heavy, must not run single-task on a one-row-group
+    # scan (round-3 spread rule). Centroids stay derived from the
+    # unspread scan: 16 rows, broadcast.
+    units_a = _unit(spread(emb), {"id": F.col(id_col)}, vec_col)
+    return _nearest_cells(units_a, cents, 1).select("id", "cell")
 
 
 def ivf_topk(
@@ -117,7 +124,14 @@ def ivf_topk(
     cosine_topk, with equi-join (not crossJoin) candidate generation."""
     units = _unit(emb, {"id": F.col(id_col)}, vec_col)
     cents = _centroids(units, n_cells)
-    assigned = _nearest_cells(units, cents, 1).select(
+    from tabsketchfm_spark.sources.tables import spread
+
+    # candidate assignment = |vecs| × n_cells interpreted HOF dots;
+    # spread the scan so it does not run single-task (round-3 rule).
+    # Probes and centroids stay on the unspread scan — both tiny, both
+    # broadcast.
+    units_a = _unit(spread(emb), {"id": F.col(id_col)}, vec_col)
+    assigned = _nearest_cells(units_a, cents, 1).select(
         F.col("id").alias("cand_id"), F.col("u").alias("cu"), "cell"
     )
     probes = _nearest_cells(

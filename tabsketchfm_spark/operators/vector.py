@@ -64,11 +64,22 @@ def cosine_topk(
 ) -> DataFrame:
     """T2/K3/T7: for each query vector (id < query_ids_max), the k nearest
     other vectors by cosine. Output: (q_id, rank, cand_id, cos)."""
-    units = _unit(emb, {"id": F.col(id_col)}, vec_col)
-    q = units.where(F.col("id") < query_ids_max).select(
+    from tabsketchfm_spark.sources.tables import spread
+
+    # candidate side drives |q|×|c| interpreted HOF dots — the classic
+    # expression-heavy downstream that must not run single-task on a
+    # one-row-group scan (guide §2.5 input skew; round-3 spread rule).
+    # The query side stays unspread: it is filtered tiny and broadcast.
+    # Measured at sf0.1 (2000 vecs × 10 queries): 0.66s → 0.27s; the
+    # unrolled dot (dim=64) was ALSO measured and loses here (0.85s
+    # single-task, 0.33s spread) — array indexing beats nothing when
+    # the win is parallelism, so the HOF form stays.
+    units_c = _unit(spread(emb), {"id": F.col(id_col)}, vec_col)
+    units_q = _unit(emb, {"id": F.col(id_col)}, vec_col)
+    q = units_q.where(F.col("id") < query_ids_max).select(
         F.col("id").alias("q_id"), F.col("u").alias("qu")
     )
-    c = units.select(F.col("id").alias("cand_id"), F.col("u").alias("cu"))
+    c = units_c.select(F.col("id").alias("cand_id"), F.col("u").alias("cu"))
     pairs = c.crossJoin(F.broadcast(q)).where(F.col("cand_id") != F.col("q_id"))
     scored = pairs.select("q_id", "cand_id", F.expr(dot_sql("qu", "cu")).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
