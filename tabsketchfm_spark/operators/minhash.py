@@ -126,6 +126,36 @@ def oph_signatures(
     )
 
 
+def oph_signatures_multi(
+    sources: list[tuple[DataFrame, str, list[str] | None]],
+    num_buckets: int = NUM_PERM,
+) -> DataFrame:
+    """OPH signatures for SEVERAL tables with ONE grouped aggregate:
+    union the melted (table_name, column_name, h) rows first, then a
+    single groupBy — identical values to per-table ``oph_signatures``
+    unioned (min over the same groups), but one Exchange instead of
+    one per table (guide §2.4; on a lake-scope sketch pass the
+    per-table aggregates were pure stage-latency). Map-side combine
+    still collapses each scan's rows before the shuffle."""
+    h = h32_sql("v", "spark")
+    m = None
+    for df, table_name, columns in sources:
+        tn = table_name.replace("'", "''")
+        mm = melt_values(df, columns, spread=False).selectExpr(
+            f"'{tn}' AS table_name", "column_name", f"{h} AS h"
+        )
+        m = mm if m is None else m.unionByName(mm)
+    return (
+        m.groupBy(
+            "table_name",
+            "column_name",
+            (F.col("h") % num_buckets).cast("int").alias("bucket"),
+        )
+        .agg(F.min("h").alias("sig"))
+        .select("table_name", "column_name", "bucket", "sig")
+    )
+
+
 def oph_signatures_oracle_sql(
     table: str, columns: list[str], num_buckets: int = NUM_PERM
 ) -> str:
@@ -250,10 +280,10 @@ def joinability_search_oph(
 
     qt, qc = query
     qsigs = oph_signatures(load_table(spark, sf_dir, qt), qt, [qc], num_buckets)
-    cand_sigs = None
-    for t, cols in candidates:
-        s = oph_signatures(load_table(spark, sf_dir, t), t, cols, num_buckets)
-        cand_sigs = s if cand_sigs is None else cand_sigs.unionByName(s)
+    cand_sigs = oph_signatures_multi(
+        [(load_table(spark, sf_dir, t), t, cols) for t, cols in candidates],
+        num_buckets,
+    )
     return oph_jaccard_estimate(qsigs, cand_sigs, num_buckets)
 
 
@@ -323,10 +353,10 @@ def all_pairs_joinability(
     """
     from tabsketchfm_spark.sources.tables import load_table
 
-    sigs = None
-    for t, cols in tables.items():
-        s = oph_signatures(load_table(spark, sf_dir, t), t, cols, num_buckets)
-        sigs = s if sigs is None else sigs.unionByName(s)
+    sigs = oph_signatures_multi(
+        [(load_table(spark, sf_dir, t), t, cols) for t, cols in tables.items()],
+        num_buckets,
+    )
     sigs = sigs.withColumn(
         "key", F.concat_ws(".", "table_name", "column_name")
     ).persist()
