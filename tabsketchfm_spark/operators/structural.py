@@ -552,45 +552,39 @@ def table_pagerank(
         .select("table_a", "table_b")
         .distinct()
     )
-    # undirected: both directions, then out-degree per source.
-    # localCheckpoint, not persist: the iterative loop below re-plans
-    # the edge subtree every round, and under AQE a merely-persisted
-    # frame defeats cache substitution — each round would re-run the
-    # whole sketch pipeline (measured 23s → ~4s with the flat
-    # LogicalRDD; same lesson as the dedup label-propagation loop).
-    edges = (
-        edges.select(F.col("table_a").alias("src"), F.col("table_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("table_b").alias("src"), F.col("table_a").alias("dst"))
-        )
-        .localCheckpoint()
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(F.broadcast(deg), "src").localCheckpoint()
-    nodes = spark.createDataFrame([(t,) for t in names], "key string")
-    base = F.lit((1.0 - damping) / n)
-    ranks = nodes.select("key", F.lit(1.0 / n).alias("r"))
+    # The edge SET is bounded by the lake SCHEMA (≤ |tables|² pairs,
+    # 8 tables here), never by data size — the same bounded-collect
+    # class as the IVF N_CELLS decision rows. Collect it once and run
+    # the `rounds` iterations driver-side: the old per-round Spark
+    # join+agg over a |tables|-row frame paid ~6 rounds × several
+    # stages of pure scheduling/codegen latency for nine rows of math
+    # (measured 8.7s warm → ~3.5s; OPTIMIZATION_r12.md). Every
+    # arithmetic step below mirrors the former Spark expressions
+    # operation-for-operation in IEEE doubles (r/deg, ×1e12, +0.5,
+    # floor → int64 sum; base + damping × (m/1e12)), so the emitted
+    # values — and the DuckDB oracle's replay of the same quantized
+    # rounds — stay bit-identical.
+    import math
+
+    pair_rows = edges.collect()  # ≤ |tables|²/2 rows, schema-bounded
+    adj: dict[str, list[str]] = {}
+    for row in pair_rows:
+        a, b = row["table_a"], row["table_b"]
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    base = (1.0 - damping) / n
+    ranks_py = {t: 1.0 / n for t in names}
     for _ in range(rounds):
-        contrib = (
-            ed.join(ranks.withColumnRenamed("key", "src"), "src")
-            .select(
-                F.col("dst").alias("key"),
-                F.floor(
-                    F.col("r") / F.col("deg").cast("double") * F.lit(1e12)
-                    + F.lit(0.5)
-                ).cast("bigint").alias("c"),
-            )
-            .groupBy("key")
-            .agg(F.sum("c").alias("m"))
-        )
-        ranks = nodes.join(contrib, "key", "left").select(
-            "key",
-            (
-                base
-                + F.lit(damping)
-                * (F.coalesce(F.col("m"), F.lit(0)).cast("double") / F.lit(1e12))
-            ).alias("r"),
-        )
+        m: dict[str, int] = {t: 0 for t in names}
+        for src, nbrs in adj.items():
+            deg = float(len(nbrs))
+            c = int(math.floor(ranks_py[src] / deg * 1e12 + 0.5))
+            for dst in nbrs:
+                m[dst] += c
+        ranks_py = {t: base + damping * (m[t] / 1e12) for t in names}
+    ranks = spark.createDataFrame(
+        [(t, ranks_py[t]) for t in names], "key string, r double"
+    )
     from tabsketchfm_spark.functions.ranking import global_rank
 
     ranked = global_rank(ranks, [F.desc("r"), F.asc("key")])
