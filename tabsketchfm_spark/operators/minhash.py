@@ -402,7 +402,7 @@ def all_pairs_joinability(
     if not ranked:
         # graph consumers (table_pagerank) only need the edge set —
         # skip the two-phase global rank (a repartitionByRange sampling
-        # job + per-partition-counts collect) they would discard
+        # job + offsets pass at execution) they would discard
         return est.select(*split_cols)
     from tabsketchfm_spark.functions.ranking import global_rank
 

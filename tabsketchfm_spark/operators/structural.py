@@ -532,9 +532,10 @@ def table_pagerank(
     Determinism across engines is engineered the same way as the
     profiler: each round's neighbor sum runs over INTEGER-scaled
     contributions (floor(r/deg × 1e12 + 0.5) — the HALF_UP-everywhere
-    quantizer), so the float aggregation order can never show. Every
-    per-round frame is |tables|-sized; the expensive part (signatures)
-    runs once.
+    quantizer), so the float aggregation order can never show. The
+    expensive part (signatures) runs once in Spark; the rounds
+    themselves run driver-side over the schema-bounded edge set
+    (≤ |tables|² pairs) with the same IEEE arithmetic.
 
     Output: (table_name, pagerank, rank).
     """
@@ -543,7 +544,7 @@ def table_pagerank(
     names = sorted(tables)
     n = len(names)
     # ranked=False: the graph only needs the edge SET — skip the
-    # global-rank pass (sampling job + counts collect) it would discard
+    # global-rank pass (sampling job + offsets pass) it would discard
     pairs = all_pairs_joinability(
         spark, sf_dir, tables, threshold=threshold, ranked=False
     )
