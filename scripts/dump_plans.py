@@ -2,7 +2,10 @@
 
 Usage: python scripts/dump_plans.py OUTDIR SUFFIX [NAME ...]
 With no names, dumps every bench.py HEADLINE query.
-Writes OUTDIR/<name>_<SUFFIX>.txt. Plan building only — no execution.
+Writes OUTDIR/<name>_<SUFFIX>.txt. Lazy queries are plan-built only;
+NOTE: eager builders (k3g pagerank, store-lifecycle rows, training
+loops) run their Spark jobs at build time — dumping those "plans"
+executes them (and store-backed ones mutate their tmp stores).
 """
 from __future__ import annotations
 

@@ -53,7 +53,12 @@ def main() -> None:
             qs[name](spark, args.sf).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         spark.catalog.clearCache()
-        med = sorted(runs)[len(runs) // 2]
+        s = sorted(runs)
+        med = (
+            s[len(s) // 2]
+            if len(s) % 2
+            else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        )
         print(f"QTIME {name}: median={med:.3f}s runs={[round(r,3) for r in runs]}")
     spark.stop()
 

@@ -1,12 +1,15 @@
 """Time every registered query (build + noop execution, no oracle) at a
 given SF and print the sorted slow tail.
 
-Usage: python scripts/registry_sweep_time.py [sf_dir] [--skip-eager-stores]
+Usage: python scripts/registry_sweep_time.py [sf_dir] [NAME ...]
 
 Optimization-round instrument (guide §1): finds where the registry's
 wall time concentrates so per-family work targets evidence, not guesses.
 Each query runs ONCE (cold) — lifecycle rows build their own stores in
-tmp dirs exactly as the driver's correctness pass would.
+tmp dirs exactly as the driver's correctness pass would. Results are
+written to a timestamp-free JSON under /tmp; copy it into plans/r12/
+deliberately (an automatic write there clobbered the committed round
+evidence once).
 """
 from __future__ import annotations
 
@@ -56,11 +59,11 @@ def main() -> None:
     print(f"TOTAL {total}s over {len(times)} queries; {len(errs)} errors")
     if errs:
         print(json.dumps(errs, indent=1))
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                       "plans", "r12", "registry_sweep_times.json")
+    out = "/tmp/registry_sweep_times.json"
     with open(out, "w") as f:
         json.dump({"sf_dir": sf_dir, "total_sec": total, "times": times,
                    "errors": errs}, f, indent=1, sort_keys=True)
+    print(f"wrote {out}")
     spark.stop()
 
 

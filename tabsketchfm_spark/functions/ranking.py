@@ -27,6 +27,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def triangular_offsets(
+    psums: DataFrame, key: str, val: str, out: str
+) -> DataFrame:
+    """off(k) = sum of ``val`` over rows with key' < key — the lazy,
+    broadcast-able exclusive prefix sum over a ≤ num_partitions-row
+    frame (bounded by config, never by data). ONE implementation shared
+    by global_rank and pack_sequences; it replaced their build-time
+    ``collect()`` + driver-built literal maps."""
+    l, r = psums.alias("l"), psums.alias("r")
+    return (
+        l.join(r, F.col(f"r.{key}") < F.col(f"l.{key}"), "left")
+        .groupBy(F.col(f"l.{key}").alias(key))
+        .agg(
+            F.coalesce(F.sum(F.col(f"r.{val}")), F.lit(0))
+            .cast("long")
+            .alias(out)
+        )
+    )
+
+
 def ranked_topk(
     df: DataFrame, order: list[Column], k: int, rank_name: str = "rank"
 ) -> DataFrame:
@@ -73,12 +93,7 @@ def global_rank(
     # the former counts.collect() + driver-built literal map, which
     # eagerly ran the entire upstream pipeline at query-BUILD time.
     psums = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
-    l, r = psums.alias("l"), psums.alias("r")
-    offs = (
-        l.join(r, F.col("r.__pid") < F.col("l.__pid"), "left")
-        .groupBy(F.col("l.__pid").alias("__pid"))
-        .agg(F.coalesce(F.sum(F.col("r.__c")), F.lit(0)).alias("__off"))
-    )
+    offs = triangular_offsets(psums, "__pid", "__c", "__off")
     w = Window.partitionBy("__pid").orderBy(*order)
     return (
         part.join(F.broadcast(offs), "__pid")

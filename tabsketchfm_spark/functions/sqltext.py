@@ -1,0 +1,23 @@
+"""Escaping helpers for building parsed Spark SQL strings.
+
+The optimization-round SQL-string builders (melt, profiler, minhash)
+embed column/table NAMES into SQL text. Spark's default parser treats
+backslash sequences inside single-quoted literals as escapes (verified:
+'a\\nb' parses to a newline), so doubling quotes alone corrupts any
+name containing a backslash. ONE escaper shared by every builder — the
+hand-rolled-copies drift class the round-7/round-10 notes warn about.
+"""
+
+from __future__ import annotations
+
+
+def sql_str_lit(s: str) -> str:
+    """``s`` as a single-quoted Spark SQL string literal: backslashes
+    first (escape-active in the default parser), then quote doubling."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def sql_ident(s: str) -> str:
+    """``s`` as a backtick-quoted identifier (backslashes are literal
+    inside backticks; only the backtick itself needs doubling)."""
+    return "`" + s.replace("`", "``") + "`"

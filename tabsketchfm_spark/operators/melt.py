@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tabsketchfm_spark.functions.sqltext import sql_ident, sql_str_lit
+
 
 def melt_values(
     df: DataFrame, columns: list[str] | None = None, spread: bool = True
@@ -31,9 +33,9 @@ def melt_values(
     # struct-per-column builders cost 5+ py4j round trips each, and
     # melt runs once per lake table in the sketch queries
     items = ", ".join(
-        "named_struct('column_name', '{lit}', 'v', "
-        "nullif(CAST(`{ident}` AS STRING), ''))".format(
-            lit=c.replace("'", "''"), ident=c.replace("`", "``")
+        "named_struct('column_name', {lit}, 'v', "
+        "nullif(CAST({ident} AS STRING), ''))".format(
+            lit=sql_str_lit(c), ident=sql_ident(c)
         )
         for c in columns
     )

@@ -24,6 +24,7 @@ from tabsketchfm_spark.functions.hashing import (
     minhash_agg_sql,
     perms_cte_duckdb,
 )
+from tabsketchfm_spark.functions.sqltext import sql_str_lit
 from tabsketchfm_spark.operators.melt import melt_values
 
 
@@ -51,9 +52,9 @@ def minhash_signatures(
     structs = ", ".join(
         f"named_struct('perm', {i}, 'sig', mh{i})" for i in range(num_perm)
     )
-    tn = table_name.replace("'", "''")
+    tn = sql_str_lit(table_name)
     return sigs.selectExpr(
-        f"'{tn}' AS table_name", "column_name", f"inline(array({structs}))"
+        f"{tn} AS table_name", "column_name", f"inline(array({structs}))"
     )
 
 
@@ -140,9 +141,9 @@ def oph_signatures_multi(
     h = h32_sql("v", "spark")
     m = None
     for df, table_name, columns in sources:
-        tn = table_name.replace("'", "''")
+        tn = sql_str_lit(table_name)
         mm = melt_values(df, columns, spread=False).selectExpr(
-            f"'{tn}' AS table_name", "column_name", f"{h} AS h"
+            f"{tn} AS table_name", "column_name", f"{h} AS h"
         )
         m = mm if m is None else m.unionByName(mm)
     return (
@@ -340,6 +341,7 @@ def all_pairs_joinability(
     threshold: float = 0.1,
     num_buckets: int = NUM_PERM,
     ranked: bool = True,
+    caches: list | None = None,
 ) -> DataFrame:
     """Lake-scope discovery: estimated Jaccard for EVERY column pair
     across every table, from one OPH sketch pass.
@@ -360,6 +362,11 @@ def all_pairs_joinability(
     sigs = sigs.withColumn(
         "key", F.concat_ws(".", "table_name", "column_name")
     ).persist()
+    if caches is not None:
+        # callers that consume the result EAGERLY (table_pagerank's
+        # bounded edge collect) should unpersist this afterwards; lazy
+        # callers must leave it cached — the returned plan reads it
+        caches.append(sigs)
 
     cnt = sigs.groupBy("key").agg(F.count(F.lit(1)).alias("nb"))
     a = sigs.select(

@@ -294,8 +294,7 @@ def profile_table(
     def rnd(e: str) -> str:
         return f"round({e}, {round_digits})" if round_digits is not None else e
 
-    def slit(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+    from tabsketchfm_spark.functions.sqltext import sql_str_lit as slit
 
     null_d = "CAST(NULL AS DOUBLE)"
     structs: list[str] = []

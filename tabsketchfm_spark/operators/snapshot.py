@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from tabsketchfm_spark.functions.sqltext import sql_str_lit
 from tabsketchfm_spark.functions.hashing import (
     MINHASH_PRIME,
     NUM_PERM,
@@ -41,9 +42,9 @@ def content_snapshot(
     structs = ", ".join(
         f"named_struct('perm', {i}, 'sig', mh{i})" for i in range(num_perm)
     )
-    tn = table_name.replace("'", "''")
+    tn = sql_str_lit(table_name)
     return sig.selectExpr(
-        f"'{tn}' AS table_name", f"inline(array({structs}))"
+        f"{tn} AS table_name", f"inline(array({structs}))"
     )
 
 

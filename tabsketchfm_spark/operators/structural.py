@@ -545,8 +545,10 @@ def table_pagerank(
     n = len(names)
     # ranked=False: the graph only needs the edge SET — skip the
     # global-rank pass (sampling job + offsets pass) it would discard
+    sig_caches: list = []
     pairs = all_pairs_joinability(
-        spark, sf_dir, tables, threshold=threshold, ranked=False
+        spark, sf_dir, tables, threshold=threshold, ranked=False,
+        caches=sig_caches,
     )
     edges = (
         pairs.where(F.col("table_a") != F.col("table_b"))
@@ -568,6 +570,10 @@ def table_pagerank(
     import math
 
     pair_rows = edges.collect()  # ≤ |tables|²/2 rows, schema-bounded
+    for c in sig_caches:
+        # the returned plan no longer references the signature frame —
+        # release it or every BUILD leaks a materialized cache entry
+        c.unpersist()
     adj: dict[str, list[str]] = {}
     for row in pair_rows:
         a, b = row["table_a"], row["table_b"]

@@ -380,6 +380,12 @@ def pack_sequences(
     pathologically clustered id space degrades bucket balance but
     never correctness.
 
+    NULL ids are dropped (they cannot be placed in the id-ordered
+    packing) — previously an all-NULL-id input degenerated to
+    seq_id=0 rows while a mixed input dropped its NULL-id rows; the
+    lazy scheme makes the drop uniform. No registered query feeds
+    NULL ids.
+
     Output: (doc_id, n_tokens, seq_id, seq_offset).
     """
     from pyspark.sql import Window
@@ -406,15 +412,12 @@ def pack_sequences(
         .withColumn("__bkt", bkt)
         .drop("__lo", "__w")
     )
-    # off(b) = tokens in buckets before b: triangular self-join over the
-    # ≤ nparts+1 per-bucket sums (bounded by config, never by data)
+    # off(b) = tokens in buckets before b: the shared lazy exclusive
+    # prefix sum over the ≤ nparts+1 per-bucket sums
+    from tabsketchfm_spark.functions.ranking import triangular_offsets
+
     psums = nv.groupBy("__bkt").agg(F.sum("n_tokens").alias("s"))
-    l, r = psums.alias("l"), psums.alias("r")
-    offs = (
-        l.join(r, F.col("r.__bkt") < F.col("l.__bkt"), "left")
-        .groupBy(F.col("l.__bkt").alias("__bkt"))
-        .agg(F.coalesce(F.sum(F.col("r.s")), F.lit(0)).cast("long").alias("off"))
-    )
+    offs = triangular_offsets(psums, "__bkt", "s", "off")
     w = Window.partitionBy("__bkt").orderBy(id_col)
     cum = (
         nv.join(F.broadcast(offs), "__bkt")

@@ -31,10 +31,16 @@ TABLE_NAMES = [
 # each call pays a DataSource resolution + parquet footer schema read
 # (~0.1s). The returned DataFrame is an immutable logical plan — safe to
 # share across builds. Keyed by applicationId so a dead session's plans
-# are never served to a new one (round-10 lesson), and by realpath'd
-# sf_dir. This memoizes a PLAN, not data: no persisted blocks, every
-# execution still scans parquet.
-_TABLE_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# are never served to a new one (round-10 lesson), by realpath'd sf_dir,
+# AND by the file's (mtime, size) so a table REWRITTEN at the same path
+# mid-session misses instead of serving a stale schema/plan (the same
+# staleness class as _ROWGROUP_CACHE below; round-9 lesson). A hit is
+# additionally served only to the exact SparkSession object that built
+# it — spark.newSession() shares the applicationId but is a different
+# session whose confs/state the memoized frame would bypass. This
+# memoizes a PLAN, not data: no persisted blocks, every execution still
+# scans parquet.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str, float, int], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,10 +49,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         app_id = spark.sparkContext.applicationId
     except Exception:
         app_id = None
-    key = (app_id, os.path.realpath(path), name)
+    try:
+        st = os.stat(path)
+        mtime, fsize = st.st_mtime, st.st_size
+    except OSError:
+        mtime, fsize = -1.0, -1
+    key = (app_id, os.path.realpath(path), name, mtime, fsize)
     if app_id is not None:
         hit = _TABLE_PLAN_CACHE.get(key)
-        if hit is not None:
+        if hit is not None and hit.sparkSession is spark:
             return hit
     # Externally-created sessions (the grading harness) won't have the
     # nanos config; it's a runtime-settable SQL conf, so set it here.
