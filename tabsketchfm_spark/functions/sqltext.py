@@ -13,7 +13,13 @@ from __future__ import annotations
 
 def sql_str_lit(s: str) -> str:
     """``s`` as a single-quoted Spark SQL string literal: backslashes
-    first (escape-active in the default parser), then quote doubling."""
+    first (escape-active in the default parser), then quote doubling.
+
+    Assumes ``spark.sql.parser.escapedStringLiterals=false`` (the
+    default). Under escapedStringLiterals=true the doubled backslash
+    would parse as TWO literal backslashes — load_table's
+    external-session shim pins the conf false so a harness-created
+    session cannot silently flip the contract (round-12 ADVICE)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
 

@@ -1040,9 +1040,12 @@ def kmeans_store_autorefresh_run(
     """The registered composite: init + fold the build slice
     (id < ``boundary``) into a fresh store, then one autorefresh call
     with the id-suffix delta against the full population as retarget
-    corpus. Output: one row per cell — (cell, fired, n_cum, m), the
-    final stored state with its centroid read-back — gated bit-exactly
-    by kmeans_store_autorefresh_oracle_sql on EITHER branch."""
+    corpus. Output: one row per cell — (cell, fired, n_cum, m_csv),
+    the final stored state with its centroid read back as a
+    comma-joined scalar (the driver's canonicalizer cannot sort
+    array-valued columns — round-12 verdict; integer components join
+    identically in both engines) — gated bit-exactly by
+    kmeans_store_autorefresh_oracle_sql on EITHER branch."""
     import shutil
     import tempfile
 
@@ -1062,11 +1065,16 @@ def kmeans_store_autorefresh_run(
         state, _n = kmeans_store_read(spark, store)
         cents = state_centroids(state)
         rows = [
-            (cid, bool(fired), int(c), [int(v) for v in cents[cid]])
+            (
+                cid,
+                bool(fired),
+                int(c),
+                ",".join(str(int(v)) for v in cents[cid]),
+            )
             for cid, (_s, c) in sorted(state.items())
         ]
         return spark.createDataFrame(
-            rows, "cell int, fired boolean, n_cum bigint, m array<bigint>"
+            rows, "cell int, fired boolean, n_cum bigint, m_csv string"
         )
     finally:
         emb.unpersist()
@@ -1167,12 +1175,12 @@ def kmeans_store_autorefresh_oracle_sql(
         + ",\n".join(ctes)
         + f"""
 SELECT CAST(n.cid AS INTEGER) AS cell, (SELECT trig FROM decision) AS fired,
-       CAST(n.c AS BIGINT) AS n_cum, w.m
+       CAST(n.c AS BIGINT) AS n_cum, array_to_string(w.m, ',') AS m_csv
 FROM cnts n JOIN {wfinal} w ON w.cid = n.cid
 WHERE (SELECT trig FROM decision)
 UNION ALL
 SELECT CAST(n.cid AS INTEGER) AS cell, (SELECT trig FROM decision) AS fired,
-       CAST(n.c AS BIGINT) AS n_cum, m2.m
+       CAST(n.c AS BIGINT) AS n_cum, array_to_string(m2.m, ',') AS m_csv
 FROM cnts n JOIN m2 ON m2.cid = n.cid
 WHERE NOT (SELECT trig FROM decision)
 """

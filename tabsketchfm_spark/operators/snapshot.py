@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from tabsketchfm_spark.functions.sqltext import sql_str_lit
+from tabsketchfm_spark.functions.sqltext import sql_ident, sql_str_lit
 from tabsketchfm_spark.functions.hashing import (
     MINHASH_PRIME,
     NUM_PERM,
@@ -32,7 +32,7 @@ def content_snapshot(
     df: DataFrame, table_name: str, columns: list[str], num_perm: int = NUM_PERM
 ) -> DataFrame:
     """(table_name, perm, sig) — 100-slot row-set MinHash."""
-    cols = ", ".join(f"CAST(`{c}` AS STRING)" for c in columns)
+    cols = ", ".join(f"CAST({sql_ident(c)} AS STRING)" for c in columns)
     h = h32_sql("row_str", "spark")
     sig = (
         df.selectExpr(f"concat_ws(' ', {cols}) AS row_str")

@@ -572,8 +572,11 @@ def table_pagerank(
     pair_rows = edges.collect()  # ≤ |tables|²/2 rows, schema-bounded
     for c in sig_caches:
         # the returned plan no longer references the signature frame —
-        # release it or every BUILD leaks a materialized cache entry
-        c.unpersist()
+        # release it or every BUILD leaks a materialized cache entry.
+        # blocking=True: the zero-leak contract is checked immediately
+        # after build (round-12 driver flake — async release left the
+        # block visible to the storage-info probe)
+        c.unpersist(blocking=True)
     adj: dict[str, list[str]] = {}
     for row in pair_rows:
         a, b = row["table_a"], row["table_b"]
@@ -812,8 +815,10 @@ def table_communities(
     from tabsketchfm_spark.operators.minhash import all_pairs_joinability
 
     names = sorted(tables)
+    sig_caches: list = []
     pairs = all_pairs_joinability(
-        spark, sf_dir, tables, threshold=threshold, ranked=False
+        spark, sf_dir, tables, threshold=threshold, ranked=False,
+        caches=sig_caches,
     )
     e = (
         pairs.where(F.col("table_a") != F.col("table_b"))
@@ -829,6 +834,13 @@ def table_communities(
     )
     nodes = spark.createDataFrame([(i,) for i in range(len(names))], "doc_id bigint")
     cc = connected_components(eid, nodes)
+    for c in sig_caches:
+        # connected_components localCheckpointed the pair frame as its
+        # first (eager) step, so the returned plan no longer references
+        # the OPH signature persist — release it or every BUILD leaks a
+        # materialized cache entry (round-12 ADVICE; same class as the
+        # pagerank fix above)
+        c.unpersist(blocking=True)
     arr = F.array(*[F.lit(t) for t in names])
     out = cc.select(
         F.element_at(arr, F.col("doc_id").cast("int") + 1).alias("table_name"),

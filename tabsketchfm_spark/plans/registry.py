@@ -3430,5 +3430,13 @@ def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
 
+def driver_window_names() -> list[str]:
+    """The first-50 registration order the driver records CORRECTNESS
+    rows for. Exposed so tests can pin window-only contracts (e.g. no
+    top-level array columns — the driver's canonicalizer cannot sort
+    them; round-12 verdict)."""
+    return list(_DRIVER_WINDOW)
+
+
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)

@@ -39,8 +39,11 @@ TABLE_NAMES = [
 # it — spark.newSession() shares the applicationId but is a different
 # session whose confs/state the memoized frame would bypass. This
 # memoizes a PLAN, not data: no persisted blocks, every execution still
-# scans parquet.
-_TABLE_PLAN_CACHE: dict[tuple[str, str, str, float, int], DataFrame] = {}
+# scans parquet. mtime is NANOSECOND-resolution (st_mtime_ns — a
+# same-size rewrite within float-seconds mtime granularity must miss;
+# round-12 ADVICE), and inserting a new key evicts superseded entries
+# for the same (app_id, path, name) so rewrites don't accumulate.
+_TABLE_PLAN_CACHE: dict[tuple[str, str, str, int, int], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,10 +54,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         app_id = None
     try:
         st = os.stat(path)
-        mtime, fsize = st.st_mtime, st.st_size
+        mtime_ns, fsize = st.st_mtime_ns, st.st_size
     except OSError:
-        mtime, fsize = -1.0, -1
-    key = (app_id, os.path.realpath(path), name, mtime, fsize)
+        mtime_ns, fsize = -1, -1
+    key = (app_id, os.path.realpath(path), name, mtime_ns, fsize)
     if app_id is not None:
         hit = _TABLE_PLAN_CACHE.get(key)
         if hit is not None and hit.sparkSession is spark:
@@ -66,6 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # NTZ→TZ casts must interpret in UTC to match the (TZ-naive)
         # DuckDB oracle's epoch()
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # sqltext.sql_str_lit doubles backslashes, which is only correct
+        # under the default parser; pin it so an externally-created
+        # session with escapedStringLiterals=true cannot corrupt names
+        # embedded in parsed SQL strings (round-12 ADVICE)
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
         # PySpark 4's DataFrame-debugging wrapper adds an inspect stack
         # walk + 3 py4j round trips to EVERY DataFrame call — measured
         # ~60% of expression-heavy build time (OPTIMIZATION_r12.md #1).
@@ -94,6 +102,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in _nano_ts_columns(path):
         df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
     if app_id is not None:
+        for k in [
+            k for k in _TABLE_PLAN_CACHE if k[:3] == key[:3] and k != key
+        ]:
+            del _TABLE_PLAN_CACHE[k]
         _TABLE_PLAN_CACHE[key] = df
     return df
 
