@@ -125,11 +125,21 @@ def column_vote_search(
 
     Output: (cand_table, matched_cols, dist_sum, rank).
     """
+    from tabsketchfm_spark.sources.tables import spread
+
+    # candidate side drives |q_cols|×|c_cols| interpreted HOF dots on a
+    # one-row-group scan — the same expression-heavy single-task stage
+    # cosine_topk spreads (guide §2.5; round-13: measured 3.4s of a
+    # 5.8s warm wall in ONE task before the spread). The query side
+    # stays unspread: filtered small and broadcast.
+    units_c = _unit(
+        spread(emb), {"id": F.col(id_col), "grp": F.col(group_col)}, vec_col
+    )
     units = _unit(emb, {"id": F.col(id_col), "grp": F.col(group_col)}, vec_col)
     qv = units.where(F.col("grp") == query_label).select(
         F.col("id").alias("q_col"), F.col("u").alias("qu")
     )
-    cv = units.where(F.col("grp") != query_label).select(
+    cv = units_c.where(F.col("grp") != query_label).select(
         F.col("id").alias("cand_col"),
         F.col("grp").alias("cand_table"),
         F.col("u").alias("cu"),
